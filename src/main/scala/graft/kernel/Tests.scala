@@ -1,0 +1,168 @@
+package graft.kernel
+
+import java.util.SplittableRandom
+
+/** The seven statistical tests of the reference engine, re-expressed as
+  * pure functions `(window, conf, rng) => Option[probability]`.
+  * `None` replaces the reference's NA sentinel ("test not applicable /
+  * insufficient data"). Reference: /root/reference/algorithms.go.
+  *
+  * Determinism: the permutation tests (diff, highrank, lowrank, ks) take
+  * a caller-seeded RNG instead of the reference's unseeded global RNG
+  * (algorithms.go:126,189,300) — a deliberate, documented divergence that
+  * makes outputs reproducible; statistically the tests are identical.
+  */
+object Tests {
+
+  type Algorithm = (Array[Double], AnomalyzerConf, SplittableRandom) => Option[Double]
+
+  val Algorithms: Map[String, Algorithm] = Map(
+    "magnitude" -> ((v, c, _) => magnitude(v, c)),
+    "diff" -> ((v, c, r) => diffTest(v, c, r)),
+    "highrank" -> ((v, c, r) => rankTest(v, c, r, (x, y) => x < y)),
+    "lowrank" -> ((v, c, r) => rankTest(v, c, r, (x, y) => x > y)),
+    "cdf" -> ((v, c, _) => cdf(v, c)),
+    "fence" -> ((v, c, _) => Some(fence(v, c))),
+    "ks" -> ((v, c, r) => bootstrapKs(v, c, r)))
+
+  /** Distance of the active mean from the configured fences, sharpened by
+    * weightExp. Ignores the reference window. Reference: algorithms.go:73-93.
+    */
+  def fence(v: Array[Double], conf: AnomalyzerConf): Double = {
+    // minRefSize = -1 (algorithms.go:75): extraction cannot fail; the
+    // active window is simply the last min(activeSize, n) points.
+    val n = v.length
+    val a = math.min(conf.activeSize, n)
+    val active = java.util.Arrays.copyOfRange(v, n - a, n)
+    val x = Vec.mean(active)
+    val distance = conf.lowerBound match {
+      case None => x / conf.upperBound
+      case Some(lower) =>
+        val bound = (conf.upperBound - lower) / 2
+        val mid = lower + bound
+        math.abs(x - mid) / bound
+    }
+    Vec.weightExp(Vec.cap(distance, 0, 1), 10)
+  }
+
+  /** Relative difference of active vs reference means. Reference:
+    * algorithms.go:231-252 (note: weightExp is commented out upstream).
+    */
+  def magnitude(v: Array[Double], conf: AnomalyzerConf): Option[Double] =
+    Vec.extractWindows(v, conf.referenceSize, conf.activeSize, 1).map {
+      case (ref, active) =>
+        val activeMean = Vec.mean(active)
+        val refMean = Vec.mean(ref)
+        if (refMean == 0) { if (activeMean == 0) 0.0 else 1.0 }
+        else math.abs(activeMean - refMean) / refMean
+    }
+
+  /** ECDF of |successive differences|: where the active-vs-reference mean
+    * difference falls in the reference's difference distribution, scaled
+    * so tails → 1. Reference: algorithms.go:209-227.
+    */
+  def cdf(v: Array[Double], conf: AnomalyzerConf): Option[Double] = {
+    val diffs = Vec.abs(Vec.diff(v))
+    Vec.extractWindows(diffs, conf.referenceSize - 1, conf.activeSize,
+      conf.activeSize).map { case (ref, active) =>
+      val refEcdf = Vec.ecdf(ref)
+      val activeDiff = Vec.mean(active) - Vec.mean(ref)
+      val percentile = refEcdf(activeDiff)
+      2 * math.abs(0.5 - percentile)
+    }
+  }
+
+  /** Bootstrap permutation test on ranks of |relative differences|.
+    * Reference: algorithms.go:105-140.
+    */
+  def diffTest(v: Array[Double], conf: AnomalyzerConf,
+      rng: SplittableRandom): Option[Double] = {
+    val ranks = Vec.rank(Vec.abs(Vec.relDiff(v)))
+    // diffs shorten the vector by one => refSize-1 (algorithms.go:111)
+    Vec.extractWindows(ranks, conf.referenceSize - 1, conf.activeSize,
+      conf.activeSize).map { case (_, active) =>
+      val activeSum = Vec.sum(active)
+      var significant = 0
+      var i = 0
+      while (i < conf.permCount) {
+        val permRanks = Vec.rank(Vec.abs(Vec.relDiff(Vec.shuffle(v, rng))))
+        Vec.extractWindows(permRanks, conf.referenceSize - 1,
+          conf.activeSize, conf.activeSize).foreach { case (_, permActive) =>
+          if (Vec.sum(permActive) < activeSum) significant += 1
+        }
+        i += 1
+      }
+      significant.toDouble / conf.permCount
+    }
+  }
+
+  /** Shared bootstrap rank-sum core; `comparison(permSum, activeSum)`
+    * selects highrank (<, detects increases) vs lowrank (>, detects
+    * decreases). Reference: algorithms.go:142-205.
+    */
+  def rankTest(v: Array[Double], conf: AnomalyzerConf, rng: SplittableRandom,
+      comparison: (Double, Double) => Boolean): Option[Double] = {
+    val ranks = Vec.rank(v)
+    Vec.extractWindows(ranks, conf.referenceSize, conf.activeSize,
+      conf.activeSize).map { case (_, active) =>
+      val activeSum = Vec.sum(active)
+      var significant = 0
+      var i = 0
+      while (i < conf.permCount) {
+        val permRanks = Vec.rank(Vec.shuffle(v, rng))
+        Vec.extractWindows(permRanks, conf.referenceSize, conf.activeSize,
+          conf.activeSize).foreach { case (_, permActive) =>
+          if (comparison(Vec.sum(permActive), activeSum)) significant += 1
+        }
+        i += 1
+      }
+      significant.toDouble / conf.permCount
+    }
+  }
+
+  /** Two-sample KS statistic via the reference's grid construction: both
+    * ECDFs evaluated on an (n1+n2)-point linspace from global min to max
+    * (NOT the classic two-pointer sup-distance — kept for parity).
+    * Requires n1 % n2 == 0, else None. Reference: algorithms.go:255-288.
+    */
+  def ksStat(v: Array[Double], conf: AnomalyzerConf): Option[Double] =
+    Vec.extractWindows(v, conf.referenceSize, conf.activeSize,
+      conf.activeSize).flatMap { case (ref, active) =>
+      val n1 = ref.length
+      val n2 = active.length
+      if (n1 % n2 != 0) None
+      else {
+        val activeEcdf = Vec.ecdf(active)
+        val refEcdf = Vec.ecdf(ref)
+        val lo = math.min(ref.min, active.min)
+        val hi = math.max(ref.max, active.max)
+        val grid = Vec.interpolate(lo, hi, n1 + n2)
+        var d = 0.0
+        var i = 0
+        while (i < grid.length) {
+          d = math.max(d, math.abs(activeEcdf(grid(i)) - refEcdf(grid(i))))
+          i += 1
+        }
+        Some(d)
+      }
+    }
+
+  /** Bootstrap permutation test on the KS statistic.
+    * Reference: algorithms.go:290-309.
+    */
+  def bootstrapKs(v: Array[Double], conf: AnomalyzerConf,
+      rng: SplittableRandom): Option[Double] =
+    ksStat(v, conf).map { dist =>
+      var significant = 0
+      var i = 0
+      while (i < conf.permCount) {
+        // shuffling preserves length => ksStat of the permutation is
+        // always defined once the original was
+        ksStat(Vec.shuffle(v, rng), conf).foreach { permDist =>
+          if (permDist < dist) significant += 1
+        }
+        i += 1
+      }
+      significant.toDouble / conf.permCount
+    }
+}
