@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `cosine_lsh_bucket(embedding, nBits, seed)`: random-hyperplane LSH —
+  * bit b of the bucket id is the sign of the dot product between the
+  * embedding and a deterministic pseudo-random Rademacher (±1) plane
+  * derived from xxhash64(seed, b, dim). Vectors with high cosine
+  * similarity collide with high probability, so an equi-join on the
+  * bucket id replaces the all-pairs cross join — the scale path for
+  * similarity search (candidates drop from O(n²) to O(n²/2^bits) per
+  * bucket, and the join shuffles on bucket like any other key).
+  */
+case class CosineLshBucket(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits > 0 && nBits <= 30, "nBits must be in (0, 30]")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cosine_lsh_bucket"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<DOUBLE|FLOAT>, got ${t.sql}")
+  }
+
+  // lazy: child.dataType is only callable once the plan is resolved
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // ±1 plane component for (bit, dim), deterministic in (seed, bit, dim)
+  private def radem(bit: Int, dim: Int): Double = {
+    val h = XXH64.hashLong(bit.toLong * 1000003L + dim.toLong, seed)
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val v = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        dot += v * radem(b, d)
+        d += 1
+      }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Embedding similarity as pure built-in columns (whole-stage codegen
+  * friendly; no UDF): dot product / norms via zip_with + aggregate
+  * higher-order functions, all in DOUBLE.
+  */
+object VectorOps {
+  import org.apache.spark.sql.graft.shims.{column, expression}
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; callers round before comparing across engines. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  def cosine_lsh_bucket(emb: Column, nBits: Int, seed: Long): Column =
+    column(CosineLshBucket(expression(emb), nBits, seed))
+}

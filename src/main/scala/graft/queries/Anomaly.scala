@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.kernel.AnomalyzerConf
+import graft.operators.{AnomalyOps, Detectors}
+import graft.sources.Tables
+
+/** Anomaly-detection queries over the `events` table (series key =
+  * event_type, time = ts, observation = value).
+  *
+  * The deterministic tests (magnitude, fence, cdf and their ensemble)
+  * are oracle-checked against DuckDB SQL that mirrors
+  * [[graft.operators.Detectors]] expression-for-expression. The
+  * permutation tests (rank, diff, ks) are inherently non-SQL
+  * (bootstrap resampling) — they are declared rows-only here and
+  * verified exactly against the sequential kernel in ScalaTest.
+  */
+object Anomaly {
+
+  /** Shared spec: active 2, seasons 4 (reference default), window 10. */
+  val spec: Detectors.Spec = Detectors.Spec(
+    activeSize = 2, nSeasons = 4,
+    upperBound = 500.0, lowerBound = Some(0.0), sensitivity = 0.1)
+
+  private def detected(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Detectors.withProbs(Tables.events(s, dir), col("event_type"), col("ts"),
+        Seq(col("event_id")), col("value"), spec)
+      .filter(col("rn") >= spec.windowSize)
+
+  /** DuckDB SQL computing the same prob columns; kept as one CTE chain
+    * shared by all deterministic anomaly oracles.
+    */
+  private val probsCte: String = {
+    val a = spec.activeSize // 2
+    val w = spec.windowSize // 10
+    val cdfRefLen = w - a - 1 // 7
+    val (lo, hi) = (spec.lowerBound.get, spec.upperBound)
+    val bound = (hi - lo) / 2
+    val mid = lo + bound
+    s"""
+    WITH base AS (
+      SELECT event_type, event_id, user_id, value,
+             row_number() OVER win AS rn,
+             avg(value) OVER (win ROWS BETWEEN ${a - 1} PRECEDING AND CURRENT ROW) AS act_mean,
+             avg(value) OVER (win ROWS BETWEEN ${w - 1} PRECEDING AND $a PRECEDING) AS ref_mean,
+             abs(value - lag(value) OVER win) AS d
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), diffs AS (
+      SELECT *,
+             avg(d) OVER (win ROWS BETWEEN ${a - 1} PRECEDING AND CURRENT ROW) AS act_mean_d,
+             avg(d) OVER (win ROWS BETWEEN ${w - 2} PRECEDING AND $a PRECEDING) AS ref_mean_d,
+             array_agg(d) OVER (win ROWS BETWEEN ${w - 2} PRECEDING AND $a PRECEDING) AS ref_arr_d
+      FROM base
+      WINDOW win AS (PARTITION BY event_type ORDER BY rn)
+    ), probs AS (
+      SELECT event_type, event_id, user_id, rn, value,
+        round(least(greatest(
+          CASE WHEN ref_mean = 0 THEN (CASE WHEN act_mean = 0 THEN 0.0 ELSE 1.0 END)
+               ELSE abs(act_mean - ref_mean) / ref_mean END, 0.0), 1.0), 6) AS prob_magnitude,
+        round((pow(10.0, least(greatest(abs(act_mean - $mid) / $bound, 0.0), 1.0)) - 1) / 9, 6) AS prob_fence,
+        round(2 * abs(0.5 - len(list_filter(ref_arr_d,
+          x -> round(x, 6) <= round(act_mean_d - ref_mean_d, 6))) / $cdfRefLen.0), 6) AS prob_cdf
+      FROM diffs
+    ), micro AS (
+      SELECT *,
+        CAST(round(prob_magnitude * 1e6) AS BIGINT) AS pm6,
+        CAST(round(prob_fence * 1e6) AS BIGINT) AS pf6,
+        CAST(round(prob_cdf * 1e6) AS BIGINT) AS pc6,
+        (CASE WHEN round(prob_magnitude * 1e6) > 800000 THEN 10 ELSE 1 END) AS wm,
+        (CASE WHEN round(prob_fence * 1e6) > 800000 THEN 10 ELSE 1 END) AS wf
+      FROM probs
+    ), scored AS (
+      SELECT *,
+        CASE WHEN pm6 < ${math.round(spec.sensitivity * 1e6)} THEN 0.0
+             ELSE floor((2*(wm*pm6 + wf*pf6 + pc6) + (wm + wf + 1))
+                        / (2.0*(wm + wf + 1))) / 1e6 END AS prob_ensemble
+      FROM micro
+    )"""
+  }
+
+  /** Kernel-backed conf for the permutation-test queries. */
+  private val permConf = AnomalyzerConf(
+    activeSize = spec.activeSize, nSeasons = spec.nSeasons,
+    permCount = 100, methods = Nil) // methods set per query
+
+  private def permQuery(methods: Seq[String]) =
+    (s: org.apache.spark.sql.SparkSession, dir: String) =>
+      AnomalyOps.withAnomalyProbs(Tables.events(s, dir), col("event_type"),
+          col("ts"), col("value"), permConf.copy(methods = methods),
+          tieBreak = Seq(col("event_id")))
+        .select(col("event_type"), col("event_id"),
+          round(col("anomaly_prob"), 6).as("prob"))
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("a01_anomaly_magnitude", (s, dir) =>
+      detected(s, dir).select("event_type", "event_id", "prob_magnitude"),
+      Some(s"""$probsCte
+        SELECT event_type, event_id, prob_magnitude
+        FROM scored WHERE rn >= ${spec.windowSize}""")),
+
+    Entry("a02_anomaly_fence", (s, dir) =>
+      detected(s, dir).select("event_type", "event_id", "prob_fence"),
+      Some(s"""$probsCte
+        SELECT event_type, event_id, prob_fence
+        FROM scored WHERE rn >= ${spec.windowSize}""")),
+
+    Entry("a03_anomaly_cdf", (s, dir) =>
+      detected(s, dir).select("event_type", "event_id", "prob_cdf"),
+      Some(s"""$probsCte
+        SELECT event_type, event_id, prob_cdf
+        FROM scored WHERE rn >= ${spec.windowSize}""")),
+
+    // weighted ensemble incl. magnitude short-circuit + dynamic weights
+    Entry("a04_anomaly_ensemble", (s, dir) =>
+      detected(s, dir)
+        .select("event_type", "event_id", "prob_ensemble"),
+      Some(s"""$probsCte
+        SELECT event_type, event_id, prob_ensemble
+        FROM scored WHERE rn >= ${spec.windowSize}"""), bench = true),
+
+    // detect -> threshold -> enrich (join back to a dimension)
+    Entry("a05_anomaly_enrich", (s, dir) => {
+      val anomalous = Detectors.withProbs(Tables.events(s, dir),
+          col("event_type"), col("ts"), Seq(col("event_id")), col("value"), spec)
+        .filter(col("rn") >= spec.windowSize && col("prob_ensemble") > 0.5)
+      // exact integer-micro average (see Detectors ensemble note)
+      val sumMicro = sum(round(col("prob_ensemble") * 1e6).cast("long"))
+      val cnt = count(lit(1))
+      anomalous
+        .join(broadcast(Tables.table(s, dir, "customer")),
+          col("user_id") === col("c_custkey"))
+        .groupBy("event_type", "c_mktsegment")
+        .agg(cnt.as("n_anomalies"),
+          (floor((lit(2L) * sumMicro + cnt) / (lit(2L) * cnt)) / 1e6)
+            .as("avg_prob"))
+    }, Some(s"""$probsCte,
+      anomalous AS (
+        SELECT event_type, user_id, prob_ensemble
+        FROM scored
+        WHERE rn >= ${spec.windowSize} AND prob_ensemble > 0.5
+      )
+      SELECT a.event_type, c.c_mktsegment,
+             count(*) AS n_anomalies,
+             floor((2*sum(CAST(round(a.prob_ensemble * 1e6) AS BIGINT)) + count(*))
+                   / (2.0*count(*))) / 1e6 AS avg_prob
+      FROM anomalous a JOIN customer c ON a.user_id = c.c_custkey
+      GROUP BY a.event_type, c.c_mktsegment""")),
+
+    // permutation tests: kernel-backed, seeded; rows-only driver check,
+    // exact oracle lives in AnomalyOpsSpec (Spark == sequential kernel)
+    Entry("a06_anomaly_rank", permQuery(Seq("highrank", "lowrank")), None,
+      bench = true),
+    Entry("a07_anomaly_diff", permQuery(Seq("diff")), None),
+    Entry("a08_anomaly_ks", permQuery(Seq("ks")), None))
+}

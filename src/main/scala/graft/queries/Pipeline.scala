@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHashFunctions, VectorOps}
+import graft.sources.Tables
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash,
+  * embedding near-dup), similarity search (brute-force top-k + LSH),
+  * and text analysis (stats, language id, quality scoring,
+  * fingerprints). Deterministic-by-construction; SQL-expressible ones
+  * carry DuckDB oracles, hash-based ones are pinned by ScalaTest.
+  */
+object Pipeline {
+
+  // shared normalization: lowercase, collapse whitespace
+  private val norm: Column =
+    lower(regexp_replace(trim(col("text")), "\\s+", " "))
+  private val normSql =
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+  private def toks: Column = split(norm, " ")
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  /** 5-word shingles of the normalized token stream (empty when the
+    * document is shorter than one shingle).
+    */
+  private def shingles: Column = {
+    val t = toks
+    when(size(t) >= 5,
+      transform(sequence(lit(0), size(t) - 5),
+        i => concat_ws(" ", slice(t, i + 1, lit(5)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+
+  // distinct (doc_id, shingle) pairs + per-doc shingle counts
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+
+  private val shingleCte = s"""
+    WITH docs AS (
+      SELECT doc_id, $toksSql AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM docs, UNNEST(CASE WHEN len(toks) >= 5 THEN range(1, len(toks)-3)
+                             ELSE [] END) AS t(i)
+    ), counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    )"""
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- p01: exact dedup — group by normalized-content hash
+    Entry("p01_dedup_exact", (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(norm).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+        .filter(col("n_copies") > 1),
+      Some(s"""
+        SELECT md5($normSql) AS content_hash,
+               count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM documents GROUP BY content_hash HAVING count(*) > 1""")),
+
+    // ---- p02: dedup survivors (keep lowest doc_id per content group)
+    Entry("p02_dedup_keep_first", (s, dir) => {
+      val w = Window.partitionBy(md5(norm)).orderBy(col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "lang", "source")
+    }, Some(s"""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5($normSql)
+                                  ORDER BY doc_id) AS rk
+        FROM documents) WHERE rk = 1""")),
+
+    // ---- p03: near-dedup via exact n-gram Jaccard on candidate pairs
+    // (pairs sharing >=1 shingle; at scale the shingle join IS the
+    // candidate generator — no cross join anywhere)
+    Entry("p03_dedup_ngram_jaccard", (s, dir) => {
+      val sh = shingleSets(s, dir)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.toDF("doc_a", "shingle")
+        .join(sh.toDF("doc_b", "shingle"), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      val jac = round(col("common") /
+        (col("na") + col("nb") - col("common")), 6)
+      pairs
+        .join(counts.toDF("doc_a", "na"), "doc_a")
+        .join(counts.toDF("doc_b", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }, Some(s"""$shingleCte,
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        FROM sh x JOIN sh y USING (shingle)
+        WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b,
+             round(common/(ca.n + cb.n - common), 6) AS jaccard
+      FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+                 JOIN counts cb ON doc_b = cb.doc_id
+      WHERE round(common/(ca.n + cb.n - common), 6) >= 0.5"""), bench = true),
+
+    // ---- p04: MinHash-LSH near-dedup (64-perm signature, 16 bands x 4)
+    // xxhash-based => no SQL oracle; estimator accuracy pinned in
+    // PipelineSpec against p03's exact Jaccard
+    Entry("p04_dedup_minhash_lsh", (s, dir) => {
+      val k = 64
+      val bands = 16
+      val rows = k / bands
+      val sigs = docs(s, dir).select(col("doc_id"),
+        TextHashFunctions.minhash_signature(shingles, k).as("sig"))
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("sig"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = banded.toDF("doc_a", "sig_a", "band", "bucket")
+        .join(banded.toDF("doc_b", "sig_b", "band", "bucket"),
+          Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      cand.select(col("doc_a"), col("doc_b"),
+          round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+            lit(0.0), (acc, x) => acc + x) / k, 6).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+    }, None, bench = true),
+
+    // ---- p05: SimHash near-dedup (hamming distance via 4-segment
+    // blocking: dups within distance<=3 share at least one segment)
+    Entry("p05_dedup_simhash", (s, dir) => {
+      val sigs = docs(s, dir).select(col("doc_id"),
+        TextHashFunctions.simhash64(toks).as("sig"))
+      val seg = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("seg"),
+          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFF)
+            .as("val"))): _*)).as("sv"))
+        .select(col("doc_id"), col("sig"),
+          col("sv.seg").as("seg"), col("sv.val").as("val"))
+      val cand = seg.toDF("doc_a", "sig_a", "seg", "val")
+        .join(seg.toDF("doc_b", "sig_b", "seg", "val"), Seq("seg", "val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      cand.select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+    }, None),
+
+    // ---- p06: embedding-cosine near-duplicates (brute force, exact)
+    Entry("p06_embed_neardup", (s, dir) => {
+      val e = embs(s, dir)
+      val a = e.toDF("vec_a", "label_a", "emb_a")
+      val b = e.toDF("vec_b", "label_b", "emb_b")
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4""")),
+
+    // ---- p07: brute-force cosine top-k similarity search (bench)
+    Entry("p07_sim_topk", (s, dir) => {
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .toDF("query_id", "qlabel", "qemb")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      queries.join(e.toDF("neighbor_id", "nlabel", "nemb"),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(VectorOps.cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      sims AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.emb, n.emb), 6) AS cos_sim
+        FROM e q JOIN e n ON q.vec_id != n.vec_id
+        WHERE q.vec_id % 50 = 0
+      )
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM sims) WHERE rk <= 5"""), bench = true),
+
+    // ---- p08: LSH-bucketed ANN — L hash tables of b-bit hyperplane
+    // signatures; the equi-join on (table, bucket) replaces the cross
+    // join, so candidate generation scales like any shuffle join.
+    // Recall vs the exact p07 is pinned in PipelineSpec.
+    Entry("p08_sim_ann_lsh", (s, dir) => {
+      val tables = 8
+      val bits = 6
+      val e = embs(s, dir).select(col("vec_id"), col("emb"),
+        explode(array((0 until tables).map(l =>
+          struct(lit(l).as("tbl"),
+            VectorOps.cosine_lsh_bucket(col("emb"), bits, l.toLong)
+              .as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("emb"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      val cand = e.filter(col("vec_id") % 50 === 0)
+        .toDF("query_id", "qemb", "tbl", "bucket")
+        .join(e.toDF("neighbor_id", "nemb", "tbl", "bucket"),
+          Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "qemb", "neighbor_id", "nemb").distinct()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      cand.select(col("query_id"), col("neighbor_id"),
+          round(VectorOps.cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    }, None),
+
+    // ---- p09: per-document text statistics
+    Entry("p09_text_stats", (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+        round(aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(toks), 6)
+          .as("avg_token_len"),
+        round(size(array_distinct(toks)) / size(toks), 6).as("ttr")),
+      Some(s"""
+        WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_uniq_tokens,
+               round(CAST(list_sum(list_transform(toks, t -> length(t)))
+                     AS DOUBLE) / len(toks), 6) AS avg_token_len,
+               round(len(list_distinct(toks)) / len(toks), 6) AS ttr
+        FROM d""")),
+
+    // ---- p10: n-gram/stopword language id heuristic
+    Entry("p10_text_langid", (s, dir) => {
+      def hits(words: Seq[String]) =
+        size(filter(toks, t => t.isin(words: _*)))
+      val en = hits(Seq("the", "a", "and", "of", "to", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "que", "en"))
+      val de = hits(Seq("der", "die", "das", "und", "ist"))
+      val fr = hits(Seq("le", "les", "et", "des", "une"))
+      val pred = when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+      docs(s, dir)
+        .groupBy(col("lang"), pred.as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }, Some(s"""
+      WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      scored AS (
+        SELECT lang,
+          len(list_filter(toks, t -> t IN ('the','a','and','of','to','is'))) AS en,
+          len(list_filter(toks, t -> t IN ('el','la','de','y','que','en'))) AS es,
+          len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de,
+          len(list_filter(toks, t -> t IN ('le','les','et','des','une'))) AS fr
+        FROM d)
+      SELECT lang,
+             CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                  WHEN es >= de AND es >= fr THEN 'es'
+                  WHEN de >= fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred,
+             count(*) AS n
+      FROM scored GROUP BY lang, lang_pred""")),
+
+    // ---- p11: quality scoring (length / stopword / lexical diversity)
+    Entry("p11_text_quality", (s, dir) => {
+      val enHits = size(filter(toks,
+        t => t.isin("the", "a", "and", "of", "to", "is")))
+      val lenScore = least(col("n_chars") / 500.0, lit(1.0))
+      val stopScore = least(enHits * lit(5.0) / size(toks), lit(1.0))
+      val uniqScore = size(array_distinct(toks)) / size(toks)
+      val score = round(lenScore * 0.4 + stopScore * 0.3 + uniqScore * 0.3, 6)
+      docs(s, dir).select(col("doc_id"), score.as("quality_score"),
+        when(score >= 0.66, "high").when(score >= 0.33, "medium")
+          .otherwise("low").as("quality_bucket"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
+      s AS (
+        SELECT doc_id,
+          round(least(n_chars / 500.0, 1.0) * 0.4
+            + least(len(list_filter(toks, t -> t IN ('the','a','and','of','to','is'))) * 5.0 / len(toks), 1.0) * 0.3
+            + len(list_distinct(toks)) / len(toks) * 0.3, 6) AS quality_score
+        FROM d)
+      SELECT doc_id, quality_score,
+             CASE WHEN quality_score >= 0.66 THEN 'high'
+                  WHEN quality_score >= 0.33 THEN 'medium'
+                  ELSE 'low' END AS quality_bucket
+      FROM s""")),
+
+    // ---- p12: order-aware document fingerprints (xxhash-based;
+    // determinism + sensitivity pinned in PipelineSpec)
+    Entry("p12_fingerprint", (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextHashFunctions.rolling_fingerprint(toks).as("fingerprint"),
+        TextHashFunctions.simhash64(toks).as("simhash")),
+      None),
+
+    // ---- p13: multimodal column plumbing — opaque binary payloads +
+    // typed metadata; byte-level features through the binary type
+    // (decode itself is a stub: no media libs in this environment)
+    Entry("p13_mm_features", (s, dir) => {
+      val payload = encode(col("text"), "UTF-8") // stand-in binary blob
+      docs(s, dir).select(col("doc_id"),
+        length(payload).cast("long").as("n_bytes"),
+        md5(payload).as("content_md5"),
+        lower(hex(substring(payload, 1, 8))).as("header_hex"),
+        ceil(length(payload) / lit(64.0)).cast("long").as("n_frames"))
+    }, Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5,
+             lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+             CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+      FROM documents""")))
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational-layer coverage over the TPC-H-ish corpus: scans with
+  * pushdown, joins (broadcast + shuffle), aggregations, window
+  * functions, sorts/limits, set operations, semi/anti joins,
+  * string/regex/date functions. All Spark built-ins — Catalyst plans
+  * these; our job is wiring + scale hygiene (broadcast hints on dims,
+  * decimal-exact money sums, deterministic ordering under LIMIT).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact money sum: per-row decimal cast, exact sum, double output. */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** price*(1-discount) in exact DECIMAL arithmetic. Casting the DOUBLE
+    * product to decimal is engine-dependent on half-cent products;
+    * multiplying decimals is exact everywhere.
+    */
+  private def discPrice =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- q01: TPC-H Q1-style scan + group aggregate (bench headline)
+    Entry("q01_agg", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("timestamp'1998-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          round(moneySum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(moneySum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""), bench = true),
+
+    // ---- q02: filter + projection (predicate/column pushdown to parquet)
+    Entry("q02_filter", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          expr("timestamp'1996-01-01 00:00:00'"),
+          expr("timestamp'1996-12-31 00:00:00'")) && col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00'
+        AND l_quantity < 5""")),
+
+    // ---- q03: broadcast join dim->fact + aggregate
+    Entry("q03_join_broadcast", (s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_rev"))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""")),
+
+    // ---- q04: 5-way join (TPC-H Q5 flavor), date-range filter (bench)
+    Entry("q04_join_multi", (s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp'1999-01-01 00:00:00'"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }, Some(s"""
+      SELECT r_name, n_name,
+             CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY r_name, n_name"""), bench = true),
+
+    // ---- q05: global top-k with total order (sort + limit)
+    Entry("q05_topk", (s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""")),
+
+    // ---- q06: window functions (row_number, exact running sum, rank)
+    Entry("q06_window", (s, dir) => {
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val bySpend = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(byDate).cast("long").as("order_seq"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(byDate.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_spend"),
+          rank().over(bySpend).cast("long").as("spend_rank"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS order_seq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS spend_rank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // ---- q07: set operations (INTERSECT / EXCEPT / UNION DISTINCT)
+    Entry("q07_setops", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val finished = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val high = orders.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      urgent.intersect(finished).union(urgent.except(high)).distinct()
+        .withColumnRenamed("o_custkey", "custkey")
+    }, Some("""
+      SELECT DISTINCT custkey FROM (
+        (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION
+        (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000)
+      )""")),
+
+    // ---- q08: semi + anti join (EXISTS / NOT EXISTS)
+    Entry("q08_semi_anti", (s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(orders.filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)""")),
+
+    // ---- q09: string + regex functions over the events stream table
+    Entry("q09_string_regex", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          upper(col("event_type")).as("et_upper"),
+          substring(col("event_type"), 1, 3).as("et_prefix"),
+          length(col("event_type")).cast("long").as("et_len"))
+        .agg(count(lit(1)).as("n"),
+          sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+            .cast("bigint")).as("k_sum"))
+    }, Some("""
+      SELECT event_type, upper(event_type) AS et_upper,
+             substr(event_type, 1, 3) AS et_prefix,
+             length(event_type) AS et_len,
+             count(*) AS n,
+             CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+      FROM events
+      GROUP BY event_type, et_upper, et_prefix, et_len""")),
+
+    // ---- q10: date truncation + grouping
+    Entry("q10_date_agg", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("rev"))
+    }, Some("""
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY month, o_orderpriority""")),
+
+    // ---- q11: exact distinct aggregation
+    Entry("q11_distinct_agg", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- q12: conditional aggregation + HAVING
+    Entry("q12_having_case", (s, dir) => {
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(sum(when(col("p_size") > 30, 1).otherwise(0)).as("big_parts"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 3)
+    }, Some("""
+      SELECT p_brand, CAST(sum(CASE WHEN p_size > 30 THEN 1 ELSE 0 END) AS BIGINT) AS big_parts,
+             count(*) AS n
+      FROM part GROUP BY p_brand HAVING count(*) > 3""")))
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.TextHashFunctions
+
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private def run(name: String) =
+    Catalog.queries(name)(spark, sfDir)
+
+  test("minhash-LSH finds the high-Jaccard pairs and estimates well") {
+    val exact = run("p03_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = run("p04_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "expected near-dup pairs in the corpus")
+    val strong = exact.filter(_._2 >= 0.8).keySet
+    val found = strong.intersect(est.keySet)
+    assert(found.size >= (strong.size * 0.9).toInt,
+      s"minhash missed too many strong pairs: ${found.size}/${strong.size}")
+    found.foreach { pair =>
+      assert(math.abs(exact(pair) - est(pair)) < 0.25,
+        s"pair $pair exact=${exact(pair)} est=${est(pair)}")
+    }
+  }
+
+  test("simhash: identical -> distance 0; near-identical -> small distance") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h i j k l m n o p", "a b c d e f g h i j k l m n o p"),
+      ("a b c d e f g h i j k l m n o p", "a b c d e f g h i j k l m n o X"),
+      ("a b c d e f g h i j k l m n o p", "z y x w v u t s r q p9 o8 n7 m6 l5 k4"))
+      .toDF("t1", "t2")
+      .select(
+        TextHashFunctions.simhash64(split(col("t1"), " ")).as("s1"),
+        TextHashFunctions.simhash64(split(col("t2"), " ")).as("s2"))
+      .select(bit_count(col("s1").bitwiseXOR(col("s2"))).as("ham"))
+      .collect().map(_.getInt(0))
+    assert(df(0) === 0)
+    assert(df(1) <= 16, s"near-identical hamming was ${df(1)}")
+    assert(df(2) > df(1), "unrelated text should be farther than near-dup")
+  }
+
+  test("rolling fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val fps = Seq("a b c d e", "e d c b a", "a b c d e")
+      .toDF("t")
+      .select(TextHashFunctions.rolling_fingerprint(split(col("t"), " ")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) !== fps(1)) // order matters
+    assert(fps(0) === fps(2)) // deterministic
+  }
+
+  test("LSH ANN: deterministic, subset of true sims, nontrivial recall") {
+    val exactTop = run("p07_sim_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann1 = run("p08_sim_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann2 = run("p08_sim_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann1 === ann2, "LSH must be deterministic")
+    assert(ann1.nonEmpty)
+    val recall = exactTop.intersect(ann1).size.toDouble / exactTop.size
+    assert(recall >= 0.1, s"LSH recall vs brute force was $recall")
+  }
+
+  test("dedup survivors = docs minus duplicate copies") {
+    val total = graft.sources.Tables.table(spark, sfDir, "documents").count()
+    val dupGroups = run("p01_dedup_exact").collect()
+    val extraCopies = dupGroups.map(r => r.getLong(1) - 1).sum
+    val survivors = run("p02_dedup_keep_first").count()
+    assert(survivors === total - extraCopies)
+  }
+
+  test("text stats sanity: ttr in (0,1], avg token len positive") {
+    val rows = run("p09_text_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ttr = r.getDouble(4)
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(r.getDouble(3) > 0)
+      assert(r.getLong(2) <= r.getLong(1)) // uniq <= total
+    }
+  }
+}
