@@ -25,38 +25,73 @@ abstract class TokenArrayExpression extends UnaryExpression with CodegenFallback
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
 
-/** `minhash_signature(shingles, k)`: the k-permutation MinHash sketch of
-  * a shingle set — element i is min over shingles of xxhash64(shingle,
-  * seed=i). Jaccard(A,B) is estimated by the fraction of agreeing
-  * signature positions; banding the signature gives LSH buckets.
-  * Null/empty input → signature of Long.MaxValue entries.
+/** `minhash_signature(tokens, ngram, k)`: the k-permutation MinHash
+  * sketch of the document's word-n-gram shingle set, computed without
+  * materializing shingle strings: each token is xxhash64'd once, each
+  * n-gram combines its token hashes with a polynomial roll, and the k
+  * "permutations" are splitmix64 finalizations of the n-gram hash
+  * seeded per position (the standard h_i(x) = mix(x ^ seed_i) scheme).
+  * Jaccard(A,B) is estimated by the fraction of agreeing signature
+  * positions; banding the signature gives LSH buckets. Duplicate
+  * shingles don't affect the min, so set semantics come free.
+  * Documents shorter than one n-gram yield Long.MaxValue entries.
   */
-case class MinHashSignature(child: Expression, k: Int)
+case class MinHashSignature(child: Expression, ngram: Int, k: Int)
     extends TokenArrayExpression {
   require(k > 0 && k <= 1024, "minhash k must be in (0, 1024]")
+  require(ngram > 0, "ngram must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
+  // per-permutation xor-seeds, fixed by construction
+  private lazy val seeds: Array[Long] = {
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = MinHashSignature.mix64(0x9e3779b97f4a7c15L * (i + 1)); i += 1 }
+    out
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        var j = 0
-        while (j < k) {
-          val h = hash(s, j.toLong)
-          if (h < sig(j)) sig(j) = h
-          j += 1
-        }
+    if (n >= ngram) {
+      // token hashes, one byte-level pass per token
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        th(i) = if (s == null) 0L else hash(s, 0L)
+        i += 1
       }
-      i += 1
+      var j = 0
+      while (j <= n - ngram) {
+        var sh = 1125899906842597L
+        var m = 0
+        while (m < ngram) { sh = sh * 31L + th(j + m); m += 1 }
+        var p = 0
+        while (p < k) {
+          val h = MinHashSignature.mix64(sh ^ seeds(p))
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+        j += 1
+      }
     }
     new GenericArrayData(sig) // primitive long[] constructor
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object MinHashSignature {
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 }
 
 /** `simhash64(tokens)`: 64-bit SimHash — per-bit majority vote over the
@@ -119,13 +154,91 @@ case class RollingFingerprint(child: Expression) extends TokenArrayExpression {
     copy(child = c)
 }
 
+/** `ngram_hashes(tokens, n)`: 64-bit hashes of the word n-grams, one
+  * pass, no shingle-string materialization — each token is xxhash64'd
+  * once and each n-gram combines its token hashes with a polynomial
+  * roll (same combine as [[MinHashSignature]]). For join-based set
+  * operations (exact Jaccard, candidate generation) the hash IS the
+  * shingle identity: 64 bits make collisions negligible (~1e-9 at
+  * millions of shingles) and the shuffle moves 8-byte keys instead of
+  * ~30-byte strings.
+  */
+case class NGramHashes(child: Expression, n: Int) extends TokenArrayExpression {
+  require(n > 0, "ngram size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val s = arr.getUTF8String(i)
+      th(i) = if (s == null) 0L else hash(s, 0L)
+      i += 1
+    }
+    val out = new Array[Long](cnt - n + 1)
+    var j = 0
+    while (j <= cnt - n) {
+      var sh = 1125899906842597L
+      var m = 0
+      while (m < n) { sh = sh * 31L + th(j + m); m += 1 }
+      out(j) = sh
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `word_ngrams(tokens, n)`: space-joined word n-grams in one pass —
+  * output-identical to `transform(sequence(...), i -> concat_ws(" ",
+  * slice(tokens, i+1, n)))` but ~10x cheaper: the HOF chain re-slices
+  * and re-copies per shingle (and can't share the tokenization across
+  * lambda scopes), while this builds each shingle directly from the
+  * token array. Shorter-than-n input yields an empty array.
+  */
+case class WordNGrams(child: Expression, n: Int) extends TokenArrayExpression {
+  require(n > 0, "ngram size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](cnt - n + 1)
+    var j = 0
+    while (j <= cnt - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, j, parts, 0, n)
+      out(j) = UTF8String.concatWs(sep, parts: _*)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
 
-  def minhash_signature(tokens: Column, k: Int): Column =
-    column(MinHashSignature(expression(tokens), k))
+  def minhash_signature(tokens: Column, ngram: Int, k: Int): Column =
+    column(MinHashSignature(expression(tokens), ngram, k))
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
   def rolling_fingerprint(tokens: Column): Column =
     column(RollingFingerprint(expression(tokens)))
+  def word_ngrams(tokens: Column, n: Int): Column =
+    column(WordNGrams(expression(tokens), n))
+  def ngram_hashes(tokens: Column, n: Int): Column =
+    column(NGramHashes(expression(tokens), n))
 }

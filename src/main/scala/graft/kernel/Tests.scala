@@ -106,14 +106,28 @@ object Tests {
     Vec.extractWindows(ranks, conf.referenceSize, conf.activeSize,
       conf.activeSize).map { case (_, active) =>
       val activeSum = Vec.sum(active)
+      val a = active.length
+      val n = ranks.length
+      // The reference re-ranks each shuffled vector
+      // (algorithms.go:188-201); min-tie ranks depend only on the value
+      // multiset, so rank(shuffle(v)) is just a permutation of `ranks`
+      // and the permuted active rank-sum is the sum of a uniform random
+      // a-subset. A partial Fisher-Yates draw gives the identical
+      // distribution in O(a) per permutation instead of O(n log n).
+      val idx = Array.range(0, n)
       var significant = 0
       var i = 0
       while (i < conf.permCount) {
-        val permRanks = Vec.rank(Vec.shuffle(v, rng))
-        Vec.extractWindows(permRanks, conf.referenceSize, conf.activeSize,
-          conf.activeSize).foreach { case (_, permActive) =>
-          if (comparison(Vec.sum(permActive), activeSum)) significant += 1
+        var s = 0.0
+        var j = n - 1
+        val stop = n - a
+        while (j >= stop) {
+          val r = rng.nextInt(j + 1)
+          val t = idx(r); idx(r) = idx(j); idx(j) = t
+          s += ranks(idx(j))
+          j -= 1
         }
+        if (comparison(s, activeSum)) significant += 1
         i += 1
       }
       significant.toDouble / conf.permCount
@@ -128,41 +142,67 @@ object Tests {
   def ksStat(v: Array[Double], conf: AnomalyzerConf): Option[Double] =
     Vec.extractWindows(v, conf.referenceSize, conf.activeSize,
       conf.activeSize).flatMap { case (ref, active) =>
-      val n1 = ref.length
-      val n2 = active.length
-      if (n1 % n2 != 0) None
-      else {
-        val activeEcdf = Vec.ecdf(active)
-        val refEcdf = Vec.ecdf(ref)
-        val lo = math.min(ref.min, active.min)
-        val hi = math.max(ref.max, active.max)
-        val grid = Vec.interpolate(lo, hi, n1 + n2)
-        var d = 0.0
-        var i = 0
-        while (i < grid.length) {
-          d = math.max(d, math.abs(activeEcdf(grid(i)) - refEcdf(grid(i))))
-          i += 1
-        }
-        Some(d)
-      }
+      if (ref.length % active.length != 0) None
+      else Some(ksCore(ref, active))
     }
 
+  /** KS grid statistic over already-extracted windows (mutates neither;
+    * sorts copies).
+    */
+  private def ksCore(ref: Array[Double], active: Array[Double]): Double = {
+    val n1 = ref.length
+    val n2 = active.length
+    val activeEcdf = Vec.ecdf(active)
+    val refEcdf = Vec.ecdf(ref)
+    val lo = math.min(ref.min, active.min)
+    val hi = math.max(ref.max, active.max)
+    val grid = Vec.interpolate(lo, hi, n1 + n2)
+    var d = 0.0
+    var i = 0
+    while (i < grid.length) {
+      d = math.max(d, math.abs(activeEcdf(grid(i)) - refEcdf(grid(i))))
+      i += 1
+    }
+    d
+  }
+
   /** Bootstrap permutation test on the KS statistic.
-    * Reference: algorithms.go:290-309.
+    * Reference: algorithms.go:290-309. The reference shuffles the whole
+    * vector and re-extracts windows each permutation; the statistic
+    * depends only on WHICH elements land in each window, so drawing a
+    * random (n1+n2)-subset split into (ref, active) via partial
+    * Fisher-Yates is distribution-identical and skips the full shuffle.
     */
   def bootstrapKs(v: Array[Double], conf: AnomalyzerConf,
       rng: SplittableRandom): Option[Double] =
-    ksStat(v, conf).map { dist =>
-      var significant = 0
-      var i = 0
-      while (i < conf.permCount) {
-        // shuffling preserves length => ksStat of the permutation is
-        // always defined once the original was
-        ksStat(Vec.shuffle(v, rng), conf).foreach { permDist =>
-          if (permDist < dist) significant += 1
+    Vec.extractWindows(v, conf.referenceSize, conf.activeSize,
+      conf.activeSize).flatMap { case (ref0, act0) =>
+      val n1 = ref0.length
+      val n2 = act0.length
+      if (n1 % n2 != 0) None
+      else {
+        val dist = ksCore(ref0, act0)
+        val n = v.length
+        val idx = Array.range(0, n)
+        val permRef = new Array[Double](n1)
+        val permAct = new Array[Double](n2)
+        var significant = 0
+        var i = 0
+        while (i < conf.permCount) {
+          var j = n - 1
+          val stop = n - n1 - n2
+          while (j >= stop) {
+            val r = rng.nextInt(j + 1)
+            val t = idx(r); idx(r) = idx(j); idx(j) = t
+            val pos = n - 1 - j
+            if (pos < n1) permRef(pos) = v(idx(j))
+            else permAct(pos - n1) = v(idx(j))
+            j -= 1
+          }
+          if (ksCore(permRef, permAct) < dist) significant += 1
+          i += 1
         }
-        i += 1
+        Some(significant.toDouble / conf.permCount)
       }
-      significant.toDouble / conf.permCount
     }
 }

@@ -24,17 +24,6 @@ object Pipeline {
   private def toks: Column = split(norm, " ")
   private val toksSql = s"string_split($normSql, ' ')"
 
-  /** 5-word shingles of the normalized token stream (empty when the
-    * document is shorter than one shingle).
-    */
-  private def shingles: Column = {
-    val t = toks
-    when(size(t) >= 5,
-      transform(sequence(lit(0), size(t) - 5),
-        i => concat_ws(" ", slice(t, i + 1, lit(5)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
@@ -43,9 +32,21 @@ object Pipeline {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
 
-  // distinct (doc_id, shingle) pairs + per-doc shingle counts
+  // distinct (doc_id, shingle) pairs + per-doc shingle counts.
+  // repartition first: the corpus arrives as one parquet split, and the
+  // shingle explosion is the expensive projection — spread it across
+  // cores before computing (at 100 TB the scan splits naturally;
+  // this keeps the small-file case parallel too)
+  // shingle identity = 64-bit n-gram hash (no string materialization;
+  // output-identical to string shingles modulo ~1e-9 collision odds).
+  // Set semantics via per-row array_distinct — no shuffle — and the
+  // per-doc distinct count rides along so no separate counts join.
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+    docs(s, dir)
+      .select(col("doc_id"),
+        array_distinct(TextHashFunctions.ngram_hashes(toks, 5)).as("sharr"))
+      .select(col("doc_id"), size(col("sharr")).cast("long").as("n"),
+        explode(col("sharr")).as("shingle"))
 
   private val shingleCte = s"""
     WITH docs AS (
@@ -90,16 +91,13 @@ object Pipeline {
     // candidate generator — no cross join anywhere)
     Entry("p03_dedup_ngram_jaccard", (s, dir) => {
       val sh = shingleSets(s, dir)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.toDF("doc_a", "shingle")
-        .join(sh.toDF("doc_b", "shingle"), "shingle")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
       val jac = round(col("common") /
         (col("na") + col("nb") - col("common")), 6)
-      pairs
-        .join(counts.toDF("doc_a", "na"), "doc_a")
-        .join(counts.toDF("doc_b", "nb"), "doc_b")
+      sh.toDF("doc_a", "na", "shingle")
+        .join(sh.toDF("doc_b", "nb", "shingle"), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("common"))
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }, Some(s"""$shingleCte,
@@ -121,20 +119,29 @@ object Pipeline {
       val k = 64
       val bands = 16
       val rows = k / bands
-      val sigs = docs(s, dir).select(col("doc_id"),
-        TextHashFunctions.minhash_signature(shingles, k).as("sig"))
-      val banded = sigs.select(col("doc_id"), col("sig"),
+      // signatures from raw tokens (no shingle-string materialization);
+      // persisted because three joins reuse them
+      val sigs = docs(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TextHashFunctions.minhash_signature(toks, 5, k).as("sig"))
+        .persist()
+      // candidate generation carries only ids through the band join +
+      // distinct (no 64-element signatures shuffled); signatures rejoin
+      // once per surviving pair
+      val banded = sigs.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*))
           .as("bb"))
-        .select(col("doc_id"), col("sig"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val cand = banded.toDF("doc_a", "sig_a", "band", "bucket")
-        .join(banded.toDF("doc_b", "sig_b", "band", "bucket"),
-          Seq("band", "bucket"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+      val cand = banded.toDF("doc_a", "band", "bucket")
+        .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-      cand.select(col("doc_a"), col("doc_b"),
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
           round(aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1.0).otherwise(0.0)),
             lit(0.0), (acc, x) => acc + x) / k, 6).as("est_jaccard"))
