@@ -4,7 +4,7 @@ import java.util.SplittableRandom
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -23,58 +23,68 @@ import graft.kernel.{AnomalyzerConf, Ensemble}
   * interpreted.
   *
   * Inputs: `window` ARRAY<DOUBLE> — the (reference+active) tail for one
-  * evaluation, oldest first; `seed` BIGINT — deterministic per-row RNG
-  * seed (see [[graft.kernel.Ensemble.seedFor]]).
+  * evaluation, oldest first; `seriesHash` BIGINT — hash of the series
+  * identity (use `xxhash64(series)`); `rowKey` BIGINT — the row's
+  * 1-based position in the series. The RNG seed is derived as
+  * [[graft.kernel.Ensemble.seedFor]](seriesHash, rowKey) — the SAME
+  * derivation the streaming path and the sequential [[graft.kernel.Anomalyzer]]
+  * facade use, so batch, streaming, and sequential permutation-test
+  * probabilities agree bit-for-bit on identical data.
   */
 abstract class AnomalyExpressionBase
-    extends BinaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback {
   def window: Expression
-  def seed: Expression
+  def seriesHash: Expression
+  def rowKey: Expression
   def conf: AnomalyzerConf
 
-  override def left: Expression = window
-  override def right: Expression = seed
+  override def first: Expression = window
+  override def second: Expression = seriesHash
+  override def third: Expression = rowKey
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = (window.dataType match {
       case ArrayType(DoubleType, _) => true
       case _ => false
-    }) && seed.dataType == LongType
+    }) && seriesHash.dataType == LongType && rowKey.dataType == LongType
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (ARRAY<DOUBLE>, BIGINT), got " +
-        s"(${window.dataType.sql}, ${seed.dataType.sql})")
+      s"$prettyName expects (ARRAY<DOUBLE>, BIGINT, BIGINT), got " +
+        s"(${window.dataType.sql}, ${seriesHash.dataType.sql}, " +
+        s"${rowKey.dataType.sql})")
   }
 
   protected def values(w: Any): Array[Double] =
     w.asInstanceOf[ArrayData].toDoubleArray()
-  protected def rng(s: Any): SplittableRandom =
-    new SplittableRandom(s.asInstanceOf[Long])
+  protected def rng(sh: Any, rk: Any): SplittableRandom =
+    new SplittableRandom(
+      Ensemble.seedFor(sh.asInstanceOf[Long], rk.asInstanceOf[Long]))
 }
 
 /** Final ensemble probability — the reference's `Eval`
   * (/root/reference/anomalyze.go:142-192) over the window column.
   */
-case class AnomalyProb(window: Expression, seed: Expression,
-    conf: AnomalyzerConf) extends AnomalyExpressionBase {
+case class AnomalyProb(window: Expression, seriesHash: Expression,
+    rowKey: Expression, conf: AnomalyzerConf) extends AnomalyExpressionBase {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "anomaly_prob"
-  override protected def nullSafeEval(w: Any, s: Any): Any =
-    Ensemble.eval(values(w), conf, rng(s))
+  override protected def nullSafeEval(w: Any, sh: Any, rk: Any): Any =
+    Ensemble.eval(values(w), conf, rng(sh, rk))
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(window = newLeft, seed = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(window = newFirst, seriesHash = newSecond, rowKey = newThird)
 }
 
 /** Per-test probabilities — the reference's `EvalByTest` probmap
   * (/root/reference/anomalyze.go:195-221) as MAP<STRING, DOUBLE>.
   */
-case class AnomalyProbsByTest(window: Expression, seed: Expression,
-    conf: AnomalyzerConf) extends AnomalyExpressionBase {
+case class AnomalyProbsByTest(window: Expression, seriesHash: Expression,
+    rowKey: Expression, conf: AnomalyzerConf) extends AnomalyExpressionBase {
   override def dataType: DataType =
     MapType(StringType, DoubleType, valueContainsNull = false)
   override def prettyName: String = "anomaly_probs_by_test"
-  override protected def nullSafeEval(w: Any, s: Any): Any = {
-    val probmap = Ensemble.evalByTest(values(w), conf, rng(s))
+  override protected def nullSafeEval(w: Any, sh: Any, rk: Any): Any = {
+    val probmap = Ensemble.evalByTest(values(w), conf, rng(sh, rk))
     val ks = new Array[Any](probmap.size)
     val vs = new Array[Any](probmap.size)
     var i = 0
@@ -84,21 +94,23 @@ case class AnomalyProbsByTest(window: Expression, seed: Expression,
     new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
   }
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(window = newLeft, seed = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(window = newFirst, seriesHash = newSecond, rowKey = newThird)
 }
 
 object AnomalyFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
 
   /** Column API: ensemble anomaly probability for a window array. */
-  def anomaly_prob(window: Column, seed: Column, conf: AnomalyzerConf): Column =
-    column(AnomalyProb(expression(window), expression(seed),
-      AnomalyzerConf.validated(conf)))
+  def anomaly_prob(window: Column, seriesHash: Column, rowKey: Column,
+      conf: AnomalyzerConf): Column =
+    column(AnomalyProb(expression(window), expression(seriesHash),
+      expression(rowKey), AnomalyzerConf.validated(conf)))
 
   /** Column API: per-test probability map for a window array. */
-  def anomaly_probs_by_test(window: Column, seed: Column,
-      conf: AnomalyzerConf): Column =
-    column(AnomalyProbsByTest(expression(window), expression(seed),
-      AnomalyzerConf.validated(conf)))
+  def anomaly_probs_by_test(window: Column, seriesHash: Column,
+      rowKey: Column, conf: AnomalyzerConf): Column =
+    column(AnomalyProbsByTest(expression(window), expression(seriesHash),
+      expression(rowKey), AnomalyzerConf.validated(conf)))
 }

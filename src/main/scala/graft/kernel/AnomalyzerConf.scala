@@ -68,7 +68,10 @@ object AnomalyzerConf {
       val lower = c.lowerBound.getOrElse(NA)
       if (c.upperBound == lower)
         return Left("Fence test included with identical bounds on the fences")
-      if (c.lowerBound.isDefined && c.upperBound < lower)
+      // the reference compares against the NA sentinel too
+      // (anomalyze.go:70), so upperBound <= 0 with no lower bound is
+      // rejected rather than yielding x/0 probabilities at runtime
+      if (c.upperBound < lower)
         return Left(
           s"UpperBound (${c.upperBound}) was lower than the LowerBound ($lower)")
     }

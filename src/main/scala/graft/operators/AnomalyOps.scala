@@ -46,16 +46,19 @@ object AnomalyOps {
     // The evaluation window = the buffer the reference would hold after
     // Update-truncation: the last (reference+active) points inclusive.
     val frame = w.rowsBetween(-(c.windowSize - 1), 0)
-    // Deterministic seed independent of physical partitioning: mix of
-    // the series identity and the row's position in the series.
-    val seed = xxhash64(series, row_number().over(w))
+    // Deterministic seed independent of physical partitioning: the same
+    // Ensemble.seedFor(xxhash64(series), position) derivation as the
+    // streaming path and the sequential facade, so all three evaluation
+    // paths produce identical permutation-test probabilities.
+    val sHash = xxhash64(series)
+    val rowKey = row_number().over(w).cast("long")
     val windowed = df
       .withColumn("window", collect_list(value.cast("double")).over(frame))
       .withColumn("anomaly_prob",
-        AnomalyFunctions.anomaly_prob(col("window"), seed, c))
+        AnomalyFunctions.anomaly_prob(col("window"), sHash, rowKey, c))
     val result =
       if (byTest) windowed.withColumn("anomaly_probs",
-        AnomalyFunctions.anomaly_probs_by_test(col("window"), seed, c))
+        AnomalyFunctions.anomaly_probs_by_test(col("window"), sHash, rowKey, c))
       else windowed
     result.drop("window")
   }

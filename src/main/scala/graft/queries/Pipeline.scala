@@ -112,25 +112,37 @@ object Pipeline {
                  JOIN counts cb ON doc_b = cb.doc_id
       WHERE round(common/(ca.n + cb.n - common), 6) >= 0.5"""), bench = true),
 
-    // ---- p04: MinHash-LSH near-dedup (64-perm signature, 16 bands x 4)
-    // xxhash-based => no SQL oracle; estimator accuracy pinned in
-    // PipelineSpec against p03's exact Jaccard
+    // ---- p04: MinHash-LSH near-dedup (64-perm signature, 16 bands x 4).
+    // Signatures use the cross-engine md5+affine scheme (HashScheme) so
+    // the whole query — candidates AND estimates — oracle-checks against
+    // DuckDB; estimator accuracy is additionally pinned in PipelineSpec
+    // against p03's exact Jaccard.
     Entry("p04_dedup_minhash_lsh", (s, dir) => {
-      val k = 64
+      import graft.functions.{HashScheme => H}
+      val k = H.MinHashK
       val bands = 16
       val rows = k / bands
-      // signatures from raw tokens (no shingle-string materialization);
+      // signatures: per-shingle 32-bit md5 hash, then k affine min-hashes;
       // persisted because three joins reuse them
       val sigs = docs(s, dir).repartition(col("doc_id"))
-        .select(col("doc_id"),
-          TextHashFunctions.minhash_signature(toks, 5, k).as("sig"))
+        .withColumn("toks", toks)
+        .withColumn("sh", TextHashFunctions.word_ngrams(col("toks"), 5))
+        .withColumn("hs", expr(s"transform(sh, g -> ${H.h32Spark("g")})"))
+        .withColumn("sig", expr(
+          s"""transform(sequence(0, ${k - 1}), i ->
+                CASE WHEN size(hs) = 0 THEN ${H.MinHashP}L
+                     ELSE array_min(transform(hs, h ->
+                       (element_at(${H.minhashASparkArray}, i+1) * h +
+                        element_at(${H.minhashBSparkArray}, i+1)) % ${H.MinHashP}L))
+                END)"""))
+        .select(col("doc_id"), col("sig"))
         .persist()
-      // candidate generation carries only ids through the band join +
-      // distinct (no 64-element signatures shuffled); signatures rejoin
-      // once per surviving pair
+      // candidate generation joins on the raw 4-row band slice (array
+      // equality — no engine-specific bucket hash), ids-only + distinct;
+      // signatures rejoin once per surviving pair
       val banded = sigs.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*))
+          slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*))
           .as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"),
           col("bb.bucket").as("bucket"))
@@ -146,16 +158,55 @@ object Pipeline {
             (x, y) => when(x === y, 1.0).otherwise(0.0)),
             lit(0.0), (acc, x) => acc + x) / k, 6).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
-    }, None, bench = true),
+    }, Some {
+      import graft.functions.{HashScheme => H}
+      s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+               list_transform(range(1, len(toks)-3), j ->
+                 ${H.h32Duck("array_to_string(toks[j:j+4], ' ')")})
+             ELSE [] END AS hs FROM docs),
+      sigs AS (SELECT doc_id, list_transform(range(0, ${H.MinHashK}), i ->
+          CASE WHEN len(hs) = 0 THEN ${H.MinHashP}
+               ELSE list_min(list_transform(hs, h ->
+                 (${H.minhashALiteral}[i+1]*h + ${H.minhashBLiteral}[i+1])
+                   % ${H.MinHashP})) END) AS sig
+        FROM sh),
+      banded AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket, sig
+                 FROM sigs, UNNEST(range(0, 16)) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id)
+      SELECT c.doc_a, c.doc_b,
+        round(list_sum(list_transform(range(1, ${H.MinHashK + 1}), i ->
+          CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END))
+          / ${H.MinHashK}, 6) AS est_jaccard
+      FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+                  JOIN sigs sb ON c.doc_b = sb.doc_id
+      WHERE round(list_sum(list_transform(range(1, ${H.MinHashK + 1}), i ->
+          CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END))
+          / ${H.MinHashK}, 6) >= 0.5"""
+    }, bench = true),
 
     // ---- p05: SimHash near-dedup (hamming distance via 4-segment
-    // blocking: dups within distance<=3 share at least one segment)
+    // blocking: dups within distance<=3 share at least one segment).
+    // 60-bit md5-derived signature (HashScheme) → full DuckDB oracle.
     Entry("p05_dedup_simhash", (s, dir) => {
-      val sigs = docs(s, dir).select(col("doc_id"),
-        TextHashFunctions.simhash64(toks).as("sig"))
+      import graft.functions.{HashScheme => H}
+      val sigs = docs(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("hs", expr(s"transform(toks, t -> ${H.h60Spark("t")})"))
+        .withColumn("sig", expr(
+          """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+               CASE WHEN aggregate(transform(hs, h ->
+                   CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
+                 0, (a, x) -> a + x) > 0
+               THEN shiftleft(1L, b) ELSE 0L END)"""))
+        .select(col("doc_id"), col("sig"))
       val seg = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i => struct(lit(i).as("seg"),
-          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFF)
+          shiftrightunsigned(col("sig"), i * 15).bitwiseAND(0x7FFF)
             .as("val"))): _*)).as("sv"))
         .select(col("doc_id"), col("sig"),
           col("sv.seg").as("seg"), col("sv.val").as("val"))
@@ -164,9 +215,30 @@ object Pipeline {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
       cand.select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+            .as("hamming"))
         .filter(col("hamming") <= 3)
-    }, None),
+    }, Some {
+      import graft.functions.{HashScheme => H}
+      s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      hsx AS (SELECT doc_id,
+                list_transform(toks, t -> ${H.h60Duck("t")}) AS hs FROM d),
+      sig AS (SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+              CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+          AS sig FROM hsx),
+      seg AS (SELECT doc_id, sig, s AS seg, (sig >> (s*15)) & 32767 AS val
+              FROM sig, UNNEST(range(0, 4)) t(s)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.sig AS sig_a, y.sig AS sig_b
+               FROM seg x JOIN seg y ON x.seg = y.seg AND x.val = y.val
+                 AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3"""
+    }),
 
     // ---- p06: embedding-cosine near-duplicates (brute force, exact)
     Entry("p06_embed_neardup", (s, dir) => {
@@ -213,15 +285,27 @@ object Pipeline {
     // ---- p08: LSH-bucketed ANN — L hash tables of b-bit hyperplane
     // signatures; the equi-join on (table, bucket) replaces the cross
     // join, so candidate generation scales like any shuffle join.
+    // Hyperplanes are ±1 Rademacher components from an integer hash of
+    // (table, bit, dim), and embeddings are fixed-pointed at 1e-6 so the
+    // dot-product sign — hence every bucket — is exact integer
+    // arithmetic both engines compute identically (full DuckDB oracle).
     // Recall vs the exact p07 is pinned in PipelineSpec.
     Entry("p08_sim_ann_lsh", (s, dir) => {
       val tables = 8
       val bits = 6
-      val e = embs(s, dir).select(col("vec_id"), col("emb"),
-        explode(array((0 until tables).map(l =>
-          struct(lit(l).as("tbl"),
-            VectorOps.cosine_lsh_bucket(col("emb"), bits, l.toLong)
-              .as("bucket"))): _*)).as("tb"))
+      def bucketExpr(t: Int) = expr(
+        s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) -> acc +
+              CASE WHEN aggregate(transform(ei, (x, d) -> x *
+                  (CASE WHEN ((($t*1000003 + b*8191 + d) * 2654435761L)
+                               % 2147483647L) % 2 = 1
+                        THEN 1L ELSE -1L END)),
+                0L, (a, x) -> a + x) > 0
+              THEN shiftleft(1L, b) ELSE 0L END)""")
+      val e = embs(s, dir)
+        .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
+        .select(col("vec_id"), col("emb"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"), bucketExpr(t).as("bucket"))): _*)).as("tb"))
         .select(col("vec_id"), col("emb"),
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       val cand = e.filter(col("vec_id") % 50 === 0)
@@ -236,7 +320,32 @@ object Pipeline {
           round(VectorOps.cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
-    }, None),
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      ei AS (SELECT vec_id, emb,
+               list_transform(emb, x -> CAST(round(x*1000000) AS BIGINT)) AS ei
+             FROM e),
+      bk AS (SELECT vec_id, emb, t AS tbl,
+        list_sum(list_transform(range(0, 6), b -> CASE WHEN
+           list_sum(list_transform(ei, (x, d) -> x *
+             (CASE WHEN (((t*1000003 + b*8191 + (d-1)) * 2654435761)
+                          % 2147483647) % 2 = 1
+                   THEN 1 ELSE -1 END))) > 0
+           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS bucket
+        FROM ei, UNNEST(range(0, 8)) tt(t)),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, q.emb AS qemb,
+                      n.vec_id AS neighbor_id, n.emb AS nemb
+               FROM bk q JOIN bk n
+                 ON q.tbl = n.tbl AND q.bucket = n.bucket
+                 AND q.vec_id != n.vec_id
+               WHERE q.vec_id % 50 = 0),
+      sims AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(qemb, nemb), 6) AS cos_sim
+               FROM cand)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM sims) WHERE rk <= 5""")),
 
     // ---- p09: per-document text statistics
     Entry("p09_text_stats", (s, dir) =>
@@ -313,13 +422,40 @@ object Pipeline {
                   ELSE 'low' END AS quality_bucket
       FROM s""")),
 
-    // ---- p12: order-aware document fingerprints (xxhash-based;
-    // determinism + sensitivity pinned in PipelineSpec)
-    Entry("p12_fingerprint", (s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextHashFunctions.rolling_fingerprint(toks).as("fingerprint"),
-        TextHashFunctions.simhash64(toks).as("simhash")),
-      None),
+    // ---- p12: order-aware document fingerprints — polynomial rolling
+    // hash over per-token 60-bit md5 hashes (mod a 30-bit prime so the
+    // fold never overflows), plus the p05 SimHash; both oracle-checked.
+    // Determinism + order-sensitivity additionally pinned in PipelineSpec.
+    Entry("p12_fingerprint", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      docs(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("hs", expr(s"transform(toks, t -> ${H.h60Spark("t")})"))
+        .select(col("doc_id"),
+          expr(s"aggregate(hs, 0L, (acc, h) -> (acc*31L + h) % ${H.FingerprintMod}L)")
+            .as("fingerprint"),
+          expr(
+            """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+                 CASE WHEN aggregate(transform(hs, h ->
+                     CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
+                   0, (a, x) -> a + x) > 0
+                 THEN shiftleft(1L, b) ELSE 0L END)""").as("simhash"))
+    }, Some {
+      import graft.functions.{HashScheme => H}
+      s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      hsx AS (SELECT doc_id,
+                list_transform(toks, t -> ${H.h60Duck("t")}) AS hs FROM d)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+          (acc, h) -> (acc*31 + h) % ${H.FingerprintMod}) AS fingerprint,
+        list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+              CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+          AS simhash
+      FROM hsx"""
+    }),
 
     // ---- p13: multimodal column plumbing — opaque binary payloads +
     // typed metadata; byte-level features through the binary type
@@ -335,7 +471,7 @@ object Pipeline {
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
              md5(text) AS content_md5,
-             lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+             lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
              CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
       FROM documents""")))
 }

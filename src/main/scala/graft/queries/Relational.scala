@@ -190,14 +190,14 @@ object Relational {
           substring(col("event_type"), 1, 3).as("et_prefix"),
           length(col("event_type")).cast("long").as("et_len"))
         .agg(count(lit(1)).as("n"),
-          sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          sum(nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
             .cast("bigint")).as("k_sum"))
     }, Some("""
       SELECT event_type, upper(event_type) AS et_upper,
              substr(event_type, 1, 3) AS et_prefix,
              length(event_type) AS et_len,
              count(*) AS n,
-             CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+             CAST(sum(TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT)) AS BIGINT) AS k_sum
       FROM events
       GROUP BY event_type, et_upper, et_prefix, et_len""")),
 

@@ -37,12 +37,15 @@ case class SeriesState(buffer: Array[Double], pushed: Long)
   */
 object StreamingDetector {
 
-  /** Deterministic seed base per series (stable across restarts). */
+  /** Deterministic seed base per series, bit-identical to Spark SQL's
+    * `xxhash64(series)` (XXH64 over UTF-8 bytes, seed 42) — the hash
+    * the batch path [[graft.operators.AnomalyOps]] uses, so batch and
+    * streaming permutation-test scores agree on identical data.
+    */
   def seriesHash(series: String): Long = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < series.length) { h = 31 * h + series.charAt(i); i += 1 }
-    h
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString(series)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
   }
 
   def score(points: Dataset[SeriesPoint], conf0: AnomalyzerConf)
@@ -60,8 +63,11 @@ object StreamingDetector {
           var buf = prev.buffer
           var pushed = prev.pushed
           val sh = seriesHash(series)
-          // within-batch total order (the stream's ts is the clock)
-          val ordered = rows.toArray.sortBy(p => (p.ts.getTime, p.value))
+          // within-batch total order (the stream's ts is the clock);
+          // order by full timestamp precision — getTime alone truncates
+          // to ms and would drop the corpus's microsecond component
+          val ordered = rows.toArray.sortBy(p =>
+            (p.ts.toInstant.getEpochSecond, p.ts.toInstant.getNano, p.value))
           val out = ordered.map { p =>
             buf = (buf :+ p.value).takeRight(conf.windowSize)
             pushed += 1
