@@ -473,5 +473,111 @@ object Pipeline {
              md5(text) AS content_md5,
              lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
              CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
-      FROM documents""")))
+      FROM documents""")),
+
+    // ---- p14: BPE-ish regex token counting — tokenize into word /
+    // number / punctuation classes with one alternation regex (the
+    // shape of a byte-pair pre-tokenizer), count per class
+    Entry("p14_token_classes", (s, dir) =>
+      docs(s, dir)
+        .withColumn("pieces",
+          expr("""regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          size(expr("filter(pieces, p -> p rlike '^[a-z]+$')")).cast("long")
+            .as("n_words"),
+          size(expr("filter(pieces, p -> p rlike '^[0-9]+$')")).cast("long")
+            .as("n_numbers"),
+          size(expr("filter(pieces, p -> not (p rlike '^[a-z0-9]')) ")).cast("long")
+            .as("n_punct")),
+      Some("""
+        WITH p AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')
+                       AS pieces
+                   FROM documents)
+        SELECT doc_id, len(pieces) AS n_pieces,
+               len(list_filter(pieces, p -> regexp_matches(p, '^[a-z]+$'))) AS n_words,
+               len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]+$'))) AS n_numbers,
+               len(list_filter(pieces, p -> NOT regexp_matches(p, '^[a-z0-9]'))) AS n_punct
+        FROM p""")),
+
+    // ---- p15: IVF-style ANN — coarse quantization to deterministic
+    // centroids (every 100th vector), then search only the query's cell.
+    // The assign step is a broadcast cross join against the tiny
+    // centroid set; the search is an equi-join on cell id — both scale
+    // as ordinary shuffles, and recall grows with nprobe (here 1).
+    // Distances are fixed-point integer L2 so cell assignment is exact
+    // in both engines (full DuckDB oracle).
+    Entry("p15_sim_ivf", (s, dir) => {
+      val e = embs(s, dir)
+        .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
+      val cents = e.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("cid"), col("ei").as("ci"))
+      val d2 = expr(
+        "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assigned = e.join(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      assigned.filter(col("vec_id") % 50 === 0)
+        .toDF("query_id", "qemb", "cell")
+        .join(assigned.toDF("neighbor_id", "nemb", "cell"), "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(VectorOps.cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 5)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x*1000000) AS BIGINT)) AS ei
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      dists AS (SELECT e.vec_id, e.emb, c.cid,
+                  list_sum(list_transform(range(1, len(e.ei)+1),
+                    i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2
+                FROM e, cents c),
+      assigned AS (SELECT vec_id, emb, cid AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cid) AS rk FROM dists) WHERE rk = 1),
+      cand AS (SELECT q.vec_id AS query_id, q.emb AS qemb,
+                      n.vec_id AS neighbor_id, n.emb AS nemb
+               FROM assigned q JOIN assigned n ON q.cell = n.cell
+                 AND q.vec_id != n.vec_id
+               WHERE q.vec_id % 50 = 0),
+      sims AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(qemb, nemb), 6) AS cos_sim
+               FROM cand)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM sims) WHERE rk <= 5""")),
+
+    // ---- p16: multimodal frame sampling — split each opaque binary
+    // payload into fixed 64-byte frames (the video-frame / audio-chunk
+    // access pattern), emit per-frame offsets, sizes and content hashes.
+    // Works on the hex encoding so both engines slice identical bytes;
+    // per-frame md5 stands in for the decode step (no media libs here).
+    Entry("p16_mm_frames", (s, dir) =>
+      docs(s, dir)
+        .withColumn("hx", hex(encode(col("text"), "UTF-8")))
+        .withColumn("frame_idx",
+          expr("explode(sequence(0, cast(ceil(length(hx)/128.0) as int) - 1))"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          (length(expr("substr(hx, frame_idx*128 + 1, 128)")) / 2)
+            .cast("long").as("frame_bytes"),
+          md5(expr("substr(hx, frame_idx*128 + 1, 128)").cast("binary"))
+            .as("frame_md5")),
+      Some("""
+        WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        f AS (SELECT doc_id, hx, i AS frame_idx
+              FROM h, UNNEST(range(0, CAST(ceil(length(hx)/128.0) AS BIGINT))) t(i))
+        SELECT doc_id, frame_idx,
+               length(substr(hx, CAST(frame_idx*128 + 1 AS INT), 128)) // 2 AS frame_bytes,
+               md5(substr(hx, CAST(frame_idx*128 + 1 AS INT), 128)) AS frame_md5
+        FROM f""")))
 }

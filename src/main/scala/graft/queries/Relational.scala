@@ -236,5 +236,135 @@ object Relational {
     }, Some("""
       SELECT p_brand, CAST(sum(CASE WHEN p_size > 30 THEN 1 ELSE 0 END) AS BIGINT) AS big_parts,
              count(*) AS n
-      FROM part GROUP BY p_brand HAVING count(*) > 3""")))
+      FROM part GROUP BY p_brand HAVING count(*) > 3""")),
+
+    // ---- q13: ROLLUP — hierarchical subtotals in one pass (map-side
+    // partial aggregation handles the grand-total row; no extra shuffle
+    // beyond the single group-by)
+    Entry("q13_rollup", (s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ---- q14: JSON extraction (semi-structured props column)
+    Entry("q14_json", (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          countDistinct(col("k")).as("k_distinct"))
+    }, Some("""
+      WITH j AS (SELECT event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 FROM events)
+      SELECT event_type, CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min,
+             max(k) AS k_max, count(DISTINCT k) AS k_distinct
+      FROM j GROUP BY event_type""")),
+
+    // ---- q15: pivot (orders per month x priority) — explicit value
+    // list so the output schema is static at plan time
+    Entry("q15_pivot", (s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val safe = Seq("n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+      val pivoted = t(s, dir, "orders")
+        .groupBy(date_trunc("year", col("o_orderdate")).cast("date").as("year"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .na.fill(0L, prios)
+      prios.zip(safe).foldLeft(pivoted) { case (df, (p, a)) =>
+        df.withColumnRenamed(p, a)
+      }
+    }, Some("""
+      SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+             count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+             count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+             count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+      FROM orders GROUP BY year""")),
+
+    // ---- q16: correlated scalar subqueries (orders far above the
+    // customer's own average; the 1.8x threshold compared in exact
+    // decimal-integer space: price*cnt*10 > 18*sum)
+    Entry("q16_corr_subquery", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT count(*) FROM orders_v o2
+                   WHERE o2.o_custkey = o.o_custkey) * 10
+              > 18 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)""")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT count(*) FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey) * 10
+            > 18 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""")),
+
+    // ---- q17: array aggregation with deterministic ordering
+    Entry("q17_array_agg", (s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment"))))
+            .as("segments"),
+          count(lit(1)).as("n_cust"))
+    }, Some("""
+      SELECT c_nationkey,
+             array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+             count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey""")),
+
+    // ---- q18: AS-OF (point-in-time) join — for every purchase event,
+    // the user's most recent strictly-earlier click. The Spark plan is
+    // the scalable single-pass idiom: union both streams, one shuffle on
+    // user_id, then a running last-click window — no join at all, so at
+    // 100 TB it costs one sort-shuffle instead of a skew-prone range
+    // join. (DuckDB oracle states the same semantics as a correlated
+    // top-1 subquery; its native ASOF JOIN leaves same-ts ties
+    // unspecified, so the oracle pins ties by event_id.)
+    Entry("q18_asof_join", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+      // strict "click.ts < purchase.ts": purchases (tag 1) sort BEFORE
+      // same-ts clicks would — so order by (ts, tag) with purchase=1
+      // puts equal-ts clicks after, out of the running window; among
+      // equal-ts clicks the largest event_id wins (last in order)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      purchases.union(clicks)
+        .withColumn("click_id",
+          last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    }, Some("""
+      SELECT p.event_id, p.user_id,
+        (SELECT c.event_id FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts < p.ts
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id,
+        epoch_us(p.ts) -
+        (SELECT epoch_us(c.ts) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts < p.ts
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS gap_us
+      FROM events p WHERE p.event_type = 'purchase'""")))
 }
