@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions._
+import graft.kernel.AnomalyzerConf
+
+/** SQL surface for the engine's custom Catalyst expressions, installed
+  * through the standard extension point:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or in code:
+  *   SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * After installation the functions resolve in plain SQL, e.g.
+  * `SELECT graft_simhash64(split(text, ' ')) FROM documents` or
+  * `SELECT graft_anomaly_prob(w, xxhash64(series), rn, 2, 4, 100, 'magnitude,ks')`.
+  * Config-like arguments (window sizes, method list) must be literals —
+  * they parameterize the expression at analysis time, mirroring the
+  * reference's config-time validation (anomalyze.go:106-118: errors
+  * surface at construction, not evaluation).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+
+  private def litString(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a string literal, got $other")
+    }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", name, usage)
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  /** Register every graft function into an already-running session
+    * (equivalent to installing the extension at build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.shims.registerFunctions(spark, all)
+
+  /** All injectable (identifier, info, builder) triples. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+
+    fn("graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit SimHash of a token array") {
+      args => SimHash64(args.head)
+    },
+
+    fn("graft_rolling_fingerprint",
+      "graft_rolling_fingerprint(tokens) - order-aware rolling hash") {
+      args => RollingFingerprint(args.head)
+    },
+
+    fn("graft_ngram_hashes",
+      "graft_ngram_hashes(tokens, n) - 64-bit hashes of word n-grams") {
+      args => NGramHashes(args(0), litInt(args(1), "graft_ngram_hashes", "n"))
+    },
+
+    fn("graft_word_ngrams",
+      "graft_word_ngrams(tokens, n) - space-joined word n-grams") {
+      args => WordNGrams(args(0), litInt(args(1), "graft_word_ngrams", "n"))
+    },
+
+    fn("graft_minhash",
+      "graft_minhash(tokens, ngram, k) - k-permutation MinHash signature") {
+      args => MinHashSignature(args(0),
+        litInt(args(1), "graft_minhash", "ngram"),
+        litInt(args(2), "graft_minhash", "k"))
+    },
+
+    fn("graft_anomaly_prob",
+      "graft_anomaly_prob(window, seriesHash, rowKey, activeSize, " +
+        "nSeasons, permCount, methodsCsv) - ensemble anomaly probability") {
+      args =>
+        val conf = AnomalyzerConf(
+          activeSize = litInt(args(3), "graft_anomaly_prob", "activeSize"),
+          nSeasons = litInt(args(4), "graft_anomaly_prob", "nSeasons"),
+          permCount = litInt(args(5), "graft_anomaly_prob", "permCount"),
+          methods = litString(args(6), "graft_anomaly_prob", "methodsCsv")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        AnomalyProb(args(0), args(1), args(2), AnomalyzerConf.validated(conf))
+    })
+}

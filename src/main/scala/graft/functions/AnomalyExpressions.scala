@@ -3,7 +3,6 @@ package graft.functions
 import java.util.SplittableRandom
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
@@ -32,7 +31,8 @@ import graft.kernel.{AnomalyzerConf, Ensemble}
   * probabilities agree bit-for-bit on identical data.
   */
 abstract class AnomalyExpressionBase
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
   def window: Expression
   def seriesHash: Expression
   def rowKey: Expression
@@ -41,17 +41,10 @@ abstract class AnomalyExpressionBase
   override def first: Expression = window
   override def second: Expression = seriesHash
   override def third: Expression = rowKey
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = (window.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }) && seriesHash.dataType == LongType && rowKey.dataType == LongType
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (ARRAY<DOUBLE>, BIGINT, BIGINT), got " +
-        s"(${window.dataType.sql}, ${seriesHash.dataType.sql}, " +
-        s"${rowKey.dataType.sql})")
-  }
+  // the analyzer inserts casts (e.g. a SQL decimal-literal array →
+  // ARRAY<DOUBLE>) instead of failing the type check
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), LongType, LongType)
 
   protected def values(w: Any): Array[Double] =
     w.asInstanceOf[ArrayData].toDoubleArray()

@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: an opaque binary payload plus typed metadata.
+  * At 100 TB the payload column dominates; everything here is designed
+  * so metadata-only queries never deserialize payloads (parquet column
+  * pruning drops `payload` unless a feature stage asks for it).
+  */
+case class MediaObject(
+    doc_id: Long,
+    media_type: String, // "image" | "audio" | "video" | "text"
+    payload: Array[Byte])
+
+/** Decoded per-object features. `width`/`height`/`sample_rate` come
+  * from the (stubbed) decoder; byte-level fields are real.
+  */
+case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    content_sha: String,
+    n_frames: Int,
+    width: Int,
+    height: Int,
+    byte_histogram: Array[Double])
+
+/** Multimodal column plumbing: schema, partitioning and batch shape are
+  * real Spark; only the codec itself is a stub (this environment ships
+  * no image/audio libraries).
+  *
+  * The decode stage runs as `mapPartitions` — the JVM analog of a
+  * vectorized pandas-batch UDF: per-partition setup (digest instance,
+  * would-be codec context) is paid once, then rows stream through.
+  * Swapping [[StubCodec]] for a real JNI/javacv codec changes no
+  * plumbing.
+  */
+object MultiModal {
+
+  val FrameBytes = 64
+
+  /** The decode seam. Deterministic fake: dimensions are derived from
+    * the payload hash — stable, schema-correct, test-friendly — and the
+    * byte histogram is computed for real.
+    */
+  object StubCodec {
+    def decodeDims(hash: Array[Byte]): (Int, Int) = {
+      // ??? real codec goes here; fake keeps plumbing testable
+      val w = 16 * (1 + ((hash(0) & 0x7f) % 120)) // 16..1920
+      val h = 16 * (1 + ((hash(1) & 0x7f) % 68)) //  16..1088
+      (w, h)
+    }
+  }
+
+  /** documents.parquet rows → MediaObjects (text bytes stand in for
+    * media payloads; the corpus has no real media).
+    */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaObject] = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        // deterministic fake modality from the id
+        element_at(typedlit(Seq("image", "audio", "video", "text")),
+          (col("doc_id") % 4 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaObject]
+  }
+
+  /** Batch feature extraction over partitions. One shuffle-free pass:
+    * Spark splits the scan, each task streams its rows through a
+    * per-partition codec context.
+    */
+  def decodeFeatures(objects: Dataset[MediaObject]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    objects.mapPartitions { it =>
+      val sha = MessageDigest.getInstance("SHA-256") // per-partition setup
+      it.map { m =>
+        sha.reset()
+        val digest = sha.digest(m.payload)
+        val hist = new Array[Double](8)
+        var i = 0
+        while (i < m.payload.length) {
+          hist((m.payload(i) & 0xff) >> 5) += 1.0
+          i += 1
+        }
+        val n = math.max(m.payload.length, 1)
+        var b = 0
+        while (b < 8) { hist(b) /= n; b += 1 }
+        val (w, h) = StubCodec.decodeDims(digest)
+        MediaFeatures(
+          doc_id = m.doc_id,
+          media_type = m.media_type,
+          n_bytes = m.payload.length.toLong,
+          content_sha = digest.map("%02x".format(_)).mkString,
+          n_frames = (m.payload.length + FrameBytes - 1) / FrameBytes,
+          width = w,
+          height = h,
+          byte_histogram = hist)
+      }
+    }
+  }
+
+  /** Frame sampling: every k-th fixed-size frame of each payload — the
+    * video-keyframe access pattern. Pure relational (posexplode over a
+    * computed frame index sequence) so it stays in whole-stage codegen
+    * and the payload is sliced, never re-decoded per frame.
+    */
+  def sampleFrames(objects: Dataset[MediaObject], everyK: Int): DataFrame =
+    objects.toDF()
+      .withColumn("n_frames",
+        ceil(length(col("payload")) / lit(FrameBytes.toDouble)).cast("int"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, n_frames - 1, $everyK)")))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")
+          .as("frame"))
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHashFunctions
+import graft.kernel.{Anomalyzer, AnomalyzerConf}
+import graft.streaming.StreamingDetector
+
+/** SQL-surface registration: every graft function resolves in plain SQL
+  * and matches its Column-API twin / the sequential kernel.
+  */
+class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val registered: Unit = GraftExtensions.register(spark)
+
+  test("text hash functions resolve in SQL and match the Column API") {
+    registered
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(split(text, ' ')) AS sh,
+               graft_rolling_fingerprint(split(text, ' ')) AS fp,
+               graft_ngram_hashes(split(text, ' '), 3) AS nh,
+               graft_word_ngrams(split(text, ' '), 3) AS wg,
+               graft_minhash(split(text, ' '), 3, 16) AS mh
+        FROM ext_docs""").collect().head
+    val viaCol = spark.table("ext_docs").select(
+      TextHashFunctions.simhash64(split(col("text"), " ")).as("sh"),
+      TextHashFunctions.rolling_fingerprint(split(col("text"), " ")).as("fp"),
+      TextHashFunctions.ngram_hashes(split(col("text"), " "), 3).as("nh"),
+      TextHashFunctions.word_ngrams(split(col("text"), " "), 3).as("wg"),
+      TextHashFunctions.minhash_signature(split(col("text"), " "), 3, 16).as("mh"))
+      .collect().head
+    assert(viaSql.getLong(0) === viaCol.getLong(0))
+    assert(viaSql.getLong(1) === viaCol.getLong(1))
+    assert(viaSql.getSeq[Long](2) === viaCol.getSeq[Long](2))
+    assert(viaSql.getSeq[String](3) === viaCol.getSeq[String](3))
+    assert(viaSql.getSeq[Long](4) === viaCol.getSeq[Long](4))
+  }
+
+  test("graft_anomaly_prob in SQL equals the sequential kernel") {
+    registered
+    import spark.implicits._
+    val data = Array(0.1, 2.05, 1.5, 2.5, 2.6, 2.55, 8.0)
+    Seq((data, "s1", 7L)).toDF("w", "series", "rk")
+      .createOrReplaceTempView("ext_win")
+    val p = spark.sql(
+      """SELECT graft_anomaly_prob(w, xxhash64(series), rk,
+                                   1, 4, 100, 'magnitude,cdf') AS p
+        FROM ext_win""").collect().head.getDouble(0)
+    val conf = AnomalyzerConf(activeSize = 1, nSeasons = 4, permCount = 100,
+      methods = Seq("magnitude", "cdf"))
+    val a = new Anomalyzer(conf, StreamingDetector.seriesHash("s1"))
+    data.dropRight(1).foreach(a.push)
+    assert(p === a.push(8.0))
+  }
+
+  test("non-literal config argument is rejected at analysis") {
+    registered
+    import spark.implicits._
+    Seq((Array(1.0), 1L)).toDF("w", "n").createOrReplaceTempView("ext_bad")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_anomaly_prob(w, 1L, 1L, cast(n AS INT), 4, 10,
+                                     'magnitude') FROM ext_bad""").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
