@@ -228,6 +228,61 @@ case class WordNGrams(child: Expression, n: Int) extends TokenArrayExpression {
     copy(child = c)
 }
 
+/** `md5_minhash(shingles)`: the [[HashScheme]] MinHash signature —
+  * per-shingle 32-bit md5 base hash, then the k affine permutations —
+  * in one tight pass. Output-identical to the compositional SQL
+  * formulation (`transform(sequence(0,k-1), i -> array_min(...))` over
+  * `conv(substr(md5(g),1,8),16,10)`) that the DuckDB oracle runs, but
+  * ~an order of magnitude cheaper: one digest per shingle, no hex
+  * string materialization, no per-(i,shingle) lambda dispatch.
+  */
+case class Md5MinHash(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import HashScheme.{minhashA => A, minhashB => B, MinHashK => k, MinHashP => P}
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(P)
+    val md = Md5MinHash.digest.get()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        md.reset()
+        val d = md.digest(s.getBytes)
+        // first 4 digest bytes big-endian == first 8 hex chars of md5
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var i = 0
+        while (i < k) {
+          val v = (A(i) * h + B(i)) % P
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5MinHash {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
 
@@ -239,6 +294,8 @@ object TextHashFunctions {
     column(RollingFingerprint(expression(tokens)))
   def word_ngrams(tokens: Column, n: Int): Column =
     column(WordNGrams(expression(tokens), n))
+  def md5_minhash(shingles: Column): Column =
+    column(Md5MinHash(expression(shingles)))
   def ngram_hashes(tokens: Column, n: Int): Column =
     column(NGramHashes(expression(tokens), n))
 }

@@ -62,4 +62,63 @@ object AnomalyOps {
       else windowed
     result.drop("window")
   }
+
+  /** Output-identical to [[withAnomalyProbs]], but parallelism is no
+    * longer capped at the series cardinality.
+    *
+    * `Window.partitionBy(series)` hands ALL of a series to one task —
+    * with few or skewed series most of the cluster idles while one
+    * executor walks a billion-row series. Because the evaluation frame
+    * is bounded (the trailing `windowSize` rows), the window is
+    * chunkable: split each series into `chunkSize`-row chunks, replicate
+    * each chunk's last `windowSize-1` rows into the next chunk as
+    * warm-up, then compute the same trailing-window evaluation
+    * partitioned by (series, chunk) and drop the warm-up rows. One extra
+    * cheap row_number pass + ~(windowSize/chunkSize) duplication buys
+    * series-count × chunk-count parallelism — the difference between 5
+    * tasks and 5000 on a hot-series corpus. Results are bit-identical
+    * because the RNG seed depends only on (series, original row
+    * position), not on partitioning.
+    */
+  def withAnomalyProbsChunked(
+      df: DataFrame,
+      series: Column,
+      ts: Column,
+      value: Column,
+      conf: AnomalyzerConf,
+      tieBreak: Seq[Column] = Nil,
+      chunkSize: Int = 8192,
+      byTest: Boolean = false): DataFrame = {
+    val c = AnomalyzerConf.validated(conf)
+    require(chunkSize >= c.windowSize,
+      s"chunkSize ($chunkSize) must be >= windowSize (${c.windowSize})")
+    val ord = ts +: tieBreak
+    val w = Window.partitionBy(series).orderBy(ord: _*)
+    // one cheap pass to pin each row's position in its series
+    val base = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("long"))
+      .withColumn("__warm", lit(false))
+    // warm-up: the last windowSize-1 rows of each chunk, replayed into
+    // the next chunk so its leading windows see full history
+    val warm = base
+      .filter((col("__rn") - 1) % chunkSize >= chunkSize - (c.windowSize - 1))
+      .withColumn("__chunk", col("__chunk") + 1)
+      .withColumn("__warm", lit(true))
+    val cw = Window.partitionBy(series, col("__chunk")).orderBy(ord: _*)
+    val frame = cw.rowsBetween(-(c.windowSize - 1), 0)
+    val sHash = xxhash64(series)
+    val windowed = base.unionByName(warm)
+      .withColumn("window", collect_list(value.cast("double")).over(frame))
+      .withColumn("anomaly_prob",
+        AnomalyFunctions.anomaly_prob(col("window"), sHash, col("__rn"), c))
+    val scored =
+      if (byTest) windowed.withColumn("anomaly_probs",
+        AnomalyFunctions.anomaly_probs_by_test(col("window"), sHash,
+          col("__rn"), c))
+      else windowed
+    scored.filter(!col("__warm"))
+      .drop("window", "__chunk", "__warm")
+      .withColumnRenamed("__rn", "rn")
+  }
 }

@@ -85,6 +85,12 @@ object Anomaly {
     activeSize = spec.activeSize, nSeasons = spec.nSeasons,
     permCount = 100, methods = Nil) // methods set per query
 
+  // Plain per-series window: at permCount=100/window=10 the kernel is
+  // ~µs/row, so the extra shuffle of withAnomalyProbsChunked costs more
+  // than its series×chunk parallelism returns (measured at sf0.1:
+  // 1.0s plain vs 1.6s chunked). At the reference default permCount=500
+  // or on hot/few-series data the chunked variant wins — it's
+  // bit-identical (AnomalyOpsSpec) so swapping is free.
   private def permQuery(methods: Seq[String]) =
     (s: org.apache.spark.sql.SparkSession, dir: String) =>
       AnomalyOps.withAnomalyProbs(Tables.events(s, dir), col("event_type"),

@@ -126,15 +126,8 @@ object Pipeline {
       // persisted because three joins reuse them
       val sigs = docs(s, dir).repartition(col("doc_id"))
         .withColumn("toks", toks)
-        .withColumn("sh", TextHashFunctions.word_ngrams(col("toks"), 5))
-        .withColumn("hs", expr(s"transform(sh, g -> ${H.h32Spark("g")})"))
-        .withColumn("sig", expr(
-          s"""transform(sequence(0, ${k - 1}), i ->
-                CASE WHEN size(hs) = 0 THEN ${H.MinHashP}L
-                     ELSE array_min(transform(hs, h ->
-                       (element_at(${H.minhashASparkArray}, i+1) * h +
-                        element_at(${H.minhashBSparkArray}, i+1)) % ${H.MinHashP}L))
-                END)"""))
+        .withColumn("sig", TextHashFunctions.md5_minhash(
+          TextHashFunctions.word_ngrams(col("toks"), 5)))
         .select(col("doc_id"), col("sig"))
         .persist()
       // candidate generation joins on the raw 4-row band slice (array

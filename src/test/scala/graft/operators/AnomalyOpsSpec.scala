@@ -67,6 +67,26 @@ class AnomalyOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.values.exists(_ > 0.0)) // something nonzero actually computed
   }
 
+  test("chunked evaluation is bit-identical to the plain window") {
+    val permConf = AnomalyzerConf(
+      activeSize = 2, nSeasons = 4, permCount = 40,
+      methods = Seq("highrank", "diff", "magnitude"))
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_id") < 600)
+    val plain = AnomalyOps.withAnomalyProbs(events, col("event_type"),
+        col("ts"), col("value"), permConf, tieBreak = Seq(col("event_id")))
+      .select("event_id", "anomaly_prob")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // chunk far smaller than any series so every series spans chunks
+    val chunked = AnomalyOps.withAnomalyProbsChunked(events, col("event_type"),
+        col("ts"), col("value"), permConf, tieBreak = Seq(col("event_id")),
+        chunkSize = 16)
+      .select("event_id", "anomaly_prob")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(chunked.size === plain.size)
+    assert(chunked === plain)
+  }
+
   test("byTest emits the per-test probability map") {
     val events = graft.sources.Tables.events(spark, sfDir).limit(50)
     val row = AnomalyOps.withAnomalyProbs(events, col("event_type"),
