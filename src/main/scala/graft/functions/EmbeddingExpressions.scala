@@ -63,9 +63,54 @@ case class CosineLshBucket(child: Expression, nBits: Int, seed: Long)
     copy(child = c)
 }
 
-/** Embedding similarity as pure built-in columns (whole-stage codegen
-  * friendly; no UDF): dot product / norms via zip_with + aggregate
-  * higher-order functions, all in DOUBLE.
+/** `cosine_sim(a, b)`: cosine similarity in one fused pass. Bit-identical
+  * to the compositional higher-order-function form
+  * `aggregate(zip_with(a,b,*),0.0,+) / (sqrt(aggregate(a,0.0,acc+x*x)) *
+  * sqrt(aggregate(b,0.0,acc+x*x)))` — same left-fold accumulation order,
+  * same operation order — but one array traversal with no per-element
+  * lambda dispatch, which is the hot loop of every all-pairs /
+  * candidate-scoring similarity query.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.numElements()) {
+      val x = a.getDouble(i); na += x * x; i += 1
+    }
+    var nb = 0.0
+    i = 0
+    while (i < b.numElements()) {
+      val x = b.getDouble(i); nb += x * x; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Embedding similarity as columns: the fused [[CosineSim]] plus
+  * compositional dot/norm builders, all in DOUBLE.
   */
 object VectorOps {
   import org.apache.spark.sql.graft.shims.{column, expression}
@@ -77,7 +122,8 @@ object VectorOps {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   /** Cosine similarity; callers round before comparing across engines. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 
   def cosine_lsh_bucket(emb: Column, nBits: Int, seed: Long): Column =
     column(CosineLshBucket(expression(emb), nBits, seed))
