@@ -572,5 +572,40 @@ object Pipeline {
         SELECT doc_id, frame_idx,
                length(substr(hx, CAST(frame_idx*128 + 1 AS INT), 128)) // 2 AS frame_bytes,
                md5(substr(hx, CAST(frame_idx*128 + 1 AS INT), 128)) AS frame_md5
-        FROM f""")))
+        FROM f""")),
+
+    // ---- p17: tf-idf top terms per document. The corpus size N joins
+    // in via a broadcast single-row aggregate (no driver-side count, no
+    // global window); tf and df are plain shuffle aggregates, so the
+    // whole thing scales like any two-level group-by.
+    Entry("p17_tfidf", (s, dir) => {
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+      val tf = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term")
+        .join(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+            .as("tfidf"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (SELECT doc_id, term,
+                        round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+                 FROM tf JOIN df USING (term), n)
+      SELECT doc_id, term, tfidf, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS rk
+        FROM scored) WHERE rk <= 3"""))
+  )
 }

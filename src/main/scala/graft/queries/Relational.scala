@@ -366,5 +366,21 @@ object Relational {
          WHERE c.user_id = p.user_id AND c.event_type = 'click'
            AND c.ts < p.ts
          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS gap_us
-      FROM events p WHERE p.event_type = 'purchase'""")))
+      FROM events p WHERE p.event_type = 'purchase'""")),
+
+    // ---- q19: exact interpolated percentiles (the analytics staple;
+    // same linear-interpolation definition in both engines)
+    Entry("q19_percentile", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 6).as("p90"),
+          round(percentile(col("o_totalprice"), lit(0.99)), 6).as("p99"))
+    }, Some("""
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      FROM orders GROUP BY o_orderpriority""")))
 }
