@@ -47,9 +47,51 @@ object Detectors {
     */
   def withProbs(df: DataFrame, series: Column, ts: Column,
       tieBreak: Seq[Column], value: Column, spec: Spec): DataFrame = {
+    val ord = ts +: tieBreak
+    val wBase = Window.partitionBy(series).orderBy(ord: _*)
+    addProbs(df.withColumn("rn", row_number().over(wBase)),
+      Seq(series), ord, value, spec)
+  }
+
+  /** Output-identical to [[withProbs]] but parallelized beyond the
+    * series cardinality: series are split into `chunkSize`-row chunks
+    * with the last `windowSize-1` rows of each chunk replicated into the
+    * next as warm-up, and the (purely trailing-frame) probability
+    * expressions run partitioned by (series, chunk). Use when series
+    * are few or hot — the plain path hands each whole series to one
+    * task. See [[AnomalyOps.withAnomalyProbsChunked]] for the same
+    * pattern on the kernel-backed evaluator.
+    */
+  def withProbsChunked(df: DataFrame, series: Column, ts: Column,
+      tieBreak: Seq[Column], value: Column, spec: Spec,
+      chunkSize: Int = 65536): DataFrame = {
+    require(chunkSize >= spec.windowSize,
+      s"chunkSize ($chunkSize) must be >= windowSize (${spec.windowSize})")
+    val ord = ts +: tieBreak
+    val w0 = Window.partitionBy(series).orderBy(ord: _*)
+    val base = df
+      .withColumn("rn", row_number().over(w0))
+      .withColumn("__chunk", ((col("rn") - 1) / chunkSize).cast("long"))
+      .withColumn("__warm", lit(false))
+    val warm = base
+      .filter((col("rn") - 1) % chunkSize >= chunkSize - (spec.windowSize - 1))
+      .withColumn("__chunk", col("__chunk") + 1)
+      .withColumn("__warm", lit(true))
+    addProbs(base.unionByName(warm), Seq(series, col("__chunk")), ord,
+        value, spec)
+      .filter(!col("__warm"))
+      .drop("__chunk", "__warm")
+  }
+
+  /** The shared probability pipeline over a prepared `rn` column; the
+    * window partition decides plain (series) vs chunked (series, chunk)
+    * execution.
+    */
+  private def addProbs(df: DataFrame, partition: Seq[Column], ord: Seq[Column],
+      value: Column, spec: Spec): DataFrame = {
     val a = spec.activeSize
     val w = spec.windowSize
-    val wBase: WindowSpec = Window.partitionBy(series).orderBy(ts +: tieBreak: _*)
+    val wBase: WindowSpec = Window.partitionBy(partition: _*).orderBy(ord: _*)
     val actFrame = wBase.rowsBetween(-(a - 1), 0)
     val refFrame = wBase.rowsBetween(-(w - 1), -a)
     // cdf operates on |successive diffs|; the in-window diff vector has
@@ -92,8 +134,7 @@ object Detectors {
     val ensemble = when(pm6 < sensMicro, 0.0)
       .otherwise(floor((lit(2L) * num + den) / (lit(2L) * den)) / 1e6)
 
-    df.withColumn("rn", row_number().over(wBase))
-      .withColumn("__act_mean", actMean)
+    df.withColumn("__act_mean", actMean)
       .withColumn("__ref_mean", refMean)
       .withColumn("__d", d)
       .withColumn("__act_mean_d", avg(col("__d")).over(actFrame))
