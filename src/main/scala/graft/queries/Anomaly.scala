@@ -160,5 +160,58 @@ object Anomaly {
     Entry("a06_anomaly_rank", permQuery(Seq("highrank", "lowrank")), None,
       bench = true),
     Entry("a07_anomaly_diff", permQuery(Seq("diff")), None),
-    Entry("a08_anomaly_ks", permQuery(Seq("ks")), None))
+    Entry("a08_anomaly_ks", permQuery(Seq("ks")), None),
+
+    // a09: the deterministic core of the rank/diff tests, SQL-checkable.
+    // The bootstrap p-values above resample with a seeded RNG (not
+    // SQL-expressible); the statistics they permute — min-tie rank sums
+    // of the active window, over raw values (rank tests,
+    // algorithms.go:170-205) and over |relative diffs| (diff test,
+    // algorithms.go:105-140) — are exact integers, oracled here.
+    Entry("a09_anomaly_rank_stats", (s, dir) => {
+      val a = spec.activeSize // 2
+      val w = spec.windowSize // 10
+      val wBase = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val frame = wBase.rowsBetween(-(w - 1), 0)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(wBase))
+        .withColumn("arr", collect_list(col("value")).over(frame))
+        .filter(col("rn") >= w)
+        .withColumn("act", expr(s"slice(arr, ${w - a + 1}, $a)"))
+        .withColumn("rd", expr(
+          "transform(sequence(1, size(arr) - 1), i -> " +
+            "abs((element_at(arr, i + 1) - element_at(arr, i)) / element_at(arr, i)))"))
+        .withColumn("rdact", expr(s"slice(rd, size(rd) - ${a - 1}, $a)"))
+        .select(col("event_type"), col("event_id"),
+          expr("aggregate(act, 0L, (s, x) -> s + size(filter(arr, y -> y < x)))")
+            .as("active_rank_sum"),
+          expr("aggregate(slice(arr, 1, size(arr) - " + a + "), 0L, " +
+            "(s, x) -> s + size(filter(arr, y -> y < x)))")
+            .as("ref_rank_sum"),
+          expr("aggregate(rdact, 0L, (s, x) -> s + size(filter(rd, y -> y < x)))")
+            .as("active_reldiff_rank_sum"))
+    }, Some(s"""
+      WITH base AS (
+        SELECT event_type, event_id,
+               row_number() OVER win AS rn,
+               array_agg(value) OVER (win ROWS BETWEEN ${spec.windowSize - 1}
+                 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+      ), full_w AS (
+        SELECT event_type, event_id, arr,
+               arr[${spec.windowSize - spec.activeSize + 1}:${spec.windowSize}] AS act,
+               list_transform(range(1, len(arr)),
+                 i -> abs((arr[i+1] - arr[i]) / arr[i])) AS rd
+        FROM base WHERE rn >= ${spec.windowSize}
+      )
+      SELECT event_type, event_id,
+        list_sum(list_transform(act,
+          x -> len(list_filter(arr, y -> y < x)))) AS active_rank_sum,
+        list_sum(list_transform(arr[1:${spec.windowSize - spec.activeSize}],
+          x -> len(list_filter(arr, y -> y < x)))) AS ref_rank_sum,
+        list_sum(list_transform(rd[len(rd)-${spec.activeSize - 1}:len(rd)],
+          x -> len(list_filter(rd, y -> y < x)))) AS active_reldiff_rank_sum
+      FROM full_w""")))
 }
