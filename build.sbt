@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Forked `run` output goes straight to stdout (no sbt `[info] ` prefix) so
 // the one-line JSON contract of Bench/Verify stays machine-parseable.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -37,7 +37,11 @@ object GraftExtensions {
 
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      try Math.toIntExact(v) catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' ($v) overflows an integer")
+      }
     case other => throw new IllegalArgumentException(
       s"$fn: argument '$arg' must be an integer literal, got $other")
   }

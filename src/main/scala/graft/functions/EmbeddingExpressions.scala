@@ -85,23 +85,34 @@ case class CosineSim(left: Expression, right: Expression)
           s"(${l.sql}, ${r.sql})")
     }
 
+  // like the compositional zip_with form: mismatched lengths or null
+  // elements yield NULL, not a silently-wrong number
+  private lazy val mayHaveNulls = Seq(left.dataType, right.dataType).exists {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    if (mayHaveNulls) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var dot = 0.0
     var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     var na = 0.0
     i = 0
-    while (i < a.numElements()) {
-      val x = a.getDouble(i); na += x * x; i += 1
-    }
+    while (i < n) { val x = a.getDouble(i); na += x * x; i += 1 }
     var nb = 0.0
     i = 0
-    while (i < b.numElements()) {
-      val x = b.getDouble(i); nb += x * x; i += 1
-    }
+    while (i < n) { val x = b.getDouble(i); nb += x * x; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
   override protected def withNewChildrenInternal(

@@ -118,7 +118,6 @@ object AnomalyOps {
           col("__rn"), c))
       else windowed
     scored.filter(!col("__warm"))
-      .drop("window", "__chunk", "__warm")
-      .withColumnRenamed("__rn", "rn")
+      .drop("window", "__chunk", "__warm", "__rn")
   }
 }

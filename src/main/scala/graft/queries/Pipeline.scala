@@ -509,11 +509,14 @@ object Pipeline {
       val d2 = expr(
         "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
       val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      // persisted: the cell self-join reads the (expensive) centroid
+      // cross-join assignment from both sides
       val assigned = e.join(broadcast(cents))
         .withColumn("d2", d2)
         .withColumn("rk", row_number().over(wAssign))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+        .persist()
       val wTop = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       assigned.filter(col("vec_id") % 50 === 0)
@@ -558,6 +561,9 @@ object Pipeline {
     Entry("p16_mm_frames", (s, dir) =>
       docs(s, dir)
         .withColumn("hx", hex(encode(col("text"), "UTF-8")))
+        // empty payloads produce no frames (sequence(0,-1) would emit
+        // two bogus rows; the oracle's range(0,0) emits none)
+        .filter(length(col("hx")) > 0)
         .withColumn("frame_idx",
           expr("explode(sequence(0, cast(ceil(length(hx)/128.0) as int) - 1))"))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),

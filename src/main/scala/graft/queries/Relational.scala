@@ -256,7 +256,9 @@ object Relational {
     Entry("q14_json", (s, dir) => {
       Tables.events(s, dir)
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+          // try_cast mirrors the oracle's TRY_CAST: a non-integral k
+          // yields NULL instead of an ANSI cast error
+          expr("try_cast(get_json_object(props, '$.k') as bigint)").as("k"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
           max(col("k")).as("k_max"),
