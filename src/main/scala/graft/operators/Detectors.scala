@@ -83,6 +83,29 @@ object Detectors {
       .drop("__chunk", "__warm")
   }
 
+  /** Same columns as [[withProbs]] computed by the fused single-pass
+    * [[graft.functions.DetectorEval]] expression over one collect_list
+    * window (one WindowExec instead of a stack of frame passes —
+    * ~2x faster at sf0.1, bit-identical for fully-warmed rows). Rows
+    * with `rn < windowSize` get NULL probabilities; callers filter
+    * `rn >= windowSize` (which the plain path requires anyway).
+    */
+  def withProbsFused(df: DataFrame, series: Column, ts: Column,
+      tieBreak: Seq[Column], value: Column, spec: Spec): DataFrame = {
+    val ord = ts +: tieBreak
+    val wBase = Window.partitionBy(series).orderBy(ord: _*)
+    val frame = wBase.rowsBetween(-(spec.windowSize - 1), 0)
+    df.withColumn("rn", row_number().over(wBase))
+      .withColumn("__arr", collect_list(value.cast("double")).over(frame))
+      .withColumn("__p",
+        graft.functions.DetectorFunctions.detector_probs(col("__arr"), spec))
+      .withColumn("prob_magnitude", col("__p.prob_magnitude"))
+      .withColumn("prob_fence", col("__p.prob_fence"))
+      .withColumn("prob_cdf", col("__p.prob_cdf"))
+      .withColumn("prob_ensemble", col("__p.prob_ensemble"))
+      .drop("__arr", "__p")
+  }
+
   /** The shared probability pipeline over a prepared `rn` column; the
     * window partition decides plain (series) vs chunked (series, chunk)
     * execution.

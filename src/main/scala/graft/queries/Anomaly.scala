@@ -24,8 +24,8 @@ object Anomaly {
     upperBound = 500.0, lowerBound = Some(0.0), sensitivity = 0.1)
 
   private def detected(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Detectors.withProbs(Tables.events(s, dir), col("event_type"), col("ts"),
-        Seq(col("event_id")), col("value"), spec)
+    Detectors.withProbsFused(Tables.events(s, dir), col("event_type"),
+        col("ts"), Seq(col("event_id")), col("value"), spec)
       .filter(col("rn") >= spec.windowSize)
 
   /** DuckDB SQL computing the same prob columns; kept as one CTE chain
