@@ -384,5 +384,36 @@ object Relational {
              round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
              round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
              round(quantile_cont(o_totalprice, 0.99), 6) AS p99
-      FROM orders GROUP BY o_orderpriority""")))
+      FROM orders GROUP BY o_orderpriority""")),
+
+    // ---- q20: session windows (gap-based sessionization). Spark's
+    // session_window merges an event into the open session iff its ts is
+    // strictly before last_event + gap, and stamps end = last + gap; the
+    // oracle states the same semantics as the classic islands pattern
+    // (new session when the gap to the previous event is >= 5 min).
+    Entry("q20_sessionize", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+    }, Some("""
+      WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 5 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id""")))
 }
