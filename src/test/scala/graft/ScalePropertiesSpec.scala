@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB design contracts, asserted on the physical plans so a
+  * regression (lost pushdown, extra shuffle, de-broadcast) fails CI
+  * rather than only showing up as slow wall-clock on a big cluster.
+  */
+class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(name: String): String =
+    queries.Catalog.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter must push into the scan")
+    assert(p.contains("l_quantity"), "quantity filter expected in scan")
+    // pruned read schema: no unused columns materialized
+    assert(!p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("q04: dimensions broadcast; one hash aggregate shuffle") {
+    val p = plan("q04_join_multi")
+    assert(countOf(p, "BroadcastHashJoin") >= 3,
+      "customer/nation/region must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join expected at this scale")
+  }
+
+  test("a04: anomaly scoring shuffles once on the series key") {
+    val p = plan("a04_anomaly_ensemble")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      "detection must be one shuffle on the series key, then local")
+  }
+
+  test("a06: permutation scoring also shuffles once") {
+    val p = plan("a06_anomaly_rank")
+    assert(countOf(p, "Exchange hashpartitioning") === 1)
+  }
+
+  test("q01: aggregation is partial before the shuffle") {
+    val p = plan("q01_agg")
+    assert(p.contains("partial_sum"),
+      "map-side combine must run before the exchange")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh")
+    val dir = sfDir
+    sources.Tables.table(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").option("path", s"$wh/orders_b")
+      .saveAsTable("orders_b")
+    sources.Tables.table(spark, dir, "customer")
+      .write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").option("path", s"$wh/customer_b")
+      .saveAsTable("customer_b")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed co-partitioned join must not shuffle:\n" + p)
+      // and it actually runs
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("approximate aggregates land within tolerance of exact") {
+    val li = sources.Tables.table(spark, sfDir, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact_d"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+      .collect().head
+    val (ed, ad) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(ad - ed) / ed < 0.05,
+      s"HLL estimate $ad too far from exact $ed")
+    val (ep, ap) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(ap - ep) / ep < 0.05,
+      s"approx p50 $ap too far from exact $ep")
+  }
+}
