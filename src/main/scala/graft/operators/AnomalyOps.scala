@@ -63,6 +63,23 @@ object AnomalyOps {
     result.drop("window")
   }
 
+  /** Typed facade, symmetric with the streaming API: the same
+    * `Dataset[SeriesPoint] => Dataset[AnomalyScore]` shape as
+    * [[graft.streaming.StreamingDetector.score]], and — because all
+    * paths share one seed derivation — the same probabilities.
+    */
+  def score(points: org.apache.spark.sql.Dataset[graft.streaming.SeriesPoint],
+      conf: AnomalyzerConf)
+      : org.apache.spark.sql.Dataset[graft.streaming.AnomalyScore] = {
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[graft.streaming.AnomalyScore]
+    withAnomalyProbs(points.toDF(), col("series"), col("ts"), col("value"),
+        conf, tieBreak = Seq(col("value")))
+      .select(col("series"), col("ts"), col("value"),
+        col("anomaly_prob").as("prob"))
+      .as[graft.streaming.AnomalyScore]
+  }
+
   /** Output-identical to [[withAnomalyProbs]], but parallelism is no
     * longer capped at the series cardinality.
     *

@@ -87,6 +87,23 @@ class AnomalyOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(chunked === plain)
   }
 
+  test("typed batch facade == sequential kernel (same types as streaming)") {
+    import graft.streaming.{SeriesPoint, StreamingDetector}
+    import graft.kernel.Anomalyzer
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val conf = AnomalyzerConf(activeSize = 1, nSeasons = 4, permCount = 40,
+      methods = Seq("magnitude", "cdf", "highrank"))
+    val pts = (1 to 30).map(i =>
+      SeriesPoint("s", new java.sql.Timestamp(i * 1000L),
+        if (i == 25) 50.0 else i % 7 + 1.0))
+    val got = AnomalyOps.score(pts.toDS(), conf).collect()
+      .sortBy(_.ts.getTime).map(_.prob).toSeq
+    val a = new Anomalyzer(conf, StreamingDetector.seriesHash("s"))
+    val expected = pts.map(p => a.push(p.value))
+    assert(got === expected)
+  }
+
   test("byTest emits the per-test probability map") {
     val events = graft.sources.Tables.events(spark, sfDir).limit(50)
     val row = AnomalyOps.withAnomalyProbs(events, col("event_type"),
