@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.kernel.{AnomalyzerConf, Ensemble}
 
@@ -48,6 +48,30 @@ object StreamingDetector {
       .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
   }
 
+  /** One micro-batch of one series through the bounded buffer: the
+    * shared state transition of both streaming backends.
+    */
+  private def applyBatch(series: String, prev: SeriesState,
+      rows: Iterator[SeriesPoint],
+      conf: AnomalyzerConf): (SeriesState, Array[AnomalyScore]) = {
+    var buf = prev.buffer
+    var pushed = prev.pushed
+    val sh = seriesHash(series)
+    // within-batch total order (the stream's ts is the clock); order by
+    // full timestamp precision — getTime alone truncates to ms and
+    // would drop the corpus's microsecond component
+    val ordered = rows.toArray.sortBy(p =>
+      (p.ts.toInstant.getEpochSecond, p.ts.toInstant.getNano, p.value))
+    val out = ordered.map { p =>
+      buf = (buf :+ p.value).takeRight(conf.windowSize)
+      pushed += 1
+      val prob = Ensemble.eval(buf, conf,
+        new java.util.SplittableRandom(Ensemble.seedFor(sh, pushed)))
+      AnomalyScore(series, p.ts, p.value, prob)
+    }
+    (SeriesState(buf, pushed), out)
+  }
+
   def score(points: Dataset[SeriesPoint], conf0: AnomalyzerConf)
       : Dataset[AnomalyScore] = {
     val conf = AnomalyzerConf.validated(conf0)
@@ -60,23 +84,48 @@ object StreamingDetector {
         (series: String, rows: Iterator[SeriesPoint],
          state: GroupState[SeriesState]) => {
           val prev = state.getOption.getOrElse(SeriesState(Array.empty, 0L))
-          var buf = prev.buffer
-          var pushed = prev.pushed
-          val sh = seriesHash(series)
-          // within-batch total order (the stream's ts is the clock);
-          // order by full timestamp precision — getTime alone truncates
-          // to ms and would drop the corpus's microsecond component
-          val ordered = rows.toArray.sortBy(p =>
-            (p.ts.toInstant.getEpochSecond, p.ts.toInstant.getNano, p.value))
-          val out = ordered.map { p =>
-            buf = (buf :+ p.value).takeRight(conf.windowSize)
-            pushed += 1
-            val prob = Ensemble.eval(buf, conf,
-              new java.util.SplittableRandom(Ensemble.seedFor(sh, pushed)))
-            AnomalyScore(series, p.ts, p.value, prob)
-          }
-          state.update(SeriesState(buf, pushed))
+          val (next, out) = applyBatch(series, prev, rows, conf)
+          state.update(next)
           out.iterator
         })
+  }
+
+  /** [[score]] on the modern arbitrary-state API (`transformWithState`,
+    * Spark 4.x): same semantics, same probabilities, but state lives in
+    * the RocksDB state store (required by this API) with fine-grained
+    * per-key ValueState — the operationally preferred backend for large
+    * key cardinalities. Run queries with
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`.
+    */
+  def scoreTws(points: Dataset[SeriesPoint], conf0: AnomalyzerConf)
+      : Dataset[AnomalyScore] = {
+    val conf = AnomalyzerConf.validated(conf0)
+    implicit val outEnc = Encoders.product[AnomalyScore]
+    implicit val keyEnc = Encoders.STRING
+
+    points.groupByKey(_.series)
+      .transformWithState(new DetectorProcessor(conf), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Per-series bounded-buffer processor for [[scoreTws]]. */
+  class DetectorProcessor(conf: AnomalyzerConf)
+      extends StatefulProcessor[String, SeriesPoint, AnomalyScore] {
+    @transient private var state: ValueState[SeriesState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SeriesState]("buf",
+        Encoders.product[SeriesState], TTLConfig.NONE)
+
+    override def handleInputRows(series: String,
+        rows: Iterator[SeriesPoint],
+        timerValues: TimerValues): Iterator[AnomalyScore] = {
+      val prev = if (state.exists()) state.get()
+        else SeriesState(Array.empty, 0L)
+      val (next, out) = applyBatch(series, prev, rows, conf)
+      state.update(next)
+      out.iterator
+    }
   }
 }
