@@ -17,7 +17,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val scored = Detectors.withProbs(Tables.events(spark, dir),
+    val scored = Detectors.withProbsFused(Tables.events(spark, dir),
         col("event_type"), col("ts"), Seq(col("event_id")), col("value"),
         Anomaly.spec)
       .filter(col("rn") >= Anomaly.spec.windowSize)

@@ -415,5 +415,29 @@ object Relational {
       SELECT user_id, min(ts) AS session_start,
              max(ts) + INTERVAL 5 MINUTE AS session_end,
              count(*) AS n_events
-      FROM sess GROUP BY user_id, session_id""")))
+      FROM sess GROUP BY user_id, session_id""")),
+
+    // ---- q21: RANGE-framed window (value-based frame, not row-based):
+    // trailing 90-day spend per customer as of each order — frames are
+    // defined by the orderdate interval, so ties and gaps behave unlike
+    // ROWS frames. Decimal-exact running sums.
+    Entry("q21_range_window", (s, dir) => {
+      // NTZ → TIMESTAMP is value-preserving (session tz = UTC); the
+      // long cast gives epoch seconds for the range frame
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90L * 24 * 3600, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("spend_90d"),
+          count(lit(1)).over(w).as("n_orders_90d"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS spend_90d,
+             count(*) OVER w AS n_orders_90d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)""")))
 }

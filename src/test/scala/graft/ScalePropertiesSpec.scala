@@ -76,6 +76,23 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("partitioned sink: layout by series key, pruned on read-back") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink")
+    val scored = queries.Catalog.queries("a04_anomaly_ensemble")(spark, sfDir)
+    scored.write.mode("overwrite").partitionBy("event_type")
+      .parquet(out.toString)
+    val dirs = out.toFile.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("event_type=")) === 5,
+      s"expected 5 series partitions, got ${dirs.toSeq}")
+    val back = spark.read.parquet(out.toString)
+      .filter(col("event_type") === "click")
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      "series filter must prune partitions, not scan them:\n" + p)
+    assert(back.count() ===
+      scored.filter(col("event_type") === "click").count())
+  }
+
   test("approximate aggregates land within tolerance of exact") {
     val li = sources.Tables.table(spark, sfDir, "lineitem")
     val r = li.agg(
