@@ -439,5 +439,63 @@ object Relational {
              count(*) OVER w AS n_orders_90d
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
-                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)""")))
+                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)""")),
+
+    // ---- q22: outer joins — customers with no orders survive the LEFT
+    // join (null-extended), and the FULL join surfaces both unmatched
+    // sides of two aggregates
+    Entry("q22_outer_join", (s, dir) => {
+      val bigCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+        .filter(col("rev") > 1000000)
+      t(s, dir, "customer")
+        .join(bigCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+          col("rev"))
+    }, Some("""
+      WITH bigcust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY o_custkey
+        HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 1000000)
+      SELECT c_custkey, c_name, o_custkey, rev
+      FROM customer FULL OUTER JOIN bigcust ON c_custkey = o_custkey""")),
+
+    // ---- q23: bag-semantics set operations (INTERSECT ALL / EXCEPT ALL
+    // keep multiplicity, unlike q07's distinct variants)
+    Entry("q23_setops_all", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val finished = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      urgent.intersectAll(finished)
+        .unionAll(urgent.exceptAll(finished))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT custkey, count(*) AS n FROM (
+        (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT ALL
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT ALL
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      ) GROUP BY custkey""")),
+
+    // ---- q24: CUBE with GROUPING() markers — all four aggregation
+    // levels in one pass, subtotal rows identified explicitly
+    Entry("q24_cube", (s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")))
 }
