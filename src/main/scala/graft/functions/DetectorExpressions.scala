@@ -4,7 +4,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.InternalRow
@@ -27,13 +27,17 @@ import graft.operators.Detectors
   * BigDecimal HALF_UP like Spark's `round`, the ensemble's weighted
   * mean divides in double like Spark's `/` on longs.
   *
-  * Returns NULL for windows shorter than `spec.windowSize` — callers
-  * filter warm-up rows anyway (`rn >= windowSize`).
+  * Returns NULL for warm-up rows (`rn < windowSize` — callers filter
+  * them anyway). A window that is short even though `rn` says it
+  * shouldn't be means collect_list dropped NULL observations; that
+  * silently diverges from the Column pipeline, so it throws instead
+  * (the reference's data model has no NULL observations).
   */
-case class DetectorEval(window: Expression, spec: Detectors.Spec)
-    extends UnaryExpression with CodegenFallback {
+case class DetectorEval(window: Expression, rn: Expression,
+    spec: Detectors.Spec) extends BinaryExpression with CodegenFallback {
 
-  override def child: Expression = window
+  override def left: Expression = window
+  override def right: Expression = rn
   override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("prob_magnitude", DoubleType, nullable = false),
@@ -41,11 +45,13 @@ case class DetectorEval(window: Expression, spec: Detectors.Spec)
     StructField("prob_cdf", DoubleType, nullable = false),
     StructField("prob_ensemble", DoubleType, nullable = false)))
   override def prettyName: String = "detector_probs"
-  override def checkInputDataTypes(): TypeCheckResult = window.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects ARRAY<DOUBLE>, got ${t.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (window.dataType, rn.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (w, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<DOUBLE>, INT), got (${w.sql}, ${r.sql})")
+    }
 
   // Spark Round(x, s): BigDecimal.valueOf(x).setScale(s, HALF_UP)
   private def rnd(x: Double, scale: Int): Double =
@@ -64,11 +70,18 @@ case class DetectorEval(window: Expression, spec: Detectors.Spec)
 
   private val sensMicro: Long = math.round(spec.sensitivity * 1e6)
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any, rnVal: Any): Any = {
     val arr = input.asInstanceOf[ArrayData].toDoubleArray()
     val w = spec.windowSize
     val a = spec.activeSize
-    if (arr.length < w) return null
+    if (arr.length < w) {
+      if (rnVal.asInstanceOf[Int] >= w) throw new IllegalStateException(
+        s"$prettyName: window has ${arr.length} < $w values at row " +
+          s"$rnVal — NULL observations in the value column are not " +
+          "supported (the plain Detectors pipeline would silently skip " +
+          "them); filter or impute them upstream")
+      return null
+    }
 
     val actMean = meanOf(arr, w - a, w)
     val refMean = meanOf(arr, 0, w - a)
@@ -117,13 +130,15 @@ case class DetectorEval(window: Expression, spec: Detectors.Spec)
     InternalRow(pm, pf, pc, pe)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(window = c)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(window = newLeft, rn = newRight)
 }
 
 object DetectorFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
 
-  def detector_probs(window: Column, spec: Detectors.Spec): Column =
-    column(DetectorEval(expression(window), spec))
+  def detector_probs(window: Column, rn: Column,
+      spec: Detectors.Spec): Column =
+    column(DetectorEval(expression(window), expression(rn), spec))
 }

@@ -97,8 +97,8 @@ object Detectors {
     val frame = wBase.rowsBetween(-(spec.windowSize - 1), 0)
     df.withColumn("rn", row_number().over(wBase))
       .withColumn("__arr", collect_list(value.cast("double")).over(frame))
-      .withColumn("__p",
-        graft.functions.DetectorFunctions.detector_probs(col("__arr"), spec))
+      .withColumn("__p", graft.functions.DetectorFunctions
+        .detector_probs(col("__arr"), col("rn"), spec))
       .withColumn("prob_magnitude", col("__p.prob_magnitude"))
       .withColumn("prob_fence", col("__p.prob_fence"))
       .withColumn("prob_cdf", col("__p.prob_cdf"))

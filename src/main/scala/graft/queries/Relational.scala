@@ -388,9 +388,10 @@ object Relational {
 
     // ---- q20: session windows (gap-based sessionization). Spark's
     // session_window merges an event into the open session iff its ts is
-    // strictly before last_event + gap, and stamps end = last + gap; the
-    // oracle states the same semantics as the classic islands pattern
-    // (new session when the gap to the previous event is >= 5 min).
+    // AT OR before last_event + gap (MergingSessionsIterator closes only
+    // on start > end), and stamps end = last + gap; the oracle states
+    // the same semantics as the classic islands pattern (new session
+    // only when the gap to the previous event strictly exceeds 5 min).
     Entry("q20_sessionize", (s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
@@ -401,15 +402,16 @@ object Relational {
           col("n_events"))
     }, Some("""
       WITH ordered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM ordered)
       SELECT user_id, min(ts) AS session_start,

@@ -42,9 +42,11 @@ class FileSourceSpec extends AnyFunSuite with SparkTestBase {
       .outputMode("append").start()
     try {
       query.processAllAvailable()
+      // compare as sorted sequences INCLUDING prob — robust to rows
+      // tied on (ts, value), whose probs are a multiset either way
       val streamed = spark.table("file_sink").as[AnomalyScore].collect()
         .map(a => (a.ts.toInstant.getEpochSecond, a.ts.toInstant.getNano,
-          a.value) -> a.prob).toMap
+          a.value, a.prob)).sorted.toSeq
 
       val batch = AnomalyOps.withAnomalyProbs(
           batchEvents.withColumnRenamed("series", "event_type"),
@@ -55,8 +57,8 @@ class FileSourceSpec extends AnyFunSuite with SparkTestBase {
         .map { r =>
           val ts = r.getTimestamp(0)
           (ts.toInstant.getEpochSecond, ts.toInstant.getNano,
-            r.getDouble(1)) -> r.getDouble(2)
-        }.toMap
+            r.getDouble(1), r.getDouble(2))
+        }.sorted.toSeq
 
       assert(streamed.size === batch.size)
       // batch path seeds by xxhash64("event_type" column value) ==
