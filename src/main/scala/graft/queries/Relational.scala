@@ -499,5 +499,30 @@ object Relational {
       SELECT l_returnflag, l_linestatus, count(*) AS n,
              CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
              CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
-      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")))
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // ---- q25: navigation window functions — lead/lag, first/nth value
+    // over a running frame, quartiles via ntile
+    Entry("q25_window_nav", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first(col("o_orderkey")).over(wAll).as("first_order"),
+          nth_value(col("o_orderkey"), 2).over(wAll).as("second_order"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             lag(o_orderkey, 1) OVER w AS prev_order,
+             lead(o_orderkey, 1) OVER w AS next_order,
+             first_value(o_orderkey) OVER (w ROWS UNBOUNDED PRECEDING)
+               AS first_order,
+             nth_value(o_orderkey, 2) OVER (w ROWS UNBOUNDED PRECEDING)
+               AS second_order,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")))
 }
