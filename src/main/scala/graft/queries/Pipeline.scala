@@ -90,7 +90,9 @@ object Pipeline {
     // (pairs sharing >=1 shingle; at scale the shingle join IS the
     // candidate generator — no cross join anywhere)
     Entry("p03_dedup_ngram_jaccard", (s, dir) => {
-      val sh = shingleSets(s, dir)
+      // persisted: both sides of the self-join read the (tokenize +
+      // hash + explode) subtree, which Spark would otherwise run twice
+      val sh = shingleSets(s, dir).persist()
       val jac = round(col("common") /
         (col("na") + col("nb") - col("common")), 6)
       sh.toDF("doc_a", "na", "shingle")
