@@ -582,6 +582,33 @@ object Pipeline {
                md5(substr(hx, CAST(frame_idx*128 + 1 AS INT), 128)) AS frame_md5
         FROM f""")),
 
+    // ---- p18: fuzzy dedup via edit distance with blocking — the
+    // classic record-linkage shape: a deterministic block key (content
+    // prefix + length bucket) turns the all-pairs comparison into an
+    // equi-join, and the expensive levenshtein runs only inside blocks.
+    Entry("p18_dedup_editdist", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), norm.as("nt"))
+      val b = d.select(col("doc_id"), col("nt"),
+        substring(col("nt"), 1, 12).as("blk"),
+        (length(col("nt")) / 20).cast("long").as("lb"))
+      b.toDF("doc_a", "nt_a", "blk", "lb")
+        .join(b.toDF("doc_b", "nt_b", "blk", "lb"), Seq("blk", "lb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(substring(col("nt_a"), 1, 60),
+            substring(col("nt_b"), 1, 60)).cast("long").as("edist"))
+        .filter(col("edist") <= 8)
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $normSql AS nt FROM documents),
+      b AS (SELECT doc_id, nt, substr(nt, 1, 12) AS blk,
+                   length(nt) // 20 AS lb FROM d),
+      cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      levenshtein(substr(x.nt, 1, 60), substr(y.nt, 1, 60))
+                        AS edist
+               FROM b x JOIN b y ON x.blk = y.blk AND x.lb = y.lb
+                 AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, edist FROM cand WHERE edist <= 8""")),
+
     // ---- p17: tf-idf top terms per document. The corpus size N joins
     // in via a broadcast single-row aggregate (no driver-side count, no
     // global window); tf and df are plain shuffle aggregates, so the

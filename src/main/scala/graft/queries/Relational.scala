@@ -524,5 +524,27 @@ object Relational {
                AS second_order,
              ntile(4) OVER w AS quartile
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")))
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // ---- q26: string-function breadth (padding, translation, repeat,
+    // edit distance, split_part) over the event types
+    Entry("q26_string_funcs", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          lpad(col("event_type"), 10, "_").as("padded"),
+          translate(col("event_type"), "aeiou", "AEIOU").as("vowels_up"),
+          repeat(substring(col("event_type"), 1, 2), 3).as("rep3"),
+          levenshtein(col("event_type"), lit("click")).cast("long")
+            .as("dist_click"),
+          split_part(col("event_type"), lit("r"), lit(1)).as("before_r"))
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+             lpad(event_type, 10, '_') AS padded,
+             translate(event_type, 'aeiou', 'AEIOU') AS vowels_up,
+             repeat(substr(event_type, 1, 2), 3) AS rep3,
+             levenshtein(event_type, 'click') AS dist_click,
+             split_part(event_type, 'r', 1) AS before_r
+      FROM events GROUP BY event_type""")))
 }
