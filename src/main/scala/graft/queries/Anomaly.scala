@@ -207,11 +207,11 @@ object Anomaly {
         FROM base WHERE rn >= ${spec.windowSize}
       )
       SELECT event_type, event_id,
-        list_sum(list_transform(act,
-          x -> len(list_filter(arr, y -> y < x)))) AS active_rank_sum,
-        list_sum(list_transform(arr[1:${spec.windowSize - spec.activeSize}],
-          x -> len(list_filter(arr, y -> y < x)))) AS ref_rank_sum,
-        list_sum(list_transform(rd[len(rd)-${spec.activeSize - 1}:len(rd)],
-          x -> len(list_filter(rd, y -> y < x)))) AS active_reldiff_rank_sum
+        CAST(list_sum(list_transform(act,
+          x -> len(list_filter(arr, y -> y < x)))) AS BIGINT) AS active_rank_sum,
+        CAST(list_sum(list_transform(arr[1:${spec.windowSize - spec.activeSize}],
+          x -> len(list_filter(arr, y -> y < x)))) AS BIGINT) AS ref_rank_sum,
+        CAST(list_sum(list_transform(rd[len(rd)-${spec.activeSize - 1}:len(rd)],
+          x -> len(list_filter(rd, y -> y < x)))) AS BIGINT) AS active_reldiff_rank_sum
       FROM full_w""")))
 }

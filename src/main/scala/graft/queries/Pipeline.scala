@@ -444,11 +444,11 @@ object Pipeline {
       SELECT doc_id,
         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
           (acc, h) -> (acc*31 + h) % ${H.FingerprintMod}) AS fingerprint,
-        list_sum(list_transform(range(0, 60), b ->
+        CAST(list_sum(list_transform(range(0, 60), b ->
           CASE WHEN list_sum(list_transform(hs, h ->
               CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
-          AS simhash
+          AS BIGINT) AS simhash
       FROM hsx"""
     }),
 

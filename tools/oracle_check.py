@@ -32,6 +32,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: oracle sql error: {e}"); fails.append(name); continue
     if spark_cols != duck_cols:
         print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}"); fails.append(name); continue
+    # the driver's hash is type-sensitive (e.g. HUGEINT vs BIGINT fails it
+    # even when values match) -> compare declared types per sorted column
+    spark_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+    duck_types = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+    tbad = [(c, spark_types[c], duck_types[c]) for c in spark_cols
+            if spark_types[c] != duck_types[c]]
+    if tbad:
+        print(f"FAIL {name}: column types differ: {tbad}"); fails.append(name); continue
     if len(spark) != len(duck):
         print(f"FAIL {name}: rows {len(spark)} vs {len(duck)}"); fails.append(name); continue
     bad = None
