@@ -213,5 +213,176 @@ object Anomaly {
           x -> len(list_filter(arr, y -> y < x)))) AS BIGINT) AS ref_rank_sum,
         CAST(list_sum(list_transform(rd[len(rd)-${spec.activeSize - 1}:len(rd)],
           x -> len(list_filter(rd, y -> y < x)))) AS BIGINT) AS active_reldiff_rank_sum
-      FROM full_w""")))
+      FROM full_w""")),
+
+    // a10: the deterministic KS grid statistic — the value the ks
+    // bootstrap (a08) permutes. The reference evaluates both ECDFs on an
+    // (n1+n2)-point linspace built by CUMULATIVE step addition
+    // (algorithms.go:255-288, 312-323; kernel Tests.ksCore +
+    // Vec.interpolate), so both engines below construct each grid point
+    // by the same left-fold addition — bit-identical FP. ECDF values are
+    // counts/n, so L*d (L = lcm(n1, n2)) is an exact integer: emitted as
+    // ks_stat_num BIGINT alongside ks_stat = num/L (L a power of two
+    // here, so the double is exact as well).
+    Entry("a10_anomaly_ks_stat", (s, dir) => {
+      val a = spec.activeSize // 2
+      val w = spec.windowSize // 10
+      val n1 = w - a // reference window (8)
+      val n2 = a // active window (2)
+      val L = KsGrid.lcm(n1, n2) // 8
+      val mAct = L / n2 // 4
+      val mRef = L / n1 // 1
+      val wBase = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val frame = wBase.rowsBetween(-(w - 1), 0)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(wBase))
+        .withColumn("arr", collect_list(col("value")).over(frame))
+        .filter(col("rn") >= w)
+        .withColumn("lo", array_min(col("arr")))
+        .withColumn("step",
+          (array_max(col("arr")) - col("lo")) / lit((w - 1).toDouble))
+        // grid(i) = lo + step + ... + step (i adds, left to right) —
+        // NOT lo + i*step, which differs in ulps from the kernel
+        .withColumn("grid", expr(s"transform(sequence(0, ${w - 1}), i -> " +
+          "aggregate(array_repeat(step, i), lo, (acc, x) -> acc + x))"))
+        .withColumn("ks_stat_num", expr(
+          s"array_max(transform(grid, g -> abs($mAct * size(filter(" +
+            s"slice(arr, ${n1 + 1}, $n2), y -> y <= g)) - $mRef * " +
+            s"size(filter(slice(arr, 1, $n1), y -> y <= g)))))")
+          .cast("long"))
+        .select(col("event_type"), col("event_id"), col("ks_stat_num"),
+          (col("ks_stat_num") / lit(L.toDouble)).as("ks_stat"))
+    }, Some {
+      val a = spec.activeSize
+      val w = spec.windowSize
+      val n1 = w - a
+      val n2 = a
+      val L = KsGrid.lcm(n1, n2)
+      val mAct = L / n2
+      val mRef = L / n1
+      s"""
+      WITH base AS (
+        SELECT event_type, event_id,
+               row_number() OVER win AS rn,
+               array_agg(value) OVER (win ROWS BETWEEN ${w - 1}
+                 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+      ), full_w AS (
+        SELECT event_type, event_id, arr,
+               list_min(arr) AS lo,
+               (list_max(arr) - list_min(arr)) / ${w - 1}.0 AS step
+        FROM base WHERE rn >= $w
+      ), gridded AS (
+        SELECT event_type, event_id, arr,
+               list_transform(range(0, $w), i -> list_reduce(
+                 list_prepend(lo, list_transform(range(i), j -> step)),
+                 (acc, x) -> acc + x)) AS grid
+        FROM full_w
+      ), stat AS (
+        SELECT event_type, event_id,
+               CAST(list_max(list_transform(grid, g ->
+                 abs($mAct * len(list_filter(arr[${n1 + 1}:$w], y -> y <= g))
+                   - $mRef * len(list_filter(arr[1:$n1], y -> y <= g)))))
+                 AS BIGINT) AS ks_stat_num
+        FROM gridded
+      )
+      SELECT event_type, event_id, ks_stat_num,
+             ks_stat_num / $L.0 AS ks_stat
+      FROM stat"""
+    }),
+
+    // a11: the reference's EvalByTest surface (anomalyze.go:195-221)
+    // driver-checked — routes through the kernel AnomalyProbsByTest
+    // expression (NOT the fused DetectorEval) with the deterministic
+    // tests, exposing the probmap entries, their ensemble weights
+    // (getWeight, anomalyze.go:225-241) and the raw weighted-mean
+    // ensemble (anomalyze.go:169-191) as columns. Oracle note: the
+    // kernel cdf compares diffs to the threshold UNROUNDED (Tests.cdf),
+    // unlike the fused/Column pipeline's round(6)-hardened compare, so
+    // this oracle's ECDF filter is unrounded too — exact because both
+    // engines build the identical doubles (left-fold frame means,
+    // same subtraction) before comparing.
+    Entry("a11_anomaly_by_test", (s, dir) => {
+      val byTestConf = AnomalyzerConf(
+        activeSize = spec.activeSize, nSeasons = spec.nSeasons,
+        upperBound = spec.upperBound, lowerBound = spec.lowerBound,
+        sensitivity = spec.sensitivity,
+        methods = Seq("magnitude", "fence", "cdf"))
+      val wBase = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val base = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(wBase))
+      val probs = col("anomaly_probs")
+      AnomalyOps.withAnomalyProbs(base, col("event_type"), col("ts"),
+          col("value"), byTestConf, tieBreak = Seq(col("event_id")),
+          byTest = true)
+        .filter(col("rn") >= spec.windowSize)
+        .select(col("event_type"), col("event_id"),
+          round(element_at(probs, "magnitude"), 6).as("prob_magnitude"),
+          round(element_at(probs, "fence"), 6).as("prob_fence"),
+          round(element_at(probs, "cdf"), 6).as("prob_cdf"),
+          // weights gate on the raw (unrounded) probability
+          when(element_at(probs, "magnitude") > 0.8, 5.0).otherwise(0.5)
+            .as("w_magnitude"),
+          when(element_at(probs, "fence") > 0.8, 5.0).otherwise(0.5)
+            .as("w_fence"),
+          round(col("anomaly_prob"), 6).as("prob_ensemble_wm"))
+    }, Some {
+      val a = spec.activeSize // 2
+      val w = spec.windowSize // 10
+      val cdfRefLen = w - a - 1 // 7
+      val (lo, hi) = (spec.lowerBound.get, spec.upperBound)
+      val bound = (hi - lo) / 2
+      val mid = lo + bound
+      s"""
+      WITH base AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER win AS rn,
+               avg(value) OVER (win ROWS BETWEEN ${a - 1} PRECEDING AND CURRENT ROW) AS act_mean,
+               avg(value) OVER (win ROWS BETWEEN ${w - 1} PRECEDING AND $a PRECEDING) AS ref_mean,
+               abs(value - lag(value) OVER win) AS d
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+      ), diffs AS (
+        SELECT *,
+               avg(d) OVER (win ROWS BETWEEN ${a - 1} PRECEDING AND CURRENT ROW) AS act_mean_d,
+               avg(d) OVER (win ROWS BETWEEN ${w - 2} PRECEDING AND $a PRECEDING) AS ref_mean_d,
+               array_agg(d) OVER (win ROWS BETWEEN ${w - 2} PRECEDING AND $a PRECEDING) AS ref_arr_d
+        FROM base
+        WINDOW win AS (PARTITION BY event_type ORDER BY rn)
+      ), raw AS (
+        SELECT event_type, event_id, rn,
+          least(greatest(
+            CASE WHEN ref_mean = 0 THEN (CASE WHEN act_mean = 0 THEN 0.0 ELSE 1.0 END)
+                 ELSE abs(act_mean - ref_mean) / ref_mean END, 0.0), 1.0) AS pm,
+          (pow(10.0, least(greatest(abs(act_mean - $mid) / $bound, 0.0), 1.0)) - 1) / 9 AS pf,
+          2 * abs(0.5 - len(list_filter(ref_arr_d,
+            x -> x <= act_mean_d - ref_mean_d)) / $cdfRefLen.0) AS pc
+        FROM diffs
+      ), weighted AS (
+        SELECT *,
+          CAST(CASE WHEN pm > 0.8 THEN 5.0 ELSE 0.5 END AS DOUBLE) AS wm,
+          CAST(CASE WHEN pf > 0.8 THEN 5.0 ELSE 0.5 END AS DOUBLE) AS wf
+        FROM raw
+      )
+      SELECT event_type, event_id,
+        round(pm, 6) AS prob_magnitude,
+        round(pf, 6) AS prob_fence,
+        round(pc, 6) AS prob_cdf,
+        wm AS w_magnitude,
+        wf AS w_fence,
+        round(CASE WHEN pm < ${spec.sensitivity} THEN 0.0
+                   ELSE (pm * wm + pf * wf + pc * 0.5) / (wm + wf + 0.5)
+              END, 6) AS prob_ensemble_wm
+      FROM weighted WHERE rn >= $w"""
+    }))
+
+  /** lcm helper for the KS grid scale factor. */
+  private[queries] object KsGrid {
+    @scala.annotation.tailrec
+    def gcd(x: Int, y: Int): Int = if (y == 0) x else gcd(y, x % y)
+    def lcm(x: Int, y: Int): Int = x / gcd(x, y) * y
+  }
 }

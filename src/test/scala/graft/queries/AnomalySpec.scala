@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.util.SplittableRandom
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.kernel.{AnomalyzerConf, Ensemble, Tests}
+import graft.sources.Tables
+
+/** Pins the SQL-expressed deterministic anomaly statistics (a10, a11)
+  * to the sequential kernel, row for row, exactly — the same contract
+  * a09 has via the shared DuckDB oracle shapes.
+  */
+class AnomalySpec extends AnyFunSuite with SparkTestBase {
+
+  private def rnd6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  /** (event_type, event_id) -> full 10-point window, oldest first. */
+  private lazy val windows: Map[(String, Long), Array[Double]] = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("arr",
+        collect_list(col("value")).over(w.rowsBetween(-9, 0)))
+      .filter(col("rn") >= 10)
+      .select(col("event_type"), col("event_id"), col("arr"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+  }
+
+  test("a10 ks grid statistic == Tests.ksStat, exactly") {
+    val conf = AnomalyzerConf(activeSize = 2, nSeasons = 4)
+    val got = Catalog.queries("a10_anomaly_ks_stat")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size === windows.size)
+    windows.foreach { case (key, arr) =>
+      val expected = Tests.ksStat(arr, conf)
+        .getOrElse(fail(s"kernel ksStat undefined for $key"))
+      val (num, stat) = got(key)
+      assert(stat === expected, s"row $key: query $stat kernel $expected")
+      assert(num === math.round(expected * 8), s"row $key integer form")
+    }
+  }
+
+  test("a11 by-test probs/weights/ensemble == kernel evalByTest, exactly") {
+    val conf = AnomalyzerConf(activeSize = 2, nSeasons = 4,
+      upperBound = 500.0, lowerBound = Some(0.0), sensitivity = 0.1,
+      methods = Seq("magnitude", "fence", "cdf"))
+    val got = Catalog.queries("a11_anomaly_by_test")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.size === windows.size)
+    windows.foreach { case (key, arr) =>
+      // deterministic tests ignore the RNG; any seed works
+      val probmap = Ensemble.evalByTest(arr, conf, new SplittableRandom(0L))
+      val weights = Ensemble.weights(probmap)
+      val ensemble = Ensemble.combine(probmap, conf)
+      val (pm, pf, pc, wm, wf, pe) = got(key)
+      assert(pm === rnd6(probmap("magnitude")), s"$key magnitude")
+      assert(pf === rnd6(probmap("fence")), s"$key fence")
+      assert(pc === rnd6(probmap("cdf")), s"$key cdf")
+      assert(wm === weights("magnitude"), s"$key w_magnitude")
+      assert(wf === weights("fence"), s"$key w_fence")
+      assert(pe === rnd6(ensemble), s"$key ensemble")
+    }
+  }
+}
