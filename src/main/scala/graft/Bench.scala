@@ -6,12 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * Results are fully materialized through the noop sink so count-only
   * shortcuts can't flatter the numbers.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * the per-query MEDIAN (plus min, under "queries_min") so a 2x gate or
+  * a regression claim is adjudicable against the measured ~±1s
+  * run-to-run variance of a single run. "value" = sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "graft-bench")
 
     def materialize(name: String): Double = {
@@ -32,11 +38,33 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    val results = queries.Catalog.benchNames.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // round-robin over queries (run 1 of all, then run 2 of all, ...)
+    // so cache/JIT drift spreads evenly instead of favoring later runs
+    // of the same query
+    val names = queries.Catalog.benchNames
+    val samples: Map[String, Seq[Double]] =
+      (1 to runs).flatMap(_ => names.map(n => n -> materialize(n)))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else {
+        val s = ok.sorted
+        // lower median: an actually-observed time, never an average of
+        // two runs
+        s((s.size - 1) / 2)
+      }
+    }
+    val med = names.map(n => n -> median(samples(n)))
+    val mins = names.map(n => n -> {
+      val ok = samples(n).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    })
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,6 +99,13 @@ object Anomaly {
         .select(col("event_type"), col("event_id"),
           round(col("anomaly_prob"), 6).as("prob"))
 
+  /** a04's oracle, shared with a12 (the chunked evaluation of the same
+    * ensemble must satisfy the identical SQL contract).
+    */
+  private val ensembleOracle = s"""$probsCte
+        SELECT event_type, event_id, prob_ensemble
+        FROM scored WHERE rn >= ${spec.windowSize}"""
+
   val entries: Seq[Entry] = Seq(
 
     Entry("a01_anomaly_magnitude", (s, dir) =>
@@ -123,9 +130,20 @@ object Anomaly {
     Entry("a04_anomaly_ensemble", (s, dir) =>
       detected(s, dir)
         .select("event_type", "event_id", "prob_ensemble"),
-      Some(s"""$probsCte
-        SELECT event_type, event_id, prob_ensemble
-        FROM scored WHERE rn >= ${spec.windowSize}"""), bench = true),
+      Some(ensembleOracle), bench = true),
+
+    // a12: the SAME ensemble as a04, but through the chunked scale path
+    // (Detectors.withProbsChunked) against the SAME oracle — the driver
+    // itself proves bit-parity of the plan that survives hot/few-series
+    // corpora (parallelism = series × chunks, not series). chunkSize 512
+    // so sf0.01 (~2000 rows/series) already crosses chunk boundaries.
+    Entry("a12_anomaly_ensemble_chunked", (s, dir) =>
+      Detectors.withProbsChunked(Tables.events(s, dir), col("event_type"),
+          col("ts"), Seq(col("event_id")), col("value"), spec,
+          chunkSize = 512)
+        .filter(col("rn") >= spec.windowSize)
+        .select("event_type", "event_id", "prob_ensemble"),
+      Some(ensembleOracle)),
 
     // detect -> threshold -> enrich (join back to a dimension)
     Entry("a05_anomaly_enrich", (s, dir) => {
@@ -161,6 +179,24 @@ object Anomaly {
       bench = true),
     Entry("a07_anomaly_diff", permQuery(Seq("diff")), None),
     Entry("a08_anomaly_ks", permQuery(Seq("ks")), None),
+
+    // a13: the rank/ks permutation family at the REFERENCE default
+    // permCount=500 (anomalyze.go:77-81) through the chunked kernel
+    // evaluator — the regime where per-row eval cost dominates and
+    // series×chunk parallelism wins over the plain per-series window
+    // (measured crossover at permCount >= 500, see the permQuery note).
+    // Benched so the scale path's claim is a driver-measured number, not
+    // an assertion; bit-parity with the plain path is pinned in
+    // AnomalyOpsSpec, rows-only driver check (bootstrap, like a06-a08).
+    Entry("a13_anomaly_perm500_chunked", (s, dir) =>
+      AnomalyOps.withAnomalyProbsChunked(Tables.events(s, dir),
+          col("event_type"), col("ts"), col("value"),
+          permConf.copy(permCount = 500,
+            methods = Seq("highrank", "lowrank", "ks")),
+          tieBreak = Seq(col("event_id")), chunkSize = 2048)
+        .select(col("event_type"), col("event_id"),
+          round(col("anomaly_prob"), 6).as("prob")),
+      None, bench = true),
 
     // a09: the deterministic core of the rank/diff tests, SQL-checkable.
     // The bootstrap p-values above resample with a seeded RNG (not
@@ -243,9 +279,13 @@ object Anomaly {
         .withColumn("step",
           (array_max(col("arr")) - col("lo")) / lit((w - 1).toDouble))
         // grid(i) = lo + step + ... + step (i adds, left to right) —
-        // NOT lo + i*step, which differs in ulps from the kernel
-        .withColumn("grid", expr(s"transform(sequence(0, ${w - 1}), i -> " +
-          "aggregate(array_repeat(step, i), lo, (acc, x) -> acc + x))"))
+        // NOT lo + i*step, which differs in ulps from the kernel. Built
+        // as ONE cumulative fold (each point = previous + step), O(w)
+        // adds per row; the oracle's per-point re-fold is the same
+        // addition sequence per index, so values stay bit-identical.
+        .withColumn("grid", expr(s"aggregate(sequence(1, ${w - 1}), " +
+          "array(lo), (acc, i) -> " +
+          "array_append(acc, element_at(acc, size(acc)) + step))"))
         .withColumn("ks_stat_num", expr(
           s"array_max(transform(grid, g -> abs($mAct * size(filter(" +
             s"slice(arr, ${n1 + 1}, $n2), y -> y <= g)) - $mRef * " +
@@ -303,7 +343,13 @@ object Anomaly {
     // unlike the fused/Column pipeline's round(6)-hardened compare, so
     // this oracle's ECDF filter is unrounded too — exact because both
     // engines build the identical doubles (left-fold frame means,
-    // same subtraction) before comparing.
+    // same subtraction) before comparing. BOUND on that exactness: it
+    // relies on DuckDB summing these window frames leaf-wise left to
+    // right, which holds only while frames stay below its segment-tree
+    // fanout (~16 elements; here max 9 = windowSize-1). If spec
+    // .windowSize ever exceeds ~16, DuckDB's tree association can
+    // differ by ulps and flip a tie — re-add the round(6)-hardened
+    // compare used in probsCte in that case.
     Entry("a11_anomaly_by_test", (s, dir) => {
       val byTestConf = AnomalyzerConf(
         activeSize = spec.activeSize, nSeasons = spec.nSeasons,

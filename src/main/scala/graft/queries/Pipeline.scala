@@ -33,20 +33,49 @@ object Pipeline {
         col("embedding").cast("array<double>").as("emb"))
 
   // distinct (doc_id, shingle) pairs + per-doc shingle counts.
-  // repartition first: the corpus arrives as one parquet split, and the
-  // shingle explosion is the expensive projection — spread it across
-  // cores before computing (at 100 TB the scan splits naturally;
-  // this keeps the small-file case parallel too)
   // shingle identity = 64-bit n-gram hash (no string materialization;
   // output-identical to string shingles modulo ~1e-9 collision odds).
   // Set semantics via per-row array_distinct — no shuffle — and the
   // per-doc distinct count rides along so no separate counts join.
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"),
+  private def shingleSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         array_distinct(TextHashFunctions.ngram_hashes(toks, 5)).as("sharr"))
       .select(col("doc_id"), size(col("sharr")).cast("long").as("n"),
         explode(col("sharr")).as("shingle"))
+
+  /** p03's document-frequency cap: shingles present in more than this
+    * many documents are dropped from candidate generation (and hence
+    * from the `common` intersection count) on BOTH engines. Without it
+    * one stopword-like shingle at web scale emits df² candidate pairs —
+    * a straight skew bomb on the shingle join; capped, the hottest key
+    * contributes at most K² pairs per shingle. K is far above this
+    * corpus's max df (4 at sf0.1, 3 at sf0.01), so output at the test
+    * SFs is unchanged — pinned by PipelineSpec (capped == uncapped) and
+    * by the unchanged driver oracle.
+    */
+  private[queries] val P03DfCap = 64L
+
+  /** Candidate near-dup pairs sharing >=1 surviving shingle, with the
+    * common-shingle count and both set sizes. Exposed (with the cap as a
+    * parameter) so PipelineSpec can pin the cardinality contract:
+    * a hot shingle with df > dfCap generates ZERO candidates.
+    */
+  private[queries] def shingleCandidates(d: DataFrame, dfCap: Long): DataFrame = {
+    // persisted: both sides of the self-join read the (tokenize + hash
+    // + explode + df-count) subtree, which Spark would otherwise run
+    // twice; the window's shingle partitioning is also exactly the
+    // join's, so the self-join reuses it instead of re-shuffling
+    val sh = shingleSets(d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+      .persist()
+    sh.toDF("doc_a", "na", "shingle")
+      .join(sh.toDF("doc_b", "nb", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+  }
 
   private val shingleCte = s"""
     WITH docs AS (
@@ -55,9 +84,59 @@ object Pipeline {
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
       FROM docs, UNNEST(CASE WHEN len(toks) >= 5 THEN range(1, len(toks)-3)
                              ELSE [] END) AS t(i)
+    ), shk AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+      WHERE df <= $P03DfCap
     ), counts AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     )"""
+
+  /** p04's MinHash-LSH pair generator over a documents DataFrame.
+    * Documents with NO shingles (fewer than 5 tokens) are excluded from
+    * signature computation / banding entirely — their Md5MinHash output
+    * would be the constant sentinel signature [MinHashP]*64, so at scale
+    * every short doc would band into one hot bucket and pair with every
+    * other short doc at est_jaccard 1.0 (false positives + skew). The
+    * oracle applies the same `len(hs) > 0` exclusion; PipelineSpec pins
+    * that <5-token docs generate zero pairs.
+    */
+  private[queries] def minhashLshPairs(d: DataFrame): DataFrame = {
+    import graft.functions.{HashScheme => H}
+    val k = H.MinHashK
+    val bands = 16
+    val rows = k / bands
+    // signatures: per-shingle 32-bit md5 hash, then k affine min-hashes;
+    // persisted because three joins reuse them
+    val sigs = d.repartition(col("doc_id"))
+      .withColumn("sh", TextHashFunctions.word_ngrams(toks, 5))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextHashFunctions.md5_minhash(col("sh")))
+      .select(col("doc_id"), col("sig"))
+      .persist()
+    // candidate generation joins on the raw 4-row band slice (array
+    // equality — no engine-specific bucket hash), ids-only + distinct;
+    // signatures rejoin once per surviving pair
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = banded.toDF("doc_a", "band", "bucket")
+      .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / k, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
 
   val entries: Seq[Entry] = Seq(
 
@@ -87,25 +166,21 @@ object Pipeline {
         FROM documents) WHERE rk = 1""")),
 
     // ---- p03: near-dedup via exact n-gram Jaccard on candidate pairs
-    // (pairs sharing >=1 shingle; at scale the shingle join IS the
-    // candidate generator — no cross join anywhere)
+    // (pairs sharing >=1 df-capped shingle; at scale the shingle join IS
+    // the candidate generator — no cross join anywhere, and the df cap
+    // defuses hot-shingle skew). Jaccard denominators use the FULL
+    // per-doc set sizes; only candidate generation / intersection
+    // counting is capped — identically in the oracle.
     Entry("p03_dedup_ngram_jaccard", (s, dir) => {
-      // persisted: both sides of the self-join read the (tokenize +
-      // hash + explode) subtree, which Spark would otherwise run twice
-      val sh = shingleSets(s, dir).persist()
       val jac = round(col("common") /
         (col("na") + col("nb") - col("common")), 6)
-      sh.toDF("doc_a", "na", "shingle")
-        .join(sh.toDF("doc_b", "nb", "shingle"), "shingle")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).as("common"))
+      shingleCandidates(docs(s, dir), P03DfCap)
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }, Some(s"""$shingleCte,
       pairs AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
-        FROM sh x JOIN sh y USING (shingle)
+        FROM shk x JOIN shk y USING (shingle)
         WHERE x.doc_id < y.doc_id GROUP BY 1, 2
       )
       SELECT doc_a, doc_b,
@@ -119,41 +194,8 @@ object Pipeline {
     // the whole query — candidates AND estimates — oracle-checks against
     // DuckDB; estimator accuracy is additionally pinned in PipelineSpec
     // against p03's exact Jaccard.
-    Entry("p04_dedup_minhash_lsh", (s, dir) => {
-      import graft.functions.{HashScheme => H}
-      val k = H.MinHashK
-      val bands = 16
-      val rows = k / bands
-      // signatures: per-shingle 32-bit md5 hash, then k affine min-hashes;
-      // persisted because three joins reuse them
-      val sigs = docs(s, dir).repartition(col("doc_id"))
-        .withColumn("toks", toks)
-        .withColumn("sig", TextHashFunctions.md5_minhash(
-          TextHashFunctions.word_ngrams(col("toks"), 5)))
-        .select(col("doc_id"), col("sig"))
-        .persist()
-      // candidate generation joins on the raw 4-row band slice (array
-      // equality — no engine-specific bucket hash), ids-only + distinct;
-      // signatures rejoin once per surviving pair
-      val banded = sigs.select(col("doc_id"),
-        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))
-      val cand = banded.toDF("doc_a", "band", "bucket")
-        .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1.0).otherwise(0.0)),
-            lit(0.0), (acc, x) => acc + x) / k, 6).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-    }, Some {
+    Entry("p04_dedup_minhash_lsh", (s, dir) =>
+      minhashLshPairs(docs(s, dir)), Some {
       import graft.functions.{HashScheme => H}
       s"""
       WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -162,11 +204,10 @@ object Pipeline {
                  ${H.h32Duck("array_to_string(toks[j:j+4], ' ')")})
              ELSE [] END AS hs FROM docs),
       sigs AS (SELECT doc_id, list_transform(range(0, ${H.MinHashK}), i ->
-          CASE WHEN len(hs) = 0 THEN ${H.MinHashP}
-               ELSE list_min(list_transform(hs, h ->
-                 (${H.minhashALiteral}[i+1]*h + ${H.minhashBLiteral}[i+1])
-                   % ${H.MinHashP})) END) AS sig
-        FROM sh),
+          list_min(list_transform(hs, h ->
+            (${H.minhashALiteral}[i+1]*h + ${H.minhashBLiteral}[i+1])
+              % ${H.MinHashP}))) AS sig
+        FROM sh WHERE len(hs) > 0),
       banded AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket, sig
                  FROM sigs, UNNEST(range(0, 16)) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

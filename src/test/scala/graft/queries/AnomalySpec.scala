@@ -17,19 +17,24 @@ import graft.sources.Tables
   */
 class AnomalySpec extends AnyFunSuite with SparkTestBase {
 
+  // all constants derived from the production spec so a spec change
+  // fails these pins loudly instead of silently testing stale values
+  private val spec = Anomaly.spec
+  private val wSize = spec.windowSize
+
   private def rnd6(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
-  /** (event_type, event_id) -> full 10-point window, oldest first. */
+  /** (event_type, event_id) -> full window, oldest first. */
   private lazy val windows: Map[(String, Long), Array[Double]] = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, sfDir)
       .withColumn("rn", row_number().over(w))
       .withColumn("arr",
-        collect_list(col("value")).over(w.rowsBetween(-9, 0)))
-      .filter(col("rn") >= 10)
+        collect_list(col("value")).over(w.rowsBetween(-(wSize - 1), 0)))
+      .filter(col("rn") >= wSize)
       .select(col("event_type"), col("event_id"), col("arr"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
@@ -37,7 +42,10 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("a10 ks grid statistic == Tests.ksStat, exactly") {
-    val conf = AnomalyzerConf(activeSize = 2, nSeasons = 4)
+    val conf = AnomalyzerConf(
+      activeSize = spec.activeSize, nSeasons = spec.nSeasons)
+    // same lcm scale the query uses: L = lcm(refLen, activeLen)
+    val ksL = Anomaly.KsGrid.lcm(wSize - spec.activeSize, spec.activeSize)
     val got = Catalog.queries("a10_anomaly_ks_stat")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
@@ -47,13 +55,15 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
         .getOrElse(fail(s"kernel ksStat undefined for $key"))
       val (num, stat) = got(key)
       assert(stat === expected, s"row $key: query $stat kernel $expected")
-      assert(num === math.round(expected * 8), s"row $key integer form")
+      assert(num === math.round(expected * ksL), s"row $key integer form")
     }
   }
 
   test("a11 by-test probs/weights/ensemble == kernel evalByTest, exactly") {
-    val conf = AnomalyzerConf(activeSize = 2, nSeasons = 4,
-      upperBound = 500.0, lowerBound = Some(0.0), sensitivity = 0.1,
+    val conf = AnomalyzerConf(
+      activeSize = spec.activeSize, nSeasons = spec.nSeasons,
+      upperBound = spec.upperBound, lowerBound = spec.lowerBound,
+      sensitivity = spec.sensitivity,
       methods = Seq("magnitude", "fence", "cdf"))
     val got = Catalog.queries("a11_anomaly_by_test")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->

@@ -75,6 +75,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors === total - extraCopies)
   }
 
+  test("p03 df cap: hot shingle (df > cap) generates zero candidates; " +
+    "rare shingle still pairs") {
+    import spark.implicits._
+    // 70 docs (> P03DfCap = 64) all sharing ONE hot shingle; each doc's
+    // remaining shingles contain a doc-unique token, so the hot shingle
+    // is the only shared one -> uncapped would emit 70*69/2 pairs
+    val hot = (1L to 70L).map(i =>
+      (i, s"hot1 hot2 hot3 hot4 hot5 u${i}a u${i}b u${i}c u${i}d"))
+    // two docs sharing only a RARE shingle (df = 2) -> must survive
+    val rare = Seq(
+      (1001L, "r1 r2 r3 r4 r5 xa xb xc xd"),
+      (1002L, "r1 r2 r3 r4 r5 ya yb yc yd"))
+    val d = (hot ++ rare).toDF("doc_id", "text")
+    val got = Pipeline.shingleCandidates(d, Pipeline.P03DfCap)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1001L, 1002L)),
+      s"expected only the rare-shingle pair, got $got")
+  }
+
+  test("p03 df cap is above corpus max df: capped == uncapped output") {
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+    val capped = Pipeline.shingleCandidates(d, Pipeline.P03DfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val uncapped = Pipeline.shingleCandidates(d, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(capped === uncapped,
+      "df cap changed candidate pairs at test SF — raise P03DfCap")
+  }
+
+  test("p04 sentinel clique closed: <5-token docs generate zero pairs") {
+    import spark.implicits._
+    // short docs (< 5 tokens -> empty shingle set) used to share the
+    // constant sentinel signature and band into one hot bucket with
+    // mutual est_jaccard 1.0; they must now be excluded entirely
+    val d = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "c"), (4L, "p q r s"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (6L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val pairs = Pipeline.minhashLshPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((5L, 6L, 1.0)),
+      s"expected only the identical long-doc pair, got ${pairs.toSeq}")
+  }
+
   test("text stats sanity: ttr in (0,1], avg token len positive") {
     val rows = run("p09_text_stats").collect()
     assert(rows.nonEmpty)

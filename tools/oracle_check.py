@@ -33,11 +33,13 @@ for name, sql in sorted(oracle.items()):
     if spark_cols != duck_cols:
         print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}"); fails.append(name); continue
     # the driver's hash is type-sensitive (e.g. HUGEINT vs BIGINT fails it
-    # even when values match) -> compare declared types per sorted column
-    spark_types = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
-    duck_types = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
-    tbad = [(c, spark_types[c], duck_types[c]) for c in spark_cols
-            if spark_types[c] != duck_types[c]]
+    # even when values match) -> compare declared types per sorted column.
+    # Positional over the sorted (name, type) pairs — a dict keyed by name
+    # would collapse duplicate column names and mask a mismatch there.
+    spark_pairs = sorted(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+    duck_pairs = sorted(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+    tbad = [(sc, st, dt) for (sc, st), (dc, dt) in zip(spark_pairs, duck_pairs)
+            if st != dt]
     if tbad:
         print(f"FAIL {name}: column types differ: {tbad}"); fails.append(name); continue
     if len(spark) != len(duck):
