@@ -138,6 +138,66 @@ object Pipeline {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** p15's IVF search with the probe width as a parameter, so the spec
+    * can measure recall at nprobe=1 vs 2 against p07's exact top-k.
+    */
+  private[queries] def ivfTopK(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val e = embs(s, dir)
+      .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
+    val cents = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("ei").as("ci"))
+    val d2 = expr(
+      "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    // persisted: the cell join reads the (expensive) centroid
+    // cross-join assignment from both sides (probes and neighbors)
+    val probed = e.join(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("emb"), col("cid").as("cell"), col("rk"))
+      .persist()
+    val assigned = probed.filter(col("rk") === 1).drop("rk")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probed.filter(col("vec_id") % 50 === 0).drop("rk")
+      .toDF("query_id", "qemb", "cell")
+      .join(assigned.toDF("neighbor_id", "nemb", "cell"), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
+  private def ivfOracle(nprobe: Int): String = s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x*1000000) AS BIGINT)) AS ei
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      dists AS (SELECT e.vec_id, e.emb, c.cid,
+                  list_sum(list_transform(range(1, len(e.ei)+1),
+                    i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2
+                FROM e, cents c),
+      ranked AS (SELECT vec_id, emb, cid AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cid) AS rk FROM dists),
+      assigned AS (SELECT vec_id, emb, cell FROM ranked WHERE rk = 1),
+      cand AS (SELECT q.vec_id AS query_id, q.emb AS qemb,
+                      n.vec_id AS neighbor_id, n.emb AS nemb
+               FROM ranked q JOIN assigned n ON q.cell = n.cell
+                 AND q.vec_id != n.vec_id
+               WHERE q.vec_id % 50 = 0 AND q.rk <= $nprobe),
+      sims AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(qemb, nemb), 6) AS cos_sim
+               FROM cand)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM sims) WHERE rk <= 5"""
+
   val entries: Seq[Entry] = Seq(
 
     // ---- p01: exact dedup — group by normalized-content hash
@@ -538,63 +598,18 @@ object Pipeline {
         FROM p""")),
 
     // ---- p15: IVF-style ANN — coarse quantization to deterministic
-    // centroids (every 100th vector), then search only the query's cell.
-    // The assign step is a broadcast cross join against the tiny
-    // centroid set; the search is an equi-join on cell id — both scale
-    // as ordinary shuffles, and recall grows with nprobe (here 1).
-    // Distances are fixed-point integer L2 so cell assignment is exact
-    // in both engines (full DuckDB oracle).
-    Entry("p15_sim_ivf", (s, dir) => {
-      val e = embs(s, dir)
-        .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
-      val cents = e.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("cid"), col("ei").as("ci"))
-      val d2 = expr(
-        "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-      // persisted: the cell self-join reads the (expensive) centroid
-      // cross-join assignment from both sides
-      val assigned = e.join(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("emb"), col("cid").as("cell"))
-        .persist()
-      val wTop = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      assigned.filter(col("vec_id") % 50 === 0)
-        .toDF("query_id", "qemb", "cell")
-        .join(assigned.toDF("neighbor_id", "nemb", "cell"), "cell")
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(VectorOps.cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
-        .withColumn("rk", row_number().over(wTop).cast("long"))
-        .filter(col("rk") <= 5)
-    }, Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-                   list_transform(embedding::DOUBLE[],
-                     x -> CAST(round(x*1000000) AS BIGINT)) AS ei
-                 FROM embeddings),
-      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
-      dists AS (SELECT e.vec_id, e.emb, c.cid,
-                  list_sum(list_transform(range(1, len(e.ei)+1),
-                    i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2
-                FROM e, cents c),
-      assigned AS (SELECT vec_id, emb, cid AS cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-                     ORDER BY d2, cid) AS rk FROM dists) WHERE rk = 1),
-      cand AS (SELECT q.vec_id AS query_id, q.emb AS qemb,
-                      n.vec_id AS neighbor_id, n.emb AS nemb
-               FROM assigned q JOIN assigned n ON q.cell = n.cell
-                 AND q.vec_id != n.vec_id
-               WHERE q.vec_id % 50 = 0),
-      sims AS (SELECT query_id, neighbor_id,
-                      round(list_cosine_similarity(qemb, nemb), 6) AS cos_sim
-               FROM cand)
-      SELECT query_id, neighbor_id, cos_sim, rk FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos_sim DESC, neighbor_id) AS rk
-        FROM sims) WHERE rk <= 5""")),
+    // centroids (every 100th vector); database vectors live in their
+    // single nearest cell, queries probe their `nprobe` nearest cells
+    // (2 shipped — the standard recall lever; a neighbor is in exactly
+    // one cell so probing more cells never duplicates a pair). The
+    // assign step is a broadcast cross join against the tiny centroid
+    // set; the search is an equi-join on cell id — both scale as
+    // ordinary shuffles. Distances are fixed-point integer L2 so cell
+    // assignment is exact in both engines (full DuckDB oracle); the
+    // nprobe=2-beats-nprobe=1 recall claim is pinned vs p07 in
+    // PipelineSpec.
+    Entry("p15_sim_ivf", (s, dir) => ivfTopK(s, dir, nprobe = 2),
+      Some(ivfOracle(nprobe = 2))),
 
     // ---- p16: multimodal frame sampling — split each opaque binary
     // payload into fixed 64-byte frames (the video-frame / audio-chunk

@@ -75,6 +75,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors === total - extraCopies)
   }
 
+  test("IVF ANN: nprobe=2 recall >= nprobe=1, nontrivial vs brute force") {
+    val exactTop = run("p07_sim_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      val got = Pipeline.ivfTopK(spark, sfDir, np).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exactTop.intersect(got).size.toDouble / exactTop.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"widening the probe reduced recall: $r1 -> $r2")
+    assert(r2 >= 0.1, s"IVF nprobe=2 recall vs brute force was $r2")
+  }
+
   test("p03 df cap: hot shingle (df > cap) generates zero candidates; " +
     "rare shingle still pairs") {
     import spark.implicits._
