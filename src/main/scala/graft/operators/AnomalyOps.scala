@@ -105,7 +105,8 @@ object AnomalyOps {
       conf: AnomalyzerConf,
       tieBreak: Seq[Column] = Nil,
       chunkSize: Int = 8192,
-      byTest: Boolean = false): DataFrame = {
+      byTest: Boolean = false,
+      evalPartitions: Int = 0): DataFrame = {
     val c = AnomalyzerConf.validated(conf)
     require(chunkSize >= c.windowSize,
       s"chunkSize ($chunkSize) must be >= windowSize (${c.windowSize})")
@@ -125,8 +126,23 @@ object AnomalyOps {
     val cw = Window.partitionBy(series, col("__chunk")).orderBy(ord: _*)
     val frame = cw.rowsBetween(-(c.windowSize - 1), 0)
     val sHash = xxhash64(series)
+    // After collect_list every row is self-contained (window array +
+    // seed inputs), so the expensive kernel eval is rebalanced onto an
+    // explicit round-robin repartition: per-ROW balance whatever the
+    // key distribution, and — critically — an explicit partition count,
+    // which AQE will not coalesce. AQE's byte-based coalescing sees a
+    // few MB of shuffle data and would happily serialize a
+    // CPU-bound-by-permCount eval onto one task (measured at sf0.1 /
+    // permCount=500: 29s coalesced vs 5s balanced on 32 cores). Warm-up
+    // rows are dropped BEFORE the eval so none of their kernel work is
+    // thrown away.
+    val evalN =
+      if (evalPartitions > 0) evalPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val windowed = base.unionByName(warm)
       .withColumn("window", collect_list(value.cast("double")).over(frame))
+      .filter(!col("__warm"))
+      .repartition(evalN)
       .withColumn("anomaly_prob",
         AnomalyFunctions.anomaly_prob(col("window"), sHash, col("__rn"), c))
     val scored =
@@ -134,7 +150,6 @@ object AnomalyOps {
         AnomalyFunctions.anomaly_probs_by_test(col("window"), sHash,
           col("__rn"), c))
       else windowed
-    scored.filter(!col("__warm"))
-      .drop("window", "__chunk", "__warm", "__rn")
+    scored.drop("window", "__chunk", "__warm", "__rn")
   }
 }
