@@ -112,17 +112,24 @@ object AnomalyOps {
       s"chunkSize ($chunkSize) must be >= windowSize (${c.windowSize})")
     val ord = ts +: tieBreak
     val w = Window.partitionBy(series).orderBy(ord: _*)
-    // one cheap pass to pin each row's position in its series
-    val base = df
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("long"))
-      .withColumn("__warm", lit(false))
-    // warm-up: the last windowSize-1 rows of each chunk, replayed into
-    // the next chunk so its leading windows see full history
-    val warm = base
-      .filter((col("__rn") - 1) % chunkSize >= chunkSize - (c.windowSize - 1))
-      .withColumn("__chunk", col("__chunk") + 1)
-      .withColumn("__warm", lit(true))
+    // one cheap pass to pin each row's position in its series, then
+    // chunk assignment + warm-up replication in the SAME pass: each of
+    // the last windowSize-1 rows of a chunk explodes into two copies
+    // (its own chunk, and the next chunk as warm-up history). A
+    // union-of-two-branches formulation would scan and shuffle the
+    // input twice; the explode keeps it to one scan + one exchange.
+    val base = df.withColumn("__rn", row_number().over(w).cast("long"))
+    val chunk0 = ((col("__rn") - 1) / chunkSize).cast("long")
+    val isTail =
+      ((col("__rn") - 1) % chunkSize) >= (chunkSize - (c.windowSize - 1))
+    val one = array(struct(chunk0.as("c"), lit(false).as("w")))
+    val two = array(struct(chunk0.as("c"), lit(false).as("w")),
+      struct((chunk0 + 1).as("c"), lit(true).as("w")))
+    val assigned = base
+      .withColumn("__cw", explode(when(isTail, two).otherwise(one)))
+      .withColumn("__chunk", col("__cw.c"))
+      .withColumn("__warm", col("__cw.w"))
+      .drop("__cw")
     val cw = Window.partitionBy(series, col("__chunk")).orderBy(ord: _*)
     val frame = cw.rowsBetween(-(c.windowSize - 1), 0)
     val sHash = xxhash64(series)
@@ -139,7 +146,7 @@ object AnomalyOps {
     val evalN =
       if (evalPartitions > 0) evalPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val windowed = base.unionByName(warm)
+    val windowed = assigned
       .withColumn("window", collect_list(value.cast("double")).over(frame))
       .filter(!col("__warm"))
       .repartition(evalN)

@@ -69,16 +69,23 @@ object Detectors {
       s"chunkSize ($chunkSize) must be >= windowSize (${spec.windowSize})")
     val ord = ts +: tieBreak
     val w0 = Window.partitionBy(series).orderBy(ord: _*)
-    val base = df
-      .withColumn("rn", row_number().over(w0))
-      .withColumn("__chunk", ((col("rn") - 1) / chunkSize).cast("long"))
-      .withColumn("__warm", lit(false))
-    val warm = base
-      .filter((col("rn") - 1) % chunkSize >= chunkSize - (spec.windowSize - 1))
-      .withColumn("__chunk", col("__chunk") + 1)
-      .withColumn("__warm", lit(true))
-    addProbs(base.unionByName(warm), Seq(series, col("__chunk")), ord,
-        value, spec)
+    // chunk assignment + warm-up replication in one pass: tail rows
+    // explode into (own chunk, next chunk as warm-up) instead of a
+    // union of two branches, which would scan and shuffle the input
+    // twice. See AnomalyOps.withAnomalyProbsChunked for the same shape.
+    val base = df.withColumn("rn", row_number().over(w0))
+    val chunk0 = ((col("rn") - 1) / chunkSize).cast("long")
+    val isTail =
+      ((col("rn") - 1) % chunkSize) >= (chunkSize - (spec.windowSize - 1))
+    val one = array(struct(chunk0.as("c"), lit(false).as("w")))
+    val two = array(struct(chunk0.as("c"), lit(false).as("w")),
+      struct((chunk0 + 1).as("c"), lit(true).as("w")))
+    val assigned = base
+      .withColumn("__cw", explode(when(isTail, two).otherwise(one)))
+      .withColumn("__chunk", col("__cw.c"))
+      .withColumn("__warm", col("__cw.w"))
+      .drop("__cw")
+    addProbs(assigned, Seq(series, col("__chunk")), ord, value, spec)
       .filter(!col("__warm"))
       .drop("__chunk", "__warm")
   }

@@ -53,7 +53,7 @@ object Pipeline {
     * SFs is unchanged — pinned by PipelineSpec (capped == uncapped) and
     * by the unchanged driver oracle.
     */
-  private[queries] val P03DfCap = 64L
+  private[graft] val P03DfCap = 64L
 
   /** Candidate near-dup pairs sharing >=1 surviving shingle, with the
     * common-shingle count and both set sizes. Exposed (with the cap as a

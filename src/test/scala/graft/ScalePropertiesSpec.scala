@@ -44,6 +44,40 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(p, "Exchange hashpartitioning") === 1)
   }
 
+  test("a13: chunked scale path — one scan, one key shuffle, " +
+    "eval behind an uncoalescible round-robin exchange") {
+    val p = plan("a13_anomaly_perm500_chunked")
+    // warm-up replication must NOT be a union of two branches reading
+    // the input twice
+    assert(countOf(p, "FileScan parquet") === 1,
+      "chunked path must scan the events table exactly once:\n" + p)
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      "one series-key shuffle expected:\n" + p)
+    // the CPU-bound kernel eval must sit ABOVE an explicit round-robin
+    // repartition (REPARTITION_BY_NUM — AQE cannot coalesce it); AQE's
+    // byte-based coalescing would otherwise serialize a few-MB,
+    // many-core-seconds eval onto one task
+    assert(p.contains("RoundRobinPartitioning") &&
+      p.contains("REPARTITION_BY_NUM"),
+      "explicit round-robin rebalance missing:\n" + p)
+    val evalAt = p.indexOf("anomaly_prob(")
+    val rrAt = p.indexOf("RoundRobinPartitioning")
+    assert(evalAt >= 0 && rrAt >= 0 && evalAt < rrAt,
+      "kernel eval must run after (above) the round-robin exchange:\n" + p)
+  }
+
+  test("p03: shingle df cap is applied physically before the pair join") {
+    val p = plan("p03_dedup_ngram_jaccard")
+    val capAt = p.indexOf(s"<= ${queries.Pipeline.P03DfCap}")
+    val joinAt = math.max(p.indexOf("Join ["), p.indexOf("HashJoin ["))
+    assert(capAt >= 0, "df-cap filter missing from the physical plan:\n" + p)
+    assert(joinAt >= 0, "candidate pair join missing:\n" + p)
+    // the cap prints below (after) the join in the plan tree: candidates
+    // are generated only from df-capped postings
+    assert(capAt > joinAt,
+      "df cap must filter the postings feeding the join:\n" + p)
+  }
+
   test("q01: aggregation is partial before the shuffle") {
     val p = plan("q01_agg")
     assert(p.contains("partial_sum"),
