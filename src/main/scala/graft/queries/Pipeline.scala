@@ -198,6 +198,21 @@ object Pipeline {
                    ORDER BY cos_sim DESC, neighbor_id) AS rk
         FROM sims) WHERE rk <= 5"""
 
+  /** p20's pack budget (tokens per context window) and bucket width
+    * (doc-ids per prefix-sum bucket).
+    */
+  private[graft] val PackBudget = 512L
+  private[graft] val PackBucket = 500L
+
+  /** p21's per-language keep rates (permille), compiled into the SAME
+    * CASE fragment on both engines so they cannot diverge.
+    */
+  private val sampleRates: Seq[(String, Long)] =
+    Seq("en" -> 500L, "de" -> 300L, "es" -> 300L, "fr" -> 300L, "zh" -> 300L)
+  private val SampleRateCase: String =
+    sampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+
   val entries: Seq[Entry] = Seq(
 
     // ---- p01: exact dedup — group by normalized-content hash
@@ -697,6 +712,123 @@ object Pipeline {
       SELECT doc_id, term, tfidf, rk FROM (
         SELECT *, row_number() OVER (PARTITION BY doc_id
                    ORDER BY tfidf DESC, term) AS rk
-        FROM scored) WHERE rk <= 3"""))
+        FROM scored) WHERE rk <= 3""")),
+
+    // ---- p19: repetition-based quality signals (the Gopher-rule
+    // family): fraction of tokens taken by the single most frequent
+    // token, and fraction of duplicate token bigrams. Pure per-row
+    // array work — shuffle-free, scales embarrassingly. The per-doc
+    // cost is O(tokens * distinct) which is the same shape the
+    // published repetition filters pay.
+    Entry("p19_quality_repetition", (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("top_tok", expr("array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t))))").cast("long"))
+        .withColumn("bigrams", when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(expr("array()")))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("top_tok") / col("n_toks").cast("double"), 6)
+            .as("top_token_frac"),
+          when(size(col("bigrams")) === 0, 0.0)
+            .otherwise(round(lit(1.0) - size(array_distinct(col("bigrams"))) /
+              size(col("bigrams")).cast("double"), 6)).as("dup_bigram_frac"))
+        .withColumn("pass_repetition",
+          col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.6),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        m AS (SELECT doc_id, len(toks) AS n_toks,
+                list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t)))) AS top_tok,
+                CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END AS bigrams
+              FROM t),
+        f AS (SELECT doc_id, n_toks,
+                round(top_tok / CAST(n_toks AS DOUBLE), 6) AS top_token_frac,
+                CASE WHEN len(bigrams) = 0 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(bigrams)) /
+                       CAST(len(bigrams) AS DOUBLE), 6) END AS dup_bigram_frac
+              FROM m)
+        SELECT doc_id, n_toks, top_token_frac, dup_bigram_frac,
+               top_token_frac <= 0.2 AND dup_bigram_frac <= 0.6
+                 AS pass_repetition
+        FROM f""")),
+
+    // ---- p20: sequence packing — concatenate the corpus (ordered by
+    // doc_id) into fixed token-budget context windows and give every
+    // doc its (pack, offset) coordinates. The global prefix sum is the
+    // classic two-phase shape: per-bucket token totals prefix-summed on
+    // the TINY bucket table (docs/500 rows — the only single-partition
+    // window, far below memory at any corpus the two-level scheme
+    // serves), broadcast back, then a per-bucket window adds the local
+    // running sum. No full-table single-partition window anywhere —
+    // that is the naive plan that dies at scale; PipelineSpec pins
+    // two-phase == naive on the test corpus.
+    Entry("p20_pack_sequences", (s, dir) => packSequences(docs(s, dir)),
+      Some(s"""
+        WITH d AS (SELECT doc_id, len($toksSql) AS n_toks FROM documents),
+        c AS (SELECT doc_id, n_toks,
+                CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_tok
+              FROM d)
+        SELECT doc_id, n_toks, start_tok // $PackBudget AS pack_id,
+               start_tok % $PackBudget AS pack_offset,
+               (start_tok % $PackBudget) + n_toks > $PackBudget
+                 AS spans_boundary
+        FROM c""")),
+
+    // ---- p21: stratified reproducible sampling — per-language keep
+    // rates applied via a 32-bit md5 hash of the doc id, so the sample
+    // is deterministic, engine-independent (the same md5 HashScheme as
+    // MinHash/LSH), and re-runnable: the foundation op for mixing
+    // training-data sources at controlled ratios. Per-row, no shuffle.
+    Entry("p21_sample_stratified", (s, dir) =>
+      docs(s, dir)
+        .withColumn("sample_key", expr(
+          s"${graft.functions.HashScheme.h32Spark("cast(doc_id as string)")} % 1000"))
+        .filter(expr(s"sample_key < $SampleRateCase"))
+        .select("doc_id", "lang", "source", "sample_key"),
+      Some(s"""
+        SELECT doc_id, lang, source, sample_key FROM (
+          SELECT doc_id, lang, source,
+            ${graft.functions.HashScheme.h32Duck("CAST(doc_id AS VARCHAR)")}
+              % 1000 AS sample_key
+          FROM documents)
+        WHERE sample_key < $SampleRateCase"""))
   )
+
+  /** Two-phase distributed prefix sum giving each doc its coordinates
+    * in the budget-sliced concatenated token stream. Exposed so the
+    * spec can pin it against the naive single-window cumsum.
+    */
+  private[queries] def packSequences(d: DataFrame): DataFrame = {
+    val base = d
+      .select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+      .withColumn("bucket", expr(s"doc_id div $PackBucket"))
+    // phase 1: per-bucket totals, exclusive prefix over the tiny bucket
+    // table (the only unpartitioned window — docs/bucketWidth rows)
+    val bases = base.groupBy("bucket").agg(sum(col("n_toks")).as("btot"))
+      .withColumn("base", coalesce(sum(col("btot")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "base")
+    // phase 2: bucket base + local running sum, partitioned by bucket
+    val wB = Window.partitionBy("bucket").orderBy("doc_id")
+    base.join(broadcast(bases), "bucket")
+      .withColumn("start_tok", col("base") +
+        coalesce(sum(col("n_toks")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_toks"),
+        expr(s"start_tok div $PackBudget").as("pack_id"),
+        (col("start_tok") % PackBudget).as("pack_offset"),
+        ((col("start_tok") % PackBudget) + col("n_toks") > PackBudget)
+          .as("spans_boundary"))
+  }
+
 }

@@ -135,6 +135,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"expected only the identical long-doc pair, got ${pairs.toSeq}")
   }
 
+  test("p20 two-phase prefix sum == naive single-window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+    val twoPhase = Pipeline.packSequences(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // the plan that dies at scale but is trivially correct: one global
+    // window over everything
+    val naive = d
+      .select(col("doc_id"), size(split(lower(regexp_replace(trim(col("text")),
+        "\\s+", " ")), " ")).cast("long").as("n_toks"))
+      .withColumn("start_tok", coalesce(sum(col("n_toks")).over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect()
+      .map { r =>
+        val start = r.getLong(2)
+        val off = start % Pipeline.PackBudget
+        (r.getLong(0), (r.getLong(1), start / Pipeline.PackBudget, off,
+          off + r.getLong(1) > Pipeline.PackBudget))
+      }.toMap
+    assert(twoPhase === naive)
+  }
+
   test("text stats sanity: ttr in (0,1], avg token len positive") {
     val rows = run("p09_text_stats").collect()
     assert(rows.nonEmpty)
