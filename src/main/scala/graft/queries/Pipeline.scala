@@ -808,9 +808,12 @@ object Pipeline {
     * spec can pin it against the naive single-window cumsum.
     */
   private[queries] def packSequences(d: DataFrame): DataFrame = {
+    // persisted: phases 1 and 2 both read this slim (id, count, bucket)
+    // projection; without it the table is scanned AND re-tokenized twice
     val base = d
       .select(col("doc_id"), size(toks).cast("long").as("n_toks"))
       .withColumn("bucket", expr(s"doc_id div $PackBucket"))
+      .persist()
     // phase 1: per-bucket totals, exclusive prefix over the tiny bucket
     // table (the only unpartitioned window — docs/bucketWidth rows)
     val bases = base.groupBy("bucket").agg(sum(col("n_toks")).as("btot"))

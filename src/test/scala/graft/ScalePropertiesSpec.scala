@@ -66,6 +66,28 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "kernel eval must run after (above) the round-robin exchange:\n" + p)
   }
 
+  test("a12: chunked detector path also scans and shuffles once") {
+    val p = plan("a12_anomaly_ensemble_chunked")
+    assert(countOf(p, "FileScan parquet") === 1,
+      "warm-up replication must not re-scan the input:\n" + p)
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      "one series-key shuffle expected:\n" + p)
+  }
+
+  test("p20: packing scans the corpus once; only the bucket table " +
+    "crosses a single-partition window") {
+    val p = plan("p20_pack_sequences")
+    // both phases must read the persisted slim projection (the cached
+    // relation prints its FileScan subtree inline, so count the cache
+    // reads, not the scan text)
+    assert(countOf(p, "InMemoryTableScan") === 2,
+      "two-phase prefix sum must persist the slim projection, " +
+        "not re-scan + re-tokenize:\n" + p)
+    // the one SinglePartition exchange feeds the per-bucket prefix —
+    // docs/bucketWidth rows — never the full table
+    assert(countOf(p, "Exchange SinglePartition") === 1, p)
+  }
+
   test("p03: shingle df cap is applied physically before the pair join") {
     val p = plan("p03_dedup_ngram_jaccard")
     val capAt = p.indexOf(s"<= ${queries.Pipeline.P03DfCap}")
