@@ -800,7 +800,34 @@ object Pipeline {
             ${graft.functions.HashScheme.h32Duck("CAST(doc_id AS VARCHAR)")}
               % 1000 AS sample_key
           FROM documents)
-        WHERE sample_key < $SampleRateCase"""))
+        WHERE sample_key < $SampleRateCase""")),
+
+    // ---- p22: per-label embedding centroids — element-wise means via
+    // exact integer micro-sums, because double addition across shuffle
+    // partitions is order-dependent and would break any cross-engine
+    // (or even run-to-run) hash. Long format (label, dim) so the oracle
+    // is a plain GROUP BY; one shuffle on (label, dim).
+    Entry("p22_label_centroids", (s, dir) =>
+      embs(s, dir)
+        .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .withColumn("x6", expr("cast(round(x * 1e6) as bigint)"))
+        .groupBy("label", "dim")
+        .agg(sum("x6").as("s6"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("s6") / (col("n_vecs").cast("double") * 1e6), 6)
+            .as("centroid"),
+          col("n_vecs")),
+      Some("""
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS emb
+                   FROM embeddings),
+        x AS (SELECT label, i - 1 AS dim,
+                CAST(round(emb[i] * 1e6) AS BIGINT) AS x6
+              FROM e, UNNEST(range(1, len(emb) + 1)) t(i))
+        SELECT label, dim,
+               round(CAST(sum(x6) AS BIGINT) / (count(*) * 1e6), 6)
+                 AS centroid,
+               count(*) AS n_vecs
+        FROM x GROUP BY 1, 2"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

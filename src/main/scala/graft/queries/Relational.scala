@@ -546,5 +546,59 @@ object Relational {
              repeat(substr(event_type, 1, 2), 3) AS rep3,
              levenshtein(event_type, 'click') AS dist_click,
              split_part(event_type, 'r', 1) AS before_r
-      FROM events GROUP BY event_type""")))
+      FROM events GROUP BY event_type""")),
+
+    // q27: resample + forward-fill — the op that turns an irregular
+    // event stream into the regular per-interval grid the detector
+    // assumes (the reference requires evenly-spaced observations;
+    // EXAMPLES.md "1 point = 30s of CPU"). Hourly buckets, gaps filled
+    // with the last observed mean. Bucket means go through exact
+    // integer micro-sums so the distributed aggregation is
+    // order-independent (double addition across partitions is not);
+    // both engines then divide the same exact integers in the same
+    // order. Shuffle profile: one agg by (series, hour), one tiny
+    // per-series bounds agg, one left join — all key-partitioned.
+    Entry("q27_resample_ffill", (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      val buckets = e.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n_events"), sum("v6").as("vsum"))
+      val grid = buckets.groupBy("event_type")
+        .agg(min("hr").as("mn"), max("hr").as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(buckets, Seq("event_type", "hr"), "left")
+        .withColumn("mean_v",
+          round(col("vsum") / (col("n_events").cast("double") * 1e6), 6))
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .select(col("event_type"), col("hr").cast("long").as("hour_ts"),
+          col("n_events"),
+          last(col("mean_v"), ignoreNulls = true).over(w).as("value_ffill"),
+          (col("n_events") === 0L).as("is_gap"))
+    }, Some("""
+      WITH e AS (SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      b AS (SELECT event_type, hr, count(*) AS n_events,
+              CAST(sum(v6) AS BIGINT) AS vsum
+            FROM e GROUP BY 1, 2),
+      g AS (SELECT event_type,
+              UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+            FROM (SELECT event_type, min(hr) AS mn, max(hr) AS mx
+                  FROM b GROUP BY 1)),
+      j AS (SELECT g.event_type, g.hr,
+              COALESCE(b.n_events, 0) AS n_events,
+              round(b.vsum / (b.n_events * 1e6), 6) AS mean_v
+            FROM g LEFT JOIN b ON g.event_type = b.event_type
+              AND g.hr = b.hr)
+      SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hour_ts, n_events,
+             last_value(mean_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_ffill,
+             n_events = 0 AS is_gap
+      FROM j""")))
 }
