@@ -59,6 +59,25 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("detector composes over the q27 resampled grid end to end") {
+    // the full pipeline story: irregular events -> regular hourly grid
+    // (resample + ffill) -> ensemble scoring on the grid as the series
+    val grid = Catalog.queries("q27_resample_ffill")(spark, sfDir)
+    val scored = graft.operators.Detectors.withProbsFused(
+        grid, col("event_type"), col("hour_ts"), Nil,
+        col("value_ffill"), spec)
+      .filter(col("rn") >= wSize)
+    val rows = scored.select("event_type", "prob_ensemble").collect()
+    val gridRows = grid.count()
+    val nSeries = grid.select("event_type").distinct().count()
+    assert(rows.length === gridRows - nSeries * (wSize - 1),
+      "one score per fully-warmed grid point per series")
+    rows.foreach { r =>
+      val p = r.getDouble(1)
+      assert(!p.isNaN && p >= 0.0 && p <= 1.0, s"prob out of range: $p")
+    }
+  }
+
   test("a11 by-test probs/weights/ensemble == kernel evalByTest, exactly") {
     val conf = AnomalyzerConf(
       activeSize = spec.activeSize, nSeasons = spec.nSeasons,
