@@ -215,9 +215,20 @@ object Anomaly {
         .withColumn("arr", collect_list(col("value")).over(frame))
         .filter(col("rn") >= w)
         .withColumn("act", expr(s"slice(arr, ${w - a + 1}, $a)"))
+        // zero-divisor guard: ANSI Spark ERRORS on x/0 (sf0.1 has zero
+        // values — sf0.01 does not, so the driver gate alone would
+        // never see it), and 0/0's NaN orders differently across
+        // engines. The SQL statistic therefore defines |reldiff| at a
+        // zero divisor as 0 (no change) for a zero diff and +Infinity
+        // otherwise — infinities compare identically on both engines;
+        // the kernel path (a07) keeps full IEEE semantics.
         .withColumn("rd", expr(
           "transform(sequence(1, size(arr) - 1), i -> " +
-            "abs((element_at(arr, i + 1) - element_at(arr, i)) / element_at(arr, i)))"))
+            "case when element_at(arr, i) = 0D then " +
+            "(case when element_at(arr, i + 1) = 0D then 0D " +
+            "else cast('Infinity' as double) end) " +
+            "else abs((element_at(arr, i + 1) - element_at(arr, i)) " +
+            "/ element_at(arr, i)) end)"))
         .withColumn("rdact", expr(s"slice(rd, size(rd) - ${a - 1}, $a)"))
         .select(col("event_type"), col("event_id"),
           expr("aggregate(act, 0L, (s, x) -> s + size(filter(arr, y -> y < x)))")
@@ -239,7 +250,10 @@ object Anomaly {
         SELECT event_type, event_id, arr,
                arr[${spec.windowSize - spec.activeSize + 1}:${spec.windowSize}] AS act,
                list_transform(range(1, len(arr)),
-                 i -> abs((arr[i+1] - arr[i]) / arr[i])) AS rd
+                 i -> CASE WHEN arr[i] = 0 THEN
+                        (CASE WHEN arr[i+1] = 0 THEN 0.0
+                         ELSE 'infinity'::DOUBLE END)
+                      ELSE abs((arr[i+1] - arr[i]) / arr[i]) END) AS rd
         FROM base WHERE rn >= ${spec.windowSize}
       )
       SELECT event_type, event_id,

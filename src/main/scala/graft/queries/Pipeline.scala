@@ -509,27 +509,46 @@ object Pipeline {
       FROM scored GROUP BY lang, lang_pred""")),
 
     // ---- p11: quality scoring (length / stopword / lexical diversity)
+    // score = 0.4*min(nc,500)/500 + 0.3*min(5h,n)/n + 0.3*u/n, computed
+    // ENTIRELY in exact integer arithmetic with integer HALF_UP
+    // rounding to micro-units: score6 = (num*1e6 + den/2) div den over
+    // num = 10*n*min(nc,500) + 3750*(min(5h,n) + u), den = 12500*n.
+    // Rounding an arbitrary double with round(x, 6) is a cross-engine
+    // trap: Spark rounds the double's exact decimal expansion, DuckDB
+    // rounds after multiplying by 1e6, and a value near a .5 tie at the
+    // 7th digit flips between them (hit at sf0.1). Integer-derived
+    // micro-units are tie-free by construction on both engines.
     Entry("p11_text_quality", (s, dir) => {
-      val enHits = size(filter(toks,
-        t => t.isin("the", "a", "and", "of", "to", "is")))
-      val lenScore = least(col("n_chars") / 500.0, lit(1.0))
-      val stopScore = least(enHits * lit(5.0) / size(toks), lit(1.0))
-      val uniqScore = size(array_distinct(toks)) / size(toks)
-      val score = round(lenScore * 0.4 + stopScore * 0.3 + uniqScore * 0.3, 6)
-      docs(s, dir).select(col("doc_id"), score.as("quality_score"),
-        when(score >= 0.66, "high").when(score >= 0.33, "medium")
-          .otherwise("low").as("quality_bucket"))
+      val n = size(toks).cast("long")
+      val h = size(filter(toks,
+        t => t.isin("the", "a", "and", "of", "to", "is"))).cast("long")
+      val u = size(array_distinct(toks)).cast("long")
+      val m = least(col("n_chars"), lit(500L))
+      docs(s, dir)
+        .withColumn("n", n)
+        .withColumn("num",
+          lit(10L) * n * m + lit(3750L) * (least(lit(5L) * h, n) + u))
+        .withColumn("score6", expr("(num * 1000000 + 6250 * n) div (12500 * n)"))
+        .select(col("doc_id"),
+          (col("score6") / 1e6).as("quality_score"),
+          when(col("score6") >= 660000L, "high")
+            .when(col("score6") >= 330000L, "medium")
+            .otherwise("low").as("quality_bucket"))
     }, Some(s"""
       WITH d AS (SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
-      s AS (
-        SELECT doc_id,
-          round(least(n_chars / 500.0, 1.0) * 0.4
-            + least(len(list_filter(toks, t -> t IN ('the','a','and','of','to','is'))) * 5.0 / len(toks), 1.0) * 0.3
-            + len(list_distinct(toks)) / len(toks) * 0.3, 6) AS quality_score
-        FROM d)
-      SELECT doc_id, quality_score,
-             CASE WHEN quality_score >= 0.66 THEN 'high'
-                  WHEN quality_score >= 0.33 THEN 'medium'
+      m AS (SELECT doc_id, len(toks) AS n,
+              least(n_chars, 500) AS m,
+              least(5 * len(list_filter(toks,
+                t -> t IN ('the','a','and','of','to','is'))), len(toks)) AS s,
+              len(list_distinct(toks)) AS u
+            FROM d),
+      s AS (SELECT doc_id,
+              CAST(((10*n*m + 3750*(s + u)) * 1000000 + 6250*n)
+                // (12500*n) AS BIGINT) AS score6
+            FROM m)
+      SELECT doc_id, score6 / 1000000.0 AS quality_score,
+             CASE WHEN score6 >= 660000 THEN 'high'
+                  WHEN score6 >= 330000 THEN 'medium'
                   ELSE 'low' END AS quality_bucket
       FROM s""")),
 
