@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextHashFunctions, VectorOps}
+import graft.operators.Components
 import graft.sources.Tables
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
@@ -213,6 +214,41 @@ object Pipeline {
     sampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
       .mkString("CASE ", " ", " ELSE 100 END")
 
+  /** DuckDB CTE chain producing p04's MinHash-LSH near-dup pairs as
+    * `pairs(doc_a, doc_b, est_jaccard)`, shared verbatim by the p04
+    * oracle and p23's cluster oracle so both checks see definitionally
+    * identical pair sets. Declared ABOVE `entries` — object init order
+    * would otherwise interpolate null into the oracle strings.
+    */
+  private val lshPairsOracleCtes: String = {
+    import graft.functions.{HashScheme => H}
+    s"""docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+               list_transform(range(1, len(toks)-3), j ->
+                 ${H.h32Duck("array_to_string(toks[j:j+4], ' ')")})
+             ELSE [] END AS hs FROM docs),
+      sigs AS (SELECT doc_id, list_transform(range(0, ${H.MinHashK}), i ->
+          list_min(list_transform(hs, h ->
+            (${H.minhashALiteral}[i+1]*h + ${H.minhashBLiteral}[i+1])
+              % ${H.MinHashP}))) AS sig
+        FROM sh WHERE len(hs) > 0),
+      banded AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket, sig
+                 FROM sigs, UNNEST(range(0, 16)) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id),
+      pairs AS (SELECT c.doc_a, c.doc_b,
+        round(list_sum(list_transform(range(1, ${H.MinHashK + 1}), i ->
+          CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END))
+          / ${H.MinHashK}, 6) AS est_jaccard
+        FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+                    JOIN sigs sb ON c.doc_b = sb.doc_id
+        WHERE round(list_sum(list_transform(range(1, ${H.MinHashK + 1}), i ->
+          CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END))
+          / ${H.MinHashK}, 6) >= 0.5)"""
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // ---- p01: exact dedup — group by normalized-content hash
@@ -270,35 +306,11 @@ object Pipeline {
     // DuckDB; estimator accuracy is additionally pinned in PipelineSpec
     // against p03's exact Jaccard.
     Entry("p04_dedup_minhash_lsh", (s, dir) =>
-      minhashLshPairs(docs(s, dir)), Some {
-      import graft.functions.{HashScheme => H}
+      minhashLshPairs(docs(s, dir)), Some(
       s"""
-      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-      sh AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
-               list_transform(range(1, len(toks)-3), j ->
-                 ${H.h32Duck("array_to_string(toks[j:j+4], ' ')")})
-             ELSE [] END AS hs FROM docs),
-      sigs AS (SELECT doc_id, list_transform(range(0, ${H.MinHashK}), i ->
-          list_min(list_transform(hs, h ->
-            (${H.minhashALiteral}[i+1]*h + ${H.minhashBLiteral}[i+1])
-              % ${H.MinHashP}))) AS sig
-        FROM sh WHERE len(hs) > 0),
-      banded AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket, sig
-                 FROM sigs, UNNEST(range(0, 16)) t(b)),
-      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM banded x JOIN banded y
-                 ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.doc_id < y.doc_id)
-      SELECT c.doc_a, c.doc_b,
-        round(list_sum(list_transform(range(1, ${H.MinHashK + 1}), i ->
-          CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END))
-          / ${H.MinHashK}, 6) AS est_jaccard
-      FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
-                  JOIN sigs sb ON c.doc_b = sb.doc_id
-      WHERE round(list_sum(list_transform(range(1, ${H.MinHashK + 1}), i ->
-          CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END))
-          / ${H.MinHashK}, 6) >= 0.5"""
-    }, bench = true),
+      WITH $lshPairsOracleCtes
+      SELECT doc_a, doc_b, est_jaccard FROM pairs"""
+    ), bench = true),
 
     // ---- p05: SimHash near-dedup (hamming distance via 4-segment
     // blocking: dups within distance<=3 share at least one segment).
@@ -846,7 +858,48 @@ object Pipeline {
                round(CAST(sum(x6) AS BIGINT) / (count(*) * 1e6), 6)
                  AS centroid,
                count(*) AS n_vecs
-        FROM x GROUP BY 1, 2"""))
+        FROM x GROUP BY 1, 2""")),
+
+    // ---- p23: near-dup clusters + survivors — the transitive-closure
+    // step every production dedup pipeline needs after pair generation:
+    // p04's LSH candidate pairs resolved into connected components
+    // (operators.Components: min-label propagation + pointer jumping,
+    // O(log n) rounds of node-keyed shuffles) with one deterministic
+    // survivor per cluster (min doc_id). Docs in no pair keep their own
+    // id, so the output is a full dedup manifest — keep is_survivor
+    // rows, drop the rest. The oracle builds the reachability closure
+    // with a recursive CTE over the SAME pairs CTE the p04 oracle
+    // checks; the closure is quadratic per clique, which is fine for
+    // the oracle and exactly why the engine does NOT compute it.
+    Entry("p23_dedup_clusters", (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+      val labels = Components.connectedComponents(pairs)
+      d.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+    }, Some(s"""
+      WITH RECURSIVE $lshPairsOracleCtes,
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      labels AS (SELECT u AS doc_id, min(v) AS cluster_id
+                 FROM reach GROUP BY u),
+      manifest AS (SELECT d.doc_id,
+                          coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                   FROM docs d LEFT JOIN labels l USING (doc_id))
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             doc_id = cluster_id AS is_survivor
+      FROM manifest"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates
