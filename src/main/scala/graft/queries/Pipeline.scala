@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextHashFunctions, VectorOps}
+import graft.functions.{SketchFunctions, TextHashFunctions, VectorOps}
 import graft.operators.Components
 import graft.sources.Tables
 
@@ -899,7 +899,98 @@ object Pipeline {
       SELECT doc_id, cluster_id,
              count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
              doc_id = cluster_id AS is_survivor
-      FROM manifest"""))
+      FROM manifest""")),
+
+    // ---- p24: benchmark decontamination — flag training docs sharing
+    // any 3-gram shingle with the held-out "benchmark" split
+    // (doc_id % 100 == 0 stands in for an eval suite; trigrams are the
+    // overlap unit so the tiny synthetic split actually intersects).
+    // The scale shape matters: the benchmark side is aggregated to a
+    // per-shingle dim table BEFORE the join, so join output is bounded
+    // by the training postings list — there is no df² pair blowup at
+    // any skew (unlike naive doc×doc overlap). Benchmark suites are
+    // small by nature → broadcast; were they not, the same plan
+    // degrades gracefully to a shuffle equi-join on shingle. Shingle
+    // identity is the xxhash64 n-gram hash (same ~1e-9 collision
+    // caveat as p03, disclosed there); the oracle uses string shingles.
+    Entry("p24_contamination", (s, dir) => {
+      def grams(d: DataFrame): DataFrame = d
+        .select(col("doc_id"),
+          array_distinct(TextHashFunctions.ngram_hashes(toks, 3)).as("sharr"))
+        .select(col("doc_id"), size(col("sharr")).cast("long").as("n"),
+          explode(col("sharr")).as("shingle"))
+      val d = docs(s, dir)
+      val train = grams(d.filter(col("doc_id") % 100 =!= 0))
+      val bench = grams(d.filter(col("doc_id") % 100 === 0))
+        .groupBy("shingle").agg(count(lit(1)).as("bench_df"))
+      train.join(broadcast(bench), "shingle")
+        .groupBy("doc_id", "n")
+        .agg(count(lit(1)).as("n_hit"), sum("bench_df").as("n_bench_docs"))
+        .select(col("doc_id"), col("n").as("n_shingles"), col("n_hit"),
+          col("n_bench_docs"),
+          round(col("n_hit") / col("n"), 6).as("contam_frac"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh3 AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                THEN range(1, len(toks)-1) ELSE [] END) AS t(i)),
+      counts3 AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+      bench AS (SELECT shingle, count(*) AS bench_df FROM sh3
+                WHERE doc_id % 100 = 0 GROUP BY shingle),
+      hits AS (SELECT s.doc_id, count(*) AS n_hit,
+                      CAST(sum(b.bench_df) AS BIGINT) AS n_bench_docs
+               FROM sh3 s JOIN bench b USING (shingle)
+               WHERE s.doc_id % 100 != 0 GROUP BY s.doc_id)
+      SELECT h.doc_id, c.n AS n_shingles, h.n_hit, h.n_bench_docs,
+             round(h.n_hit / c.n, 6) AS contam_frac
+      FROM hits h JOIN counts3 c USING (doc_id)""")),
+
+    // ---- p25: KMV distinct-count sketch — per-language distinct
+    // 5-gram shingle cardinality estimated from the k=128 smallest
+    // md5 hashes (functions.KmvSketch, a TypedImperativeAggregate:
+    // O(k) state, map-side partial merge). The exact count rides along
+    // as the accuracy baseline — it is the full-shuffle plan the
+    // sketch replaces at 100 TB. The sketch output is a deterministic
+    // set function of the input, so the oracle rebuilds the same k-th
+    // smallest distinct hash with a row_number window and the estimate
+    // compares bit-for-bit. Estimator: (k-1)·2^32/h_k; exact when the
+    // group has fewer than k distinct values.
+    Entry("p25_distinct_kmv", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val k = 128
+      docs(s, dir)
+        .select(col("lang"),
+          explode(TextHashFunctions.word_ngrams(toks, 5)).as("shingle"))
+        .select(col("lang"), expr(H.h32Spark("shingle")).as("h"))
+        .groupBy("lang")
+        .agg(SketchFunctions.kmv_sketch(col("h"), k).as("sk"),
+          countDistinct(col("h")).as("n_exact"))
+        .select(col("lang"), col("n_exact"),
+          when(size(col("sk")) === k, element_at(col("sk"), k))
+            .as("kth_hash"),
+          when(size(col("sk")) < k, col("n_exact").cast("double"))
+            .otherwise(round(
+              lit((k - 1).toDouble * 4294967296.0) / element_at(col("sk"), k),
+              2)).as("est_distinct"))
+    }, Some(s"""
+      WITH docs AS (SELECT lang, $toksSql AS toks FROM documents),
+      sh AS (SELECT DISTINCT lang,
+               ${graft.functions.HashScheme.h32Duck(
+                 "array_to_string(toks[i:i+4], ' ')")} AS h
+             FROM docs, UNNEST(CASE WHEN len(toks) >= 5
+               THEN range(1, len(toks)-3) ELSE [] END) AS t(i)),
+      ranked AS (SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+                 FROM sh),
+      agg AS (SELECT lang, count(*) AS n_exact,
+                max(CASE WHEN rn = 128 THEN h END) AS kth_hash
+              FROM ranked GROUP BY lang)
+      SELECT lang, n_exact, kth_hash,
+             CASE WHEN n_exact < 128 THEN CAST(n_exact AS DOUBLE)
+                  ELSE round(545460846592.0 / kth_hash, 2)
+             END AS est_distinct
+      FROM agg"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

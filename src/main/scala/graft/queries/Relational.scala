@@ -600,5 +600,102 @@ object Relational {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS value_ffill,
              n_events = 0 AS is_gap
-      FROM j""")))
+      FROM j""")),
+
+    // ---- q28: point-in-interval range join, bucketized. The naive
+    // plan for `point BETWEEN lo AND hi` is a nested-loop/theta join —
+    // O(|intervals|·|points|), a non-starter at scale. Instead both
+    // sides map onto fixed-width time bins (width >= max interval
+    // length, so an interval spans at most 2 bins): intervals explode
+    // to their covered bins, points land in exactly one bin, and the
+    // match becomes a shuffle-partitionable EQUI-join on bin with the
+    // range predicate as a residual filter. Each point matches a given
+    // interval in at most one bin row, so counts need no dedup.
+    // ScalePropertiesSpec pins the plan: no BroadcastNestedLoopJoin /
+    // CartesianProduct.
+    Entry("q28_range_join", (s, dir) => {
+      val binSec = 14L * 86400
+      val iv = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").as("lo"),
+          (col("l_shipdate") + expr("INTERVAL 14 DAYS")).as("hi"))
+        .distinct()
+      val ivb = iv.withColumn("bin", explode(sequence(
+        expr(s"unix_timestamp(lo) div $binSec"),
+        expr(s"unix_timestamp(hi) div $binSec"))))
+      val pts = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderdate"),
+          expr(s"unix_timestamp(o_orderdate) div $binSec").as("bin"))
+      // interval identity includes lo: the synthetic lineitem has
+      // (l_orderkey, l_linenumber) collisions with distinct shipdates
+      val counts = ivb.join(pts, "bin")
+        .filter(col("o_orderdate") >= col("lo") &&
+          col("o_orderdate") < col("hi"))
+        .groupBy("l_orderkey", "l_linenumber", "lo")
+        .agg(count(lit(1)).as("n_hits"))
+      iv.select("l_orderkey", "l_linenumber", "lo")
+        .join(counts, Seq("l_orderkey", "l_linenumber", "lo"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("unix_timestamp(lo)").as("ship_ts"),
+          coalesce(col("n_hits"), lit(0L)).as("n_orders"))
+    }, Some("""
+      WITH iv AS (SELECT DISTINCT l_orderkey, l_linenumber,
+                    l_shipdate AS lo, l_shipdate + INTERVAL 14 DAY AS hi
+                  FROM lineitem WHERE l_quantity >= 49)
+      SELECT iv.l_orderkey, iv.l_linenumber,
+             CAST(epoch(iv.lo) AS BIGINT) AS ship_ts,
+             count(o.o_orderdate) AS n_orders
+      FROM iv LEFT JOIN orders o
+        ON o.o_orderpriority = '1-URGENT'
+       AND o.o_orderdate >= iv.lo AND o.o_orderdate < iv.hi
+      GROUP BY 1, 2, 3""")),
+
+    // ---- q29: GROUPING SETS — the general form behind ROLLUP (q13)
+    // and CUBE (q24): an explicit lattice of (status, priority),
+    // (status), and grand-total groups in one pass
+    Entry("q29_grouping_sets", (s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("long").as("g_st"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pr"))
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr
+      FROM orders GROUP BY GROUPING SETS (
+        (o_orderstatus, o_orderpriority), (o_orderstatus), ())""")),
+
+    // ---- q30: UNPIVOT — wide per-group measures melted to long
+    // (group, measure, value) form; the oracle spells out the same
+    // melt as a UNION ALL so the semantics are engine-portable
+    Entry("q30_unpivot", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(moneySum(col("l_quantity")).as("qty"),
+          moneySum(col("l_extendedprice")).as("price"),
+          moneySum(col("l_discount")).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "value")
+    }, Some("""
+      WITH base AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'qty' AS measure, qty AS value FROM base
+      UNION ALL
+      SELECT l_returnflag, 'price', price FROM base
+      UNION ALL
+      SELECT l_returnflag, 'disc', disc FROM base""")))
 }

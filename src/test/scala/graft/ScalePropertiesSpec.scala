@@ -100,6 +100,14 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "df cap must filter the postings feeding the join:\n" + p)
   }
 
+  test("q28: range join is a bin equi-join, not a nested loop") {
+    val p = plan("q28_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the point-in-interval match must bucketize into an equi-join; " +
+        "a theta join is O(|intervals|*|points|) at scale")
+  }
+
   test("q01: aggregation is partial before the shuffle") {
     val p = plan("q01_agg")
     assert(p.contains("partial_sum"),

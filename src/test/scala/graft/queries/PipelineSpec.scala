@@ -159,6 +159,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(twoPhase === naive)
   }
 
+  test("kmv sketch: k smallest distinct, order/partition independent, " +
+    "exact below k") {
+    import graft.functions.SketchFunctions.kmv_sketch
+    import spark.implicits._
+    // 1000 values with duplicates, shuffled; k smallest distinct = 0..9
+    val vals = (0L until 500L) ++ (0L until 500L)
+    val shuffled = new scala.util.Random(7).shuffle(vals)
+    Seq(1, 7).foreach { parts =>
+      val sk = shuffled.toDF("h").repartition(parts)
+        .agg(kmv_sketch(col("h"), 10).as("sk"))
+        .head().getSeq[Long](0)
+      assert(sk == (0L until 10L), s"parts=$parts got $sk")
+    }
+    // fewer than k distinct values: the sketch IS the distinct set
+    val small = Seq(5L, 3L, 5L, 9L).toDF("h")
+      .agg(kmv_sketch(col("h"), 10).as("sk")).head().getSeq[Long](0)
+    assert(small == Seq(3L, 5L, 9L))
+    // p24 bench split never leaks into the flagged output
+    val contaminated = run("p24_contamination")
+      .filter(col("doc_id") % 100 === 0).count()
+    assert(contaminated == 0, "benchmark docs must not be flagged")
+  }
+
   test("text stats sanity: ttr in (0,1], avg token len positive") {
     val rows = run("p09_text_stats").collect()
     assert(rows.nonEmpty)
