@@ -97,6 +97,13 @@ object GraftExtensions {
         litInt(args(2), "graft_minhash", "k"))
     },
 
+    fn("graft_kmv_sketch",
+      "graft_kmv_sketch(hash, k) - aggregate: k smallest distinct " +
+        "hashes, sorted (KMV distinct-count sketch)") {
+      args => KmvSketch(args(0), litInt(args(1), "graft_kmv_sketch", "k"))
+        .toAggregateExpression()
+    },
+
     fn("graft_anomaly_prob",
       "graft_anomaly_prob(window, seriesHash, rowKey, activeSize, " +
         "nSeasons, permCount, methodsCsv) - ensemble anomaly probability") {

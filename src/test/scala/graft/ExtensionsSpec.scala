@@ -40,6 +40,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql.getSeq[Long](4) === viaCol.getSeq[Long](4))
   }
 
+  test("graft_kmv_sketch resolves in SQL and matches the Column API") {
+    registered
+    import spark.implicits._
+    (0L until 100L).toDF("h").createOrReplaceTempView("ext_hashes")
+    val viaSql = spark.sql(
+      "SELECT graft_kmv_sketch(h, 5) AS sk FROM ext_hashes")
+      .collect().head.getSeq[Long](0)
+    val viaCol = spark.table("ext_hashes")
+      .agg(graft.functions.SketchFunctions.kmv_sketch(col("h"), 5).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql === (0L until 5L))
+  }
+
   test("graft_anomaly_prob in SQL equals the sequential kernel") {
     registered
     import spark.implicits._
