@@ -990,7 +990,92 @@ object Pipeline {
              CASE WHEN n_exact < 128 THEN CAST(n_exact AS DOUBLE)
                   ELSE round(545460846592.0 / kth_hash, 2)
              END AS est_distinct
-      FROM agg"""))
+      FROM agg""")),
+
+    // ---- p26: int8 scalar-quantized similarity top-k — the memory-
+    // compression path for embedding search at 100 TB: per-vector
+    // symmetric quantization q_i = round(x_i·127/max|x|) shrinks the
+    // column 4-8× (and integer dot products vectorize), at a small
+    // recall cost the spec pins against p07's exact top-k. All
+    // similarity arithmetic is integer-exact until one final division,
+    // computed in the same op order on both engines (sqrt is
+    // IEEE-correctly-rounded everywhere), so the oracle hash-matches.
+    // Same declared brute-force candidate shape as p07 (this is a
+    // compression baseline; p08/p15 remain the candidate-pruning paths).
+    Entry("p26_sim_topk_int8", (s, dir) => {
+      val q8 = embs(s, dir)
+        .withColumn("ma", expr("array_max(transform(emb, x -> abs(x)))"))
+        .withColumn("qv",
+          expr("transform(emb, x -> cast(round(x * 127.0 / ma) as bigint))"))
+        .select(col("vec_id"), col("qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      q8.filter(col("vec_id") % 50 === 0).toDF("query_id", "qq")
+        .join(q8.toDF("neighbor_id", "nq"),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(
+            expr("aggregate(zip_with(qq, nq, (x, y) -> x * y), 0L, " +
+              "(a, x) -> a + x)") /
+              (sqrt(expr("aggregate(transform(qq, x -> x * x), 0L, " +
+                "(a, x) -> a + x)").cast("double")) *
+                sqrt(expr("aggregate(transform(nq, x -> x * x), 0L, " +
+                  "(a, x) -> a + x)").cast("double"))), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT vec_id,
+              list_transform(emb, x -> CAST(round(x * 127.0 / ma) AS BIGINT))
+                AS qv
+            FROM (SELECT vec_id, emb,
+                    list_max(list_transform(emb, x -> abs(x))) AS ma
+                  FROM e)),
+      sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        round(
+          CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+            i -> a.qv[i] * b.qv[i])) AS BIGINT)
+          / (sqrt(CAST(CAST(list_sum(list_transform(a.qv, x -> x * x))
+               AS BIGINT) AS DOUBLE))
+             * sqrt(CAST(CAST(list_sum(list_transform(b.qv, x -> x * x))
+                 AS BIGINT) AS DOUBLE))), 6) AS cos_sim
+        FROM q a JOIN q b ON a.vec_id != b.vec_id WHERE a.vec_id % 50 = 0)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM sims) WHERE rk <= 5""")),
+
+    // ---- p27: tokenizer vocabulary coverage — build the top-16
+    // frequency vocabulary (deterministic tiebreak: count desc, token
+    // asc) and score every doc's out-of-vocabulary rate against it.
+    // Two-phase at scale: the vocab aggregate is a token-keyed shuffle
+    // whose result is tiny -> broadcast back over the postings; the
+    // per-doc score is then shuffle-free on the doc key. The OOV rate
+    // is the standard pre-tokenizer health signal for a training mix.
+    Entry("p27_vocab_oov", (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(16)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          round(col("n_oov") / col("n_toks"), 6).as("oov_rate"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
+      vocab AS (SELECT tok FROM (
+                  SELECT tok, count(*) AS c FROM tok GROUP BY tok)
+                ORDER BY c DESC, tok LIMIT 16),
+      per AS (SELECT t.doc_id, count(*) AS n_toks,
+                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+              FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+              GROUP BY t.doc_id)
+      SELECT doc_id, n_toks, n_oov, round(n_oov / n_toks, 6) AS oov_rate
+      FROM per"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

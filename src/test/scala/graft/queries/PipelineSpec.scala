@@ -159,6 +159,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(twoPhase === naive)
   }
 
+  test("int8 quantized top-k keeps high recall vs exact float top-k") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      run(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk("p07_sim_topk")
+    val quant = topk("p26_sim_topk_int8")
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      quant(q).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"int8 quantization lost too much recall: $mean")
+  }
+
   test("kmv sketch: k smallest distinct, order/partition independent, " +
     "exact below k") {
     import graft.functions.SketchFunctions.kmv_sketch
