@@ -108,6 +108,39 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         "a theta join is O(|intervals|*|points|) at scale")
   }
 
+  test("p24: benchmark side pre-aggregated and broadcast; " +
+    "per-doc agg partial before the shuffle") {
+    val p = plan("p24_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-shingle benchmark dim must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial_count"),
+      "per-doc totals must combine map-side")
+  }
+
+  test("p27: vocab is a top-k (not full sort), broadcast over postings") {
+    val p = plan("p27_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject(limit=16"),
+      "vocab selection must be a bounded top-k, not a global sort")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("kmv sketch alone: partial sketches combine map-side, " +
+    "single key shuffle") {
+    // p25 carries count(DISTINCT) as its accuracy baseline, which
+    // forces a distinct-expand shuffle; the production sketch path is
+    // the sketch by itself — O(k) state, one exchange
+    val p = sources.Tables.table(spark, sfDir, "documents")
+      .select(col("lang"), xxhash64(col("text")).as("h"))
+      .groupBy("lang")
+      .agg(functions.SketchFunctions.kmv_sketch(col("h"), 64).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmv_sketch"),
+      "sketch must partial-aggregate before the shuffle")
+    assert(countOf(p, "Exchange") === 1,
+      s"sketch-only aggregation needs exactly one shuffle:\n$p")
+  }
+
   test("q01: aggregation is partial before the shuffle") {
     val p = plan("q01_agg")
     assert(p.contains("partial_sum"),
