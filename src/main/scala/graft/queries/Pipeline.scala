@@ -44,6 +44,14 @@ object Pipeline {
       .select(col("doc_id"), size(col("sharr")).cast("long").as("n"),
         explode(col("sharr")).as("shingle"))
 
+  // distinct (doc_id, 3-gram hash) postings + per-doc counts — the
+  // decontamination overlap unit shared by p24 and p28
+  private def gram3Sets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        array_distinct(TextHashFunctions.ngram_hashes(toks, 3)).as("sharr"))
+      .select(col("doc_id"), size(col("sharr")).cast("long").as("n"),
+        explode(col("sharr")).as("shingle"))
+
   /** p03's document-frequency cap: shingles present in more than this
     * many documents are dropped from candidate generation (and hence
     * from the `common` intersection count) on BOTH engines. Without it
@@ -914,14 +922,9 @@ object Pipeline {
     // identity is the xxhash64 n-gram hash (same ~1e-9 collision
     // caveat as p03, disclosed there); the oracle uses string shingles.
     Entry("p24_contamination", (s, dir) => {
-      def grams(d: DataFrame): DataFrame = d
-        .select(col("doc_id"),
-          array_distinct(TextHashFunctions.ngram_hashes(toks, 3)).as("sharr"))
-        .select(col("doc_id"), size(col("sharr")).cast("long").as("n"),
-          explode(col("sharr")).as("shingle"))
       val d = docs(s, dir)
-      val train = grams(d.filter(col("doc_id") % 100 =!= 0))
-      val bench = grams(d.filter(col("doc_id") % 100 === 0))
+      val train = gram3Sets(d.filter(col("doc_id") % 100 =!= 0))
+      val bench = gram3Sets(d.filter(col("doc_id") % 100 === 0))
         .groupBy("shingle").agg(count(lit(1)).as("bench_df"))
       train.join(broadcast(bench), "shingle")
         .groupBy("doc_id", "n")
@@ -1075,7 +1078,60 @@ object Pipeline {
               FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
               GROUP BY t.doc_id)
       SELECT doc_id, n_toks, n_oov, round(n_oov / n_toks, 6) AS oov_rate
-      FROM per"""))
+      FROM per""")),
+
+    // ---- p28: per-source training-mix report — the dashboard rollup a
+    // data curator reads before a run: for each ingest source, how many
+    // docs, how many are exact-dup non-keepers (p01/p02 semantics), how
+    // many are benchmark-contaminated (p24 semantics), and the mean
+    // token length (exact integer sum, one division). Composes three
+    // pipeline signals in one pass over the corpus: the dup mark is a
+    // content-hash window, the contamination mark a broadcast semi-join
+    // of 3-gram postings against the bench shingle set, then one
+    // source-keyed aggregate — no per-doc output, so the report stays
+    // O(|sources|) however large the corpus.
+    Entry("p28_source_report", (s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_toks"), md5(norm).as("h"))
+        .withColumn("keeper",
+          min("doc_id").over(Window.partitionBy("h")))
+      val flagged = gram3Sets(d.filter(col("doc_id") % 100 =!= 0))
+        .join(broadcast(gram3Sets(d.filter(col("doc_id") % 100 === 0))
+          .select("shingle").distinct()), Seq("shingle"))
+        .select("doc_id").distinct()
+        .withColumn("contam", lit(1))
+      base.join(flagged, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_dup"),
+          sum(when(col("contam").isNotNull, 1L).otherwise(0L))
+            .as("n_contam"),
+          round(sum(col("n_toks")) / count(lit(1)), 6).as("mean_tokens"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+      base AS (SELECT d.doc_id, d.source,
+                 CAST(len(t.toks) AS BIGINT) AS n_toks,
+                 md5($normSql) AS h,
+                 min(d.doc_id) OVER (PARTITION BY md5($normSql)) AS keeper
+               FROM documents d JOIN docs t USING (doc_id)),
+      sh3 AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                THEN range(1, len(toks)-1) ELSE [] END) AS t(i)),
+      bench AS (SELECT DISTINCT shingle FROM sh3 WHERE doc_id % 100 = 0),
+      flagged AS (SELECT DISTINCT s.doc_id FROM sh3 s
+                  JOIN bench USING (shingle) WHERE s.doc_id % 100 != 0)
+      SELECT b.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN b.doc_id != b.keeper THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contam,
+             round(CAST(sum(b.n_toks) AS BIGINT) / count(*), 6)
+               AS mean_tokens
+      FROM base b LEFT JOIN flagged f ON b.doc_id = f.doc_id
+      GROUP BY 1"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates
