@@ -437,7 +437,55 @@ object Anomaly {
                    ELSE (pm * wm + pf * wf + pc * 0.5) / (wm + wf + 0.5)
               END, 6) AS prob_ensemble_wm
       FROM weighted WHERE rn >= $w"""
-    }))
+    }),
+
+    // ---- a14: per-series distribution moments (mean, variance,
+    // skewness) — the drift profile a fleet compares across deploys to
+    // catch regime change the point detectors can't see. Exactness at
+    // scale: raw power sums S1..S3 of the 1e-6 fixed-point values are
+    // EXACT integers (Spark DECIMAL(38,0) / DuckDB HUGEINT — both
+    // 128-bit), so the aggregation is order/partition independent;
+    // the conversion to moments happens once per group in identical
+    // double op order on both engines. Skewness uses m2·sqrt(m2), not
+    // pow(m2, 1.5) — sqrt is IEEE-correctly-rounded everywhere, pow is
+    // not. S3 of |v6| <= 6e8 over 1e9 rows stays < 1e36 < 38 digits.
+    Entry("a14_moment_drift", (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("v6").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum((col("v6") * col("v6")).cast("decimal(38,0)"))
+            .cast("double").as("s2"),
+          sum((col("v6").cast("decimal(38,0)") * col("v6") * col("v6"))
+            .cast("decimal(38,0)")).cast("double").as("s3"))
+        .selectExpr("event_type", "cast(n as bigint) as n_events",
+          "s1 / n AS m1", "s2 / n AS ex2", "s3 / n AS ex3")
+        .selectExpr("event_type", "n_events",
+          "round(m1 / 1e6, 6) AS mean_v",
+          "round((ex2 - (m1 * m1)) / 1e12, 6) AS var_v",
+          "round(((ex3 - ((3.0 * m1) * ex2)) + ((2.0 * (m1 * m1)) * m1))" +
+            " / ((ex2 - (m1 * m1)) * sqrt(ex2 - (m1 * m1))), 6)" +
+            " AS skew_v")
+    }, Some("""
+      WITH e AS (SELECT event_type,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      sums AS (SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(v6 AS HUGEINT)) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(v6 * v6 AS HUGEINT)) AS DOUBLE) AS s2,
+                 CAST(sum(CAST(v6 AS HUGEINT) * v6 * v6) AS DOUBLE) AS s3
+               FROM e GROUP BY event_type),
+      m AS (SELECT event_type, n, s1 / n AS m1, s2 / n AS ex2,
+              s3 / n AS ex3 FROM sums)
+      SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        round(m1 / 1e6, 6) AS mean_v,
+        round((ex2 - (m1 * m1)) / 1e12, 6) AS var_v,
+        round(((ex3 - ((3.0 * m1) * ex2)) + ((2.0 * (m1 * m1)) * m1))
+          / ((ex2 - (m1 * m1)) * sqrt(ex2 - (m1 * m1))), 6) AS skew_v
+      FROM m"""))
+  )
 
   /** lcm helper for the KS grid scale factor. */
   private[queries] object KsGrid {
