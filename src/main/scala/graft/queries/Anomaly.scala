@@ -484,7 +484,62 @@ object Anomaly {
         round((ex2 - (m1 * m1)) / 1e12, 6) AS var_v,
         round(((ex3 - ((3.0 * m1) * ex2)) + ((2.0 * (m1 * m1)) * m1))
           / ((ex2 - (m1 * m1)) * sqrt(ex2 - (m1 * m1))), 6) AS skew_v
-      FROM m"""))
+      FROM m""")),
+
+    // ---- a15: exponentially-weighted moving average (alpha = 1/2,
+    // horizon 16) — the smoothing stage ahead of a detector. A true
+    // recursive EMA is order-serial (useless on a cluster); over a
+    // bounded horizon it is a windowed dot product with geometric
+    // weights, which distributes like any other windowed expression.
+    // Bit-determinism across engines: the weights are powers of two
+    // (every v6·2^-i product is EXACT in ieee754 — no rounding), terms
+    // fold left-to-right in both engines (Spark `aggregate` from 0.0,
+    // DuckDB `list_reduce` from the first term; 0.0 + t1 == t1
+    // bit-exactly), and the tail weight beyond the horizon is folded
+    // into the closed-form norm 2 - 2^-15.
+    Entry("a15_ema_smooth", (s, dir) => {
+      val w = 16
+      val weights = (1 to w).map(j =>
+        new java.math.BigDecimal(math.pow(2.0, (j - w).toDouble))
+          .toPlainString)
+      val norm = new java.math.BigDecimal(2.0 - math.pow(2.0, -15.0))
+        .toPlainString
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-(w - 1), 0)
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("arr", collect_list(col("v6")).over(frame))
+        .filter(col("rn") >= w)
+        .select(col("event_type"), col("event_id"),
+          expr(s"round(aggregate(zip_with(arr, " +
+            s"array(${weights.mkString("D, ")}D), (x, y) -> x * y), 0D, " +
+            s"(a, x) -> a + x) / ${norm}D / 1e6, 6)").as("ema_v"))
+    }, Some {
+      val w = 16
+      val weights = (1 to w).map(j =>
+        new java.math.BigDecimal(math.pow(2.0, (j - w).toDouble))
+          .toPlainString)
+      val norm = new java.math.BigDecimal(2.0 - math.pow(2.0, -15.0))
+        .toPlainString
+      s"""
+      WITH base AS (
+        SELECT event_type, event_id,
+               row_number() OVER win AS rn,
+               array_agg(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id))
+      SELECT event_type, event_id,
+             round(list_reduce(list_transform(range(1, ${w + 1}),
+               j -> arr[j] * ${weights.mkString("[", ",", "]")}[j]),
+               (a, b) -> a + b) / $norm / 1e6, 6) AS ema_v
+      FROM base WHERE rn >= $w"""
+    })
   )
 
   /** lcm helper for the KS grid scale factor. */

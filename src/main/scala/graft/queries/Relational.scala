@@ -697,5 +697,39 @@ object Relational {
       UNION ALL
       SELECT l_returnflag, 'price', price FROM base
       UNION ALL
-      SELECT l_returnflag, 'disc', disc FROM base""")))
+      SELECT l_returnflag, 'disc', disc FROM base""")),
+
+    // ---- q31: running distinct cardinality per series — cumulative
+    // distinct users per event_type in time order. Neither engine
+    // supports COUNT(DISTINCT) OVER a running frame, and a naive
+    // collect_set-per-row window is O(n·distinct) state; the standard
+    // scalable rewrite marks each (series, user)'s FIRST occurrence
+    // (row_number = 1 over the per-user window) and running-sums the
+    // marks — two window passes over the same series partitioning, two
+    // key shuffles total, O(1) state per row.
+    Entry("q31_running_distinct", (s, dir) => {
+      val wFirst = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("user_id"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_type"), col("event_id"),
+          sum("first_seen").over(wRun).as("n_distinct_users"))
+    }, Some("""
+      WITH marked AS (
+        SELECT event_type, event_id, ts, user_id,
+               CASE WHEN row_number() OVER (
+                 PARTITION BY event_type, user_id ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS first_seen
+        FROM events)
+      SELECT event_type, event_id,
+             CAST(sum(first_seen) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_users
+      FROM marked""")))
 }
