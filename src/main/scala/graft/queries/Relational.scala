@@ -731,5 +731,36 @@ object Relational {
              CAST(sum(first_seen) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_users
-      FROM marked""")))
+      FROM marked""")),
+
+    // ---- q32: the streaming sessionizer's batch twin, driver-oracled.
+    // This entry calls streaming.StreamSessions.sessions VERBATIM (the
+    // same function the StreamSessionsSpec parity test runs as a
+    // stream), so the DuckDB oracle transitively checks the streaming
+    // operator: oracle == batch (here) and batch == streaming (spec).
+    Entry("q32_stream_session_batch", (s, dir) => {
+      graft.streaming.StreamSessions.sessions(
+        Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("value")),
+        "5 minutes", "0 seconds")
+    }, Some("""
+      WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 1e6) AS BIGINT) AS v6,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, v6,
+               sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 5 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(sum(v6) AS BIGINT) AS sum_v6
+      FROM sess GROUP BY user_id, session_id""")))
 }
