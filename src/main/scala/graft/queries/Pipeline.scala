@@ -1131,7 +1131,40 @@ object Pipeline {
              round(CAST(sum(b.n_toks) AS BIGINT) / count(*), 6)
                AS mean_tokens
       FROM base b LEFT JOIN flagged f ON b.doc_id = f.doc_id
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // ---- p29: overlapping token-window chunking (size 32, stride 24)
+    // — how long documents become training/RAG units. Pure per-row
+    // explode: no shuffle at all, output rows ≈ corpus tokens / stride.
+    // Each chunk carries its coordinates and a cross-engine md5 content
+    // hash so downstream chunk-level dedup (p01-style on chunk_hash)
+    // composes directly.
+    Entry("p29_chunk_stride", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(expr("sequence(1, size(tk), 24)"))
+            .as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("start").cast("long").as("start_tok"),
+          expr("slice(tk, start, 32)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          expr(H.h32Spark("array_join(chunk, ' ')")).as("chunk_hash"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      st AS (SELECT doc_id, toks,
+               UNNEST(range(1, len(toks) + 1, 24)) AS start FROM docs),
+      c AS (SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+              CAST(start AS BIGINT) AS start_tok,
+              toks[start:start+31] AS chunk
+            FROM st)
+      SELECT doc_id, chunk_id, start_tok,
+             CAST(len(chunk) AS BIGINT) AS chunk_len,
+             ${graft.functions.HashScheme.h32Duck(
+               "array_to_string(chunk, ' ')")} AS chunk_hash
+      FROM c"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates
