@@ -539,7 +539,48 @@ object Anomaly {
                j -> arr[j] * ${weights.mkString("[", ",", "]")}[j]),
                (a, b) -> a + b) / $norm / 1e6, 6) AS ema_v
       FROM base WHERE rn >= $w"""
-    })
+    }),
+
+    // ---- a16: seasonal residual — each observation minus the trailing
+    // mean of its own (series, hour-of-day) bucket, the wall-clock
+    // seasonality the windowed detectors don't model. Residuals near
+    // zero mean the hour effect explains the value; a detector run on
+    // residuals (q27-style composition) catches within-hour anomalies a
+    // raw-value fence misses. Expanding trailing frame (prior rows
+    // only, so no leakage from the current observation); exact integer
+    // micro-sums make the bucket mean partition-order independent; one
+    // shuffle on the (series, hour) key.
+    Entry("a16_seasonal_residual", (s, dir) => {
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "hod").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          hour(col("ts")).cast("long").as("hod"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("n_prior", count(lit(1)).over(wB))
+        .withColumn("s_prior", sum("v6").over(wB))
+        .select(col("event_type"), col("event_id"), col("hod"),
+          col("n_prior"),
+          round((col("v6") -
+            (col("s_prior").cast("double") / col("n_prior").cast("double")))
+            / lit(1e6), 6).as("resid_v"))
+    }, Some("""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      t AS (SELECT event_type, event_id, hod, v6,
+              count(*) OVER w AS n_prior,
+              CAST(sum(v6) OVER w AS BIGINT) AS s_prior
+            FROM e
+            WINDOW w AS (PARTITION BY event_type, hod
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_type, event_id, hod, n_prior,
+             round((v6 - (CAST(s_prior AS DOUBLE) / CAST(n_prior AS DOUBLE)))
+               / 1e6, 6) AS resid_v
+      FROM t"""))
   )
 
   /** lcm helper for the KS grid scale factor. */

@@ -1164,7 +1164,57 @@ object Pipeline {
              CAST(len(chunk) AS BIGINT) AS chunk_len,
              ${graft.functions.HashScheme.h32Duck(
                "array_to_string(chunk, ' ')")} AS chunk_hash
-      FROM c"""))
+      FROM c""")),
+
+    // ---- p30: composite quality filter with reasons — the C4-style
+    // rule gate curators actually ship: every doc gets a keep/drop
+    // verdict plus the ORDERED list of failed rules, so drops are
+    // auditable and rates per rule are one groupBy away. All three
+    // signals are per-row expressions (token count, type-token ratio,
+    // max single-token share) — shuffle-free over any corpus size. The
+    // reasons array uses a FIXED rule order on both engines (no sort
+    // needed, no tie ambiguity).
+    Entry("p30_quality_filter", (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_toks"),
+          expr("size(array_distinct(tk))").cast("long").as("n_types"),
+          expr("array_max(transform(array_distinct(tk), " +
+            "t -> size(filter(tk, x -> x = t))))").cast("long")
+            .as("max_tok"))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("n_types") / col("n_toks"), 6).as("ttr"),
+          round(col("max_tok") / col("n_toks"), 6).as("top_frac"),
+          expr("filter(array(" +
+            "case when n_toks < 30 then 'too_short' end, " +
+            "case when (n_types / n_toks) < 0.35 then 'low_ttr' end, " +
+            "case when (max_tok / n_toks) > 0.15 then 'rep_heavy' end), " +
+            "x -> x is not null)").as("reasons"))
+        .withColumn("keep", size(col("reasons")) === 0)
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sig AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                CAST(list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
+                  AS max_tok
+              FROM docs)
+      SELECT doc_id, n_toks,
+             round(n_types / n_toks, 6) AS ttr,
+             round(max_tok / n_toks, 6) AS top_frac,
+             list_filter([
+               CASE WHEN n_toks < 30 THEN 'too_short' END,
+               CASE WHEN (n_types / n_toks) < 0.35 THEN 'low_ttr' END,
+               CASE WHEN (max_tok / n_toks) > 0.15 THEN 'rep_heavy' END],
+               x -> x IS NOT NULL) AS reasons,
+             len(list_filter([
+               CASE WHEN n_toks < 30 THEN 'too_short' END,
+               CASE WHEN (n_types / n_toks) < 0.35 THEN 'low_ttr' END,
+               CASE WHEN (max_tok / n_toks) > 0.15 THEN 'rep_heavy' END],
+               x -> x IS NOT NULL)) = 0 AS keep
+      FROM sig"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates
