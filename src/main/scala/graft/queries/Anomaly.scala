@@ -580,7 +580,63 @@ object Anomaly {
       SELECT event_type, event_id, hod, n_prior,
              round((v6 - (CAST(s_prior AS DOUBLE) / CAST(n_prior AS DOUBLE)))
                / 1e6, 6) AS resid_v
-      FROM t"""))
+      FROM t""")),
+
+    // ---- a17: windowed CUSUM level-shift statistic — over the
+    // trailing w=20 window, max_j |w·S_j − j·S_w| (S_j = prefix sum of
+    // the 1e-6 fixed-point values): the classic cumulative-sum
+    // deviation from the window's linear trend, large when the series
+    // steps to a new level mid-window — the change-point signal the
+    // per-point fence/magnitude tests are blind to. The same
+    // multiply-through-by-n trick as a10's KS grid keeps the whole
+    // statistic in exact 64-bit integers (|w·S_j| ≤ w²·max|v6| —
+    // overflow-safe under 2^63 up to max|value| ~2e10), so it
+    // hash-matches across engines and partitionings; only the final
+    // normalization divides. Spark builds the prefix array in ONE left
+    // fold (O(w) adds per row); the oracle may re-fold per j since
+    // integer addition is order-exact.
+    Entry("a17_cusum_shift", (s, dir) => {
+      val w = 20
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-(w - 1), 0)
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("arr", collect_list(col("v6")).over(frame))
+        .filter(col("rn") >= w)
+        .withColumn("prefix", expr(s"aggregate(slice(arr, 1, ${w - 1}), " +
+          "array(cast(0 as bigint)), " +
+          "(acc, x) -> array_append(acc, element_at(acc, size(acc)) + x))"))
+        .withColumn("sn",
+          expr(s"element_at(prefix, $w) + element_at(arr, $w)"))
+        .withColumn("cusum_num", expr(s"array_max(transform(" +
+          s"sequence(1, ${w - 1}), " +
+          s"j -> abs($w * element_at(prefix, j + 1) - j * sn)))"))
+        .select(col("event_type"), col("event_id"), col("cusum_num"),
+          round(col("cusum_num") / lit(20000000.0), 6).as("cusum_v"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type, event_id,
+               row_number() OVER win AS rn,
+               array_agg(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      f AS (SELECT event_type, event_id, arr,
+              CAST(list_sum(arr) AS BIGINT) AS sn
+            FROM base WHERE rn >= 20),
+      stat AS (SELECT event_type, event_id,
+                 CAST(list_max(list_transform(range(1, 20),
+                   j -> abs(20 * CAST(list_sum(arr[1:j]) AS BIGINT)
+                     - j * sn))) AS BIGINT) AS cusum_num
+               FROM f)
+      SELECT event_type, event_id, cusum_num,
+             round(cusum_num / 20000000.0, 6) AS cusum_v
+      FROM stat"""))
   )
 
   /** lcm helper for the KS grid scale factor. */
