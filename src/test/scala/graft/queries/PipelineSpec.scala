@@ -197,6 +197,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(contaminated == 0, "benchmark docs must not be flagged")
   }
 
+  test("kmv sketch state round-trips through serialization") {
+    // the exchange between partial and final aggregation ships the
+    // buffer through serialize/deserialize — pin that path directly
+    val sk = graft.functions.KmvSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 4)
+    val buf = sk.createAggregationBuffer()
+    Seq(9L, 2L, 7L, 2L, 5L, 1L).foreach(buf.add(_))
+    val restored = sk.deserialize(sk.serialize(buf))
+    assert(restored.equals(buf))
+    val merged = sk.merge(sk.createAggregationBuffer(), restored)
+    // merge respects the k bound: 6 distinct in, 4 smallest kept
+    assert(sk.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq == Seq(1L, 2L, 5L, 7L))
+  }
+
   test("text stats sanity: ttr in (0,1], avg token len positive") {
     val rows = run("p09_text_stats").collect()
     assert(rows.nonEmpty)
