@@ -636,7 +636,74 @@ object Anomaly {
                FROM f)
       SELECT event_type, event_id, cusum_num,
              round(cusum_num / 20000000.0, 6) AS cusum_v
-      FROM stat"""))
+      FROM stat""")),
+
+    // ---- a18: rolling cross-series correlation — trailing-24h Pearson
+    // r between the click and view hourly totals, the co-movement drift
+    // signal for "these two series decoupled" alerts. All six windowed
+    // sums (Sx, Sy, Sxx, Syy, Sxy) are exact 128-bit integers
+    // (DECIMAL(38,0) / HUGEINT — products are cast 128-bit BEFORE
+    // multiplying since x6² alone overflows int64), so the windowed
+    // aggregation is partition-order independent; r's numerator and
+    // the two radicands convert to double once and combine in
+    // identical op order (sqrt·sqrt, one division). The 'pair' key is
+    // the partition column — one pair here, many at scale.
+    Entry("a18_rolling_corr", (s, dir) => {
+      val wdw = 24
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .groupBy("event_type", "hr").agg(sum("v6").as("s6"))
+      val j = hourly.filter(col("event_type") === "click")
+        .select(col("hr"), col("s6").as("x6"))
+        .join(hourly.filter(col("event_type") === "view")
+          .select(col("hr"), col("s6").as("y6")), "hr")
+        .withColumn("pair", lit("click~view"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("pair").orderBy("hr")
+      val wf = wp.rowsBetween(-(wdw - 1), 0)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      j.withColumn("rn", row_number().over(wp))
+        .withColumn("sx", sum(dec(col("x6"))).over(wf))
+        .withColumn("sy", sum(dec(col("y6"))).over(wf))
+        .withColumn("sxx", sum(dec(col("x6")) * col("x6")).over(wf))
+        .withColumn("syy", sum(dec(col("y6")) * col("y6")).over(wf))
+        .withColumn("sxy", sum(dec(col("x6")) * col("y6")).over(wf))
+        .filter(col("rn") >= wdw)
+        .select(col("pair"), col("hr").cast("long").as("hour_ts"),
+          round((lit(wdw) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((lit(wdw) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((lit(wdw) * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("corr_24h"))
+    }, Some("""
+      WITH e AS (SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6
+                 FROM events WHERE event_type IN ('click', 'view')),
+      h AS (SELECT event_type, hr, CAST(sum(v6) AS BIGINT) AS s6
+            FROM e GROUP BY 1, 2),
+      j AS (SELECT x.hr, x.s6 AS x6, y.s6 AS y6
+            FROM h x JOIN h y USING (hr)
+            WHERE x.event_type = 'click' AND y.event_type = 'view'),
+      wnd AS (SELECT hr, row_number() OVER w AS rn,
+                sum(CAST(x6 AS HUGEINT)) OVER wf AS sx,
+                sum(CAST(y6 AS HUGEINT)) OVER wf AS sy,
+                sum(CAST(x6 AS HUGEINT) * x6) OVER wf AS sxx,
+                sum(CAST(y6 AS HUGEINT) * y6) OVER wf AS syy,
+                sum(CAST(x6 AS HUGEINT) * y6) OVER wf AS sxy
+              FROM j
+              WINDOW w AS (ORDER BY hr),
+                wf AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING
+                  AND CURRENT ROW))
+      SELECT 'click~view' AS pair, CAST(epoch(hr) AS BIGINT) AS hour_ts,
+             round(CAST(24 * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(24 * syy - sy * sy AS DOUBLE))), 6)
+               AS corr_24h
+      FROM wnd WHERE rn >= 24"""))
   )
 
   /** lcm helper for the KS grid scale factor. */
