@@ -947,7 +947,7 @@ object Pipeline {
                WHERE s.doc_id % 100 != 0 GROUP BY s.doc_id)
       SELECT h.doc_id, c.n AS n_shingles, h.n_hit, h.n_bench_docs,
              round(h.n_hit / c.n, 6) AS contam_frac
-      FROM hits h JOIN counts3 c USING (doc_id)""")),
+      FROM hits h JOIN counts3 c USING (doc_id)"""), bench = true),
 
     // ---- p25: KMV distinct-count sketch — per-language distinct
     // 5-gram shingle cardinality estimated from the k=128 smallest

@@ -31,7 +31,29 @@ object StreamJoin {
       left: DataFrame,
       right: DataFrame,
       horizon: String,
-      delay: String): DataFrame = {
+      delay: String): DataFrame =
+    joined(left, right, horizon, delay, "inner")
+
+  /** Left-outer variant: left events with NO follower within `horizon`
+    * still emit (null right columns) — but only once the watermark has
+    * passed `l_ts + horizon + delay`, i.e. once no qualifying right row
+    * can still arrive. That deferred emission is the semantic cost of
+    * outer results on unbounded streams; in batch it degenerates to a
+    * plain left-outer interval join (what the parity spec compares).
+    */
+  def followWithinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      horizon: String,
+      delay: String): DataFrame =
+    joined(left, right, horizon, delay, "leftOuter")
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      horizon: String,
+      delay: String,
+      how: String): DataFrame = {
     val l = left
       .select(col("user_id"), col("ts").as("l_ts"),
         col("event_type").as("l_type"))
@@ -41,7 +63,7 @@ object StreamJoin {
         col("event_type").as("r_type"))
       .withWatermark("r_ts", delay)
     l.join(r, expr("user_id = r_user AND " +
-        s"r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"))
+        s"r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"), how)
       .select(col("user_id"), col("l_ts"), col("l_type"),
         col("r_ts"), col("r_type"))
   }

@@ -63,4 +63,52 @@ class StreamJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(streaming.size === 2)
     } finally query.stop()
   }
+
+  test("left-outer: unmatched left rows emit with nulls once the " +
+    "watermark passes; == batch left-outer join") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+
+    val clicks = Seq(ev(1, 0, "click"), ev(2, 0, "click"))
+    val buys = Seq(ev(1, 5 * min, "buy")) // u2's click never matches
+    // sentinels on BOTH streams push the global watermark (min of the
+    // two inputs) far past l_ts + horizon + delay, forcing the
+    // unmatched u2 row to emit; sentinel users are filtered out below
+    val sentinelL = ev(98, 10000 * min, "click")
+    val sentinelR = ev(99, 10000 * min, "buy")
+
+    val lIn = MemoryStream[JoinEvent](sparkSession)
+    val rIn = MemoryStream[JoinEvent](sparkSession)
+    val query = StreamJoin
+      .followWithinOuter(lIn.toDF(), rIn.toDF(), "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sjo_sink")
+      .outputMode("append").start()
+    try {
+      lIn.addData(clicks: _*)
+      rIn.addData(buys: _*)
+      query.processAllAvailable()
+      lIn.addData(sentinelL)
+      rIn.addData(sentinelR)
+      query.processAllAvailable()
+      // one more empty-ish cycle lets the engine act on the advanced
+      // watermark and flush expired left state
+      rIn.addData(ev(99, 10001 * min, "buy"))
+      lIn.addData(ev(98, 10001 * min, "click"))
+      query.processAllAvailable()
+
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .filter(org.apache.spark.sql.functions.col("user_id") < 90)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(3))))
+        .toSet
+      val streaming = rows(spark.table("sjo_sink"))
+      val batch = rows(StreamJoin.followWithinOuter(
+        clicks.toDF(), buys.toDF(), "10 minutes", "1 minute"))
+
+      assert(streaming === batch)
+      assert(streaming.exists(r => r._1 == 2L && r._3.isEmpty),
+        "u2's unmatched click must emit with a null right side")
+    } finally query.stop()
+  }
 }
