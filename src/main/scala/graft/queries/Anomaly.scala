@@ -703,7 +703,44 @@ object Anomaly {
                / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
                   * sqrt(CAST(24 * syy - sy * sy AS DOUBLE))), 6)
                AS corr_24h
-      FROM wnd WHERE rn >= 24"""))
+      FROM wnd WHERE rn >= 24""")),
+
+    // ---- a19: rolling median — the robust smoother: a single outlier
+    // in the trailing window moves the EMA (a15) but not the median,
+    // so (value − rolling_median) makes a spike detector with a stable
+    // baseline. Odd window (25) → the median IS an input value: sort
+    // the frame, pick the middle — zero arithmetic, so it is
+    // bit-deterministic across engines trivially (no FP combine at
+    // all). O(w log w) per row inside codegen; one series-key shuffle.
+    Entry("a19_rolling_median", (s, dir) => {
+      val w = 25
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wRn.rowsBetween(-(w - 1), 0)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("value"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("arr", collect_list(col("value")).over(frame))
+        .filter(col("rn") >= w)
+        .select(col("event_type"), col("event_id"),
+          expr(s"element_at(array_sort(arr), ${(w + 1) / 2})")
+            .as("median_v"),
+          round(col("value") -
+            expr(s"element_at(array_sort(arr), ${(w + 1) / 2})"), 6)
+            .as("spike_v"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER win AS rn,
+               array_agg(value) OVER (win ROWS BETWEEN 24
+                 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id))
+      SELECT event_type, event_id,
+             list_sort(arr)[13] AS median_v,
+             round(value - list_sort(arr)[13], 6) AS spike_v
+      FROM base WHERE rn >= 25"""))
   )
 
   /** lcm helper for the KS grid scale factor. */

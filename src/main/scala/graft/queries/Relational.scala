@@ -762,5 +762,60 @@ object Relational {
              max(ts) + INTERVAL 5 MINUTE AS session_end,
              count(*) AS n_events,
              CAST(sum(v6) AS BIGINT) AS sum_v6
-      FROM sess GROUP BY user_id, session_id""")))
+      FROM sess GROUP BY user_id, session_id""")),
+
+    // ---- q33: declarative data-quality constraint suite — the
+    // Deequ-style gate a pipeline runs before trusting a batch: each
+    // constraint evaluates to one (name, n_violations, pass) row.
+    // Referential checks are anti-join counts (broadcast the key dim
+    // when small); uniqueness is count - count(distinct); range checks
+    // are pushdown-able filters. The whole report is a UNION of
+    // O(1)-row aggregates — constant output however large the corpus.
+    Entry("q33_constraints", (s, dir) => {
+      def c(name: String, viol: DataFrame): DataFrame =
+        viol.select(lit(name).as("constraint_name"),
+          col("n").as("n_violations"), (col("n") === 0L).as("pass"))
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val ev = Tables.events(s, dir)
+      val orphanLines = li.select(col("l_orderkey"))
+        .join(broadcast(o.select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val orphanOrders = o.select(col("o_custkey"))
+        .join(broadcast(cust.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val dupOrders = o.agg((count(lit(1)) -
+        countDistinct(col("o_orderkey"))).as("n"))
+      val qtyRange = li.filter(col("l_quantity") < 1 ||
+        col("l_quantity") > 50).agg(count(lit(1)).as("n"))
+      val valNonneg = ev.filter(col("value").isNull ||
+        col("value") < 0).agg(count(lit(1)).as("n"))
+      c("lineitem_orderkey_refs_orders", orphanLines)
+        .union(c("orders_custkey_refs_customer", orphanOrders))
+        .union(c("orders_orderkey_unique", dupOrders))
+        .union(c("lineitem_quantity_in_1_50", qtyRange))
+        .union(c("events_value_nonnegative", valNonneg))
+    }, Some("""
+      SELECT 'lineitem_orderkey_refs_orders' AS constraint_name,
+             count(*) AS n_violations, count(*) = 0 AS pass
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_custkey_refs_customer', count(*), count(*) = 0
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'orders_orderkey_unique',
+             count(*) - count(DISTINCT o_orderkey),
+             count(*) - count(DISTINCT o_orderkey) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_quantity_in_1_50', count(*), count(*) = 0
+      FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+      UNION ALL
+      SELECT 'events_value_nonnegative', count(*), count(*) = 0
+      FROM events WHERE value IS NULL OR value < 0""")))
 }
