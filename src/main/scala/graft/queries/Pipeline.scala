@@ -1172,8 +1172,10 @@ object Pipeline {
     // auditable and rates per rule are one groupBy away. All three
     // signals are per-row expressions (token count, type-token ratio,
     // max single-token share) — shuffle-free over any corpus size. The
-    // reasons array uses a FIXED rule order on both engines (no sort
-    // needed, no tie ambiguity).
+    // failed rules are emitted in a FIXED rule order as a ','-joined
+    // string (no sort needed, no tie ambiguity; scalar so the driver's
+    // pandas sort/hash compare handles it — array cells are unhashable
+    // there).
     Entry("p30_quality_filter", (s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), toks.as("tk"))
@@ -1190,8 +1192,10 @@ object Pipeline {
             "case when n_toks < 30 then 'too_short' end, " +
             "case when (n_types / n_toks) < 0.35 then 'low_ttr' end, " +
             "case when (max_tok / n_toks) > 0.15 then 'rep_heavy' end), " +
-            "x -> x is not null)").as("reasons"))
-        .withColumn("keep", size(col("reasons")) === 0)
+            "x -> x is not null)").as("reason_arr"))
+        .select(col("doc_id"), col("n_toks"), col("ttr"), col("top_frac"),
+          array_join(col("reason_arr"), ",").as("reasons"),
+          (size(col("reason_arr")) === 0).as("keep"))
     }, Some(s"""
       WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
       sig AS (SELECT doc_id,
@@ -1200,21 +1204,21 @@ object Pipeline {
                 CAST(list_max(list_transform(list_distinct(toks),
                   t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
                   AS max_tok
-              FROM docs)
-      SELECT doc_id, n_toks,
-             round(n_types / n_toks, 6) AS ttr,
-             round(max_tok / n_toks, 6) AS top_frac,
-             list_filter([
-               CASE WHEN n_toks < 30 THEN 'too_short' END,
-               CASE WHEN (n_types / n_toks) < 0.35 THEN 'low_ttr' END,
-               CASE WHEN (max_tok / n_toks) > 0.15 THEN 'rep_heavy' END],
-               x -> x IS NOT NULL) AS reasons,
-             len(list_filter([
-               CASE WHEN n_toks < 30 THEN 'too_short' END,
-               CASE WHEN (n_types / n_toks) < 0.35 THEN 'low_ttr' END,
-               CASE WHEN (max_tok / n_toks) > 0.15 THEN 'rep_heavy' END],
-               x -> x IS NOT NULL)) = 0 AS keep
-      FROM sig"""))
+              FROM docs),
+      ruled AS (SELECT doc_id, n_toks,
+                  round(n_types / n_toks, 6) AS ttr,
+                  round(max_tok / n_toks, 6) AS top_frac,
+                  list_filter([
+                    CASE WHEN n_toks < 30 THEN 'too_short' END,
+                    CASE WHEN (n_types / n_toks) < 0.35 THEN 'low_ttr' END,
+                    CASE WHEN (max_tok / n_toks) > 0.15 THEN 'rep_heavy' END],
+                    x -> x IS NOT NULL) AS reason_arr
+                FROM sig)
+      SELECT doc_id, n_toks, ttr, top_frac,
+             -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+             coalesce(array_to_string(reason_arr, ','), '') AS reasons,
+             len(reason_arr) = 0 AS keep
+      FROM ruled"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates
