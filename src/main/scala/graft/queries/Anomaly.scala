@@ -23,6 +23,12 @@ object Anomaly {
     activeSize = 2, nSeasons = 4,
     upperBound = 500.0, lowerBound = Some(0.0), sensitivity = 0.1)
 
+  /** a15's EMA horizon (alpha = 1/2 over 16 taps); shared with
+    * AnomalySpec so the test derives its bounds from the query's
+    * constant instead of pinning a stale copy.
+    */
+  private[graft] val EmaHorizon = 16
+
   private def detected(s: org.apache.spark.sql.SparkSession, dir: String) =
     Detectors.withProbsFused(Tables.events(s, dir), col("event_type"),
         col("ts"), Seq(col("event_id")), col("value"), spec)
@@ -329,10 +335,15 @@ object Anomaly {
                (list_max(arr) - list_min(arr)) / ${w - 1}.0 AS step
         FROM base WHERE rn >= $w
       ), gridded AS (
+        -- ONE cumulative fold (each point = previous + step), mirroring
+        -- the Spark side's O(w) aggregate: the reduce elements are
+        -- single-element lists so the accumulator is a list and each
+        -- step appends acc[len(acc)] + step — the identical left-fold
+        -- addition order, without the per-point O(w^2) re-fold.
         SELECT event_type, event_id, arr,
-               list_transform(range(0, $w), i -> list_reduce(
-                 list_prepend(lo, list_transform(range(i), j -> step)),
-                 (acc, x) -> acc + x)) AS grid
+               list_reduce(
+                 list_prepend([lo], list_transform(range(1, $w), j -> [step])),
+                 (acc, x) -> list_append(acc, acc[len(acc)] + x[1])) AS grid
         FROM full_w
       ), stat AS (
         SELECT event_type, event_id,
@@ -363,8 +374,14 @@ object Anomaly {
     // fanout (~16 elements; here max 9 = windowSize-1). If spec
     // .windowSize ever exceeds ~16, DuckDB's tree association can
     // differ by ulps and flip a tie — re-add the round(6)-hardened
-    // compare used in probsCte in that case.
+    // compare used in probsCte in that case. The require below makes
+    // that silent-flakiness mode a loud build failure instead.
     Entry("a11_anomaly_by_test", (s, dir) => {
+      require(spec.windowSize <= 16,
+        "a11's unrounded oracle compare is exact only while window " +
+          "frames stay below DuckDB's segment-tree fanout (~16); " +
+          s"windowSize=${spec.windowSize} needs the round(6)-hardened " +
+          "compare (see probsCte)")
       val byTestConf = AnomalyzerConf(
         activeSize = spec.activeSize, nSeasons = spec.nSeasons,
         upperBound = spec.upperBound, lowerBound = spec.lowerBound,
@@ -498,7 +515,7 @@ object Anomaly {
     // bit-exactly), and the tail weight beyond the horizon is folded
     // into the closed-form norm 2 - 2^-15.
     Entry("a15_ema_smooth", (s, dir) => {
-      val w = 16
+      val w = EmaHorizon
       val weights = (1 to w).map(j =>
         new java.math.BigDecimal(math.pow(2.0, (j - w).toDouble))
           .toPlainString)
@@ -520,7 +537,7 @@ object Anomaly {
             s"array(${weights.mkString("D, ")}D), (x, y) -> x * y), 0D, " +
             s"(a, x) -> a + x) / ${norm}D / 1e6, 6)").as("ema_v"))
     }, Some {
-      val w = 16
+      val w = EmaHorizon
       val weights = (1 to w).map(j =>
         new java.math.BigDecimal(math.pow(2.0, (j - w).toDouble))
           .toPlainString)

@@ -44,15 +44,16 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
   test("a15 EMA invariants: constant series reproduces the value " +
     "exactly; outputs bounded by the window") {
     val out = Catalog.queries("a15_ema_smooth")(spark, sfDir)
+    val h = Anomaly.EmaHorizon // the query's own horizon, not a copy
     // on the real corpus every ema must lie inside its trailing
     // window's [min, max] — a weighted mean cannot escape its inputs
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     val bounds = Tables.events(spark, sfDir)
       .withColumn("rn", row_number().over(w))
-      .withColumn("lo", min(col("value")).over(w.rowsBetween(-15, 0)))
-      .withColumn("hi", max(col("value")).over(w.rowsBetween(-15, 0)))
-      .filter(col("rn") >= 16)
+      .withColumn("lo", min(col("value")).over(w.rowsBetween(-(h - 1), 0)))
+      .withColumn("hi", max(col("value")).over(w.rowsBetween(-(h - 1), 0)))
+      .filter(col("rn") >= h)
       .select(col("event_type"), col("event_id"), col("lo"), col("hi"))
     val joined = out.join(bounds, Seq("event_type", "event_id"))
     val bad = joined.filter(col("ema_v") < col("lo") - 1e-6 ||
@@ -61,8 +62,8 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     // constant series: the power-of-two weights normalize EXACTLY
     // (left-fold of w_i * v == norm * v bit-for-bit), so ema == value
     // with zero rounding error — same fold the query expression runs
-    val weights = (1 to 16).map(j => math.pow(2.0, (j - 16).toDouble))
-    val norm = 2.0 - math.pow(2.0, -15.0)
+    val weights = (1 to h).map(j => math.pow(2.0, (j - h).toDouble))
+    val norm = 2.0 - math.pow(2.0, 1.0 - h)
     val ema = weights.map(_ * 7.25e6).foldLeft(0.0)(_ + _) / norm / 1e6
     assert(ema === 7.25)
   }
