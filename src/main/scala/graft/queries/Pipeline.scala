@@ -1218,7 +1218,128 @@ object Pipeline {
              -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
              coalesce(array_to_string(reason_arr, ','), '') AS reasons,
              len(reason_arr) = 0 AS keep
-      FROM ruled"""))
+      FROM ruled""")),
+
+    // ---- p31: deterministic train/val/test split assignment — the
+    // hash-mod split every training pipeline needs: stable under
+    // reruns, re-shards, and corpus growth (a doc's split depends only
+    // on its id, never on row order or partitioning), and exactly
+    // reproducible on any engine via the md5 HashScheme. The ':split'
+    // salt decouples this hash from every other doc_id-hash in the
+    // engine so adding a split can never correlate with, e.g., the
+    // sampling hash. Per-row, shuffle-free at any corpus size.
+    Entry("p31_split_assign", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(H.h32Spark("concat(cast(doc_id as string), ':split')") +
+            " % 100").as("bucket"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+    }, Some(s"""
+      WITH b AS (SELECT doc_id, source,
+        ${graft.functions.HashScheme.h32Duck(
+          "CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, source, bucket,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b""")),
+
+    // ---- p32: per-language top-k bigrams — the corpus LM-ish n-gram
+    // census behind stopword lists, contamination heuristics, and
+    // domain drift checks. Shape at 100 TB: explode to (lang, bigram)
+    // -> hash aggregate (map-side partial combine absorbs the heavy
+    // per-doc repetition before the single shuffle) -> the rank window
+    // runs over the AGGREGATED vocab-sized table, never the raw
+    // corpus. Ties (equal counts) break on the bigram string so the
+    // k-boundary is total and engine-independent.
+    Entry("p32_ngram_topk", (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("lang"), toks.as("tk"))
+        // Spark sequence(1, 0) would DESCEND ([1, 0]); guard short docs
+        .filter(size(col("tk")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> " +
+            "concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("bigram"))
+      bi.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("bigram"))))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+          col("bigram"), col("cnt"))
+    }, Some(s"""
+      WITH docs AS (SELECT lang, $toksSql AS toks FROM documents),
+      bi AS (SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
+             FROM docs, UNNEST(range(1, len(toks))) AS t(i)),
+      c AS (SELECT lang, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+      r AS (SELECT lang, row_number() OVER (PARTITION BY lang
+              ORDER BY cnt DESC, bigram) AS rk, bigram, cnt FROM c)
+      SELECT lang, rk, bigram, cnt FROM r WHERE rk <= 10""")),
+
+    // ---- p33: embedding-norm outliers — the vector-quality gate ahead
+    // of ANN indexing: a truncated/blown-up embedding shows up as a
+    // norm z-score outlier within its label cohort. Two passes, both
+    // scale-clean: (1) per-row exact integer sum of squared 1e-6
+    // fixed-point components (<= 64·(4e5)² « 2^63) -> norm6 =
+    // round(sqrt) — an exact integer on both engines; (2) per-label
+    // count/sum/sum-of-squares in 128-bit integers (partition-order
+    // independent), broadcast back (cohort table = #labels rows). The
+    // z conversion happens once per row in identical double op order.
+    Entry("p33_emb_outliers", (s, dir) => {
+      // persisted: the slim (vec_id, label, norm6) projection feeds both
+      // the cohort aggregate and the per-row rejoin — without it the
+      // embedding table is scanned and re-squared twice
+      val e = embs(s, dir)
+        .select(col("vec_id"), col("label"),
+          expr("aggregate(transform(emb, x -> cast(round(x * 1e6) as " +
+            "bigint)), 0L, (a, v) -> a + v * v)").as("s2"))
+        .withColumn("norm6",
+          expr("cast(round(sqrt(cast(s2 as double))) as bigint)"))
+        .drop("s2")
+        .persist()
+      val stats = e.groupBy("label").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("norm6").cast("decimal(38,0)")).cast("double").as("sn"),
+        sum(col("norm6").cast("decimal(38,0)") * col("norm6"))
+          .cast("double").as("sn2"))
+      e.join(broadcast(stats), "label")
+        .withColumn("z_raw",
+          (col("norm6").cast("double") - (col("sn") / col("n"))) /
+            sqrt((col("sn2") / col("n")) -
+              ((col("sn") / col("n")) * (col("sn") / col("n")))))
+        .select(col("vec_id"), col("label"),
+          round(col("norm6") / 1e6, 6).as("norm"),
+          round(col("z_raw"), 6).as("z"),
+          (abs(col("z_raw")) > 2.0).as("is_outlier"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, label,
+        CAST(list_sum(list_transform(
+          list_transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT)),
+          v -> v * v)) AS BIGINT) AS s2
+        FROM embeddings),
+      n6 AS (SELECT vec_id, label,
+               CAST(round(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS norm6
+             FROM e),
+      s AS (SELECT vec_id, label, norm6,
+              CAST(count(*) OVER w AS DOUBLE) AS n,
+              CAST(sum(CAST(norm6 AS HUGEINT)) OVER w AS DOUBLE) AS sn,
+              CAST(sum(CAST(norm6 AS HUGEINT) * norm6) OVER w AS DOUBLE)
+                AS sn2
+            FROM n6 WINDOW w AS (PARTITION BY label)),
+      z AS (SELECT vec_id, label, norm6,
+              (CAST(norm6 AS DOUBLE) - (sn / n)) /
+                sqrt((sn2 / n) - ((sn / n) * (sn / n))) AS z_raw
+            FROM s)
+      SELECT vec_id, label,
+             round(norm6 / 1e6, 6) AS norm,
+             round(z_raw, 6) AS z,
+             abs(z_raw) > 2.0 AS is_outlier
+      FROM z"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

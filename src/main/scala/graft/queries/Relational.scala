@@ -817,5 +817,41 @@ object Relational {
       FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
       UNION ALL
       SELECT 'events_value_nonnegative', count(*), count(*) = 0
-      FROM events WHERE value IS NULL OR value < 0""")))
+      FROM events WHERE value IS NULL OR value < 0""")),
+
+    // ---- q34: latest-state snapshot — compact an append-only event
+    // log into the current state per (user, event_type) key: the
+    // newest row wins (ts, then event_id as the total tie-break),
+    // with the key's event count carried for lineage. This is the
+    // CDC/upsert "log -> table" resolution every warehouse needs and
+    // the reference (a pure stream scorer) has no answer to. One
+    // shuffle on the state key; the per-key window sorts only inside
+    // each key group, so the plan is the same at 100 TB — no global
+    // sort, no driver state. No FP arithmetic at all (values pass
+    // through untouched), so cross-engine equality is trivial.
+    Entry("q34_latest_state", (s, dir) => {
+      val key = Window.partitionBy("user_id", "event_type")
+      val w = key.orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_events", count(lit(1)).over(key))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"), col("n_events"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rk,
+               count(*) OVER (PARTITION BY user_id, event_type) AS n_events
+        FROM events)
+      SELECT user_id, event_type,
+             -- floor: epoch() keeps the sub-second fraction and a bare
+             -- CAST would round it; Spark's long cast truncates
+             CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+             event_id AS last_event_id,
+             value AS last_value, n_events
+      FROM ranked WHERE rk = 1""")))
 }

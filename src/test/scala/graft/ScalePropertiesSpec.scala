@@ -147,6 +147,43 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "map-side combine must run before the exchange")
   }
 
+  test("p31: split assignment is per-row — no exchange at all") {
+    val p = plan("p31_split_assign")
+    assert(!p.contains("Exchange"),
+      "hash-mod split must not shuffle:\n" + p)
+  }
+
+  test("p32: bigram census partial-aggregates before its one shuffle; " +
+    "rank window runs over the aggregated table") {
+    val p = plan("p32_ngram_topk")
+    assert(p.contains("partial_count"),
+      "map-side combine must absorb per-doc repetition:\n" + p)
+    // one shuffle for the (lang, bigram) aggregate, one to re-key the
+    // vocab-sized aggregate by lang for the rank window — never a
+    // corpus-sized exchange beyond the first
+    assert(countOf(p, "Exchange hashpartitioning") === 2,
+      "expected agg + window re-key shuffles only:\n" + p)
+    val aggAt = p.indexOf("partial_count")
+    val winAt = p.indexOf("row_number")
+    assert(winAt >= 0 && aggAt > winAt, // executedPlan prints top-down
+      "rank window must sit above the aggregate:\n" + p)
+  }
+
+  test("p33: cohort stats broadcast back; corpus projected once") {
+    val p = plan("p33_emb_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "label-cohort stats (#labels rows) must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "InMemoryTableScan") >= 2,
+      "both consumers must read the persisted slim projection:\n" + p)
+  }
+
+  test("q34: latest-state compaction is one shuffle on the state key") {
+    val p = plan("q34_latest_state")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      "log->snapshot must shuffle once on (user, type):\n" + p)
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh")
     val dir = sfDir
