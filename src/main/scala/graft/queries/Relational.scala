@@ -829,18 +829,8 @@ object Relational {
     // each key group, so the plan is the same at 100 TB — no global
     // sort, no driver state. No FP arithmetic at all (values pass
     // through untouched), so cross-engine equality is trivial.
-    Entry("q34_latest_state", (s, dir) => {
-      val key = Window.partitionBy("user_id", "event_type")
-      val w = key.orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n_events", count(lit(1)).over(key))
-        .filter(col("rk") === 1)
-        .select(col("user_id"), col("event_type"),
-          col("ts").cast("long").as("last_ts"),
-          col("event_id").as("last_event_id"),
-          col("value").as("last_value"), col("n_events"))
-    }, Some("""
+    Entry("q34_latest_state",
+      (s, dir) => latestState(Tables.events(s, dir)), Some("""
       WITH ranked AS (
         SELECT user_id, event_type, ts, event_id, value,
                row_number() OVER (PARTITION BY user_id, event_type
@@ -854,4 +844,21 @@ object Relational {
              event_id AS last_event_id,
              value AS last_value, n_events
       FROM ranked WHERE rk = 1""")))
+
+  /** q34's batch compaction, exposed on a plain DataFrame so the
+    * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin
+    * batch==streaming parity on arbitrary event frames.
+    */
+  private[graft] def latestState(events: DataFrame): DataFrame = {
+    val key = Window.partitionBy("user_id", "event_type")
+    val w = key.orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(key))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("value").as("last_value"), col("n_events"))
+  }
 }

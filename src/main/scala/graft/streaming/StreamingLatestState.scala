@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Streaming twin of the q34 latest-state compaction
+  * ([[graft.queries.Relational.latestState]]): maintain the current
+  * state per (user, event_type) key over an unbounded event stream,
+  * emitting the key's refreshed state every micro-batch it changes in.
+  *
+  * Shape at scale: the state store holds exactly ONE fixed-size record
+  * per live key — the state IS the output table, so memory is bounded
+  * by key cardinality, not stream length (run it on the RocksDB state
+  * backend when keys outgrow the heap, as StreamingDetectorSpec does
+  * for the detector). Arrival order never matters: each event folds in
+  * with the same (ts, event_id) total order the batch window sorts by,
+  * so a late event can only win if it is genuinely newer — streaming
+  * output converges to the batch compaction of the same log.
+  */
+object StreamingLatestState {
+
+  case class EventIn(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  case class KeyState(last_ts: Long, last_event_id: Long,
+      last_value: Double, n_events: Long)
+
+  case class StateOut(user_id: Long, event_type: String, last_ts: Long,
+      last_event_id: Long, last_value: Double, n_events: Long)
+
+  /** Fold one event into the key's state: count always advances; the
+    * payload only if (ts, event_id) is strictly newer — the identical
+    * tie-break the batch window uses.
+    */
+  private[streaming] def fold(s: KeyState, ets: Long, eid: Long,
+      value: Double): KeyState = {
+    val newer = ets > s.last_ts || (ets == s.last_ts && eid > s.last_event_id)
+    if (newer) KeyState(ets, eid, value, s.n_events + 1)
+    else s.copy(n_events = s.n_events + 1)
+  }
+
+  /** Update-mode stream: one StateOut per touched key per micro-batch. */
+  def latestState(events: DataFrame)(implicit
+      spark: SparkSession): Dataset[StateOut] = {
+    import spark.implicits._
+    events.as[EventIn]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[KeyState, StateOut](GroupStateTimeout.NoTimeout) {
+        case ((user, etype), rows, state) =>
+          var s = state.getOption
+            .getOrElse(KeyState(Long.MinValue, Long.MinValue, 0.0, 0L))
+          rows.foreach { e =>
+            // floor-seconds, matching the batch side's long cast
+            s = fold(s, Math.floorDiv(e.ts.getTime, 1000L), e.event_id,
+              e.value)
+          }
+          state.update(s)
+          StateOut(user, etype, s.last_ts, s.last_event_id, s.last_value,
+            s.n_events)
+      }
+  }
+}
