@@ -758,6 +758,54 @@ object Anomaly {
              list_sort(arr)[13] AS median_v,
              round(value - list_sort(arr)[13], 6) AS spike_v
       FROM base WHERE rn >= 25"""))
+  ) ++ Seq(
+
+    // ---- a20: MAD robust z-score — the heavy-tail-safe detector: both
+    // the center (median) and the scale (median absolute deviation) are
+    // medians, so a single wild outlier in the trailing window shifts
+    // neither, where a mean/stddev z-score has its own spike poison its
+    // baseline. Odd window (25) → both medians ARE input-derived values
+    // picked by sort (no FP combine), and the z conversion is three ops
+    // in identical order on both engines; 0.6745·MAD ≈ one stddev under
+    // normality, making |z| > 3.5 the classic Iglewicz-Hoaglin gate.
+    // Same single series-key shuffle as a19; O(w log w) per row.
+    Entry("a20_mad_zscore", (s, dir) => {
+      val w = 25
+      val mid = (w + 1) / 2
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wRn.rowsBetween(-(w - 1), 0)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("value"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("arr", collect_list(col("value")).over(frame))
+        .filter(col("rn") >= w)
+        .withColumn("med", expr(s"element_at(array_sort(arr), $mid)"))
+        .withColumn("mad", expr(
+          s"element_at(array_sort(transform(arr, x -> abs(x - med))), $mid)"))
+        .select(col("event_type"), col("event_id"),
+          round(col("mad"), 6).as("mad_v"),
+          round((lit(0.6745) * (col("value") - col("med"))) / col("mad"), 6)
+            .as("robust_z"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER win AS rn,
+               array_agg(value) OVER (win ROWS BETWEEN 24
+                 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      m AS (SELECT event_type, event_id, value, arr,
+              list_sort(arr)[13] AS med
+            FROM base WHERE rn >= 25),
+      d AS (SELECT event_type, event_id, value, med,
+              list_sort(list_transform(arr, x -> abs(x - med)))[13] AS mad
+            FROM m)
+      SELECT event_type, event_id,
+             round(mad, 6) AS mad_v,
+             round((0.6745 * (value - med)) / mad, 6) AS robust_z
+      FROM d"""))
   )
 
   /** lcm helper for the KS grid scale factor. */

@@ -40,4 +40,27 @@ class SourceFormatsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(fromCsv) === expected)
     assert(rows(fromJson) === expected)
   }
+
+  test("orc round-trips losslessly and pushes filters into the scan") {
+    val base = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+    base.write.mode("overwrite").orc(s"$tmp/events_orc")
+
+    val back = spark.read.orc(s"$tmp/events_orc")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val expected = rows(base.toDF())
+    assert(expected.nonEmpty)
+    assert(rows(back) === expected)
+
+    // the columnar scan must receive the predicate, same as parquet —
+    // a full-scan-then-filter ORC reader would be wrong at 100 TB
+    val p = back.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,click)]"),
+      "ORC scan must push the filter down:\n" + p)
+  }
 }
