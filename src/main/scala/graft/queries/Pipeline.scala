@@ -1272,7 +1272,7 @@ object Pipeline {
         .filter(col("rk") <= 10)
         .select(col("lang"), col("rk").cast("long").as("rk"),
           col("bigram"), col("cnt"))
-    }, Some(s"""
+    }, bench = true, oracle = Some(s"""
       WITH docs AS (SELECT lang, $toksSql AS toks FROM documents),
       bi AS (SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
              FROM docs, UNNEST(range(1, len(toks))) AS t(i)),
