@@ -149,7 +149,7 @@ object Tests {
   /** KS grid statistic over already-extracted windows (mutates neither;
     * sorts copies).
     */
-  private def ksCore(ref: Array[Double], active: Array[Double]): Double = {
+  private[kernel] def ksCore(ref: Array[Double], active: Array[Double]): Double = {
     val n1 = ref.length
     val n2 = active.length
     val activeEcdf = Vec.ecdf(active)
@@ -183,26 +183,104 @@ object Tests {
       else {
         val dist = ksCore(ref0, act0)
         val n = v.length
-        val idx = Array.range(0, n)
-        val permRef = new Array[Double](n1)
-        val permAct = new Array[Double](n2)
-        var significant = 0
-        var i = 0
-        while (i < conf.permCount) {
-          var j = n - 1
-          val stop = n - n1 - n2
-          while (j >= stop) {
-            val r = rng.nextInt(j + 1)
-            val t = idx(r); idx(r) = idx(j); idx(j) = t
-            val pos = n - 1 - j
-            if (pos < n1) permRef(pos) = v(idx(j))
-            else permAct(pos - n1) = v(idx(j))
-            j -= 1
-          }
-          if (ksCore(permRef, permAct) < dist) significant += 1
-          i += 1
-        }
+        val significant =
+          if (n == n1 + n2) pooledKsLoop(v, ref0, act0, dist, conf, rng)
+          else generalKsLoop(v, n1, n2, dist, conf, rng)
         Some(significant.toDouble / conf.permCount)
       }
     }
+
+  /** Permutation loop when the shuffle pool IS the two windows (always
+    * the case in the batch/chunked/streaming evaluators, where v is
+    * exactly one extracted window). Then the union multiset — hence the
+    * [lo, hi] grid AND the total <=-count at every grid point — is
+    * permutation-invariant, so per permutation only the n2 ACTIVE
+    * elements' counts change: count_ref(<=g) = total(<=g) −
+    * count_act(<=g). Replaces two sorts + two ECDF closures + O(n·grid)
+    * evaluations per permutation with O(n2·grid) comparisons and zero
+    * allocation, consuming the RNG identically and producing the exact
+    * same counts/divisions as [[ksCore]] — outputs are bit-identical
+    * (pinned by TestsSpec's fast==general test).
+    */
+  private def pooledKsLoop(v: Array[Double], ref0: Array[Double],
+      act0: Array[Double], dist: Double, conf: AnomalyzerConf,
+      rng: SplittableRandom): Int = {
+    val n1 = ref0.length
+    val n2 = act0.length
+    val n = v.length
+    // identical lo/hi to ksCore's: the pool equals ref ∪ active in
+    // every permutation, so the original split's min/max IS the pool's
+    val lo = math.min(ref0.min, act0.min)
+    val hi = math.max(ref0.max, act0.max)
+    val grid = Vec.interpolate(lo, hi, n1 + n2)
+    val totalLe = new Array[Int](grid.length)
+    var g = 0
+    while (g < grid.length) {
+      var c = 0
+      var k = 0
+      while (k < n) { if (v(k) <= grid(g)) c += 1; k += 1 }
+      totalLe(g) = c
+      g += 1
+    }
+    val n1d = n1.toDouble
+    val n2d = n2.toDouble
+    val idx = Array.range(0, n)
+    val act = new Array[Double](n2)
+    var significant = 0
+    var i = 0
+    while (i < conf.permCount) {
+      // same partial Fisher-Yates draw (and RNG consumption) as the
+      // general loop; only the active-window landings are recorded
+      var j = n - 1
+      while (j >= 0) {
+        val r = rng.nextInt(j + 1)
+        val t = idx(r); idx(r) = idx(j); idx(j) = t
+        val pos = n - 1 - j
+        if (pos >= n1) act(pos - n1) = v(idx(j))
+        j -= 1
+      }
+      var d = 0.0
+      g = 0
+      while (g < grid.length) {
+        var ca = 0
+        var k = 0
+        while (k < n2) { if (act(k) <= grid(g)) ca += 1; k += 1 }
+        val diff = ca / n2d - (totalLe(g) - ca) / n1d
+        val ad = if (diff < 0) -diff else diff
+        if (ad > d) d = ad
+        g += 1
+      }
+      if (d < dist) significant += 1
+      i += 1
+    }
+    significant
+  }
+
+  /** General permutation loop (pool larger than the windows — reachable
+    * only by direct kernel calls on long vectors).
+    */
+  private[kernel] def generalKsLoop(v: Array[Double], n1: Int, n2: Int,
+      dist: Double, conf: AnomalyzerConf, rng: SplittableRandom): Int = {
+    val n = v.length
+    val idx = Array.range(0, n)
+    val permRef = new Array[Double](n1)
+    val permAct = new Array[Double](n2)
+    var significant = 0
+    var i = 0
+    while (i < conf.permCount) {
+      var j = n - 1
+      val stop = n - n1 - n2
+      while (j >= stop) {
+        val r = rng.nextInt(j + 1)
+        val t = idx(r); idx(r) = idx(j); idx(j) = t
+        val pos = n - 1 - j
+        if (pos < n1) permRef(pos) = v(idx(j))
+        else permAct(pos - n1) = v(idx(j))
+        j -= 1
+      }
+      if (ksCore(permRef, permAct) < dist) significant += 1
+      i += 1
+    }
+    significant
+  }
 }
