@@ -566,7 +566,13 @@ object Anomaly {
     // raw-value fence misses. Expanding trailing frame (prior rows
     // only, so no leakage from the current observation); exact integer
     // micro-sums make the bucket mean partition-order independent; one
-    // shuffle on the (series, hour) key.
+    // shuffle on the (series, hour) key. resid_v is emitted UNROUNDED:
+    // every op in its chain (int-sum, two casts, one division, one
+    // subtraction, one division) is IEEE-identical on both engines, so
+    // the raw doubles are bit-equal — whereas round(6) is NOT safe
+    // here: Spark rounds the double's exact decimal (BigDecimal),
+    // DuckDB rounds in double arithmetic, and they disagree within an
+    // ulp of a .5 boundary (seen at sf0.1, invisible at sf0.01).
     Entry("a16_seasonal_residual", (s, dir) => {
       val wB = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type", "hod").orderBy(col("ts"), col("event_id"))
@@ -580,9 +586,9 @@ object Anomaly {
         .withColumn("s_prior", sum("v6").over(wB))
         .select(col("event_type"), col("event_id"), col("hod"),
           col("n_prior"),
-          round((col("v6") -
+          ((col("v6") -
             (col("s_prior").cast("double") / col("n_prior").cast("double")))
-            / lit(1e6), 6).as("resid_v"))
+            / lit(1e6)).as("resid_v"))
     }, Some("""
       WITH e AS (SELECT event_type, event_id, ts,
                    CAST(hour(ts) AS BIGINT) AS hod,
@@ -595,8 +601,8 @@ object Anomaly {
               ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       SELECT event_type, event_id, hod, n_prior,
-             round((v6 - (CAST(s_prior AS DOUBLE) / CAST(n_prior AS DOUBLE)))
-               / 1e6, 6) AS resid_v
+             (v6 - (CAST(s_prior AS DOUBLE) / CAST(n_prior AS DOUBLE)))
+               / 1e6 AS resid_v
       FROM t""")),
 
     // ---- a17: windowed CUSUM level-shift statistic — over the
@@ -769,6 +775,11 @@ object Anomaly {
     // in identical order on both engines; 0.6745·MAD ≈ one stddev under
     // normality, making |z| > 3.5 the classic Iglewicz-Hoaglin gate.
     // Same single series-key shuffle as a19; O(w log w) per row.
+    // Outputs are UNROUNDED: the op chain (sort-picks, one subtract,
+    // one multiply, one divide) is IEEE-identical on both engines, so
+    // the raw doubles bit-match; round(6) would diverge within an ulp
+    // of a .5 decimal boundary (Spark rounds the exact decimal, DuckDB
+    // rounds in double arithmetic — seen at sf0.1 on robust_z).
     Entry("a20_mad_zscore", (s, dir) => {
       val w = 25
       val mid = (w + 1) / 2
@@ -785,8 +796,8 @@ object Anomaly {
         .withColumn("mad", expr(
           s"element_at(array_sort(transform(arr, x -> abs(x - med))), $mid)"))
         .select(col("event_type"), col("event_id"),
-          round(col("mad"), 6).as("mad_v"),
-          round((lit(0.6745) * (col("value") - col("med"))) / col("mad"), 6)
+          col("mad").as("mad_v"),
+          ((lit(0.6745) * (col("value") - col("med"))) / col("mad"))
             .as("robust_z"))
     }, Some("""
       WITH base AS (
@@ -803,8 +814,8 @@ object Anomaly {
               list_sort(list_transform(arr, x -> abs(x - med)))[13] AS mad
             FROM m)
       SELECT event_type, event_id,
-             round(mad, 6) AS mad_v,
-             round((0.6745 * (value - med)) / mad, 6) AS robust_z
+             mad AS mad_v,
+             (0.6745 * (value - med)) / mad AS robust_z
       FROM d"""))
   )
 
