@@ -817,6 +817,57 @@ object Anomaly {
              mad AS mad_v,
              (0.6745 * (value - med)) / mad AS robust_z
       FROM d"""))
+  ) ++ Seq(
+
+    // ---- a21: rolling Tukey IQR fence — the ADAPTIVE complement of
+    // the reference's static fence test (a02, algorithms.go bounds):
+    // instead of configured UpperBound/LowerBound, the bounds are
+    // learned from the trailing window as [q1 − 1.5·IQR, q3 + 1.5·IQR].
+    // Window w=25 makes both quartiles exact sort-picks: the type-7
+    // position p·(w−1) is 0.25·24 = 6 and 0.75·24 = 18 — integers, so
+    // NO interpolation arithmetic exists to diverge. The fence math is
+    // then sub/mul-by-1.5 (exactly representable)/add in identical op
+    // order on both engines, so outputs ship UNROUNDED like a20's.
+    // Same plan shape as a19/a20: one series-key shuffle, O(w log w)
+    // per row inside codegen.
+    Entry("a21_iqr_fence", (s, dir) => {
+      val w = 25
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wRn.rowsBetween(-(w - 1), 0)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("value"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("sarr", array_sort(collect_list(col("value"))
+          .over(frame)))
+        .filter(col("rn") >= w)
+        .withColumn("q1_v", expr("element_at(sarr, 7)"))
+        .withColumn("q3_v", expr("element_at(sarr, 19)"))
+        .withColumn("lo_fence",
+          col("q1_v") - lit(1.5) * (col("q3_v") - col("q1_v")))
+        .withColumn("hi_fence",
+          col("q3_v") + lit(1.5) * (col("q3_v") - col("q1_v")))
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("q1_v"), col("q3_v"), col("lo_fence"), col("hi_fence"),
+          (col("value") < col("lo_fence") ||
+            col("value") > col("hi_fence")).as("is_outlier"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER win AS rn,
+               list_sort(array_agg(value) OVER (win ROWS BETWEEN 24
+                 PRECEDING AND CURRENT ROW)) AS sarr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      q AS (SELECT event_type, event_id, value,
+              sarr[7] AS q1_v, sarr[19] AS q3_v,
+              sarr[7] - 1.5 * (sarr[19] - sarr[7]) AS lo_fence,
+              sarr[19] + 1.5 * (sarr[19] - sarr[7]) AS hi_fence
+            FROM base WHERE rn >= 25)
+      SELECT event_type, event_id, value, q1_v, q3_v, lo_fence, hi_fence,
+             (value < lo_fence OR value > hi_fence) AS is_outlier
+      FROM q"""))
   )
 
   /** lcm helper for the KS grid scale factor. */

@@ -64,6 +64,14 @@ object Pipeline {
     */
   private[graft] val P03DfCap = 64L
 
+  /** p34 Bloom sizing: m bits / k probes. At sf0.1's ~10k bench
+    * shingles the load is kn/m ≈ 0.3 → FP rate (1-e^-0.3)^4 ≈ 0.5%; a
+    * production run scales m with the bench-set size (the bitmap stays
+    * a broadcast-friendly m/8 bytes either way).
+    */
+  private[graft] val BloomBits = 131072L
+  private[graft] val BloomK = 4
+
   /** Candidate near-dup pairs sharing >=1 surviving shingle, with the
     * common-shingle count and both set sizes. Exposed (with the cap as a
     * parameter) so PipelineSpec can pin the cardinality contract:
@@ -1339,7 +1347,104 @@ object Pipeline {
              round(norm6 / 1e6, 6) AS norm,
              round(z_raw, 6) AS z,
              abs(z_raw) > 2.0 AS is_outlier
-      FROM z"""))
+      FROM z""")),
+
+    // ---- p34: Bloom-filter decontamination — the O(1)-broadcast
+    // membership path that replaces p24's per-shingle dim join at
+    // 100 TB: the held-out benchmark's 3-gram set is compressed into a
+    // fixed m=2^17-bit bitmap (m/32 = 4096 BIGINT words — a KB-scale
+    // broadcast at ANY bench-set size, where p24's per-shingle dim
+    // grows with the benchmark), and each training shingle probes k=4
+    // bits. Probes use Kirsch-Mitzenmacher double hashing over a
+    // single md5 (HashScheme h32/h32b); every step is integer-exact
+    // and shifts stay <= 31 bits (positive BIGINTs on both engines),
+    // so the bitmap — and therefore every hit AND every false
+    // positive — is bit-identical in DuckDB and the whole query
+    // oracle-checks. The exact bench-set semi-join rides along per doc
+    // purely to ACCOUNT the false positives (a deployment drops it and
+    // keeps the bloom columns); PipelineSpec pins the one-sided error:
+    // every exact hit is a bloom hit (no false negatives), n_false_pos
+    // >= 0.
+    Entry("p34_contam_bloom", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val m = BloomBits
+      val k = BloomK
+      val h = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextHashFunctions.word_ngrams(toks, 3)))
+            .as("shingle"))
+        .withColumn("h1", expr(H.h32Spark("shingle")))
+        .withColumn("h2", expr(H.h32bSpark("shingle")))
+      val bench = h.filter(col("doc_id") % 100 === 0)
+      val words = bench
+        .select(explode(sequence(lit(0), lit(k - 1))).as("i"),
+          col("h1"), col("h2"))
+        .select(((col("h1") + col("i") * col("h2")) % m).as("pos"))
+        .select(expr("pos div 32").as("word_idx"),
+          expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+            .as("msk"))
+        .groupBy("word_idx").agg(expr("bit_or(msk)").as("word"))
+      val benchSet = bench.select("shingle").distinct()
+        .withColumn("exact", lit(true))
+      val probes = h.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), col("shingle"),
+          explode(sequence(lit(0), lit(k - 1))).as("i"),
+          col("h1"), col("h2"))
+        .withColumn("pos", (col("h1") + col("i") * col("h2")) % m)
+        .join(broadcast(words), expr("pos div 32") === col("word_idx"),
+          "left")
+        .withColumn("hit", coalesce(
+          expr("(word & shiftleft(cast(1 as bigint), " +
+            "cast(pos % 32 as int))) != 0"), lit(false)))
+        .groupBy("doc_id", "shingle")
+        .agg(expr("bool_and(hit)").as("bloom_hit"))
+      probes
+        .join(broadcast(benchSet), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hit"),
+          sum(when(col("exact").isNotNull, 1L).otherwise(0L))
+            .as("n_exact_hit"))
+        .withColumn("n_false_pos", col("n_bloom_hit") - col("n_exact_hit"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh3 AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                THEN range(1, len(toks)-1) ELSE [] END) AS t(i)),
+      h AS (SELECT doc_id, shingle,
+              ${graft.functions.HashScheme.h32Duck("shingle")} AS h1,
+              ${graft.functions.HashScheme.h32bDuck("shingle")} AS h2
+            FROM sh3),
+      benchbits AS (SELECT DISTINCT ((h1 + i * h2) % $BloomBits) AS pos
+                    FROM h, UNNEST(range(0, $BloomK)) AS t(i)
+                    WHERE doc_id % 100 = 0),
+      words AS (SELECT pos // 32 AS word_idx,
+                  bit_or(CAST(1 AS BIGINT)
+                    << CAST(pos % 32 AS INTEGER)) AS word
+                FROM benchbits GROUP BY 1),
+      bench_set AS (SELECT DISTINCT shingle FROM sh3
+                    WHERE doc_id % 100 = 0),
+      ppos AS (SELECT t.doc_id, t.shingle,
+                 ((t.h1 + u.i * t.h2) % $BloomBits) AS pos
+               FROM h t, UNNEST(range(0, $BloomK)) AS u(i)
+               WHERE t.doc_id % 100 != 0),
+      probe AS (SELECT p.doc_id, p.shingle,
+                  bool_and(coalesce((w.word & (CAST(1 AS BIGINT)
+                    << CAST(p.pos % 32 AS INTEGER))) != 0, false))
+                    AS bloom_hit
+                FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word_idx
+                GROUP BY 1, 2)
+      SELECT p.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_hit,
+             CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact_hit,
+             CAST(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END)
+               - sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos
+      FROM probe p LEFT JOIN bench_set b USING (shingle)
+      GROUP BY 1"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -41,6 +41,21 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       .toMap
   }
 
+  test("a21 IQR fence invariants: fences bracket the box, flags are " +
+    "exactly the fence comparison, corpus has real outliers") {
+    val out = Catalog.queries("a21_iqr_fence")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, q1, q3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (lo, hi, flag) = (r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+      assert(q1 <= q3, s"quartiles inverted at ${r.getLong(1)}")
+      assert(lo <= q1 && q3 <= hi, "fences must bracket the box")
+      assert(flag === (v < lo || v > hi), "flag != fence comparison")
+    }
+    // the corpus's injected spikes must actually trip an adaptive fence
+    assert(out.count(_.getBoolean(7)) > 0, "expected IQR outliers")
+  }
+
   test("a15 EMA invariants: constant series reproduces the value " +
     "exactly; outputs bounded by the window") {
     val out = Catalog.queries("a15_ema_smooth")(spark, sfDir)

@@ -213,6 +213,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .toLongArray.toSeq == Seq(1L, 2L, 5L, 7L))
   }
 
+  test("p34 bloom: one-sided error — every exact hit is a bloom hit") {
+    val rows = run("p34_contam_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, bloom, exact, fp) =>
+      assert(bloom >= exact, s"doc $doc: false negative ($bloom < $exact)")
+      assert(fp === bloom - exact, s"doc $doc: fp accounting broken")
+      assert(bloom <= n, s"doc $doc: more hits than shingles")
+    }
+    assert(rows.map(_._4).sum > 0, "corpus should have real contamination")
+    // bench split itself never appears on the probe side
+    assert(rows.forall(_._1 % 100 != 0), "benchmark docs must not be probed")
+  }
+
   test("text stats sanity: ttr in (0,1], avg token len positive") {
     val rows = run("p09_text_stats").collect()
     assert(rows.nonEmpty)
