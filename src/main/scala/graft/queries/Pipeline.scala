@@ -1386,18 +1386,25 @@ object Pipeline {
         .groupBy("word_idx").agg(expr("bit_or(msk)").as("word"))
       val benchSet = bench.select("shingle").distinct()
         .withColumn("exact", lit(true))
-      val probes = h.filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id"), col("shingle"),
-          explode(sequence(lit(0), lit(k - 1))).as("i"),
-          col("h1"), col("h2"))
-        .withColumn("pos", (col("h1") + col("i") * col("h2")) % m)
-        .join(broadcast(words), expr("pos div 32") === col("word_idx"),
-          "left")
-        .withColumn("hit", coalesce(
-          expr("(word & shiftleft(cast(1 as bigint), " +
-            "cast(pos % 32 as int))) != 0"), lit(false)))
-        .groupBy("doc_id", "shingle")
-        .agg(expr("bool_and(hit)").as("bloom_hit"))
+      // k probes as k chained BROADCAST lookups, not an explode +
+      // re-group: exploding to (shingle, i) rows and folding bool_and
+      // back would shuffle the whole training posting list at k times
+      // its size — the very volume the bloom exists to avoid. Chained
+      // broadcast joins keep the probe side entirely map-side; the
+      // only shuffle left in the query is the final per-doc rollup at
+      // one row per posting.
+      val probes = (0 until k).foldLeft(
+        h.filter(col("doc_id") % 100 =!= 0)) { (df, i) =>
+          df.withColumn(s"pos_$i", (col("h1") + lit(i) * col("h2")) % m)
+            .join(broadcast(words.toDF(s"word_idx_$i", s"word_$i")),
+              expr(s"pos_$i div 32") === col(s"word_idx_$i"), "left")
+            .withColumn(s"hit_$i", coalesce(
+              expr(s"(word_$i & shiftleft(cast(1 as bigint), " +
+                s"cast(pos_$i % 32 as int))) != 0"), lit(false)))
+            .drop(s"pos_$i", s"word_idx_$i", s"word_$i")
+        }
+        .withColumn("bloom_hit",
+          (0 until k).map(i => col(s"hit_$i")).reduce(_ && _))
       probes
         .join(broadcast(benchSet), Seq("shingle"), "left")
         .groupBy("doc_id")
@@ -1444,7 +1451,7 @@ object Pipeline {
                - sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS n_false_pos
       FROM probe p LEFT JOIN bench_set b USING (shingle)
-      GROUP BY 1"""))
+      GROUP BY 1"""), bench = true)
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

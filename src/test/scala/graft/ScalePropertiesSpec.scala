@@ -118,6 +118,16 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "per-doc totals must combine map-side")
   }
 
+  test("p34: bitmap probes are all broadcast lookups — the training " +
+    "posting list is never shuffled pre-rollup") {
+    val p = plan("p34_contam_bloom")
+    val broadcasts = countOf(p, "BroadcastHashJoin")
+    assert(broadcasts >= 5,
+      s"expected 4 bitmap-word lookups + the FP-accounting semi-join " +
+        s"as broadcasts, saw $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("p27: vocab is a top-k (not full sort), broadcast over postings") {
     val p = plan("p27_vocab_oov")
     assert(p.contains("TakeOrderedAndProject(limit=16"),
