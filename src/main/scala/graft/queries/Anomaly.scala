@@ -867,7 +867,65 @@ object Anomaly {
             FROM base WHERE rn >= 25)
       SELECT event_type, event_id, value, q1_v, q3_v, lo_fence, hi_fence,
              (value < lo_fence OR value > hi_fence) AS is_outlier
-      FROM q"""))
+      FROM q""")),
+
+    // ---- a22: rolling lag-1 autocorrelation — serial-dependence
+    // detector over the same 10-value window the ensemble uses: corr of
+    // the 9 consecutive (x_{t-1}, x_t) pairs. Same exactness discipline
+    // as a18: values fixed-pointed to 1e-6 integers, all five moment
+    // sums exact in DECIMAL(38,0)/HUGEINT, one double division + sqrt
+    // at the end, round(6). Zero-variance windows are excluded by an
+    // integer predicate (exact on both engines, no NaN compare).
+    Entry("a22_autocorr", (s, dir) => {
+      val m = 9
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val wf = wS.rowsBetween(-(m - 1), 0)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("x6"))
+        .withColumn("l6", lag(col("x6"), 1).over(wS))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("sx", sum(dec(col("l6"))).over(wf))
+        .withColumn("sy", sum(dec(col("x6"))).over(wf))
+        .withColumn("sxx", sum(dec(col("l6")) * col("l6")).over(wf))
+        .withColumn("syy", sum(dec(col("x6")) * col("x6")).over(wf))
+        .withColumn("sxy", sum(dec(col("l6")) * col("x6")).over(wf))
+        .filter(col("rn") >= m + 1 &&
+          lit(m) * col("sxx") > col("sx") * col("sx") &&
+          lit(m) * col("syy") > col("sy") * col("sy"))
+        .select(col("event_type"), col("event_id"),
+          round((lit(m) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((lit(m) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((lit(m) * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("autocorr_lag1"))
+    }, Some("""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(round(value * 1e6) AS BIGINT) AS x6,
+                   lag(CAST(round(value * 1e6) AS BIGINT)) OVER win AS l6,
+                   row_number() OVER win AS rn
+                 FROM events
+                 WINDOW win AS (PARTITION BY event_type
+                                ORDER BY ts, event_id)),
+      w AS (SELECT event_type, event_id, rn,
+              sum(CAST(l6 AS HUGEINT)) OVER wf AS sx,
+              sum(CAST(x6 AS HUGEINT)) OVER wf AS sy,
+              sum(CAST(l6 AS HUGEINT) * l6) OVER wf AS sxx,
+              sum(CAST(x6 AS HUGEINT) * x6) OVER wf AS syy,
+              sum(CAST(l6 AS HUGEINT) * x6) OVER wf AS sxy
+            FROM e
+            WINDOW wf AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+      SELECT event_type, event_id,
+             round(CAST(9 * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(9 * sxx - sx * sx AS DOUBLE)) *
+                    sqrt(CAST(9 * syy - sy * sy AS DOUBLE))), 6)
+               AS autocorr_lag1
+      FROM w
+      WHERE rn >= 10 AND 9 * sxx > sx * sx AND 9 * syy > sy * sy"""))
   )
 
   /** lcm helper for the KS grid scale factor. */

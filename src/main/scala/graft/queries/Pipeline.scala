@@ -1451,7 +1451,134 @@ object Pipeline {
                - sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS n_false_pos
       FROM probe p LEFT JOIN bench_set b USING (shingle)
-      GROUP BY 1"""), bench = true)
+      GROUP BY 1"""), bench = true),
+
+    // ---- p35: semantic dedup (SemDeDup-style) — embedding near-dup
+    // bucketed by IVF cell. This is the declared scale path for p06's
+    // all-pairs baseline: vectors are assigned to their nearest centroid
+    // (broadcast cross join against the tiny centroid set, exact
+    // integer distances), and the O(n²) pair search becomes a cell
+    // equi-join, so candidate volume is Σ cell² instead of n². Cells
+    // are the partitioning key of the one shuffle.
+    Entry("p35_semdedup", (s, dir) => {
+      val e = embs(s, dir)
+        .withColumn("ei",
+          expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
+      val cents = e.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("cid"), col("ei").as("ci"))
+      val d2 = expr(
+        "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assigned = e.join(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+      assigned.toDF("vec_a", "emb_a", "cell")
+        .join(assigned.toDF("vec_b", "emb_b", "cell"), "cell")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("cell"), col("vec_a"), col("vec_b"),
+          round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x*1000000) AS BIGINT)) AS ei
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      dists AS (SELECT e.vec_id, e.emb, c.cid,
+                  list_sum(list_transform(range(1, len(e.ei)+1),
+                    i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2
+                FROM e, cents c),
+      ranked AS (SELECT vec_id, emb, cid AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cid) AS rk FROM dists),
+      assigned AS (SELECT vec_id, emb, cell FROM ranked WHERE rk = 1)
+      SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      FROM assigned a JOIN assigned b ON a.cell = b.cell
+        AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4""")),
+
+    // ---- p36: winnowing fingerprints (the MOSS local fingerprinting
+    // scheme): over the rolling 3-gram h60 hash stream, each window of
+    // w=4 consecutive hashes selects its minimum, rightmost on ties,
+    // and the per-document distinct (position, hash) picks form the
+    // fingerprint set. Guarantees every ≥w-gram match between two docs
+    // shares a fingerprint while sampling ~2/(w+1) of the hashes. The
+    // rightmost-min selection is a single integer min-fold: candidates
+    // pack as hash*4 + (3 - offset) so minimizing picks the smallest
+    // hash and, among equal hashes, the largest position — h60 is 60
+    // bits so the packed key stays inside a signed 64-bit integer.
+    // Entirely per-row array math: no shuffle at all, embarrassingly
+    // parallel at any scale.
+    //
+    // The gram and packed-key arrays are bound ONCE per row via the
+    // `transform(array(X), x -> …)` let-encoding. A plain withColumn
+    // chain is collapsed into one Project by CollapseProject, which
+    // substitutes the gram-array expression into every lambda that
+    // indexes it — re-hashing the whole gram stream per element and
+    // turning an O(n) row into O(n^3) md5 calls. Lambda arguments are
+    // evaluated exactly once, so wrapping each intermediate as the
+    // argument of a single-element transform pins the evaluation count
+    // regardless of how the optimizer rewrites the projections.
+    Entry("p36_winnowing", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      docs(s, dir)
+        .withColumn("tk", toks)
+        // need >= 4 grams, i.e. >= 6 tokens (3-gram stream length n-2)
+        .filter(size(col("tk")) >= 6)
+        .withColumn("sel", expr(
+          s"""array_distinct(flatten(transform(
+                array(flatten(transform(
+                  array(transform(sequence(1, size(tk)-2), i ->
+                    ${H.h60Spark("concat_ws(' ', slice(tk, i, 3))")})),
+                  gs -> transform(sequence(1, size(gs)-3), i ->
+                    array_min(transform(slice(gs, i, 4), (g, o) ->
+                      g*4 + 3 - o)))))),
+                ks -> transform(ks, (k, i0) ->
+                  named_struct(
+                    'pos', cast(i0 + 4 - (k % 4) as bigint),
+                    'fp', k div 4)))))"""))
+        .select(col("doc_id"), explode(col("sel")).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id,
+              list_transform(range(1, len(toks)-1), i ->
+                ${graft.functions.HashScheme.h60Duck(
+                  "array_to_string(toks[i:i+2], ' ')")}) AS grams
+            FROM docs WHERE len(toks) >= 6),
+      sel AS (SELECT doc_id, i,
+                list_min(list_transform(range(i, i+4), j ->
+                  grams[CAST(j AS INT)]*4 + 3 - (j - i))) AS k
+              FROM g, UNNEST(range(1, len(grams)-2)) AS t(i))
+      SELECT DISTINCT doc_id, i + 3 - (k % 4) AS pos, k // 4 AS fp
+      FROM sel""")),
+
+    // ---- p37: containment dedup — the asymmetric companion to p03's
+    // Jaccard: |A∩B| / min(|A|,|B|) catches near-SUPERSET pairs (a doc
+    // embedded inside a longer one) that symmetric Jaccard dilutes
+    // below threshold. Same df-capped shingle equi-join candidate
+    // generator as p03 (shared code + shared CTE), so the skew story
+    // is identical: a hot shingle contributes at most dfCap² pairs.
+    Entry("p37_containment", (s, dir) => {
+      val cont = round(col("common") / least(col("na"), col("nb")), 6)
+      shingleCandidates(docs(s, dir), P03DfCap)
+        .select(col("doc_a"), col("doc_b"), cont.as("containment"))
+        .filter(col("containment") >= 0.8)
+    }, Some(s"""$shingleCte,
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        FROM shk x JOIN shk y USING (shingle)
+        WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b,
+             round(common / least(ca.n, cb.n), 6) AS containment
+      FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+                 JOIN counts cb ON doc_b = cb.doc_id
+      WHERE round(common / least(ca.n, cb.n), 6) >= 0.8"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -843,7 +843,35 @@ object Relational {
              CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
              event_id AS last_event_id,
              value AS last_value, n_events
-      FROM ranked WHERE rk = 1""")))
+      FROM ranked WHERE rk = 1""")),
+
+    // ---- q35: gaps-and-islands — per-user runs of consecutive active
+    // days via the difference-of-row-numbers technique (day_number - rn
+    // is constant within a run). One distinct + one windowed shuffle,
+    // both partitioned by user_id — the island grouping itself adds no
+    // extra exchange because (user_id, dn - rn) is a refinement of the
+    // user_id partitioning.
+    Entry("q35_gaps_islands", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("d")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+        .withColumn("dn", datediff(col("d"), lit("2020-01-01").cast("date")))
+        .withColumn("grp", col("dn") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min(col("d")).as("start_day"), max(col("d")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
+    }, Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events),
+      n AS (SELECT user_id, d,
+              datediff('day', DATE '2020-01-01', d) AS dn,
+              row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+            FROM days)
+      SELECT user_id, min(d) AS start_day, max(d) AS end_day,
+             count(*) AS n_days
+      FROM n GROUP BY user_id, dn - rn""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

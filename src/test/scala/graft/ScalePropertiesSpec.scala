@@ -194,6 +194,40 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "log->snapshot must shuffle once on (user, type):\n" + p)
   }
 
+  test("q35: gaps-and-islands — distinct + window shuffles only; the " +
+    "island groupBy rides the window's user partitioning") {
+    val p = plan("q35_gaps_islands")
+    // exchange 1: map-side partial-distinct then shuffle on (user, d);
+    // exchange 2: re-key the distinct days by user for the row_number.
+    // The groupBy(user, grp) must NOT add a third — hashpartitioning
+    // on user_id already clusters every (user, grp) group.
+    assert(countOf(p, "Exchange hashpartitioning") === 2,
+      "distinct + window re-key only; island agg must add none:\n" + p)
+    assert(p.contains("partial_"),
+      "distinct must partial-aggregate before its exchange:\n" + p)
+  }
+
+  test("a22: autocorrelation is one shuffle on the series key") {
+    val p = plan("a22_autocorr")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      "lag + five rolling sums must share one window shuffle:\n" + p)
+  }
+
+  test("p36: winnowing is per-row array math — no exchange at all") {
+    val p = plan("p36_winnowing")
+    assert(!p.contains("Exchange"),
+      "fingerprint extraction must not shuffle:\n" + p)
+  }
+
+  test("p35: semdedup — centroids broadcast for assignment; pair join " +
+    "is an equi-join on the cell key, never a cartesian") {
+    val p = plan("p35_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid assignment must broadcast the tiny centroid set:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the n^2 search must be confined to same-cell pairs:\n" + p)
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh")
     val dir = sfDir

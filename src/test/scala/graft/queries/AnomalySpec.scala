@@ -145,4 +145,35 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(pe === rnd6(ensemble), s"$key ensemble")
     }
   }
+
+  test("a22 lag-1 autocorrelation == exact BigInt sequential recompute; " +
+    "|r| <= 1") {
+    val got = Catalog.queries("a22_autocorr")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // mirror both engines: the *1e6 happens in IEEE double, THEN the
+    // decimal HALF_UP round — not an exact decimal shift
+    def fix6(v: Double): BigInt =
+      BigInt(JBigDecimal.valueOf(v * 1e6)
+        .setScale(0, RoundingMode.HALF_UP).longValueExact())
+    val expected = windows.flatMap { case (key, arr) =>
+      val x6 = arr.map(fix6)
+      val xs = x6.init // lagged value
+      val ys = x6.tail
+      val m = BigInt(xs.length) // = windowSize - 1 pairs
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(v => v * v).sum
+      val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val vx = m * sxx - sx * sx
+      val vy = m * syy - sy * sy
+      if (vx <= 0 || vy <= 0) None
+      else Some(key -> rnd6((m * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, r) =>
+      assert(got(key) === r, s"$key")
+      assert(math.abs(got(key)) <= 1.0 + 5e-7, s"$key out of [-1,1]")
+    }
+  }
 }

@@ -238,4 +238,82 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(2) <= r.getLong(1)) // uniq <= total
     }
   }
+
+  test("p36 winnowing == independent sequential winnow; density bound") {
+    import java.security.MessageDigest
+    def h60(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // sequential reference: same normalization (space-trim, collapse
+    // whitespace, lowercase), 3-gram h60 stream, window w=4 min with
+    // rightmost tie-break — written as the obvious loop, no packing
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val tk = r.getString(1).replaceAll("^ +| +$", "")
+          .replaceAll("\\s+", " ").toLowerCase.split(" ", -1)
+        if (tk.length < 6) Seq.empty[(Long, Long, Long)]
+        else {
+          val grams =
+            Array.tabulate(tk.length - 2)(i => h60(tk.slice(i, i + 3).mkString(" ")))
+          (0 until grams.length - 3).map { i0 =>
+            var bj = i0
+            var j = i0 + 1
+            while (j <= i0 + 3) { if (grams(j) <= grams(bj)) bj = j; j += 1 }
+            (r.getLong(0), (bj + 1).toLong, grams(bj))
+          }
+        }
+      }.toSet
+    val got = run("p36_winnowing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the winnowing guarantee: every window of 4 consecutive gram
+    // positions contains a selected fingerprint
+    got.groupBy(_._1).values.foreach { s =>
+      val ps = s.map(_._2).toSeq.sorted
+      assert(ps.head <= 4, s"first pick too late: ${ps.head}")
+      ps.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= 4, s"gap $a -> $b exceeds w")
+        case _         =>
+      }
+    }
+  }
+
+  test("p37 containment >= jaccard on every strong-jaccard pair " +
+    "(same candidate generator, asymmetric measure dominates)") {
+    val jac = run("p03_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = run("p37_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty, "corpus should have containment pairs")
+    val strong = jac.filter(_._2 >= 0.8)
+    assert(strong.keySet.subsetOf(cont.keySet),
+      s"missing: ${strong.keySet -- cont.keySet}")
+    strong.foreach { case (k, j) =>
+      assert(cont(k) >= j - 1e-6, s"pair $k containment ${cont(k)} < jaccard $j")
+    }
+  }
+
+  test("p35 semdedup: sound subset of the exact all-pairs cosine set, " +
+    "with matching similarity values") {
+    val got = run("p35_semdedup").collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty, "corpus should have near-dup embedding pairs")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+    val exact = e.toDF("a", "ea").crossJoin(e.toDF("b", "eb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(expr(s"${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * " +
+          s"sqrt(${dot("eb", "eb")}))"), 6).as("c"))
+      .filter(col("c") >= 0.4 - 1e-6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (k, c) =>
+      assert(exact.contains(k), s"pair $k not in the exact >=0.4 set")
+      assert(math.abs(exact(k) - c) <= 2e-6, s"pair $k: $c vs ${exact(k)}")
+    }
+  }
 }

@@ -1,0 +1,48 @@
+package graft.queries
+
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q35 gaps-and-islands: runs are consecutive, maximal, and " +
+    "exactly cover each user's distinct active days") {
+    val islands = Catalog.queries("q35_gaps_islands")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDate(2).toLocalDate, r.getLong(3)))
+    assert(islands.nonEmpty)
+    // each island is a consecutive run
+    islands.foreach { case (u, s, e, n) =>
+      assert(n === ChronoUnit.DAYS.between(s, e) + 1,
+        s"user $u island $s..$e has n_days $n")
+    }
+    // islands are maximal: per user, sorted runs are separated by a
+    // gap of at least one missing day
+    islands.groupBy(_._1).foreach { case (u, is) =>
+      is.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(ChronoUnit.DAYS.between(e1, s2) >= 2,
+            s"user $u islands $e1 and $s2 should have merged")
+        case _ =>
+      }
+    }
+    // islands expand back to exactly the user's distinct active days
+    val active: Map[Long, Set[LocalDate]] = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val covered: Map[Long, Set[LocalDate]] = islands.groupBy(_._1)
+      .view.mapValues(_.flatMap { case (_, s, e, _) =>
+        Iterator.iterate(s)(_.plusDays(1))
+          .takeWhile(!_.isAfter(e)).toSeq
+      }.toSet).toMap
+    assert(covered === active)
+  }
+}
