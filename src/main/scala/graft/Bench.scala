@@ -38,13 +38,19 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    // round-robin over queries (run 1 of all, then run 2 of all, ...)
-    // so cache/JIT drift spreads evenly instead of favoring later runs
-    // of the same query
+    // per query: one untimed warmup, then `runs` consecutive timed
+    // runs. The warmup absorbs the one-off costs a long-lived engine
+    // never pays per query — whole-stage-codegen compilation, JIT of
+    // the generated classes, parquet footer reads — so the median is
+    // the steady-state time. Consecutive (not round-robin) because
+    // interleaving nine query plans thrashes the 100-entry codegen
+    // class cache and was re-paying compilation inside the measured
+    // runs (observed as median ~= 2x min on every query).
     val names = queries.Catalog.benchNames
-    val samples: Map[String, Seq[Double]] =
-      (1 to runs).flatMap(_ => names.map(n => n -> materialize(n)))
-        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val samples: Map[String, Seq[Double]] = names.map { n =>
+      materialize(n)
+      n -> (1 to runs).map(_ => materialize(n))
+    }.toMap
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0
