@@ -1653,7 +1653,139 @@ object Pipeline {
              GROUP BY cluster)
       SELECT c.doc_id, c.cluster, s.cluster_size,
              c.doc_id = c.cluster AS is_survivor
-      FROM comp c JOIN sz s USING (cluster)"""))
+      FROM comp c JOIN sz s USING (cluster)""")),
+
+    // ---- p39: temperature-scaled domain mixing (the mT5/multilingual
+    // sampling rule): stratum weight w_i = n_i^alpha / sum n_j^alpha
+    // with alpha = 0.7 upsamples low-resource strata; each stratum then
+    // gets a deterministic per-doc sampling rate w_i * T / n_i applied
+    // as an md5-hash threshold, so the sample is reproducible row-by-row
+    // with no RNG state. Scale shape: the stratum table is tiny (one
+    // row per language) — everything flows through one small aggregate,
+    // an exact DECIMAL normalizer (order-independent sum, so the
+    // cross-engine compare can't be broken by addition order), and a
+    // broadcast of the rate table back onto the corpus; the only
+    // corpus-sized work is a per-row hash + filter. pow() is the one
+    // non-fused-arithmetic step and is round(12)-hardened before the
+    // decimal cast.
+    Entry("p39_domain_mix", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val target = 250.0
+      // persisted: the stratum table (one row per lang) feeds the
+      // normalizer, the rate broadcast, and the final report — without
+      // it every consumer re-scans the corpus for the counts
+      val w = docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("pa",
+          expr("cast(round(pow(n_docs, 0.7d), 12) as decimal(28,12))"))
+        .persist()
+      val rates = w.crossJoin(broadcast(w.agg(sum(col("pa")).as("S"))))
+        .withColumn("w_alpha",
+          round(col("pa").cast("double") / col("S").cast("double"), 6))
+        .withColumn("rate", least(lit(1.0),
+          round(col("w_alpha") * target / col("n_docs"), 6)))
+        .select("lang", "n_docs", "w_alpha", "rate")
+      val sampled = docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(broadcast(rates.select("lang", "rate")), "lang")
+        .filter(expr(s"${H.h60Spark("cast(doc_id as string)")} % 1000000") <
+          expr("cast(round(rate * 1e6) as bigint)"))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      rates.join(broadcast(sampled), Seq("lang"), "left")
+        .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+    }, Some(s"""
+      WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents
+                      GROUP BY 1),
+      w AS (SELECT lang, n_docs,
+              CAST(round(pow(n_docs, 0.7), 12) AS DECIMAL(28,12)) AS pa
+            FROM counts),
+      tot AS (SELECT sum(pa) AS S FROM w),
+      rates AS (SELECT lang, n_docs, w_alpha,
+                  least(CAST(1.0 AS DOUBLE),
+                        round(w_alpha * 250 / n_docs, 6)) AS rate
+                FROM (SELECT lang, n_docs,
+                        round(CAST(pa AS DOUBLE) / CAST(S AS DOUBLE), 6)
+                          AS w_alpha
+                      FROM w, tot)),
+      samp AS (SELECT d.lang, count(*) AS n_sampled
+               FROM documents d JOIN rates r USING (lang)
+               WHERE ${graft.functions.HashScheme.h60Duck(
+                 "CAST(doc_id AS VARCHAR)")} % 1000000
+                 < CAST(round(r.rate * 1e6) AS BIGINT)
+               GROUP BY 1)
+      SELECT r.lang, r.n_docs, r.w_alpha, r.rate,
+             coalesce(s.n_sampled, 0) AS n_sampled
+      FROM rates r LEFT JOIN samp s USING (lang)""")),
+
+    // ---- p40: within-document repetition (the Gopher repetition
+    // filters): the fraction of tokens covered by the single most
+    // frequent 2-gram / 3-gram, flagged at the paper's thresholds
+    // (top-2-gram > 0.20, top-3-gram > 0.18). Both gram sizes ride ONE
+    // explode: grams carry a size tag, the (doc, k, gram) count
+    // partial-aggregates map-side (absorbing exactly the repetition
+    // being measured, so shuffle volume is the per-doc DISTINCT gram
+    // count), and one (doc, k)-windowed argmax with a total-order tie
+    // break picks each winner.
+    Entry("p40_repetition", (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"),
+          col("tk"))
+        .filter(col("n_toks") >= 3)
+      val cnt = d.select(col("doc_id"), col("n_toks"), explode(expr(
+          """concat(
+               transform(sequence(1, size(tk)-1), i ->
+                 named_struct('k', 2, 'g', concat_ws(' ', slice(tk, i, 2)))),
+               transform(sequence(1, size(tk)-2), i ->
+                 named_struct('k', 3, 'g', concat_ws(' ', slice(tk, i, 3)))))"""))
+          .as("s"))
+        .select(col("doc_id"), col("n_toks"), col("s.k").as("k"),
+          col("s.g").as("g"))
+        .groupBy("doc_id", "n_toks", "k", "g").agg(count(lit(1)).as("c"))
+      val wk = Window.partitionBy("doc_id", "k")
+        .orderBy(col("c").desc, col("g"))
+      cnt.withColumn("rk", row_number().over(wk)).filter(col("rk") === 1)
+        .groupBy("doc_id", "n_toks")
+        .agg(max(when(col("k") === 2, col("c"))).as("top2_cnt"),
+          max(when(col("k") === 3, col("c"))).as("top3_cnt"))
+        .select(col("doc_id"), col("n_toks"), col("top2_cnt"),
+          round(col("top2_cnt") * lit(2.0) / col("n_toks"), 6)
+            .as("top2_frac"),
+          col("top3_cnt"),
+          round(col("top3_cnt") * lit(3.0) / col("n_toks"), 6)
+            .as("top3_frac"))
+        .withColumn("flagged",
+          col("top2_frac") > 0.2 || col("top3_frac") > 0.18)
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+                 FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+                 WHERE len(toks) >= 3),
+      g AS (
+        SELECT doc_id, n_toks, 2 AS k,
+               array_to_string(toks[i:i+1], ' ') AS g
+        FROM d, UNNEST(range(1, len(toks))) AS t(i)
+        UNION ALL
+        SELECT doc_id, n_toks, 3, array_to_string(toks[i:i+2], ' ')
+        FROM d, UNNEST(range(1, len(toks)-1)) AS t(i)
+      ),
+      c AS (SELECT doc_id, n_toks, k, g, count(*) AS c FROM g
+            GROUP BY ALL),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, k
+                        ORDER BY c DESC, g) AS rk FROM c),
+      top AS (SELECT doc_id, n_toks,
+                max(CASE WHEN k = 2 THEN c END) AS top2_cnt,
+                max(CASE WHEN k = 3 THEN c END) AS top3_cnt
+              FROM r WHERE rk = 1 GROUP BY doc_id, n_toks)
+      SELECT doc_id, n_toks, top2_cnt,
+             round(top2_cnt * CAST(2.0 AS DOUBLE) / n_toks, 6)
+               AS top2_frac,
+             top3_cnt,
+             round(top3_cnt * CAST(3.0 AS DOUBLE) / n_toks, 6)
+               AS top3_frac,
+             (round(top2_cnt * CAST(2.0 AS DOUBLE) / n_toks, 6)
+                > CAST(0.2 AS DOUBLE)
+              OR round(top3_cnt * CAST(3.0 AS DOUBLE) / n_toks, 6)
+                > CAST(0.18 AS DOUBLE)) AS flagged
+      FROM top"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

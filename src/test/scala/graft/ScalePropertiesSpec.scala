@@ -219,6 +219,23 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "fingerprint extraction must not shuffle:\n" + p)
   }
 
+  test("p39: rate table broadcasts back onto the corpus; the only " +
+    "corpus-sized work is the per-row hash filter") {
+    val p = plan("p39_domain_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-stratum rates (one row per lang) must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p40: gram counts partial-aggregate map-side, absorbing the " +
+    "repetition being measured before any shuffle") {
+    val p = plan("p40_repetition")
+    assert(p.contains("partial_count"),
+      "the (doc, k, gram) count must map-side combine:\n" + p)
+    assert(p.contains("row_number"),
+      "per-doc argmax must be the windowed rank:\n" + p)
+  }
+
   test("p35: semdedup — centroids broadcast for assignment; pair join " +
     "is an equi-join on the cell key, never a cartesian") {
     val p = plan("p35_semdedup")

@@ -326,6 +326,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "expected at least one transitive cluster beyond a single pair")
   }
 
+  test("p39 domain mixing: weights normalize, low-resource strata get " +
+    "higher rates, hash sample stays within stratum bounds") {
+    val rows = run("p39_domain_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4,
+      "alpha weights must normalize")
+    rows.foreach { case (l, n, _, rate, sampled) =>
+      assert(rate > 0 && rate <= 1.0, s"$l rate $rate")
+      assert(sampled <= n, s"$l sampled $sampled of $n")
+    }
+    // alpha = 0.7 < 1 flattens the distribution: among uncapped strata
+    // the per-doc rate is strictly non-increasing in stratum size
+    rows.filter(_._4 < 1.0).sortBy(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 >= b._4 - 1e-9, s"$a then $b")
+      case _           =>
+    }
+  }
+
+  test("p40 repetition == sequential recompute of top n-gram coverage") {
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = run("p40_repetition").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    val exp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val tk = r.getString(1).replaceAll("^ +| +$", "")
+          .replaceAll("\\s+", " ").toLowerCase.split(" ", -1)
+        if (tk.length < 3) None
+        else {
+          val n = tk.length.toLong
+          def top(k: Int): Long = tk.sliding(k).map(_.mkString(" ")).toSeq
+            .groupBy(identity).values.map(_.size).max.toLong
+          val (t2, t3) = (top(2), top(3))
+          val (f2, f3) = (rnd6(t2 * 2.0 / n), rnd6(t3 * 3.0 / n))
+          Some(r.getLong(0) -> ((n, t2, f2, t3, f3, f2 > 0.2 || f3 > 0.18)))
+        }
+      }.toMap
+    assert(got === exp)
+    assert(got.values.exists(_._6), "corpus should flag some repetition")
+  }
+
   test("p35 semdedup: sound subset of the exact all-pairs cosine set, " +
     "with matching similarity values") {
     val got = run("p35_semdedup").collect()
