@@ -1580,81 +1580,6 @@ object Pipeline {
                  JOIN counts cb ON doc_b = cb.doc_id
       WHERE round(common / least(ca.n, cb.n), 6) >= 0.8""")),
 
-    // ---- p38: duplicate-cluster resolution — connected components
-    // over the strong-Jaccard (>= 0.8) pair graph, then one survivor
-    // per cluster (the min doc_id). Near-dup pairs alone don't dedup a
-    // corpus: A~B and B~C must collapse to ONE kept doc even when A~C
-    // was never a candidate pair, so the pair set needs its transitive
-    // closure. Computed as Pregel-style hash-to-min label propagation:
-    // every doc starts labeled with itself, each superstep every doc
-    // takes the min label among itself and its neighbors, fixpoint in
-    // O(graph diameter) supersteps. Dedup components are near-cliques
-    // (diameter 2-3), so the loop is 3-4 supersteps; each is one
-    // edge-list shuffle + one map-side-combined min aggregate, with
-    // localCheckpoint truncating the lineage so plan size stays flat.
-    // The per-superstep convergence probe is a driver-side action by
-    // design — the same coordination barrier GraphX/Pregel pays. For
-    // adversarially long path graphs the known O(log n) alternative is
-    // large-star/small-star (Kiveris et al.); not needed for dedup
-    // workloads.
-    Entry("p38_dup_clusters", (s, dir) => {
-      val d = docs(s, dir)
-      val dup = shingleCandidates(d, P03DfCap)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("common") / (col("na") + col("nb") - col("common")), 6)
-            .as("j"))
-        .filter(col("j") >= 0.8)
-        .select("doc_a", "doc_b")
-      val edges = dup.union(dup.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").persist()
-      var labels = d.select(col("doc_id").as("id"), col("doc_id").as("cluster"))
-        .localCheckpoint()
-      var converged = false
-      var iters = 0
-      while (!converged && iters < 25) {
-        val prop = edges.join(labels, edges("dst") === labels("id"))
-          .select(edges("src").as("id"), col("cluster"))
-        val next = labels.union(prop)
-          .groupBy("id").agg(min("cluster").as("cluster"))
-          .localCheckpoint()
-        converged = next
-          .join(labels.withColumnRenamed("cluster", "prev"), "id")
-          .filter(col("cluster") =!= col("prev")).isEmpty
-        labels = next
-        iters += 1
-      }
-      edges.unpersist()
-      val w = Window.partitionBy("cluster")
-      labels.select(col("id").as("doc_id"), col("cluster"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_survivor", col("doc_id") === col("cluster"))
-    }, Some(s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
-      pairs AS (
-        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
-        FROM shk x JOIN shk y USING (shingle)
-        WHERE x.doc_id < y.doc_id GROUP BY 1, 2
-      ),
-      dup AS (
-        SELECT doc_a, doc_b
-        FROM pairs JOIN counts ca ON doc_a = ca.doc_id
-                   JOIN counts cb ON doc_b = cb.doc_id
-        WHERE round(common/(ca.n + cb.n - common), 6) >= 0.8
-      ),
-      e AS (SELECT doc_a AS s, doc_b AS d FROM dup
-            UNION ALL SELECT doc_b, doc_a FROM dup),
-      reach AS (
-        SELECT doc_id AS id, doc_id AS r FROM documents
-        UNION
-        SELECT e.s AS id, reach.r AS r FROM e JOIN reach ON e.d = reach.id
-      ),
-      comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach
-               GROUP BY id),
-      sz AS (SELECT cluster, count(*) AS cluster_size FROM comp
-             GROUP BY cluster)
-      SELECT c.doc_id, c.cluster, s.cluster_size,
-             c.doc_id = c.cluster AS is_survivor
-      FROM comp c JOIN sz s USING (cluster)""")),
-
     // ---- p39: temperature-scaled domain mixing (the mT5/multilingual
     // sampling rule): stratum weight w_i = n_i^alpha / sum n_j^alpha
     // with alpha = 0.7 upsamples low-resource strata; each stratum then

@@ -295,37 +295,6 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("p38 dup clusters == sequential union-find over the strong pairs") {
-    val pairs = run("p03_dedup_ngram_jaccard").collect()
-      .filter(_.getDouble(2) >= 0.8)
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.nonEmpty, "corpus should have strong dup pairs")
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id").collect().map(_.getLong(0))
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
-    def find(x: Long): Long =
-      if (parent(x) == x) x
-      else { val r = find(parent(x)); parent(x) = r; r }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(ra max rb) = ra min rb
-    }
-    // root the forest at each component's min id
-    val comp: Map[Long, Long] = ids.groupBy(find).iterator.flatMap {
-      case (_, ms) => val m = ms.min; ms.map(_ -> m)
-    }.toMap
-    val sizes = comp.values.groupBy(identity).view.mapValues(_.size).toMap
-    val got = run("p38_dup_clusters").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
-      .toMap
-    assert(got.keySet === comp.keySet)
-    comp.foreach { case (id, c) =>
-      assert(got(id) === ((c, sizes(c).toLong, id == c)), s"doc $id")
-    }
-    assert(sizes.values.exists(_ >= 3),
-      "expected at least one transitive cluster beyond a single pair")
-  }
-
   test("p39 domain mixing: weights normalize, low-resource strata get " +
     "higher rates, hash sample stays within stratum bounds") {
     val rows = run("p39_domain_mix").collect()
