@@ -1641,11 +1641,15 @@ object Pipeline {
              coalesce(s.n_sampled, 0) AS n_sampled
       FROM rates r LEFT JOIN samp s USING (lang)""")),
 
-    // ---- p40: within-document repetition (the Gopher repetition
-    // filters): the fraction of tokens covered by the single most
-    // frequent 2-gram / 3-gram, flagged at the paper's thresholds
-    // (top-2-gram > 0.20, top-3-gram > 0.18). Both gram sizes ride ONE
-    // explode: grams carry a size tag, the (doc, k, gram) count
+    // ---- p40: within-document repetition, the OTHER half of the
+    // Gopher rule family: p19 computes top-token fraction and
+    // duplicate-bigram fraction per-row; this computes the fraction of
+    // tokens covered by the single most frequent 2-gram / 3-gram,
+    // flagged at the paper's thresholds (top-2-gram > 0.20, top-3-gram
+    // > 0.18). The argmax-count statistic needs a per-gram frequency
+    // table, so unlike p19 it is NOT per-row array work: both gram
+    // sizes ride ONE explode, grams carry a size tag, the (doc, k,
+    // gram) count
     // partial-aggregates map-side (absorbing exactly the repetition
     // being measured, so shuffle volume is the per-doc DISTINCT gram
     // count), and one (doc, k)-windowed argmax with a total-order tie
