@@ -1458,8 +1458,12 @@ object Pipeline {
     // all-pairs baseline: vectors are assigned to their nearest centroid
     // (broadcast cross join against the tiny centroid set, exact
     // integer distances), and the O(n²) pair search becomes a cell
-    // equi-join, so candidate volume is Σ cell² instead of n². Cells
-    // are the partitioning key of the one shuffle.
+    // equi-join, so candidate volume is Σ cell² instead of n². The
+    // nearest-centroid argmin is a min_by AGGREGATE, not a rank window:
+    // the n×k candidate rows partial-combine map-side down to n before
+    // the exchange, so shuffle volume is one row per vector — a rank
+    // window would move all n×k rows. The (d2, cid) ordering key is
+    // duplicate-free, so min_by is deterministic.
     Entry("p35_semdedup", (s, dir) => {
       val e = embs(s, dir)
         .withColumn("ei",
@@ -1468,12 +1472,13 @@ object Pipeline {
         .select(col("vec_id").as("cid"), col("ei").as("ci"))
       val d2 = expr(
         "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       val assigned = e.join(broadcast(cents))
         .withColumn("d2", d2)
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("emb")),
+          struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.emb").as("emb"),
+          col("m.cid").as("cell"))
       assigned.toDF("vec_a", "emb_a", "cell")
         .join(assigned.toDF("vec_b", "emb_b", "cell"), "cell")
         .filter(col("vec_a") < col("vec_b"))

@@ -236,11 +236,14 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "per-doc argmax must be the windowed rank:\n" + p)
   }
 
-  test("p35: semdedup — centroids broadcast for assignment; pair join " +
-    "is an equi-join on the cell key, never a cartesian") {
+  test("p35: semdedup — centroids broadcast for assignment; argmin " +
+    "partial-combines map-side; pair join never a cartesian") {
     val p = plan("p35_semdedup")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "centroid assignment must broadcast the tiny centroid set:\n" + p)
+    assert(p.contains("partial_min_by"),
+      "nearest-centroid argmin must combine the n*k candidate rows " +
+        "to one per vector BEFORE the exchange:\n" + p)
     assert(!p.contains("CartesianProduct"),
       "the n^2 search must be confined to same-cell pairs:\n" + p)
   }
