@@ -1719,7 +1719,72 @@ object Pipeline {
                 > CAST(0.2 AS DOUBLE)
               OR round(top3_cnt * CAST(3.0 AS DOUBLE) / n_toks, 6)
                 > CAST(0.18 AS DOUBLE)) AS flagged
-      FROM top"""))
+      FROM top""")),
+
+    // ---- p41: LM-based quality scoring (the CCNet shape): a Laplace-
+    // smoothed bigram language model is trained per language from the
+    // corpus itself, and each document is scored by the mean
+    // log-likelihood of its bigrams — low scores mark gibberish /
+    // boilerplate relative to the corpus distribution. Determinism
+    // discipline: every per-bigram log term is fixed to integer
+    // micro-units (round(ln(p)*1e6) → BIGINT) inside the LM table, so
+    // the per-doc sum is an order-independent exact integer sum — no
+    // FP addition ever crosses a shuffle. Scale shape: two
+    // corpus-keyed count aggregates build the LM (map-side combined),
+    // the O(langs) vocab-size table broadcasts into it, and scoring is
+    // one postings ⋈ LM equi-join on (lang, w1, w2) + one per-doc
+    // integer aggregate. The model is self-trained on the corpus, so
+    // every scored bigram exists in the LM — the join is inner by
+    // construction.
+    Entry("p41_lm_quality", (s, dir) => {
+      val posts = docs(s, dir)
+        .select(col("doc_id"), col("lang"), toks.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(tk)-1), i ->
+               named_struct('w1', element_at(tk, i),
+                            'w2', element_at(tk, i+1)))""")).as("bg"))
+        .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"),
+          col("bg.w2").as("w2"))
+      val c2 = posts.groupBy("lang", "w1", "w2")
+        .agg(count(lit(1)).as("c2"))
+      val c1 = posts.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+      val vocab = posts.select(col("lang"), col("w1"))
+        .union(posts.select(col("lang"), col("w2")))
+        .distinct().groupBy("lang").agg(count(lit(1)).as("v"))
+      val lm = c2.join(c1, Seq("lang", "w1"))
+        .join(broadcast(vocab), "lang")
+        .withColumn("li",
+          expr("cast(round(ln((c2 + 1.0) / (c1 + v)) * 1e6) as bigint)"))
+        .select("lang", "w1", "w2", "li")
+      posts.join(lm, Seq("lang", "w1", "w2"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), sum("li").as("sli"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          round(col("sli").cast("double") / 1e6 / col("n_bigrams"), 6)
+            .as("avg_logp"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      p AS (SELECT doc_id, lang, toks[CAST(i AS INT)] AS w1,
+              toks[CAST(i AS INT) + 1] AS w2
+            FROM d, UNNEST(range(1, len(toks))) AS t(i)
+            WHERE len(toks) >= 2),
+      c2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM p GROUP BY ALL),
+      c1 AS (SELECT lang, w1, count(*) AS c1 FROM p GROUP BY ALL),
+      vocab AS (SELECT lang, count(*) AS v FROM (
+                  SELECT DISTINCT lang, w1 FROM (
+                    SELECT lang, w1 FROM p
+                    UNION ALL SELECT lang, w2 FROM p))
+                GROUP BY lang),
+      lm AS (SELECT c2.lang, c2.w1, c2.w2,
+               CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT)
+                 AS li
+             FROM c2 JOIN c1 USING (lang, w1) JOIN vocab USING (lang))
+      SELECT doc_id, p.lang, count(*) AS n_bigrams,
+             round(CAST(sum(li) AS DOUBLE) / 1e6 / count(*), 6)
+               AS avg_logp
+      FROM p JOIN lm USING (lang, w1, w2)
+      GROUP BY doc_id, p.lang"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

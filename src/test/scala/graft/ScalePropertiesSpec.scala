@@ -236,6 +236,17 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "per-doc argmax must be the windowed rank:\n" + p)
   }
 
+  test("p41: LM counts partial-aggregate map-side; the O(langs) vocab " +
+    "table broadcasts into the model") {
+    val p = plan("p41_lm_quality")
+    assert(p.contains("partial_count"),
+      "bigram/unigram counts must map-side combine:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab sizes (one row per lang) must broadcast:\n" + p)
+    assert(p.contains("partial_sum"),
+      "per-doc integer log-sum must partial-aggregate:\n" + p)
+  }
+
   test("p35: semdedup — centroids broadcast for assignment; argmin " +
     "partial-combines map-side; pair join never a cartesian") {
     val p = plan("p35_semdedup")

@@ -341,6 +341,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._6), "corpus should flag some repetition")
   }
 
+  test("p41 LM quality == sequential bigram-LM recompute") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def micro(x: Double): Long =
+      JBD.valueOf(x * 1e6).setScale(0, RM.HALF_UP).longValue()
+    def rnd6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RM.HALF_UP).doubleValue()
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).replaceAll("^ +| +$", "").replaceAll("\\s+", " ")
+          .toLowerCase.split(" ", -1)))
+    val posts = rows.flatMap { case (id, lang, tk) =>
+      if (tk.length < 2) Nil
+      else tk.sliding(2).map(p => (id, lang, p(0), p(1))).toSeq
+    }
+    val c2 = posts.groupBy(p => (p._2, p._3, p._4)).view.mapValues(_.length)
+    val c1 = posts.groupBy(p => (p._2, p._3)).view.mapValues(_.length)
+    val vocab = posts.flatMap(p => Seq((p._2, p._3), (p._2, p._4)))
+      .distinct.groupBy(_._1).view.mapValues(_.length)
+    val li = c2.toMap.map { case (k @ (lang, w1, _), n2) =>
+      k -> micro(math.log((n2 + 1.0) / (c1((lang, w1)) + vocab(lang))))
+    }
+    val exp = posts.groupBy(p => (p._1, p._2)).map { case ((id, lang), ps) =>
+      val s = ps.map(p => li((lang, p._3, p._4))).sum
+      (id, lang) -> ((ps.length.toLong, rnd6(s.toDouble / 1e6 / ps.length)))
+    }
+    val got = run("p41_lm_quality").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === exp)
+  }
+
   test("p35 semdedup: sound subset of the exact all-pairs cosine set, " +
     "with matching similarity values") {
     val got = run("p35_semdedup").collect()
