@@ -11,6 +11,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   private def run(name: String) =
     Catalog.queries(name)(spark, sfDir)
 
+  /** The catalog's shared normalization (space-trim, collapse
+    * whitespace, lowercase, split on single spaces), as plain Scala —
+    * the sequential-recompute tests all tokenize through this one
+    * mirror so a tokenizer change breaks them together, loudly.
+    */
+  private def seqToks(text: String): Array[String] =
+    text.replaceAll("^ +| +$", "").replaceAll("\\s+", " ")
+      .toLowerCase.split(" ", -1)
+
   test("minhash-LSH finds the high-Jaccard pairs and estimates well") {
     val exact = run("p03_dedup_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -251,8 +260,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // rightmost tie-break — written as the obvious loop, no packing
     val expected = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().flatMap { r =>
-        val tk = r.getString(1).replaceAll("^ +| +$", "")
-          .replaceAll("\\s+", " ").toLowerCase.split(" ", -1)
+        val tk = seqToks(r.getString(1))
         if (tk.length < 6) Seq.empty[(Long, Long, Long)]
         else {
           val grams =
@@ -325,8 +333,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .toMap
     val exp = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().flatMap { r =>
-        val tk = r.getString(1).replaceAll("^ +| +$", "")
-          .replaceAll("\\s+", " ").toLowerCase.split(" ", -1)
+        val tk = seqToks(r.getString(1))
         if (tk.length < 3) None
         else {
           val n = tk.length.toLong
@@ -350,8 +357,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val rows = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
-        r.getString(2).replaceAll("^ +| +$", "").replaceAll("\\s+", " ")
-          .toLowerCase.split(" ", -1)))
+        seqToks(r.getString(2))))
     val posts = rows.flatMap { case (id, lang, tk) =>
       if (tk.length < 2) Nil
       else tk.sliding(2).map(p => (id, lang, p(0), p(1))).toSeq
