@@ -1784,7 +1784,68 @@ object Pipeline {
              round(CAST(sum(li) AS DOUBLE) / 1e6 / count(*), 6)
                AS avg_logp
       FROM p JOIN lm USING (lang, w1, w2)
-      GROUP BY doc_id, p.lang"""))
+      GROUP BY doc_id, p.lang""")),
+
+    // ---- p42: content-defined chunking (Rabin-style): a token ends a
+    // chunk when its 32-bit md5 hash ≡ 0 mod 16, giving ~16-token
+    // variable chunks whose boundaries depend only on LOCAL content —
+    // unlike p29's fixed-stride windows, an insertion near the front of
+    // a document shifts every fixed window but leaves all CDC chunks
+    // after the next boundary identical, so chunk-hash dedup still
+    // matches the unchanged tail. Output is the chunk manifest
+    // (position, length, content hash); chunks tile the token stream
+    // exactly. Per-row array math, no shuffle; tk and the boundary
+    // list are let-bound once (p36's discipline) so the optimizer
+    // cannot re-tokenize per chunk.
+    Entry("p42_cdc_chunks", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      docs(s, dir)
+        .withColumn("tk", toks)
+        .withColumn("c", explode(expr(
+          s"""flatten(flatten(transform(array(tk), tk2 ->
+                transform(
+                  array(filter(sequence(1, size(tk2)), i ->
+                    ${H.h32Spark("element_at(tk2, i)")} % 16 = 0)),
+                  bs -> transform(
+                    filter(zip_with(
+                        concat(array(1), transform(bs, b -> b + 1)),
+                        concat(bs, array(size(tk2))),
+                        (st, en) -> named_struct('st', st, 'en', en)),
+                      ch -> ch.st <= ch.en),
+                    (ch, k) -> named_struct(
+                      'chunk_idx', cast(k + 1 as bigint),
+                      'start_pos', cast(ch.st as bigint),
+                      'n_tokens', cast(ch.en - ch.st + 1 as bigint),
+                      'chunk_hash', ${H.h60Spark(
+                        "concat_ws(' ', slice(tk2, ch.st, ch.en - ch.st + 1))")}
+                    ))))))""")))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.start_pos").as("start_pos"),
+          col("c.n_tokens").as("n_tokens"),
+          col("c.chunk_hash").as("chunk_hash"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      b AS (SELECT doc_id, toks,
+              list_filter(range(1, len(toks)+1), i ->
+                ${graft.functions.HashScheme.h32Duck(
+                  "toks[CAST(i AS INT)]")} % 16 = 0) AS bs
+            FROM d),
+      c AS (SELECT doc_id, toks,
+              list_concat([1], list_transform(bs, b -> b + 1)) AS ss,
+              list_concat(bs, [len(toks)::BIGINT]) AS es
+            FROM b),
+      u AS (SELECT doc_id, toks, i AS k,
+              ss[CAST(i AS INT)] AS s, es[CAST(i AS INT)] AS e
+            FROM c, UNNEST(range(1, len(ss)+1)) AS t(i)
+            WHERE ss[CAST(i AS INT)] <= es[CAST(i AS INT)])
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY k)
+               AS chunk_idx,
+             s AS start_pos, e - s + 1 AS n_tokens,
+             ${graft.functions.HashScheme.h60Duck(
+               "array_to_string(toks[CAST(s AS INT):CAST(e AS INT)], ' ')")}
+               AS chunk_hash
+      FROM u"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -236,6 +236,12 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "per-doc argmax must be the windowed rank:\n" + p)
   }
 
+  test("p42: content-defined chunking is per-row — no exchange at all") {
+    val p = plan("p42_cdc_chunks")
+    assert(!p.contains("Exchange"),
+      "CDC chunk manifest must not shuffle:\n" + p)
+  }
+
   test("p41: LM counts partial-aggregate map-side; the O(langs) vocab " +
     "table broadcasts into the model") {
     val p = plan("p41_lm_quality")

@@ -379,6 +379,42 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got === exp)
   }
 
+  test("p42 CDC chunks == sequential recompute; chunks tile the doc") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val exp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val tk = seqToks(r.getString(1))
+        val bs = tk.indices.filter(i => h32(tk(i)) % 16 == 0).map(_ + 1)
+        val starts = 1 +: bs.map(_ + 1)
+        val ends = bs :+ tk.length
+        starts.zip(ends).filter { case (s0, e) => s0 <= e }
+          .zipWithIndex.map { case ((s0, e), k) =>
+            (r.getLong(0), (k + 1).toLong, s0.toLong, (e - s0 + 1).toLong,
+              h60(tk.slice(s0 - 1, e).mkString(" ")))
+          }
+      }.toSet
+    val got = run("p42_cdc_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === exp)
+    // chunks tile each token stream exactly: starts contiguous, lengths
+    // sum to the token count
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.toSeq.sortBy(_._2)
+      assert(sorted.head._3 === 1L, s"doc $id first chunk not at 1")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 === a._3 + a._4,
+          s"doc $id gap between chunks ${a._2} and ${b._2}")
+        case _         =>
+      }
+    }
+  }
+
   test("p35 semdedup: sound subset of the exact all-pairs cosine set, " +
     "with matching similarity values") {
     val got = run("p35_semdedup").collect()
