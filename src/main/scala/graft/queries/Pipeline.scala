@@ -1845,7 +1845,54 @@ object Pipeline {
              ${graft.functions.HashScheme.h60Duck(
                "array_to_string(toks[CAST(s AS INT):CAST(e AS INT)], ' ')")}
                AS chunk_hash
-      FROM u"""))
+      FROM u""")),
+
+    // ---- p43: cross-modal consistency check — the QA join between
+    // the lexical and semantic dedup views: for every strong-Jaccard
+    // text pair (p03's >= 0.8 set), fetch both docs' embeddings and
+    // flag pairs whose cosine disagrees with the text verdict. Catches
+    // template documents (near-identical text, different meaning
+    // payload) and embedding drift before a dedup decision destroys
+    // data. Scale shape: the pair list is dedup output (small by
+    // nature) and broadcasts twice into the full embedding table, so
+    // the corpus-sized side streams map-side through two broadcast
+    // equi-joins — no pair-driven shuffle of the embeddings.
+    Entry("p43_crossmodal_check", (s, dir) => {
+      val jac = round(col("common") /
+        (col("na") + col("nb") - col("common")), 6)
+      val pairs = shingleCandidates(docs(s, dir), P03DfCap)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+      val e = embs(s, dir).select(col("vec_id"), col("emb"))
+      val withA = e.join(broadcast(pairs), col("vec_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          col("emb").as("emb_a"))
+      e.toDF("vec_b", "emb_b")
+        .join(broadcast(withA), col("vec_b") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
+            .as("cos_sim"))
+        .withColumn("consistent", col("cos_sim") >= 0.5)
+    }, Some(s"""$shingleCte,
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        FROM shk x JOIN shk y USING (shingle)
+        WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+      ),
+      strong AS (
+        SELECT doc_a, doc_b,
+               round(common/(ca.n + cb.n - common), 6) AS jaccard
+        FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+                   JOIN counts cb ON doc_b = cb.doc_id
+        WHERE round(common/(ca.n + cb.n - common), 6) >= 0.8
+      ),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      SELECT s.doc_a, s.doc_b, s.jaccard,
+             round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim,
+             round(list_cosine_similarity(ea.emb, eb.emb), 6)
+               >= CAST(0.5 AS DOUBLE) AS consistent
+      FROM strong s JOIN e ea ON s.doc_a = ea.vec_id
+                    JOIN e eb ON s.doc_b = eb.vec_id"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -236,6 +236,14 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "per-doc argmax must be the windowed rank:\n" + p)
   }
 
+  test("p43: the small pair list broadcasts twice; the embedding " +
+    "corpus is never shuffled by the consistency join") {
+    val p = plan("p43_crossmodal_check")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      "pairs (dedup output, small) must broadcast into embeddings:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("p42: content-defined chunking is per-row — no exchange at all") {
     val p = plan("p42_cdc_chunks")
     assert(!p.contains("Exchange"),

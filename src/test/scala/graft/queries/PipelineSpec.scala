@@ -415,6 +415,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p43 crossmodal check covers exactly the strong text pairs, " +
+    "with the flag equal to the cosine threshold") {
+    val strong = run("p03_dedup_ngram_jaccard").collect()
+      .filter(_.getDouble(2) >= 0.8)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = run("p43_crossmodal_check").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === strong.keySet,
+      "one consistency row per strong text pair")
+    got.foreach { case (k, (j, c, f)) =>
+      assert(j === strong(k), s"pair $k jaccard")
+      assert(c >= -1.0 - 5e-7 && c <= 1.0 + 5e-7, s"pair $k cosine $c")
+      assert(f === (c >= 0.5), s"pair $k flag")
+    }
+  }
+
   test("p35 semdedup: sound subset of the exact all-pairs cosine set, " +
     "with matching similarity values") {
     val got = run("p35_semdedup").collect()
