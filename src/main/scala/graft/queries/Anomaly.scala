@@ -925,7 +925,75 @@ object Anomaly {
                     sqrt(CAST(9 * syy - sy * sy AS DOUBLE))), 6)
                AS autocorr_lag1
       FROM w
-      WHERE rn >= 10 AND 9 * sxx > sx * sx AND 9 * syy > sy * sy"""))
+      WHERE rn >= 10 AND 9 * sxx > sx * sx AND 9 * syy > sy * sy""")),
+
+    // ---- a23: variance-ratio volatility detector — the complement the
+    // reference's ensemble lacks: every one of its 7 tests targets
+    // LEVEL shifts (mean, rank, fence, distribution position); a
+    // volatility change with an unchanged mean sails through all of
+    // them. Same window geometry as the ensemble (active = last 2
+    // points, reference = the preceding 8): sample-variance ratio
+    // var_active / var_reference, flagged above 4x. Exactness: values
+    // fixed-pointed to 1e-6 integers, both (n·Σx² − (Σx)²) variance
+    // kernels exact in DECIMAL(38,0)/HUGEINT (the 1e-12 fixed-point
+    // scale cancels in the ratio; Bessel factors fold to the integer
+    // constant 28), ONE double division at the end, emitted unrounded.
+    // Zero-variance reference windows excluded by an integer
+    // predicate. Scale shape: one series-key shuffle shared by all
+    // four window sums — identical plan skeleton to a22.
+    Entry("a23_varratio", (s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val wA = wS.rowsBetween(-1, 0)
+      val wR = wS.rowsBetween(-9, -2)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("value"),
+          expr("cast(round(value * 1e6) as bigint)").as("x6"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("sa", sum(dec(col("x6"))).over(wA))
+        .withColumn("saa", sum(dec(col("x6")) * col("x6")).over(wA))
+        .withColumn("sr", sum(dec(col("x6"))).over(wR))
+        .withColumn("srr", sum(dec(col("x6")) * col("x6")).over(wR))
+        .filter(col("rn") >= 10 &&
+          lit(8) * col("srr") > col("sr") * col("sr"))
+        // unrounded: numerator and denominator are exact integers whose
+        // double conversions are correctly rounded in both engines, so
+        // the single division is bit-identical — round(6) would only
+        // add .5e-6-boundary risk on exact-rational ratios
+        .withColumn("vol_ratio",
+          ((lit(2) * col("saa") - col("sa") * col("sa")) * lit(28))
+            .cast("double") /
+            (lit(8) * col("srr") - col("sr") * col("sr")).cast("double"))
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("vol_ratio"),
+          (col("vol_ratio") > 4.0).as("is_vol_spike"))
+    }, Some("""
+      WITH e AS (SELECT event_type, event_id, ts, value,
+                   CAST(round(value * 1e6) AS BIGINT) AS x6,
+                   row_number() OVER win AS rn
+                 FROM events
+                 WINDOW win AS (PARTITION BY event_type
+                                ORDER BY ts, event_id)),
+      w AS (SELECT event_type, event_id, value, rn,
+              sum(CAST(x6 AS HUGEINT)) OVER wa AS sa,
+              sum(CAST(x6 AS HUGEINT) * x6) OVER wa AS saa,
+              sum(CAST(x6 AS HUGEINT)) OVER wr AS sr,
+              sum(CAST(x6 AS HUGEINT) * x6) OVER wr AS srr
+            FROM e
+            WINDOW wa AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+                   wr AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 9 PRECEDING AND 2 PRECEDING)),
+      v AS (SELECT event_type, event_id, value,
+              CAST((2 * saa - sa * sa) * 28 AS DOUBLE) /
+                CAST(8 * srr - sr * sr AS DOUBLE) AS vol_ratio
+            FROM w
+            WHERE rn >= 10 AND 8 * srr > sr * sr)
+      SELECT event_type, event_id, value, vol_ratio,
+             vol_ratio > CAST(4.0 AS DOUBLE) AS is_vol_spike
+      FROM v"""))
   )
 
   /** lcm helper for the KS grid scale factor. */

@@ -1754,8 +1754,11 @@ object Pipeline {
         .distinct().groupBy("lang").agg(count(lit(1)).as("v"))
       val lm = c2.join(c1, Seq("lang", "w1"))
         .join(broadcast(vocab), "lang")
+        // 1.0D not 1.0: a bare decimal literal drags the ratio through
+        // Spark decimal division (scale-17 after the precision cap)
+        // instead of the pure-double path DuckDB takes — see p45
         .withColumn("li",
-          expr("cast(round(ln((c2 + 1.0) / (c1 + v)) * 1e6) as bigint)"))
+          expr("cast(round(ln((c2 + 1.0D) / (c1 + v)) * 1e6) as bigint)"))
         .select("lang", "w1", "w2", "li")
       posts.join(lm, Seq("lang", "w1", "w2"))
         .groupBy("doc_id", "lang")
@@ -1892,7 +1895,182 @@ object Pipeline {
              round(list_cosine_similarity(ea.emb, eb.emb), 6)
                >= CAST(0.5 AS DOUBLE) AS consistent
       FROM strong s JOIN e ea ON s.doc_a = ea.vec_id
-                    JOIN e eb ON s.doc_b = eb.vec_id"""))
+                    JOIN e eb ON s.doc_b = eb.vec_id""")),
+
+    // ---- p44: duplicated-span coverage — the per-document signal
+    // behind exact-substring dedup (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): for every document,
+    // the fraction of its positional 8-token spans whose span content
+    // also occurs in at least one OTHER document. High-coverage docs
+    // are near-copies or heavy boilerplate even when whole-doc hashes
+    // (p01) and set-Jaccard (p03) miss them — span coverage sees
+    // partial overlap with MANY different documents. Scale shape: the
+    // positional span stream collapses to distinct (doc, span) rows
+    // with a positional count in ONE map-side-combined aggregate, the
+    // doc-frequency dim is one more count over those rows, and the
+    // final join is on span hash with at most one row per (doc, span)
+    // on the probe side — a hot boilerplate span costs df rows, never
+    // df². Span identity is the 64-bit 8-gram hash (oracle uses string
+    // 8-grams; identical modulo ~1e-9 collision odds, p03's contract).
+    Entry("p44_dupspan", (s, dir) => {
+      val spans = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextHashFunctions.ngram_hashes(toks, 8)).as("g"))
+      // one row per (doc, span) + how many positions it covers there
+      val perDoc = spans.groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("cnt"))
+      val df = perDoc.groupBy("g").agg(count(lit(1)).as("df"))
+      perDoc.join(df, "g")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("total_spans"),
+          sum(when(col("df") >= 2, col("cnt")).otherwise(0L))
+            .as("dup_spans"))
+        .select(col("doc_id"), col("total_spans"), col("dup_spans"),
+          // unrounded: exact-integer inputs + one division = identical
+          // IEEE doubles on both engines; round(6) would only add
+          // .5e-6-boundary risk (dup/128-style dyadic rationals)
+          (col("dup_spans").cast("double") / col("total_spans"))
+            .as("dup_frac"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+            FROM d, UNNEST(CASE WHEN len(toks) >= 8
+                                THEN range(1, len(toks)-6)
+                                ELSE [] END) AS t(i)),
+      pd AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY ALL),
+      df AS (SELECT g, count(*) AS df FROM pd GROUP BY g)
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS total_spans,
+             CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+             CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+               / CAST(sum(cnt) AS BIGINT) AS dup_frac
+      FROM pd JOIN df USING (g)
+      GROUP BY doc_id""")),
+
+    // ---- p45: DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every document by how much more likely its tokens are under a
+    // TARGET domain (here: source src0) than under the raw corpus,
+    // using hashed unigram features — log w(d) = (1/n) Σ_t [ln
+    // p_target(b(t)) − ln p_raw(b(t))] over 4096 md5-hash buckets with
+    // Laplace smoothing. The resampling step is then p21's
+    // hash-threshold sampler with these weights as rates. Determinism:
+    // the two smoothed log-probs fold into ONE ln of an integer-exact
+    // rational per bucket, fixed to integer micro-units inside the
+    // O(4096)-row feature table (p41's discipline) — the per-doc score
+    // is an order-independent exact integer sum. Scale shape: one
+    // bucket-keyed count aggregate (map-side combined) builds the
+    // feature table from the same token stream it scores, the KB-scale
+    // table broadcasts back over the postings, and the per-doc
+    // aggregate is the only corpus shuffle.
+    Entry("p45_dsir_weight", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(toks).as("t"))
+        .select(col("doc_id"), col("source"),
+          expr(H.h32Spark("t") + " % 4096").as("b"))
+      val agg = tok.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      val tot = agg.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      // 1.0D double literals, NOT 1.0: a bare decimal literal would keep
+      // the whole ratio in Spark decimal arithmetic, whose division
+      // hits the precision-38 cap with BIGINT operands and silently
+      // rounds the ratio to scale 6 BEFORE ln — DuckDB promotes the
+      // same expression to DOUBLE, so the li tables would diverge
+      val lm = agg.crossJoin(broadcast(tot))
+        .withColumn("li", expr(
+          """cast(round(ln(((ct + 1.0D) * (nr + 4096)) /
+             ((cr + 1.0D) * (nt + 4096))) * 1e6) as bigint)"""))
+        .select("b", "li")
+      // emitted UNROUNDED: sli is an exact integer on both engines and
+      // double(sli)/1e6/n is the identical IEEE op sequence — whereas
+      // round(6) would split engines whenever the exact rational lands
+      // on a .5e-6 boundary (7 docs at sf0.01 do; a16/a20 precedent)
+      tok.join(broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("li")).as("sli"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("sli").cast("double") / 1e6 / col("n_toks"))
+            .as("dsir_logw"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+      tok AS (SELECT doc_id, source,
+                ${graft.functions.HashScheme.h32Duck("t.t")} % 4096 AS b
+              FROM d, UNNEST(toks) AS t(t)),
+      agg AS (SELECT b, count(*) AS cr,
+                sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+              FROM tok GROUP BY b),
+      tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM agg),
+      lm AS (SELECT b, CAST(round(ln(((ct + 1.0) * (nr + 4096)) /
+                 ((cr + 1.0) * (nt + 4096))) * 1e6) AS BIGINT) AS li
+             FROM agg, tot)
+      SELECT doc_id, count(*) AS n_toks,
+             CAST(sum(li) AS DOUBLE) / 1e6 / count(*) AS dsir_logw
+      FROM tok JOIN lm USING (b)
+      GROUP BY doc_id""")),
+
+    // ---- p46: Zipf rank-frequency slope per language — the corpus-
+    // health diagnostic: natural text follows freq ∝ rank^s with
+    // s ≈ −1; a corpus slice whose fitted slope drifts far from −1 is
+    // template-heavy (too flat) or degenerate (too steep). Fit is OLS
+    // of ln(freq) on ln(rank) over the full vocabulary, rank-tied
+    // tokens totally ordered by (count desc, token). Determinism: both
+    // logs are per-VOCAB-ROW values fixed to integer micro-units, the
+    // five regression sums are exact in DECIMAL(38,0)/HUGEINT (a22's
+    // discipline), one double division at the end, emitted unrounded.
+    // Scale shape: everything after the one corpus-keyed (lang, token)
+    // count aggregate runs on vocab-sized data; the rank window
+    // partitions by lang over that aggregate only.
+    Entry("p46_zipf_slope", (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("lang"), explode(toks).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+      val wR = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("t"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      tf.withColumn("rk", row_number().over(wR))
+        .select(col("lang"),
+          expr("cast(round(ln(cast(rk as double)) * 1e6) as bigint)")
+            .as("x6"),
+          expr("cast(round(ln(cast(cnt as double)) * 1e6) as bigint)")
+            .as("y6"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(dec(col("x6"))).as("sx"),
+          sum(dec(col("y6"))).as("sy"),
+          sum(dec(col("x6") * col("x6"))).as("sxx"),
+          sum(dec(col("x6") * col("y6"))).as("sxy"))
+        .select(col("lang"), col("n_terms"),
+          // unrounded: both operands are exact 128-bit integers whose
+          // double conversions are correctly rounded in both engines,
+          // so the single division is bit-identical
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("zipf_slope"))
+    }, Some(s"""
+      WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      tf AS (SELECT lang, t.t AS t, count(*) AS cnt
+             FROM d, UNNEST(toks) AS t(t) GROUP BY ALL),
+      r AS (SELECT lang, cnt,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, t) AS rk
+            FROM tf),
+      f AS (SELECT lang,
+              CAST(round(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS x6,
+              CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y6
+            FROM r)
+      SELECT lang, count(*) AS n_terms,
+             CAST(count(*) * sum(CAST(x6 AS HUGEINT) * y6)
+                  - sum(CAST(x6 AS HUGEINT))
+                    * sum(CAST(y6 AS HUGEINT)) AS DOUBLE)
+               / CAST(count(*) * sum(CAST(x6 AS HUGEINT) * x6)
+                      - sum(CAST(x6 AS HUGEINT))
+                        * sum(CAST(x6 AS HUGEINT)) AS DOUBLE)
+               AS zipf_slope
+      FROM f GROUP BY lang"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -176,4 +176,37 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(got(key)) <= 1.0 + 5e-7, s"$key out of [-1,1]")
     }
   }
+
+  test("a23 variance ratio == exact BigInt sequential recompute; " +
+    "flag equals the 4x threshold; corpus has volatility spikes") {
+    val got = Catalog.queries("a23_varratio")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    def fix6(v: Double): BigInt =
+      BigInt(JBigDecimal.valueOf(v * 1e6)
+        .setScale(0, RoundingMode.HALF_UP).longValueExact())
+    val a = spec.activeSize      // 2
+    val nr = wSize - a           // 8 reference points
+    // Bessel factors: (a-1)·a in the active kernel vs (nr-1)·nr in the
+    // reference kernel → the integer constant nr(nr-1)/(a(a-1)) = 28
+    val bessel = BigInt(nr * (nr - 1) / (a * (a - 1)))
+    val expected = windows.flatMap { case (key, arr) =>
+      val x6 = arr.map(fix6)
+      val ref = x6.take(nr); val act = x6.drop(nr)
+      val sr = ref.sum; val srr = ref.map(v => v * v).sum
+      val sa = act.sum; val saa = act.map(v => v * v).sum
+      val vr = BigInt(nr) * srr - sr * sr
+      if (vr <= 0) None
+      else Some(key ->
+        ((BigInt(a) * saa - sa * sa) * bessel).toDouble / vr.toDouble)
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, r) =>
+      val (ratio, flag) = got(key)
+      assert(ratio === r, s"$key")
+      assert(flag === (ratio > 4.0), s"$key flag")
+      assert(ratio >= 0.0, s"$key variance ratio must be non-negative")
+    }
+    assert(got.values.exists(_._2), "corpus should trip the 4x threshold")
+  }
 }

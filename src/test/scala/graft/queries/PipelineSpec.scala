@@ -453,4 +453,113 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(exact(k) - c) <= 2e-6, s"pair $k: $c vs ${exact(k)}")
     }
   }
+
+  test("p44 duplicated-span coverage == sequential recompute; " +
+    "whole-doc exact dups have full coverage") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> seqToks(r.getString(1)))
+    val perDoc = rows.flatMap { case (id, tk) =>
+      tk.sliding(8).filter(_.length == 8).map(g => (id, g.mkString(" ")))
+        .toSeq.groupBy(identity).map { case ((i, g), ps) =>
+          (i, g, ps.size.toLong)
+        }
+    }
+    val df = perDoc.groupBy(_._2).view.mapValues(_.size).toMap
+    val exp = perDoc.groupBy(_._1).map { case (id, gs) =>
+      val total = gs.map(_._3).sum
+      val dup = gs.filter(g => df(g._2) >= 2).map(_._3).sum
+      id -> ((total, dup, dup.toDouble / total))
+    }
+    val got = run("p44_dupspan").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === exp)
+    // the corpus's boilerplate overlap (p03 finds strong pairs) must
+    // show up as shared spans
+    assert(got.values.exists(_._2 > 0), "expected duplicated spans")
+    // every doc that is an exact whole-text duplicate of another doc
+    // must have dup_frac 1.0 — span coverage dominates whole-doc dedup
+    // (the test corpus may have no such docs; the property is pinned
+    // whenever they exist)
+    rows.groupBy(_._2.mkString(" ")).values
+      .filter(_.length >= 2).flatMap(_.map(_._1))
+      .filter(got.contains) // docs with >= 8 tokens
+      .foreach { id =>
+        assert(got(id)._3 === 1.0, s"exact-dup doc $id not fully covered")
+      }
+  }
+
+  test("p45 DSIR weights == sequential recompute; target-source docs " +
+    "score higher on average than the rest") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    import java.security.MessageDigest
+    def micro(x: Double): Long =
+      JBD.valueOf(x * 1e6).setScale(0, RM.HALF_UP).longValue()
+    def h32(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        seqToks(r.getString(2)).map(t => h32(t) % 4096)))
+    val cr = new scala.collection.mutable.HashMap[Long, Long]()
+    val ct = new scala.collection.mutable.HashMap[Long, Long]()
+    rows.foreach { case (_, src, bs) =>
+      bs.foreach { b =>
+        cr(b) = cr.getOrElse(b, 0L) + 1
+        if (src == "src0") ct(b) = ct.getOrElse(b, 0L) + 1
+      }
+    }
+    val nr = cr.values.sum; val nt = ct.values.sum
+    val li = cr.keys.map(b => b -> micro(math.log(
+      ((ct.getOrElse(b, 0L) + 1.0) * (nr + 4096)) /
+        ((cr(b) + 1.0) * (nt + 4096))))).toMap
+    val exp = rows.map { case (id, _, bs) =>
+      id -> ((bs.length.toLong,
+        bs.map(li).sum.toDouble / 1e6 / bs.length))
+    }.toMap
+    val got = run("p45_dsir_weight").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === exp)
+    // the importance weight must separate the target domain: src0 docs
+    // average strictly higher than non-src0 docs
+    val bySrc = rows.map { case (id, src, _) => id -> src }.toMap
+    val (t, o) = got.partition { case (id, _) => bySrc(id) == "src0" }
+    def mean(xs: Iterable[Double]): Double = xs.sum / xs.size
+    assert(mean(t.values.map(_._2)) > mean(o.values.map(_._2)),
+      "target-domain docs should have higher mean importance weight")
+  }
+
+  test("p46 Zipf slope == exact BigInt sequential recompute; " +
+    "slopes are negative and Zipf-ish") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def micro(x: Double): Long =
+      JBD.valueOf(x * 1e6).setScale(0, RM.HALF_UP).longValue()
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), seqToks(r.getString(1))))
+    val exp = rows.groupBy(_._1).map { case (lang, ds) =>
+      val cnt = ds.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val ranked = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      val pts = ranked.map { case ((_, c), i) =>
+        (BigInt(micro(math.log(i + 1.0))), BigInt(micro(math.log(c))))
+      }
+      val n = BigInt(pts.length)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      lang -> ((pts.length.toLong,
+        (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble))
+    }
+    val got = run("p46_zipf_slope").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === exp)
+    got.values.foreach { case (_, slope) =>
+      assert(slope < 0.0, "rank-frequency slope must be negative")
+      assert(slope > -3.0 && slope < -0.05, s"implausible Zipf slope $slope")
+    }
+  }
 }
