@@ -1919,8 +1919,14 @@ object Pipeline {
       // one row per (doc, span) + how many positions it covers there
       val perDoc = spans.groupBy("doc_id", "g")
         .agg(count(lit(1)).as("cnt"))
-      val df = perDoc.groupBy("g").agg(count(lit(1)).as("df"))
-      perDoc.join(df, "g")
+      // doc-frequency as a window over the span partitioning, NOT a
+      // groupBy+join: the join form re-scans and re-tokenizes the
+      // corpus for the dim side and (at test SF) broadcasts a dim that
+      // is corpus-vocab-sized — unshippable at 100 TB. The window form
+      // is one scan and three bounded shuffles: (doc,g) agg → g window
+      // → doc agg.
+      perDoc
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(sum(col("cnt")).as("total_spans"),
           sum(when(col("df") >= 2, col("cnt")).otherwise(0L))
@@ -1970,9 +1976,14 @@ object Pipeline {
         .select(col("doc_id"), col("source"), explode(toks).as("t"))
         .select(col("doc_id"), col("source"),
           expr(H.h32Spark("t") + " % 4096").as("b"))
+      // persisted: the O(4096)-row bucket table feeds BOTH the totals
+      // and the feature table — without it Spark recomputes the whole
+      // corpus scan + tokenize + md5 subtree for each (3 corpus scans
+      // instead of the 2 a train-then-score pass needs)
       val agg = tok.groupBy("b").agg(
         count(lit(1)).as("cr"),
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        .persist()
       val tot = agg.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
       // 1.0D double literals, NOT 1.0: a bare decimal literal would keep
       // the whole ratio in Spark decimal arithmetic, whose division

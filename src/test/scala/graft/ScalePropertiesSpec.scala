@@ -213,6 +213,34 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "lag + five rolling sums must share one window shuffle:\n" + p)
   }
 
+  test("a23: variance ratio is one shuffle on the series key") {
+    val p = plan("a23_varratio")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      "all four variance sums must share one window shuffle:\n" + p)
+  }
+
+  test("p44: span coverage scans the corpus once; the span-df dim is " +
+    "a window, never a broadcast") {
+    val p = plan("p44_dupspan")
+    assert(countOf(p, "Scan parquet") === 1,
+      "df-via-window must not re-scan the corpus for a dim side:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "the span-df dim is corpus-vocab-sized — broadcasting it dies " +
+        "at 100 TB:\n" + p)
+  }
+
+  test("p45: DSIR trains and scores in exactly two corpus scans; the " +
+    "feature table broadcasts back over the postings") {
+    val p = plan("p45_dsir_weight")
+    // toString prints the cached subtree under each InMemoryTableScan,
+    // so count cache reads, not the textual "Scan parquet" copies:
+    // 2 cache reads == tot AND lm both reuse the one training scan
+    assert(countOf(p, "InMemoryTableScan") === 2,
+      "the cached bucket table must feed both tot and lm:\n" + p)
+    assert(countOf(p, "BroadcastHashJoin") === 1,
+      "the O(4096)-row feature table must broadcast into scoring:\n" + p)
+  }
+
   test("p36: winnowing is per-row array math — no exchange at all") {
     val p = plan("p36_winnowing")
     assert(!p.contains("Exchange"),
