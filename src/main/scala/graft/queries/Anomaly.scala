@@ -29,6 +29,37 @@ object Anomaly {
     */
   private[graft] val EmaHorizon = 16
 
+  /** a24's Holt filter length: the forecast folds the 16 points
+    * preceding each row. Shared with AnomalySpec.
+    */
+  private[graft] val HoltHorizon = 16
+
+  /** a24's linear-filter coefficients: f_j = coefficient of the j-th
+    * OLDEST point (arr is oldest-first) in l + b after running Holt
+    * with alpha = beta = 1/2 from zero state over the horizon —
+    * computed by folding a unit impulse at j through the exact
+    * recurrence l' = x/2 + (l+b)/2, b' = x/4 − l/4 + 3b/4 in
+    * BigDecimal (all values dyadic, so exact and finite-decimal).
+    */
+  private[graft] lazy val holtCoefs: Seq[java.math.BigDecimal] = {
+    import java.math.BigDecimal
+    val half = new BigDecimal("0.5")
+    val quarter = new BigDecimal("0.25")
+    val threeQ = new BigDecimal("0.75")
+    (1 to HoltHorizon).map { j =>
+      var l = BigDecimal.ZERO
+      var b = BigDecimal.ZERO
+      for (i <- 1 to HoltHorizon) {
+        val x = if (i == j) BigDecimal.ONE else BigDecimal.ZERO
+        val lNew = half.multiply(x).add(half.multiply(l.add(b)))
+        val bNew = quarter.multiply(x).subtract(quarter.multiply(l))
+          .add(threeQ.multiply(b))
+        l = lNew; b = bNew
+      }
+      l.add(b)
+    }
+  }
+
   private def detected(s: org.apache.spark.sql.SparkSession, dir: String) =
     Detectors.withProbsFused(Tables.events(s, dir), col("event_type"),
         col("ts"), Seq(col("event_id")), col("value"), spec)
@@ -993,7 +1024,70 @@ object Anomaly {
             WHERE rn >= 10 AND 8 * srr > sr * sr)
       SELECT event_type, event_id, value, vol_ratio,
              vol_ratio > CAST(4.0 AS DOUBLE) AS is_vol_spike
-      FROM v"""))
+      FROM v""")),
+
+    // ---- a24: Holt (level + trend) one-step forecast residual — the
+    // trend-aware complement to a15's level-only EMA: double
+    // exponential smoothing (alpha = beta = 1/2) tracks a drifting
+    // series, so the residual value − forecast isolates genuine jumps
+    // from steady drift that inflates fixed-baseline detectors. The
+    // recurrence is unrolled over the [[HoltHorizon]] points PRECEDING
+    // each row into one linear filter: forecast = Σ_j f_j · x_j with
+    // f_j the exact dyadic coefficient of the j-th oldest point in
+    // l + b after folding from zero state (truncation transient decays
+    // as |λ|^H = 2^-H/2 ≈ 0.4% at H = 16 — documented, and pinned by
+    // the constant-series bound in AnomalySpec). Determinism: the
+    // coefficients are finite-decimal dyadics embedded as identical
+    // literals in both engines (each is an exact double: ≤ 34-bit
+    // numerators), and the dot product is an explicit left-fold array
+    // aggregate — never a windowed SUM, whose segment-tree association
+    // DuckDB may reassociate — so both engines run the identical IEEE
+    // op sequence; outputs emitted unrounded. One series-key shuffle.
+    Entry("a24_holt_resid", (s, dir) => {
+      val h = HoltHorizon
+      val cs = holtCoefs.map(_.toPlainString)
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wS.rowsBetween(-h, -1)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("value"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("arr", collect_list(col("v6")).over(frame))
+        .filter(col("rn") >= h + 1)
+        .select(col("event_type"), col("event_id"), col("value"),
+          expr(s"aggregate(zip_with(arr, " +
+            s"array(${cs.mkString("D, ")}D), (x, y) -> x * y), 0D, " +
+            s"(a, x) -> a + x) / 1e6").as("forecast_v"))
+        .withColumn("resid_v", col("value") - col("forecast_v"))
+    }, Some {
+      val h = HoltHorizon
+      // each coefficient goes through a VARCHAR -> DOUBLE cast: a bare
+      // literal parses as DECIMAL(38,32) (whose bigint multiply
+      // overflows), and DECIMAL -> DOUBLE double-rounds (hugeint times
+      // a float 1e-32) — off by an ulp from Spark's correctly-rounded
+      // literal parse. strtod on the string is correctly rounded and
+      // lands on the identical doubles (values are 34-bit dyadics).
+      val cs = holtCoefs.map(c => s"CAST('${c.toPlainString}' AS DOUBLE)")
+      s"""
+      WITH base AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER win AS rn,
+               array_agg(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN $h PRECEDING AND 1 PRECEDING) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      f AS (
+        SELECT event_type, event_id, value,
+               list_reduce(list_transform(range(1, ${h + 1}),
+                 j -> arr[j] * ${cs.mkString("[", ",", "]")}[j]),
+                 (a, b) -> a + b) / 1e6 AS forecast_v
+        FROM base WHERE rn >= ${h + 1})
+      SELECT event_type, event_id, value, forecast_v,
+             value - forecast_v AS resid_v
+      FROM f"""
+    })
   )
 
   /** lcm helper for the KS grid scale factor. */

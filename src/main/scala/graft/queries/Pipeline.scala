@@ -1952,7 +1952,7 @@ object Pipeline {
              CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
                / CAST(sum(cnt) AS BIGINT) AS dup_frac
       FROM pd JOIN df USING (g)
-      GROUP BY doc_id""")),
+      GROUP BY doc_id"""), bench = true),
 
     // ---- p45: DSIR-style importance weights (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score

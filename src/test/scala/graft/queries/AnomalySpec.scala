@@ -209,4 +209,44 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got.values.exists(_._2), "corpus should trip the 4x threshold")
   }
+
+  test("a24 Holt forecast == sequential same-order dot recompute; " +
+    "filter mass within the truncation bound of 1") {
+    val h = Anomaly.HoltHorizon
+    val coefs = Anomaly.holtCoefs.map(_.doubleValue()) // exact dyadics
+    // the truncated filter's response to a constant series is the
+    // coefficient sum; the transient decays as |λ|^h = 2^(-h/2) times
+    // an O(1) constant from the complex-pair rotation (measured 1.07)
+    val mass = coefs.sum
+    assert(math.abs(mass - 1.0) <= math.pow(2.0, 1.0 - h / 2.0),
+      s"filter mass $mass outside the truncation bound")
+    val got = Catalog.queries("a24_holt_resid")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val expected = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("arr",
+        collect_list(expr("cast(round(value * 1e6) as bigint)"))
+          .over(w.rowsBetween(-h, -1)))
+      .filter(col("rn") >= h + 1)
+      .select(col("event_type"), col("event_id"), col("value"), col("arr"))
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[Long](3)
+        // mirror the engines' left fold exactly: per-element long ->
+        // double promote, multiply, accumulate in array order
+        val fc = arr.zip(coefs).map { case (x, c) => x.toDouble * c }
+          .foldLeft(0.0)(_ + _) / 1e6
+        (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), fc))
+      }.toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, (v, fc)) =>
+      val (gv, gf, gr) = got(key)
+      assert(gv === v, s"$key value")
+      assert(gf === fc, s"$key forecast")
+      assert(gr === v - fc, s"$key residual")
+    }
+  }
 }
