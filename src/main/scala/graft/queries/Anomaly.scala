@@ -1087,7 +1087,129 @@ object Anomaly {
       SELECT event_type, event_id, value, forecast_v,
              value - forecast_v AS resid_v
       FROM f"""
-    })
+    }),
+
+    // ---- a25: Grubbs' test statistic (maximum studentized deviate) —
+    // the classic single-outlier test the reference's magnitude test
+    // approximates: over the trailing w=20 window, G = max|x − x̄| / s.
+    // Exactness: multiply-through by w keeps the deviation integer
+    // (max_j |w·x6_j − S| with S = Σx6, all int64-safe), and the
+    // variance numerator w·Sxx − S² is exact in DECIMAL(38,0)/HUGEINT
+    // (a18's discipline). The final G is three double ops in identical
+    // order — convert, divide by w, divide by sqrt(varnum/(w·(w−1))) —
+    // so outputs ship UNROUNDED (a20's reasoning). Zero-variance
+    // windows are excluded by an integer predicate. is_anom compares
+    // against the one-sided α=0.05 critical value for n=20 (2.708), a
+    // literal identical in both engines. One series-key shuffle,
+    // O(w) per row.
+    Entry("a25_grubbs", (s, dir) => {
+      val w = 20
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wS.rowsBetween(-(w - 1), 0)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("arr", collect_list(col("v6")).over(frame))
+        .withColumn("sx", sum(col("v6")).over(frame))
+        .withColumn("sxx", sum(dec(col("v6")) * col("v6")).over(frame))
+        .filter(col("rn") >= w)
+        .withColumn("varnum", lit(w) * col("sxx") - dec(col("sx")) * col("sx"))
+        .filter(col("varnum") =!= lit(0))
+        .withColumn("maxdev", expr(
+          s"array_max(transform(arr, x -> abs($w * x - sx)))"))
+        .select(col("event_type"), col("event_id"),
+          (col("maxdev").cast("double") / lit(w.toDouble) /
+            sqrt(col("varnum").cast("double") / lit((w * (w - 1)).toDouble)))
+            .as("grubbs_g"))
+        .withColumn("is_anom", col("grubbs_g") > lit(2.708))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type, event_id,
+               row_number() OVER win AS rn,
+               array_agg(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr,
+               CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sx,
+               sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
+                   * CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sxx
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      f AS (SELECT event_type, event_id, arr, sx,
+              20 * sxx - CAST(sx AS HUGEINT) * sx AS varnum
+            FROM base WHERE rn >= 20),
+      g AS (SELECT event_type, event_id,
+              CAST(list_max(list_transform(arr,
+                x -> abs(20 * x - sx))) AS DOUBLE) / 20.0
+                / sqrt(CAST(varnum AS DOUBLE) / 380.0) AS grubbs_g
+            FROM f WHERE varnum <> 0)
+      SELECT event_type, event_id, grubbs_g,
+             grubbs_g > 2.708 AS is_anom
+      FROM g""")),
+
+    // ---- a26: Page–Hinkley drift statistic — the sequential
+    // change-detection complement of a17's windowed CUSUM: per series,
+    // m_T = Σ_{i≤T} (x_i − x̄_i − δ) with x̄_i the running prefix mean,
+    // and the alarm statistic PH_T = m_T − min_{s≤T} m_s, which grows
+    // only while the series runs persistently ABOVE its own historical
+    // mean by more than the drift allowance δ. Exactness: the per-step
+    // deviation (i·x6_i − S_i)/i has an integer numerator (prefix sums
+    // of 1e-6 fixed-point values, int64-safe at 1e14), converts to
+    // double exactly (< 2^53), and one correctly-rounded division +
+    // round() fixes it back to an integer micro-unit — from there the
+    // cumulative sum and running min are pure int64, so the statistic
+    // is partition-order independent and hash-matches. δ = 0.005
+    // (5000 micro-units), alarm λ = 5.0. One series-key shuffle; three
+    // stacked unbounded-preceding windows over the same sort order
+    // (Spark runs them in a single WindowExec).
+    Entry("a26_page_hinkley", (s, dir) => {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val cum = wS.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("sp", sum(col("v6")).over(cum))
+        .withColumn("t6", expr(
+          "cast(round(cast(rn * v6 - sp as double) / rn) as bigint) - 5000"))
+        .withColumn("mt", sum(col("t6")).over(cum))
+        .withColumn("mmin", min(col("mt")).over(cum))
+        .select(col("event_type"), col("event_id"),
+          ((col("mt") - col("mmin")).cast("double") / lit(1e6)).as("ph_v"))
+        .withColumn("is_drift", col("ph_v") > lit(5.0))
+    }, Some("""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      p AS (SELECT event_type, event_id, ts, v6,
+              row_number() OVER win AS rn,
+              CAST(sum(v6) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS sp
+            FROM e
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      t AS (SELECT event_type, event_id, ts,
+              CAST(round(CAST(rn * v6 - sp AS DOUBLE) / rn) AS BIGINT)
+                - 5000 AS t6
+            FROM p),
+      c AS (SELECT event_type, event_id, ts,
+              CAST(sum(t6) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS mt
+            FROM t
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      m AS (SELECT event_type, event_id, mt,
+              CAST(min(mt) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS mmin
+            FROM c
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id))
+      SELECT event_type, event_id,
+             CAST(mt - mmin AS DOUBLE) / 1e6 AS ph_v,
+             CAST(mt - mmin AS DOUBLE) / 1e6 > 5.0 AS is_drift
+      FROM m"""))
   )
 
   /** lcm helper for the KS grid scale factor. */

@@ -2081,7 +2081,61 @@ object Pipeline {
                       - sum(CAST(x6 AS HUGEINT))
                         * sum(CAST(x6 AS HUGEINT)) AS DOUBLE)
                AS zipf_slope
-      FROM f GROUP BY lang"""))
+      FROM f GROUP BY lang""")),
+
+    // ---- p47: Count-Min sketch token frequencies — the fixed-memory
+    // frequency estimator (Cormode & Muthukrishnan 2005) that replaces
+    // the vocab-sized exact count table when the vocabulary itself
+    // doesn't fit: d=4 rows × w=1021 counters, bucket_r(t) =
+    // (h1(t) + r·h2(t)) mod w via Kirsch–Mitzenmacher double hashing
+    // from one md5 (p34's Bloom discipline), estimate = min_r of the
+    // probed counters. Output: the exact top-30 tokens with their true
+    // and estimated counts — est ≥ true ALWAYS (one-sided error, pinned
+    // in PipelineSpec) and E[est − true] ≤ 2N/w. Everything is integer
+    // counts over deterministic hashes → hash-matchable. Scale shape:
+    // ONE corpus-keyed token-count aggregate (map-side combined); the
+    // ×4 probe explosion and the sketch build run on the vocab-sized
+    // count table, the 4084-row sketch broadcasts back to the probes,
+    // and the top-k is a total-ordered limit. At 100 TB the sketch
+    // build streams the corpus once and the estimate side probes it
+    // with zero additional corpus scans.
+    Entry("p47_cms_topk", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val w = 1021
+      val tf = docs(s, dir)
+        .select(explode(toks).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+        .withColumn("h1", expr(H.h32Spark("t")))
+        .withColumn("h2", expr(H.h32bSpark("t")))
+      // persisted: probes feed BOTH the sketch build and the estimate
+      // join — without it the corpus token count recomputes twice
+      val probes = tf
+        .select(col("t"), col("cnt"), col("h1"), col("h2"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("b", expr(s"(h1 + r * h2) % $w"))
+        .select("t", "cnt", "r", "b").persist()
+      val sketch = probes.groupBy("r", "b").agg(sum(col("cnt")).as("bsum"))
+      probes.join(broadcast(sketch), Seq("r", "b"))
+        .groupBy("t", "cnt").agg(min(col("bsum")).as("est_cnt"))
+        .select(col("t").as("token"), col("cnt").as("true_cnt"),
+          col("est_cnt"), (col("est_cnt") - col("cnt")).as("overcount"))
+        .orderBy(col("true_cnt").desc, col("token")).limit(30)
+    }, Some(s"""
+      WITH d AS (SELECT $toksSql AS toks FROM documents),
+      tok AS (SELECT t.t AS t FROM d, UNNEST(toks) AS t(t)),
+      tf AS (SELECT t, count(*) AS cnt,
+               ${graft.functions.HashScheme.h32Duck("t")} AS h1,
+               ${graft.functions.HashScheme.h32bDuck("t")} AS h2
+             FROM tok GROUP BY t),
+      probes AS (SELECT t, cnt, rr.r AS r, (h1 + rr.r * h2) % 1021 AS b
+                 FROM tf, range(0, 4) AS rr(r)),
+      sk AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS bsum
+             FROM probes GROUP BY r, b),
+      est AS (SELECT t, cnt, CAST(min(bsum) AS BIGINT) AS est_cnt
+              FROM probes JOIN sk USING (r, b) GROUP BY t, cnt)
+      SELECT t AS token, cnt AS true_cnt, est_cnt,
+             est_cnt - cnt AS overcount
+      FROM est ORDER BY true_cnt DESC, token LIMIT 30"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

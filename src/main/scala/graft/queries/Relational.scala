@@ -871,7 +871,46 @@ object Relational {
             FROM days)
       SELECT user_id, min(d) AS start_day, max(d) AS end_day,
              count(*) AS n_days
-      FROM n GROUP BY user_id, dn - rn""")))
+      FROM n GROUP BY user_id, dn - rn""")),
+
+    // ---- q36: recursive CTE — iterative transitive closure, the one
+    // relational control-flow construct the rest of the catalog can't
+    // express with a fixed-depth plan. Each customer's "ancestor chain"
+    // is the decimal-digit hierarchy node_0 = c_custkey, node_{k+1} =
+    // node_k DIV 10 (a synthetic but deterministic tree over the real
+    // keys: every interior node is itself a customer); the query walks
+    // the chain to the root and aggregates exact-decimal balances along
+    // it. Spark 4's UnionLoopExec executes the recursion as iterated
+    // DataFrame steps — depth here is ⌈log10(max key)⌉ ≈ 5, and each
+    // iteration is a pure projection+filter over the frontier (no join
+    // inside the loop; the single customer join happens once AFTER the
+    // closure is materialized, broadcast at dim scale). Chain rows per
+    // customer ≤ 6, so the closure is O(6·|customer|) — linear, not
+    // quadratic, at 100 TB.
+    Entry("q36_recursive", (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        WITH RECURSIVE chain(custkey, node) AS (
+          SELECT c_custkey, c_custkey FROM customer_v
+          UNION ALL
+          SELECT custkey, node DIV 10 FROM chain WHERE node >= 10
+        )
+        SELECT c.custkey, count(*) AS n_chain,
+               CAST(sum(CAST(cu.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS chain_bal
+        FROM chain c JOIN customer_v cu ON c.node = cu.c_custkey
+        GROUP BY c.custkey""")
+    }, Some("""
+      WITH RECURSIVE chain(custkey, node) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION ALL
+        SELECT custkey, node // 10 FROM chain WHERE node >= 10
+      )
+      SELECT c.custkey, count(*) AS n_chain,
+             CAST(sum(CAST(cu.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS chain_bal
+      FROM chain c JOIN customer cu ON c.node = cu.c_custkey
+      GROUP BY c.custkey""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin
