@@ -249,4 +249,81 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(gr === v - fc, s"$key residual")
     }
   }
+
+  test("a25 Grubbs == exact BigInt sequential recompute; flag equals " +
+    "the critical-value compare; corpus trips the fence") {
+    val got = Catalog.queries("a25_grubbs")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val gw = 20 // a25's window, independent of the ensemble spec
+    val wspec = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val expected = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wspec))
+      .withColumn("arr",
+        collect_list(expr("cast(round(value * 1e6) as bigint)"))
+          .over(wspec.rowsBetween(-(gw - 1), 0)))
+      .filter(col("rn") >= gw)
+      .select(col("event_type"), col("event_id"), col("arr"))
+      .collect()
+      .flatMap { r =>
+        val arr = r.getSeq[Long](2).map(BigInt(_))
+        val s = arr.sum
+        val varnum = BigInt(gw) * arr.map(v => v * v).sum - s * s
+        if (varnum == 0) None
+        else {
+          // same double-op order as both engines: convert, /w, /sqrt
+          val maxdev = arr.map(v => (BigInt(gw) * v - s).abs).max
+          val g = maxdev.toDouble / gw.toDouble /
+            math.sqrt(varnum.toDouble / (gw * (gw - 1)).toDouble)
+          Some((r.getString(0), r.getLong(1)) -> g)
+        }
+      }.toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, g) =>
+      val (gg, flag) = got(key)
+      assert(gg === g, s"$key")
+      assert(flag === (g > 2.708), s"$key flag")
+      assert(g >= 0.0, s"$key Grubbs statistic must be non-negative")
+    }
+    assert(got.values.exists(_._2), "corpus should contain Grubbs outliers")
+  }
+
+  test("a26 Page-Hinkley == exact int64 sequential recompute; statistic " +
+    "is non-negative; corpus contains drift alarms") {
+    val got = Catalog.queries("a26_page_hinkley")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val wspec = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val ordered = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wspec))
+      .select(col("event_type"), col("rn").cast("long").as("rn"),
+        col("event_id"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // HALF_UP like both engines' round(double) — Math.round would
+    // differ on negative exact halves
+    def roundHalfUp(x: Double): Long =
+      JBigDecimal.valueOf(x).setScale(0, RoundingMode.HALF_UP).longValue()
+    val expected = ordered.toSeq.flatMap { case (tpe, rows) =>
+      var sp = 0L; var mt = 0L; var mmin = Long.MaxValue
+      rows.map { case (_, rn, id, v6) =>
+        sp += v6
+        mt += roundHalfUp((rn * v6 - sp).toDouble / rn) - 5000L
+        mmin = math.min(mmin, mt)
+        (tpe, id) -> ((mt - mmin).toDouble / 1e6)
+      }
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, ph) =>
+      val (gph, flag) = got(key)
+      assert(gph === ph, s"$key")
+      assert(flag === (ph > 5.0), s"$key flag")
+      assert(ph >= 0.0, s"$key PH statistic must be non-negative")
+    }
+    assert(got.values.exists(_._2), "corpus should contain drift alarms")
+  }
 }

@@ -562,4 +562,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(slope > -3.0 && slope < -0.05, s"implausible Zipf slope $slope")
     }
   }
+
+  test("p47 CMS: one-sided error (est >= true always), true counts == " +
+    "sequential recompute, rows are the true top-30") {
+    val got = run("p47_cms_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 30)
+    got.foreach { case (t, cnt, est, over) =>
+      assert(est >= cnt, s"token '$t': CMS must never under-count")
+      assert(over === est - cnt, s"token '$t' overcount column")
+    }
+    // true counts + top-30 membership from the sequential tokenizer
+    val trueCnt = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .flatMap(r => seqToks(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top30 = trueCnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(30)
+    assert(got.map(g => (g._1, g._2)).toSeq === top30,
+      "result must be exactly the true top-30 by (count desc, token)")
+  }
 }
