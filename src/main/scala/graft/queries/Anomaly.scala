@@ -1209,8 +1209,73 @@ object Anomaly {
       SELECT event_type, event_id,
              CAST(mt - mmin AS DOUBLE) / 1e6 AS ph_v,
              CAST(mt - mmin AS DOUBLE) / 1e6 > 5.0 AS is_drift
-      FROM m"""))
+      FROM m""")),
+
+    // ---- a27: Benford first-digit χ² — the data-integrity screen for
+    // fabricated or truncated feeds: per series, the χ² distance of the
+    // first-significant-digit distribution from Benford's law. Digit
+    // extraction avoids log10/pow entirely (library log10 can differ by
+    // ulps across engines near powers of ten): value > 0 micro-fixes to
+    // int64 and the first CHARACTER of the integer's decimal string is
+    // the first significant digit — integer→string is identical
+    // everywhere. The 9 digit counts are conditional sums (one groupBy,
+    // map-side combined), and the χ² is an EXPLICIT 9-term addition
+    // chain in digit order with the Benford expectations embedded as
+    // identical shortest-repr double literals in both engines; counts
+    // and n convert to double exactly. One shuffle keyed by series;
+    // O(series) output.
+    Entry("a27_benford", (s, dir) => {
+      val aggs = count(lit(1)).as("n") +: (1 to 9).map(d =>
+        sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"c$d"))
+      // chi2 = Σ_d (c_d − n·p_d)²/(n·p_d), left-assoc in digit order
+      val chi2 = (1 to 9).map { d =>
+        val p = BenfordP(d - 1).toString
+        s"((cast(c$d as double) - nd * $p) * (cast(c$d as double) " +
+          s"- nd * $p)) / (nd * $p)"
+      }.mkString(" + ")
+      Tables.events(s, dir)
+        .select(col("event_type"), expr(
+          "cast(substring(cast(cast(round(value * 1e6) as bigint) " +
+            "as string), 1, 1) as int)").as("digit"))
+        .groupBy("event_type")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("nd", col("n").cast("double"))
+        // round(6): the 9-term chain is FMA-contractable (a*b − c) in a
+        // compiled engine, so the raw double can differ by 1 ulp across
+        // engines; the flag compares the ROUNDED value for lockstep
+        .withColumn("chi2", round(expr(chi2), 6))
+        .select(col("event_type"), col("n"), col("chi2"),
+          (col("chi2") > lit(20.09)).as("is_nonbenford"))
+    }, Some {
+      val counts = (1 to 9).map(d =>
+        s"CAST(sum(CASE WHEN digit = $d THEN 1 ELSE 0 END) AS BIGINT) " +
+          s"AS c$d").mkString(", ")
+      val chi2 = (1 to 9).map { d =>
+        val p = BenfordP(d - 1).toString
+        s"((CAST(c$d AS DOUBLE) - nd * $p) * (CAST(c$d AS DOUBLE) " +
+          s"- nd * $p)) / (nd * $p)"
+      }.mkString(" + ")
+      s"""
+      WITH v AS (SELECT event_type,
+                   CAST(substr(CAST(CAST(round(value * 1e6) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS INT) AS digit
+                 FROM events),
+      c AS (SELECT event_type, count(*) AS n, $counts
+            FROM v GROUP BY event_type),
+      d AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM c),
+      x AS (SELECT event_type, n, round($chi2, 6) AS chi2 FROM d)
+      SELECT event_type, n, chi2, chi2 > 20.09 AS is_nonbenford
+      FROM x"""
+    })
   )
+
+  /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 —
+    * computed once and embedded as identical shortest-repr literals in
+    * both engines' a27 expressions.
+    */
+  // lazy: referenced while `entries` (declared above) constructs
+  private[queries] lazy val BenfordP: Array[Double] =
+    Array.tabulate(9)(i => math.log10(1.0 + 1.0 / (i + 1)))
 
   /** lcm helper for the KS grid scale factor. */
   private[queries] object KsGrid {

@@ -2135,7 +2135,92 @@ object Pipeline {
               FROM probes JOIN sk USING (r, b) GROUP BY t, cnt)
       SELECT t AS token, cnt AS true_cnt, est_cnt,
              est_cnt - cnt AS overcount
-      FROM est ORDER BY true_cnt DESC, token LIMIT 30"""))
+      FROM est ORDER BY true_cnt DESC, token LIMIT 30""")),
+
+    // ---- p48: Johnson–Lindenstrauss signed random projection — the
+    // dimensionality-reduction primitive under cheap pre-filters for
+    // ANN and clustering: project d=64 → k=16 with a ±1 Rademacher
+    // matrix derived from the shared md5 scheme (sign(i,j) = parity of
+    // h32('jl:i:j')), so the matrix is REPRODUCIBLE on any engine, any
+    // rerun, with no stored artifact. Exactness: embeddings micro-fix
+    // to int64 and every projected coordinate is a signed integer SUM —
+    // order-independent, overflow-safe (64·1e6·|x| ≪ 2^63). Scale
+    // shape: the d×k sign matrix is a 1024-row dim table built from a
+    // range and BROADCAST to the posting explode; partial aggregation
+    // collapses each vector's contributions map-side, so the one
+    // shuffle moves k rows per vector. Long-form output (vec_id, dim,
+    // y6) keeps the schema stable under k changes.
+    Entry("p48_jl_project", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val signs = s.range(0, 64).select(col("id").cast("int").as("i"))
+        .select(col("i"), explode(sequence(lit(0), lit(15))).as("j"))
+        .withColumn("sgn", expr("case when " +
+          H.h32Spark("concat('jl:', cast(i as string), ':', " +
+            "cast(j as string))") + " % 2 = 0 then 1L else -1L end"))
+      embs(s, dir)
+        .select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          expr("cast(round(x * 1e6) as bigint)").as("x6"))
+        .join(broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(sum(col("sgn") * col("x6")).as("y6"))
+        .select(col("vec_id"), col("j").cast("long").as("dim"),
+          col("y6"), (col("y6") / lit(1e6)).as("y"))
+    }, Some(s"""
+      WITH dims AS (SELECT d.i AS i, r.j AS j,
+              CASE WHEN (${graft.functions.HashScheme.h32Duck(
+                "'jl:' || CAST(d.i AS VARCHAR) || ':' || " +
+                  "CAST(r.j AS VARCHAR)")}) % 2 = 0
+                   THEN 1 ELSE -1 END AS sgn
+            FROM range(0, 64) d(i), range(0, 16) r(j)),
+      posts AS (SELECT vec_id, r.i AS i,
+                  CAST(round(embedding[r.i + 1] * 1e6) AS BIGINT) AS x6
+                FROM embeddings, range(0, 64) r(i))
+      SELECT vec_id, CAST(j AS BIGINT) AS dim,
+             CAST(sum(sgn * x6) AS BIGINT) AS y6,
+             CAST(sum(sgn * x6) AS BIGINT) / 1e6 AS y
+      FROM posts JOIN dims USING (i)
+      GROUP BY vec_id, j""")),
+
+    // ---- p49: inverted-index postings manifest for rare bigrams — the
+    // retrieval-side building block (exact-phrase search, contamination
+    // tracing, targeted doc lookup, infini-gram-style counting):
+    // bigram → sorted posting list, for bigrams with df ≤ 5. The df cap
+    // is load-bearing at 100 TB: it bounds every posting payload AND
+    // excludes the hot keys that would otherwise make single reducers
+    // build GB-size lists — head n-grams belong in p47's sketch / p32's
+    // census, not in exact postings. Per-doc array_distinct before the
+    // explode keeps set semantics without a distinct shuffle; one
+    // bigram-keyed shuffle total. Postings ship as a ','-joined string
+    // (driver-comparable scalar; integer→string formatting is
+    // engine-identical).
+    Entry("p49_inverted_index", (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(tk) - 1), i -> " +
+            "concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("ps"))
+        .filter(col("df") <= 5)
+        .select(col("bigram"), col("df"),
+          array_join(expr("transform(ps, x -> cast(x as string))"), ",")
+            .as("postings"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+                 WHERE len($toksSql) >= 2),
+      g AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+            FROM d),
+      tok AS (SELECT doc_id, t.t AS bigram FROM g, UNNEST(bg) AS t(t)),
+      inv AS (SELECT bigram, count(*) AS df,
+                list_sort(list(doc_id)) AS ps
+              FROM tok GROUP BY bigram)
+      SELECT bigram, df, array_to_string(ps, ',') AS postings
+      FROM inv WHERE df <= 5"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

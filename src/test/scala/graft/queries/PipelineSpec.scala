@@ -581,4 +581,70 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(g => (g._1, g._2)).toSeq === top30,
       "result must be exactly the true top-30 by (count desc, token)")
   }
+
+  /** First 8 hex chars of md5 as a long — the Scala mirror of
+    * HashScheme.h32Spark/h32Duck for sequential recomputes.
+    */
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString, 16)
+
+  test("p48 JL projection == exact integer sequential recompute; " +
+    "projected cosine tracks exact cosine on sample pairs") {
+    val got = run("p48_jl_project").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6) " +
+          "as bigint)) as x6")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val sgn = Array.tabulate(64, 16)((i, j) =>
+      if (h32(s"jl:$i:$j") % 2 == 0) 1L else -1L)
+    val expected = vecs.flatMap { case (id, x6) =>
+      (0 until 16).map(j =>
+        (id, j.toLong) -> x6.indices.map(i => sgn(i)(j) * x6(i)).sum)
+    }
+    assert(got === expected)
+    // JL sanity: on sampled pairs, the 16-dim projected cosine must
+    // correlate with the exact 64-dim cosine (loose bound; k=16)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) /
+        math.sqrt(b.map(x => x * x).sum)
+    }
+    val ids = vecs.keys.toSeq.sorted.take(40)
+    val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val (ex, pr) = pairs.map { case (a, b) =>
+      val pa = (0 until 16).map(j => got((a, j.toLong)).toDouble).toArray
+      val pb = (0 until 16).map(j => got((b, j.toLong)).toDouble).toArray
+      (cos(vecs(a).map(_.toDouble), vecs(b).map(_.toDouble)), cos(pa, pb))
+    }.unzip
+    val mx = ex.sum / ex.size; val mp = pr.sum / pr.size
+    val corr = ex.zip(pr).map { case (x, y) => (x - mx) * (y - mp) }.sum /
+      math.sqrt(ex.map(x => (x - mx) * (x - mx)).sum) /
+      math.sqrt(pr.map(y => (y - mp) * (y - mp)).sum)
+    assert(corr > 0.5, f"JL projection lost the geometry: corr=$corr%.3f")
+  }
+
+  test("p49 inverted index == sequential recompute; df cap honored") {
+    val got = run("p49_inverted_index").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val tk = seqToks(r.getString(1))
+        tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+          .toSeq.distinct.map(bg => bg -> r.getLong(0))
+      }
+      .groupBy(_._1).view
+      .mapValues(ps => (ps.length.toLong, ps.map(_._2).sorted.mkString(",")))
+      .filter(_._2._1 <= 5).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "corpus should have rare bigrams")
+    got.values.foreach { case (df, ps) =>
+      assert(ps.split(",").length.toLong === df, "df == postings length")
+    }
+  }
 }

@@ -71,4 +71,44 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     // the single-digit roots — the recursion genuinely iterated
     assert(got.values.exists(_._1 > 1), "expected multi-node chains")
   }
+
+  test("q37 TWAP == exact BigInt sequential recompute; constant-rate " +
+    "series TWAP differs from the plain mean") {
+    val got = Catalog.queries("q37_twap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        unix_micros(col("ts")).as("us"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case (key, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._6)) // (us, event_id)
+      var num = BigInt(0); var den = BigInt(0)
+      ordered.zipWithIndex.foreach { case ((_, _, us, dayUs, v6, _), i) =>
+        val nextUs = if (i + 1 < ordered.length) ordered(i + 1)._3
+                     else dayUs + 86400000000L
+        num += BigInt(v6) * (nextUs - us)
+        den += BigInt(nextUs - us)
+      }
+      key -> (((num.toDouble / den.toDouble) / 1e6, ordered.length.toLong))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, (twap, n)) =>
+      val (gt, gn) = got(key)
+      assert(gt === twap, s"$key twap")
+      assert(gn === n, s"$key n_events")
+    }
+    // durations genuinely vary, so TWAP must not collapse to the mean
+    val plainMeans = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.map(_._5).sum.toDouble / rs.length / 1e6
+    }
+    assert(expected.exists { case (k, (t, _)) =>
+      math.abs(t - plainMeans(k)) > 1e-9
+    }, "TWAP should differ from the unweighted mean somewhere")
+  }
 }
