@@ -359,4 +359,44 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(ap - ep) / ep < 0.05,
       s"approx p50 $ap too far from exact $ep")
   }
+
+  test("q37: TWAP groupBy rides the window's (series, day) " +
+    "partitioning — one exchange total") {
+    val p = plan("q37_twap")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      s"TWAP must not re-shuffle between lead() and the aggregate:\n$p")
+  }
+
+  test("a25/a26/a27: each detector shuffles once on its series key") {
+    Seq("a25_grubbs", "a26_page_hinkley", "a27_benford").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") === 1,
+        s"$q expected exactly one key shuffle:\n$p")
+    }
+  }
+
+  test("p48: sign matrix broadcasts; projection aggregates partially " +
+    "before its one shuffle") {
+    val p = plan("p48_jl_project")
+    assert(countOf(p, "BroadcastHashJoin") === 1,
+      s"the 1024-row sign matrix must broadcast:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      s"one (vec_id, dim) shuffle expected:\n$p")
+    assert(p.contains("partial_sum"),
+      s"projection sums must combine map-side:\n$p")
+  }
+
+  test("p49: postings build is one bigram-keyed shuffle") {
+    val p = plan("p49_inverted_index")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      s"one bigram shuffle expected:\n$p")
+  }
+
+  test("q36: recursion executes as a union loop with the dimension " +
+    "join outside it, broadcast") {
+    val p = plan("q36_recursive")
+    assert(p.contains("UnionLoop"), s"expected UnionLoopExec:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 1,
+      s"customer join should broadcast at dim scale:\n$p")
+  }
 }
