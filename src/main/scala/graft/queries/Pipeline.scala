@@ -2220,7 +2220,83 @@ object Pipeline {
                 list_sort(list(doc_id)) AS ps
               FROM tok GROUP BY bigram)
       SELECT bigram, df, array_to_string(ps, ',') AS postings
-      FROM inv WHERE df <= 5"""))
+      FROM inv WHERE df <= 5""")),
+
+    // ---- p50: deterministic shard manifest — the dataloader-facing
+    // global shuffle: every doc gets a (shard, position) coordinate
+    // from salted md5 hashes, so the training order is (a) statistically
+    // shuffled, (b) identical on every engine and rerun, (c) a pure
+    // function of doc identity — re-sharding after corpus growth moves
+    // only the new docs' neighbors, never reorders survivors within a
+    // shard. position = row_number over (hash, doc_id) WITHIN the
+    // shard: the sort is per-shard (corpus_size/64 rows), never global
+    // — the one shuffle is the shard partitioning itself, exactly what
+    // a manifest writer needs to emit one file per shard at 100 TB.
+    Entry("p50_shard_manifest", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val wS = Window.partitionBy("shard")
+        .orderBy(col("ord_hash"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr(H.h32Spark("concat(cast(doc_id as string), ':shard')") +
+            " % 64").as("shard"),
+          expr(H.h32Spark("concat(cast(doc_id as string), ':ord')"))
+            .as("ord_hash"))
+        .withColumn("pos", row_number().over(wS).cast("long"))
+        .select("doc_id", "shard", "pos")
+    }, Some(s"""
+      WITH h AS (SELECT doc_id,
+        ${graft.functions.HashScheme.h32Duck(
+          "CAST(doc_id AS VARCHAR) || ':shard'")} % 64 AS shard,
+        ${graft.functions.HashScheme.h32Duck(
+          "CAST(doc_id AS VARCHAR) || ':ord'")} AS ord_hash
+        FROM documents)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY ord_hash, doc_id) AS BIGINT) AS pos
+      FROM h""")),
+
+    // ---- p51: quality-curriculum sampling buckets — the annealed-
+    // sampling rate derivation (higher-quality quartiles sampled more):
+    // per-language NTILE(4) over an integer micro-TTR score with a
+    // doc_id tie-break (total order → deterministic quartiles on both
+    // engines), then a per-bucket keep rate applied through the same
+    // salted md5-threshold mechanism as p21 — so the kept set is
+    // reproducible and independent of every other sampling decision in
+    // the engine. Per-row signals + one lang-keyed window; the quartile
+    // table never materializes driver-side.
+    Entry("p51_curriculum", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val wQ = Window.partitionBy("lang")
+        .orderBy(col("score6").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), toks.as("tk"))
+        .select(col("doc_id"), col("lang"), expr(
+          "cast(round(1e6 * (cast(size(array_distinct(tk)) as double) " +
+            "/ cast(size(tk) as double))) as bigint)").as("score6"))
+        .withColumn("bucket", ntile(4).over(wQ).cast("long"))
+        .withColumn("rate",
+          expr("element_at(array(1000L, 700L, 400L, 100L), " +
+            "cast(bucket as int))"))
+        .withColumn("keep", expr(
+          H.h32Spark("concat(cast(doc_id as string), ':cur')") +
+            " % 1000") < col("rate"))
+        .select("doc_id", "lang", "score6", "bucket", "rate", "keep")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+      sc AS (SELECT doc_id, lang,
+               CAST(round(1e6 * (CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE))) AS BIGINT) AS score6
+             FROM d),
+      b AS (SELECT doc_id, lang, score6,
+              CAST(ntile(4) OVER (PARTITION BY lang
+                ORDER BY score6 DESC, doc_id) AS BIGINT) AS bucket
+            FROM sc),
+      r AS (SELECT *, ([1000, 700, 400, 100])[bucket] AS rate FROM b)
+      SELECT doc_id, lang, score6, bucket, CAST(rate AS BIGINT) AS rate,
+             ${graft.functions.HashScheme.h32Duck(
+               "CAST(doc_id AS VARCHAR) || ':cur'")} % 1000 < rate AS keep
+      FROM r"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

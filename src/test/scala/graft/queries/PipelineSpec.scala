@@ -647,4 +647,50 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(ps.split(",").length.toLong === df, "df == postings length")
     }
   }
+
+  test("p50 shard manifest == sequential recompute; positions are " +
+    "dense 1..n per shard; shards are hash-balanced") {
+    val got = run("p50_shard_manifest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map(id => (id, h32(s"$id:shard") % 64,
+        h32(s"$id:ord")))
+      .groupBy(_._2).view.mapValues(_.sortBy(r => (r._3, r._1))
+        .zipWithIndex.map { case ((id, sh, _), i) =>
+          id -> ((sh, (i + 1).toLong)) }).values.flatten.toMap
+    assert(got === expected)
+    // dense positions per shard
+    got.values.groupBy(_._1).foreach { case (sh, rs) =>
+      assert(rs.map(_._2).toSeq.sorted === (1L to rs.size).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // no empty and no pathologically hot shard at 500 docs / 64 shards
+    val sizes = got.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.values.max <= 25, s"hot shard: ${sizes.values.max}")
+  }
+
+  test("p51 curriculum: quartiles are balanced and score-monotone; " +
+    "keep decisions == salted-hash recompute") {
+    val got = run("p51_curriculum").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val rates = Map(1L -> 1000L, 2L -> 700L, 3L -> 400L, 4L -> 100L)
+    got.foreach { case (id, _, _, bucket, rate, keep) =>
+      assert(rates(bucket) === rate, s"doc $id rate")
+      assert(keep === (h32(s"$id:cur") % 1000 < rate), s"doc $id keep")
+    }
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.size)
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L), s"$lang buckets")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang quartiles unbalanced: $sizes")
+      // monotone: every bucket-k score >= every bucket-(k+1) score
+      (1L to 3L).foreach { b =>
+        val lo = rs.filter(_._4 === b).map(_._3).min
+        val hi = rs.filter(_._4 === b + 1).map(_._3).max
+        assert(lo >= hi, s"$lang bucket $b not score-monotone")
+      }
+    }
+  }
 }
