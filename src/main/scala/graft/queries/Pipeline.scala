@@ -2296,7 +2296,67 @@ object Pipeline {
       SELECT doc_id, lang, score6, bucket, CAST(rate AS BIGINT) AS rate,
              ${graft.functions.HashScheme.h32Duck(
                "CAST(doc_id AS VARCHAR) || ':cur'")} % 1000 < rate AS keep
-      FROM r"""))
+      FROM r""")),
+
+    // ---- p52: PageRank centrality over the near-dup graph — which
+    // documents sit at the CENTER of duplication clusters (template
+    // sources, boilerplate originals) vs the periphery: 5 damped
+    // power iterations over p04's LSH pair graph, in FIXED-POINT
+    // integer arithmetic so the trajectory is bit-identical on any
+    // engine and partitioning: ranks are int64 micro-units (init 1e6,
+    // base 0.15e6), each contribution is the FLOOR of rank·85/(100·deg)
+    // (positive operands → truncation == floor on both engines), and
+    // the per-node fold is an order-independent integer sum. The
+    // deliberate floor leakage is documented, deterministic, and
+    // identical in the oracle's 5 unrolled CTEs. Scale shape: degree
+    // join computed once; each iteration is one edge-keyed broadcast-or
+    // -shuffle join + one dst-keyed partial-combined aggregate — the
+    // standard distributed PageRank round; at 100 TB each round's
+    // lineage would be checkpointed like p23's pointer jumping.
+    Entry("p52_pagerank", (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // persisted: 5 iterations re-read the degree-annotated edges
+      val e = edges.join(deg, "src").persist()
+      val nodes = d.select(col("doc_id"))
+      var ranks = nodes.withColumn("rank", lit(1000000L))
+      for (_ <- 1 to 5) {
+        val contribs = e
+          .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst"),
+            expr("(rank * 85) div (100 * deg)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("cin"))
+        ranks = nodes
+          .join(contribs.withColumnRenamed("dst", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank"))
+      }
+      ranks.select(col("doc_id"), col("rank").as("rank_micro"),
+        (col("rank") / lit(1e6)).as("rank"))
+    }, Some {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT n.doc_id,
+             CAST(150000 + coalesce(c.cin, 0) AS BIGINT) AS rank
+           FROM docs n LEFT JOIN (
+             SELECT dst AS doc_id,
+                    CAST(sum((rank * 85) // (100 * deg)) AS BIGINT) AS cin
+             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.doc_id
+             GROUP BY dst) c USING (doc_id))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $lshPairsOracleCtes,
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      e AS (SELECT src, dst, deg FROM edges JOIN dg USING (src)),
+      r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM docs),
+      $iters
+      SELECT doc_id, rank AS rank_micro, rank / 1e6 AS rank FROM r5"""
+    })
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -392,6 +392,14 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"one bigram shuffle expected:\n$p")
   }
 
+  test("p50/p51: manifest and curriculum are one keyed shuffle each") {
+    Seq("p50_shard_manifest", "p51_curriculum").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") === 1,
+        s"$q expected exactly one key shuffle:\n$p")
+    }
+  }
+
   test("q36: recursion executes as a union loop with the dimension " +
     "join outside it, broadcast") {
     val p = plan("q36_recursive")

@@ -693,4 +693,36 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("p52 pagerank == exact integer sequential recompute; connected " +
+    "docs outrank isolated ones; mass stays within the floor-leak bound") {
+    val got = run("p52_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = run("p04_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      val cin = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        rank(u) * 85 / (100 * deg(u))
+      }.sum).toMap
+      rank = nodes.map(n => n -> (150000L + cin.getOrElse(n, 0L))).toMap
+    }
+    assert(got === rank)
+    val connected = edges.map(_._1).toSet
+    if (connected.nonEmpty && connected.size < nodes.length) {
+      val isolatedRank = 150000L
+      assert(connected.forall(n => got(n) > isolatedRank),
+        "every connected doc must outrank the isolated baseline")
+      nodes.filterNot(connected).foreach(n =>
+        assert(got(n) === isolatedRank, s"isolated $n must sit at base"))
+    }
+    // damped mass: N·0.15e6 <= total <= N·1e6 (floor only leaks down)
+    val total = got.values.sum
+    assert(total >= nodes.length * 150000L && total <= nodes.length * 1000000L,
+      s"total rank mass $total outside bounds")
+  }
 }
