@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * Results are fully materialized through the noop sink so count-only
   * shortcuts can't flatter the numbers.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 5) and reports
   * the per-query MEDIAN (plus min, under "queries_min") so a 2x gate or
   * a regression claim is adjudicable against the measured ~±1s
   * run-to-run variance of a single run. "value" = sum of medians.
@@ -17,7 +17,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "graft-bench")
 
     def materialize(name: String): Double = {
@@ -46,8 +46,18 @@ object Bench {
     // interleaving nine query plans thrashes the 100-entry codegen
     // class cache and was re-paying compilation inside the measured
     // runs (observed as median ~= 2x min on every query).
+    // local-iteration filter (driver sets nothing -> full list)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = queries.Catalog.benchNames
+      .filter(n => only.forall(_.contains(n)))
     val samples: Map[String, Seq[Double]] = names.map { n =>
+      // start each query from a clean cache: accumulated persists from
+      // EARLIER queries otherwise cause eviction churn mid-measurement
+      // (observed as median ~4x min on the later persist-heavy queries).
+      // The query's own warmup rebuilds its intermediates, so the timed
+      // runs measure warm steady state without cross-query interference.
+      spark.catalog.clearCache()
       materialize(n)
       n -> (1 to runs).map(_ => materialize(n))
     }.toMap
