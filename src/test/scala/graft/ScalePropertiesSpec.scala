@@ -392,6 +392,17 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"one bigram shuffle expected:\n$p")
   }
 
+  test("top-k plans use bounded-heap operators, never full sorts: " +
+    "global limit -> TakeOrderedAndProject, per-key rank<=k -> " +
+    "WindowGroupLimit pushdown") {
+    assert(plan("q05_topk").contains("TakeOrderedAndProject"),
+      "global top-k must be a per-partition bounded heap")
+    Seq("p07_sim_topk", "p32_ngram_topk", "p17_tfidf").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown")
+    }
+  }
+
   test("p50/p51: manifest and curriculum are one keyed shuffle each") {
     Seq("p50_shard_manifest", "p51_curriculum").foreach { q =>
       val p = plan(q)
