@@ -1266,7 +1266,96 @@ object Anomaly {
       x AS (SELECT event_type, n, round($chi2, 6) AS chi2 FROM d)
       SELECT event_type, n, chi2, chi2 > 20.09 AS is_nonbenford
       FROM x"""
-    })
+    }),
+
+    // ---- a28: Wald–Wolfowitz runs test — the serial-randomness screen
+    // that catches stuck sensors and batched writes a distribution test
+    // never sees: per series, the count of runs of values above/below
+    // the series median vs its null expectation. Everything up to the
+    // z-score is exact integer arithmetic: the median is a SORT-PICKED
+    // element (row_number == (n+1) div 2 over a total order — no
+    // interpolation), rows AT the median are excluded (standard
+    // convention), run count = 1 + sign changes via lag, and the
+    // variance ratio's numerator/denominator are products of counts
+    // (≤ ~4e12·n — int64-safe, DECIMAL/HUGEINT-held). One double
+    // division, sqrt, and subtraction chain in pinned order, round(6).
+    // Two series-key shuffles (median pick + ordered lag).
+    Entry("a28_runs_test", (s, dir) => {
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+      val meds = ev
+        .withColumn("rnv", row_number().over(wV))
+        .withColumn("cnt", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type")))
+        .filter(col("rnv") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val signs = ev.join(broadcast(meds), "event_type")
+        .filter(col("value") =!= col("med"))
+        .withColumn("s", (col("value") > col("med")).cast("int"))
+        .withColumn("chg",
+          when(lag(col("s"), 1).over(wT).isNull, 0)
+            .when(lag(col("s"), 1).over(wT) =!= col("s"), 1)
+            .otherwise(0))
+      signs.groupBy("event_type")
+        .agg((sum(col("chg")) + lit(1)).as("runs"),
+          sum(col("s")).cast("long").as("n1"),
+          (count(lit(1)) - sum(col("s"))).cast("long").as("n2"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("p2", (col("n1") * col("n2") * lit(2L))
+          .cast("decimal(38,0)"))
+        .withColumn("z", round(
+          (col("runs").cast("double") -
+            (lit(1.0) + col("p2").cast("double") / col("n").cast("double"))) /
+            sqrt((col("p2") * (col("p2") - col("n")))
+              .cast("double") /
+              (col("n").cast("decimal(38,0)") * col("n") * (col("n") - 1))
+                .cast("double")), 6))
+        .select(col("event_type"), col("n1"), col("n2"), col("runs"),
+          col("z"), (abs(col("z")) > lit(2.576)).as("is_nonrandom"))
+    }, Some("""
+      WITH ev AS (SELECT event_type, event_id, ts, value FROM events),
+      med AS (SELECT event_type, value AS med FROM (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS rnv,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM ev)
+              WHERE rnv = (cnt + 1) // 2),
+      sg AS (SELECT e.event_type, e.ts, e.event_id,
+               CAST(e.value > m.med AS INT) AS s
+             FROM ev e JOIN med m USING (event_type)
+             WHERE e.value <> m.med),
+      ch AS (SELECT event_type, s,
+               CASE WHEN lag(s, 1) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) IS NULL THEN 0
+                    WHEN lag(s, 1) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) <> s THEN 1
+                    ELSE 0 END AS chg
+             FROM sg),
+      ag AS (SELECT event_type,
+               CAST(sum(chg) + 1 AS BIGINT) AS runs,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n2
+             FROM ch GROUP BY event_type),
+      st AS (SELECT *, n1 + n2 AS n,
+               CAST(n1 * n2 * 2 AS HUGEINT) AS p2
+             FROM ag)
+      SELECT event_type, n1, n2, runs,
+             round((CAST(runs AS DOUBLE) -
+               (1.0 + CAST(p2 AS DOUBLE) / CAST(n AS DOUBLE))) /
+               sqrt(CAST(p2 * (p2 - n) AS DOUBLE) /
+                 CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)), 6)
+               AS z,
+             abs(round((CAST(runs AS DOUBLE) -
+               (1.0 + CAST(p2 AS DOUBLE) / CAST(n AS DOUBLE))) /
+               sqrt(CAST(p2 * (p2 - n) AS DOUBLE) /
+                 CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)), 6))
+               > 2.576 AS is_nonrandom
+      FROM st"""))
   )
 
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 —

@@ -961,7 +961,61 @@ object Relational {
              (CAST(sum(CAST(v6 AS HUGEINT) * dur) AS DOUBLE)
                / CAST(sum(CAST(dur AS HUGEINT)) AS DOUBLE)) / 1e6 AS twap,
              count(*) AS n_events
-      FROM d GROUP BY event_type, day""")))
+      FROM d GROUP BY event_type, day""")),
+
+    // ---- q38: LATERAL correlated table subquery — the declarative
+    // per-row top-N: each customer joined to its own 2 most expensive
+    // orders. The point is what Catalyst does with it: the correlated
+    // LIMIT subquery is DECORRELATED into a ranked window join — no
+    // per-customer re-execution, no nested loop — so the declared
+    // "for each row, run this query" semantics cost one join + one
+    // rank at any scale. Total ORDER BY inside the lateral makes the
+    // 2 rows deterministic.
+    Entry("q38_lateral", (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_l")
+      t(s, dir, "orders").createOrReplaceTempView("orders_l")
+      s.sql("""
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               t.o_totalprice AS price
+        FROM customer_l c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_l
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    }, Some("""
+      SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+             t.o_totalprice AS price
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")),
+
+    // ---- q39: relational division — customers whose order history
+    // covers EVERY calendar year the corpus spans (x ⟌ y without
+    // double-negated NOT EXISTS): one distinct-count aggregate per
+    // customer compared against the global distinct-year count, which
+    // is an O(1) broadcast scalar — the division predicate costs one
+    // customer-keyed shuffle at any corpus size, where the textbook
+    // anti-join-of-anti-join form would cost |customer|×|years| probes.
+    Entry("q39_division", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      o.groupBy("o_custkey")
+        .agg(countDistinct(col("yr")).as("n_years"),
+          min(col("yr")).cast("long").as("first_year"),
+          max(col("yr")).cast("long").as("last_year"))
+        .join(broadcast(
+          o.select(countDistinct(col("yr")).as("total_years"))))
+        .filter(col("n_years") === col("total_years"))
+        .select(col("o_custkey").as("custkey"), col("n_years"),
+          col("first_year"), col("last_year"))
+    }, Some("""
+      WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr FROM orders)
+      SELECT o_custkey AS custkey,
+             count(DISTINCT yr) AS n_years,
+             CAST(min(yr) AS BIGINT) AS first_year,
+             CAST(max(yr) AS BIGINT) AS last_year
+      FROM o GROUP BY o_custkey
+      HAVING count(DISTINCT yr) = (SELECT count(DISTINCT yr) FROM o)""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

@@ -403,6 +403,23 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q38: the correlated LATERAL limit decorrelates — rank-limit " +
+    "window join, never a nested loop") {
+    val p = plan("q38_lateral")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"lateral must not plan as a per-row loop:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"decorrelated top-2 should push the rank limit:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("a28: runs test is two series-key shuffles (median pick + " +
+    "ordered lag) with the median table broadcast back") {
+    val p = plan("a28_runs_test")
+    assert(countOf(p, "Exchange hashpartitioning") === 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("p50/p51: manifest and curriculum are one keyed shuffle each") {
     Seq("p50_shard_manifest", "p51_curriculum").foreach { q =>
       val p = plan(q)

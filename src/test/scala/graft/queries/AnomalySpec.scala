@@ -365,4 +365,42 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     // driver oracle, where the larger n pushes 3 of 5 series over
     assert(got.values.forall(v => v._2 > 0.0), "chi2 must be positive")
   }
+
+  test("a28 runs test == exact sequential recompute (sort-picked " +
+    "median, run count, z in the same op order)") {
+    val got = Catalog.queries("a28_runs_test")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val expected = rows.map { case (tpe, rs) =>
+      val byValue = rs.sortBy(r => (r._4, r._3))
+      val med = byValue(((byValue.length + 1) / 2) - 1)._4
+      val signs = rs.sortBy(r => (r._2, r._3))
+        .filter(_._4 != med).map(_._4 > med)
+      val runs = 1L + signs.sliding(2).count(w =>
+        w.length == 2 && w(0) != w(1))
+      val n1 = signs.count(identity).toLong
+      val n2 = signs.length - n1
+      val n = n1 + n2
+      val p2 = BigInt(2) * n1 * n2
+      val mu = 1.0 + p2.toDouble / n.toDouble
+      val vr = (p2 * (p2 - n)).toDouble /
+        (BigInt(n) * n * (n - 1)).toDouble
+      val z = rnd6((runs.toDouble - mu) / math.sqrt(vr))
+      tpe -> ((n1, n2, runs, z))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (tpe, (n1, n2, runs, z)) =>
+      val (g1, g2, gr, gz, flag) = got(tpe)
+      assert((g1, g2, gr) === ((n1, n2, runs)), s"$tpe counts")
+      assert(gz === z, s"$tpe z")
+      assert(flag === (math.abs(z) > 2.576), s"$tpe flag")
+    }
+  }
 }

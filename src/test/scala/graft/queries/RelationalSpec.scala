@@ -111,4 +111,36 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       math.abs(t - plainMeans(k)) > 1e-9
     }, "TWAP should differ from the unweighted mean somewhere")
   }
+
+  test("q38 lateral top-2 == per-customer brute force; at most two " +
+    "rows per customer; order-less customers absent") {
+    val got = Catalog.queries("q38_lateral")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val orders = Tables.table(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = orders.view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).take(2).map(t => (t._2, t._3)).toSet)
+      .toMap
+    assert(got === expected)
+    got.values.foreach(rs => assert(rs.size <= 2))
+  }
+
+  test("q39 division == brute-force full-coverage set") {
+    val got = Catalog.queries("q39_division")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val byCust = Tables.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allYears = byCust.values.flatten.toSet
+    val expected = byCust.filter(_._2 == allYears).map { case (c, ys) =>
+      c -> ((ys.size.toLong, ys.min.toLong, ys.max.toLong))
+    }
+    assert(got === expected)
+    assert(got.nonEmpty, "division should have qualifiers in this corpus")
+  }
 }
