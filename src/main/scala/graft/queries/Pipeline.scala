@@ -2356,7 +2356,48 @@ object Pipeline {
       r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM docs),
       $iters
       SELECT doc_id, rank AS rank_micro, rank / 1e6 AS rank FROM r5"""
-    })
+    }, bench = true),
+
+    // ---- p53: n-gram novelty vs the earlier corpus — the
+    // memorization-analysis signal (Lee et al. 2022 §5): how much of
+    // each doc's 3-gram content already appeared in ANY lower-doc_id
+    // document. first_seen(gram) = min(doc_id) is ONE map-side-combined
+    // aggregate over distinct (doc, gram) postings; the novelty
+    // fraction is the postings join back against that dim — per hot
+    // gram the dim row costs df rows, never df². novel_frac = share of
+    // the doc's distinct grams it is the first bearer of; integer
+    // counts, one rounded division.
+    Entry("p53_novelty", (s, dir) => {
+      val posts = gram3Sets(docs(s, dir))
+      val firstSeen = posts.groupBy("shingle")
+        .agg(min(col("doc_id")).as("first_doc"))
+      posts.join(firstSeen, "shingle")
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 6).as("novel_frac"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh3 AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                THEN range(1, len(toks)-1) ELSE [] END) AS t(i)),
+      counts3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM sh3 GROUP BY doc_id),
+      fs AS (SELECT shingle, min(doc_id) AS first_doc
+             FROM sh3 GROUP BY shingle)
+      SELECT s.doc_id, max(c.n) AS n_grams,
+             CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1
+               ELSE 0 END) AS DOUBLE) / CAST(max(c.n) AS DOUBLE), 6)
+               AS novel_frac
+      FROM sh3 s JOIN fs f USING (shingle)
+                 JOIN counts3 c USING (doc_id)
+      GROUP BY s.doc_id"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -725,4 +725,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(total >= nodes.length * 150000L && total <= nodes.length * 1000000L,
       s"total rank mass $total outside bounds")
   }
+
+  test("p53 novelty == sequential first-bearer recompute; the lowest " +
+    "doc_id is fully novel") {
+    val got = run("p53_novelty").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val grams = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        seqToks(r.getString(1)).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val firstSeen = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = grams.map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(g => firstSeen(g) == id).toLong))
+    }
+    assert(got === expected)
+    val minId = grams.keys.min
+    assert(got(minId)._1 === got(minId)._2,
+      "the first document must be 100% novel")
+  }
 }
