@@ -1355,8 +1355,159 @@ object Anomaly {
                sqrt(CAST(p2 * (p2 - n) AS DOUBLE) /
                  CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)), 6))
                > 2.576 AS is_nonrandom
-      FROM st"""))
+      FROM st""")),
+
+    // ---- a29: windowed Mann–Kendall trend test — the nonparametric
+    // monotone-trend detector the reference's level-shift tests can't
+    // express: over each trailing 20-point window, S = Σ_{i<j}
+    // sign(x_j − x_i) counts concordant minus discordant pairs, and the
+    // tie-corrected normal approximation z = (S ∓ 1)/sqrt(Var S) flags
+    // sustained drifts even when every individual step is tiny.
+    // Exactness: values micro-fix to int64, so every pair sign and the
+    // tie term Σ_t t(t−1)(2t+5) are pure integers; Var·18 stays an
+    // integer (n(n−1)(2n+5) − ties); the only FP is one division by
+    // 18.0, one sqrt, one division — identical op order both engines,
+    // round(6). All-tied windows (Var = 0) emit z = 0 by the same
+    // guard. O(w²) = 190 comparisons per row of pure-integer lambda
+    // arithmetic; one series-key shuffle feeding a single WindowExec,
+    // array math shuffle-free per row.
+    Entry("a29_mann_kendall", (s, dir) => {
+      val w = MkWindow
+      val varMax = w.toLong * (w - 1) * (2 * w + 5)
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("arr", collect_list(col("v6"))
+          .over(wT.rowsBetween(-(w - 1), 0)))
+        .filter(col("rn") >= w)
+        .withColumn("s_stat", expr(
+          s"""aggregate(sequence(1, $w - 1), 0L, (acc, i) ->
+                acc + aggregate(sequence(i + 1, $w), 0L, (a2, j) ->
+                  a2 + (case when element_at(arr, j) > element_at(arr, i)
+                               then 1L
+                             when element_at(arr, j) < element_at(arr, i)
+                               then -1L
+                             else 0L end)))"""))
+        .withColumn("var18", lit(varMax) - expr(
+          """aggregate(array_distinct(arr), 0L, (acc, v) ->
+               acc + cast(size(filter(arr, x -> x = v)) as bigint) *
+                     (size(filter(arr, x -> x = v)) - 1) *
+                     (2 * size(filter(arr, x -> x = v)) + 5))"""))
+        .withColumn("z", round(
+          when(col("s_stat") === 0L || col("var18") === 0L, lit(0.0))
+            .otherwise(
+              (col("s_stat").cast("double") -
+                when(col("s_stat") > 0, lit(1.0)).otherwise(lit(-1.0))) /
+                sqrt(col("var18").cast("double") / lit(18.0))), 6))
+        .select(col("event_type"), col("event_id"), col("s_stat"),
+          col("var18"), col("z"), (abs(col("z")) > lit(2.576)).as("is_trend"))
+    }, Some {
+      val w = MkWindow
+      val varMax = w.toLong * (w - 1) * (2 * w + 5)
+      s"""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      win AS (SELECT event_type, event_id,
+                row_number() OVER w AS rn,
+                array_agg(v6) OVER (w ROWS BETWEEN ${w - 1} PRECEDING
+                  AND CURRENT ROW) AS arr
+              FROM e
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      st AS (SELECT event_type, event_id,
+               CAST(list_sum(list_transform(range(1, $w), i ->
+                 list_sum(list_transform(range(i + 1, ${w + 1}), j ->
+                   CASE WHEN arr[j] > arr[i] THEN 1
+                        WHEN arr[j] < arr[i] THEN -1
+                        ELSE 0 END)))) AS BIGINT) AS s_stat,
+               $varMax - CAST(list_sum(list_transform(list_distinct(arr),
+                 v -> len(list_filter(arr, x -> x = v)) *
+                      (len(list_filter(arr, x -> x = v)) - 1) *
+                      (2 * len(list_filter(arr, x -> x = v)) + 5)))
+                 AS BIGINT) AS var18
+             FROM win WHERE rn >= $w)
+      SELECT event_type, event_id, s_stat, var18,
+             CASE WHEN s_stat = 0 OR var18 = 0 THEN 0.0
+                  ELSE round((CAST(s_stat AS DOUBLE) -
+                    CASE WHEN s_stat > 0 THEN 1.0 ELSE -1.0 END) /
+                    sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END AS z,
+             abs(CASE WHEN s_stat = 0 OR var18 = 0 THEN 0.0
+                  ELSE round((CAST(s_stat AS DOUBLE) -
+                    CASE WHEN s_stat > 0 THEN 1.0 ELSE -1.0 END) /
+                    sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END) > 2.576
+               AS is_trend
+      FROM st"""
+    }),
+
+    // ---- a30: windowed Theil–Sen slope — the robust trend-MAGNITUDE
+    // estimator paired with a29's trend-EXISTENCE test: over each
+    // trailing 10-point window (the ensemble geometry), the slope is
+    // the median of all 45 pairwise slopes (x_j − x_i)/(j − i) — one
+    // wild outlier perturbs at most 9 of 45 pairs, so the estimate
+    // barely moves where an OLS slope would swing. Exactness: numerator
+    // micro-int, denominator a small int; each slope is ONE correctly-
+    // rounded double division (identical IEEE result both engines);
+    // 45 is odd, so the median is a SORT-PICKED element of the sorted
+    // slope array — no interpolation, and value-sorting doubles is
+    // total here (no NaN/−0 sources: denominators are positive ints).
+    // round(6) at the boundary. One series shuffle; O(w²) per-row array
+    // math, shuffle-free.
+    Entry("a30_theil_sen", (s, dir) => {
+      val w = spec.windowSize // 10 → 45 pairs, median = 23rd (1-based)
+      val nPairs = w * (w - 1) / 2
+      val midIdx = (nPairs + 1) / 2
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("arr", collect_list(col("v6"))
+          .over(wT.rowsBetween(-(w - 1), 0)))
+        .filter(col("rn") >= w)
+        .withColumn("slopes", expr(
+          s"""flatten(transform(sequence(1, $w - 1), i ->
+                transform(sequence(i + 1, $w), j ->
+                  cast(element_at(arr, j) - element_at(arr, i) as double) /
+                  cast(j - i as double))))"""))
+        .withColumn("slope_micro",
+          round(element_at(array_sort(col("slopes")), midIdx), 6))
+        .select(col("event_type"), col("event_id"), col("slope_micro"),
+          (abs(col("slope_micro")) > lit(50000.0)).as("is_steep"))
+    }, Some {
+      val w = spec.windowSize
+      val nPairs = w * (w - 1) / 2
+      val midIdx = (nPairs + 1) / 2
+      s"""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      win AS (SELECT event_type, event_id,
+                row_number() OVER w AS rn,
+                array_agg(v6) OVER (w ROWS BETWEEN ${w - 1} PRECEDING
+                  AND CURRENT ROW) AS arr
+              FROM e
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      sl AS (SELECT event_type, event_id,
+               flatten(list_transform(range(1, $w), i ->
+                 list_transform(range(i + 1, ${w + 1}), j ->
+                   CAST(arr[j] - arr[i] AS DOUBLE) /
+                   CAST(j - i AS DOUBLE)))) AS slopes
+             FROM win WHERE rn >= $w),
+      md AS (SELECT event_type, event_id,
+               round(list_sort(slopes)[$midIdx], 6) AS slope_micro
+             FROM sl)
+      SELECT event_type, event_id, slope_micro,
+             abs(slope_micro) > 50000.0 AS is_steep
+      FROM md"""
+    })
   )
+
+  /** a29's Mann–Kendall window length; shared with AnomalySpec.
+    * lazy: referenced while `entries` (declared above) constructs.
+    */
+  private[graft] lazy val MkWindow = 20
 
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 —
     * computed once and embedded as identical shortest-repr literals in

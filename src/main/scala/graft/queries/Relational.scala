@@ -1015,7 +1015,38 @@ object Relational {
              CAST(min(yr) AS BIGINT) AS first_year,
              CAST(max(yr) AS BIGINT) AS last_year
       FROM o GROUP BY o_custkey
-      HAVING count(DISTINCT yr) = (SELECT count(DISTINCT yr) FROM o)""")))
+      HAVING count(DISTINCT yr) = (SELECT count(DISTINCT yr) FROM o)""")),
+
+    // ---- q40: equi-width histogram — the binned-distribution profile
+    // every monitoring dashboard draws: event values bucketed into 20
+    // fixed-width bins over the detector's [0, 500] domain, counted per
+    // series. Bucketing is pure integer arithmetic on the micro-fixed
+    // value (floor-div by the bin width in micro-units, clamped to the
+    // top bin) — no width_bucket/floor-of-double cross-engine edge
+    // cases — and bin edges re-derive from the bucket index exactly.
+    // One map-side-combined shuffle on (series, bucket); O(series ×
+    // bins) output rows at any corpus size.
+    Entry("q40_histogram", (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          least(greatest(expr(
+            "cast(round(value * 1e6) as bigint) div 25000000"), lit(0L)),
+            lit(19L)).as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bin_lo", (col("bucket") * 25L).cast("double"))
+        .withColumn("bin_hi", ((col("bucket") + 1L) * 25L).cast("double"))
+        .select("event_type", "bucket", "bin_lo", "bin_hi", "cnt")
+    }, Some("""
+      WITH b AS (SELECT event_type,
+                   least(greatest(CAST(round(value * 1e6) AS BIGINT)
+                     // 25000000, 0), 19) AS bucket
+                 FROM events)
+      SELECT event_type, bucket,
+             CAST(bucket * 25 AS DOUBLE) AS bin_lo,
+             CAST((bucket + 1) * 25 AS DOUBLE) AS bin_hi,
+             count(*) AS cnt
+      FROM b GROUP BY event_type, bucket""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

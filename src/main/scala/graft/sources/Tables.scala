@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Canonical readers for the test corpus (TESTDATA.md).
   *
-  * `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
-  * parquet reader rejects; we read it as nano-epoch longs
-  * (legacy.parquet.nanosAsLong) and convert losslessly to TimestampType
-  * (the corpus has no sub-microsecond components). All other tables read
-  * natively. Column pruning and filter pushdown reach the scans because
-  * nothing here materializes — callers compose on the lazy DataFrame.
+  * `events.ts` has shipped under three parquet encodings across corpus
+  * generations: TIMESTAMP(NANOS) (read as nano-epoch longs via
+  * legacy.parquet.nanosAsLong and converted losslessly — no
+  * sub-microsecond components), TIMESTAMP(MICROS) without UTC
+  * adjustment (read as TIMESTAMP_NTZ, reinterpreted as the instant
+  * under the engine-wide UTC session zone — exactly DuckDB's naive
+  * `epoch()` semantics), and plain TimestampType. The reader adapts on
+  * schema, so every downstream query sees one canonical TimestampType
+  * column. All other tables read natively. Column pruning and filter
+  * pushdown reach the scans because nothing here materializes — callers
+  * compose on the lazy DataFrame.
   */
 object Tables {
 
@@ -24,9 +29,16 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => // nano-epoch longs (legacy nanosAsLong read)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => // micros, not UTC-adjusted: pin as UTC
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
