@@ -2397,7 +2397,83 @@ object Pipeline {
                AS novel_frac
       FROM sh3 s JOIN fs f USING (shingle)
                  JOIN counts3 c USING (doc_id)
-      GROUP BY s.doc_id"""))
+      GROUP BY s.doc_id""")),
+
+    // ---- p54: MinHash calibration report — how well the 64-perm
+    // estimate tracks TRUE 5-gram Jaccard on the pairs the LSH actually
+    // surfaces, binned by estimate (1/8-wide buckets). This is the
+    // sketch-quality dashboard a curator checks before trusting p04's
+    // threshold at scale. Scale shape: true overlap is computed ONLY
+    // for surviving candidate pairs — postings join THROUGH the pair
+    // list (cost ~ |pairs| x shingles/doc), never the df² all-pairs
+    // blowup; the per-doc count dim rides on the postings. Exactness:
+    // est6 = round(est*64) * 15625 recovers the exact signature-match
+    // count in micro-units (1e6/64 = 15625 integer); true6 is one
+    // rounded division of exact ints; bucket means are integer sums
+    // with ONE final division each, round(6). Shingle identity is the
+    // 64-bit n-gram hash vs the oracle's strings (p03's disclosed
+    // ~1e-9 collision caveat).
+    Entry("p54_minhash_calibration", (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = minhashLshPairs(d)
+        .withColumn("est64", expr("cast(round(est_jaccard * 64) as bigint)"))
+      // persisted: postings feed the pair-restricted intersection join
+      // twice (doc_a side, doc_b side) and the counts dim once
+      val sh = shingleSets(d).persist()
+      val cnts = sh.select(col("doc_id"), col("n")).distinct()
+      val posts = sh.select(col("doc_id"), col("shingle"))
+      // zero-common pairs (possible in principle at est >= 0.5) keep
+      // their denominator via the separate counts dim + left join
+      val common = pairs.select("doc_a", "doc_b")
+        .join(posts.toDF("doc_a", "shingle"), "doc_a")
+        .join(posts.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(common, Seq("doc_a", "doc_b"), "left")
+        .join(cnts.toDF("doc_a", "na"), "doc_a")
+        .join(cnts.toDF("doc_b", "nb"), "doc_b")
+        .select(col("est64"),
+          (col("est64") * 15625L).as("est6"),
+          expr("cast(round(1e6 * cast(coalesce(common, 0) as double) / " +
+            "cast(na + nb - coalesce(common, 0) as double)) as bigint)")
+            .as("true6"))
+        .groupBy(expr("est64 div 8").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("est6")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_est"),
+          round(sum(col("true6")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_true"),
+          round(sum(abs(col("est6") - col("true6"))).cast("double")
+            / count(lit(1)) / 1e6, 6).as("mean_abs_gap"))
+    }, Some(s"""
+      WITH $lshPairsOracleCtes,
+      sh5 AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+4], ' ') AS shingle
+              FROM docs, UNNEST(CASE WHEN len(toks) >= 5
+                THEN range(1, len(toks)-3) ELSE [] END) AS t(i)),
+      cnt5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY doc_id),
+      com AS (SELECT p.doc_a, p.doc_b, count(sb.shingle) AS common
+              FROM pairs p
+              JOIN sh5 sa ON sa.doc_id = p.doc_a
+              LEFT JOIN sh5 sb ON sb.doc_id = p.doc_b
+                              AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b),
+      per AS (SELECT CAST(round(p.est_jaccard * 64) AS BIGINT) AS est64,
+                CAST(round(p.est_jaccard * 64) AS BIGINT) * 15625 AS est6,
+                CAST(round(1e6 * CAST(c.common AS DOUBLE) /
+                  CAST(ca.n + cb.n - c.common AS DOUBLE)) AS BIGINT) AS true6
+              FROM pairs p
+              JOIN com c USING (doc_a, doc_b)
+              JOIN cnt5 ca ON p.doc_a = ca.doc_id
+              JOIN cnt5 cb ON p.doc_b = cb.doc_id)
+      SELECT est64 // 8 AS bucket,
+             count(*) AS n_pairs,
+             round(CAST(sum(est6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_est,
+             round(CAST(sum(true6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_true,
+             round(CAST(sum(abs(est6 - true6)) AS DOUBLE) / count(*) / 1e6, 6)
+               AS mean_abs_gap
+      FROM per GROUP BY est64 // 8"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -1046,7 +1046,97 @@ object Relational {
              CAST(bucket * 25 AS DOUBLE) AS bin_lo,
              CAST((bucket + 1) * 25 AS DOUBLE) AS bin_hi,
              count(*) AS cnt
-      FROM b GROUP BY event_type, bucket""")))
+      FROM b GROUP BY event_type, bucket""")),
+
+    // ---- q41: salted skew join under the correctness gate — events
+    // has exactly 5 event_type values, so a plain shuffle join on the
+    // series key lands each key's ENTIRE fact volume on one task: the
+    // canonical known-skew shape (at 100 TB, one task gets 20 TB). The
+    // fix is operators.SkewOps.saltedJoin: the fact side spreads each
+    // key over 8 deterministic sub-buckets (salt = xxhash64 of the row
+    // id, never rand(), so retries/speculation reproduce placement) and
+    // the 5-row dim side replicates 8x — bounded extra shuffle volume
+    // buying 8x parallelism on every hot key. The oracle is the PLAIN
+    // join: salting must be output-invisible, and this entry makes that
+    // contract driver-checked, not just spec-pinned. Derived column is
+    // one double division of two exact ints + round — identical IEEE
+    // both engines.
+    Entry("q41_skew_salted_join", (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(round(value * 1e6) as bigint)").as("value_micro"))
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_cnt"), sum("value_micro").as("s6"))
+      graft.operators.SkewOps
+        .saltedJoin(ev, dim, "event_type", col("event_id"), salts = 8)
+        .select(col("event_type"), col("event_id"), col("value_micro"),
+          col("type_cnt"),
+          round(col("value_micro") / col("s6"), 9).as("type_share"))
+    }, Some("""
+      WITH ev AS (SELECT event_type, event_id,
+                    CAST(round(value * 1e6) AS BIGINT) AS value_micro
+                  FROM events),
+      dim AS (SELECT event_type, count(*) AS type_cnt,
+                CAST(sum(value_micro) AS BIGINT) AS s6
+              FROM ev GROUP BY event_type)
+      SELECT event_type, event_id, value_micro, type_cnt,
+             round(value_micro / s6, 9) AS type_share
+      FROM ev JOIN dim USING (event_type)""")),
+
+    // ---- q42: SCD2 interval build — the slowly-changing-dimension
+    // history every warehouse maintains: per customer, consecutive
+    // orders with the same status collapse into one effective-dated
+    // interval [valid_from, valid_to), valid_to = next interval's start
+    // (NULL while current). Islands form from a lag-compare + running
+    // sum over ONE customer-keyed sort (total order: date then key);
+    // the interval close is a second window over the already-aggregated
+    // island table (rows = status changes, not orders), so the heavy
+    // sort happens once on the fact and everything after is
+    // change-volume-sized. No timestamp arithmetic — valid_to is an
+    // exact copy of a neighbor's valid_from.
+    Entry("q42_scd2_intervals", (s, dir) => {
+      val wRow = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wIsl = Window.partitionBy("o_custkey").orderBy(col("island"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .withColumn("chg",
+          when(lag(col("o_orderstatus"), 1).over(wRow).isNull ||
+            lag(col("o_orderstatus"), 1).over(wRow) =!= col("o_orderstatus"),
+            1L).otherwise(0L))
+        .withColumn("island", sum(col("chg")).over(wRow))
+        .groupBy(col("o_custkey"), col("island"), col("o_orderstatus"))
+        .agg(min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wIsl))
+        .select(col("o_custkey"), col("island"),
+          col("o_orderstatus").as("status"), col("valid_from"),
+          col("valid_to"), col("n_orders"),
+          col("valid_to").isNull.as("is_current"))
+    }, Some("""
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+               CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                      OR lag(o_orderstatus) OVER w != o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+      ), isl AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS island
+        FROM o
+      ), seg AS (
+        SELECT o_custkey, island, o_orderstatus AS status,
+               min(o_orderdate) AS valid_from, count(*) AS n_orders
+        FROM isl GROUP BY o_custkey, island, o_orderstatus
+      )
+      SELECT o_custkey, island, status, valid_from,
+             lead(valid_from) OVER w2 AS valid_to, n_orders,
+             lead(valid_from) OVER w2 IS NULL AS is_current
+      FROM seg
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

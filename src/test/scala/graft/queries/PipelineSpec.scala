@@ -746,4 +746,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got(minId)._1 === got(minId)._2,
       "the first document must be 100% novel")
   }
+
+  test("p54 calibration: buckets partition the LSH pair set, bucket " +
+    "means sit inside their bucket, gap is |est - true| on average") {
+    val got = run("p54_minhash_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val pairCount = Pipeline.minhashLshPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet")).count()
+    assert(got.map(_._2).sum === pairCount,
+      "n_pairs must sum to the LSH candidate-pair count")
+    got.foreach { case (bucket, n, meanEst, meanTrue, gap) =>
+      assert(n > 0)
+      // est >= 0.5 -> est64 in [32, 64] -> bucket in [4, 8]
+      assert(bucket >= 4L && bucket <= 8L, s"bucket $bucket out of range")
+      assert(meanEst >= bucket * 8 / 64.0 - 1e-9 &&
+        meanEst < (bucket + 1) * 8 / 64.0 + 1e-9,
+        s"bucket $bucket mean_est $meanEst outside its bin")
+      assert(meanTrue >= 0.0 && meanTrue <= 1.0)
+      assert(gap >= math.abs(meanEst - meanTrue) - 1e-6,
+        "mean |gap| can never undercut |mean gap|")
+    }
+  }
 }

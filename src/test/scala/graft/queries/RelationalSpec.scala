@@ -143,4 +143,52 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty, "division should have qualifiers in this corpus")
   }
+
+  test("q41 salted join == plain unsalted join, and the plan shuffles " +
+    "on (key, salt)") {
+    val got = Catalog.queries("q41_skew_salted_join")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 1e6) as bigint)").as("value_micro"))
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_cnt"), sum("value_micro").as("s6"))
+    val plain = ev.join(dim, "event_type")
+      .select(col("event_type"), col("event_id"), col("value_micro"),
+        col("type_cnt"),
+        round(col("value_micro") / col("s6"), 9).as("type_share"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(r =>
+        (r(0).asInstanceOf[String], r(1).asInstanceOf[Long]))
+    assert(rows(got) === rows(plain))
+    assert(got.queryExecution.executedPlan.toString.contains("__salt"),
+      "q41 must actually route through the salted join")
+  }
+
+  test("q42 SCD2 intervals: contiguous half-open chains per customer, " +
+    "adjacent intervals change status, n_orders sums to order count") {
+    // timestamps compared as opaque values (the corpus has shipped both
+    // TIMESTAMP and TIMESTAMP_NTZ encodings — the chain logic is
+    // type-agnostic)
+    val got = Catalog.queries("q42_scd2_intervals")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.get(3), Option(r.get(4)), r.getLong(5), r.getBoolean(6)))
+    val byCust = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    byCust.foreach { case (cust, segs) =>
+      // islands number 1..k; exactly one open (current) interval, last
+      assert(segs.map(_._2) === (1L to segs.length.toLong),
+        s"cust $cust island numbering")
+      segs.sliding(2).filter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a._5.contains(b._4), s"cust $cust: valid_to must equal " +
+          "the next interval's valid_from")
+        assert(a._3 !== b._3, s"cust $cust: adjacent intervals must " +
+          "differ in status")
+      }
+      assert(segs.init.forall(!_._7) && segs.last._7 && segs.last._5.isEmpty,
+        s"cust $cust: exactly the last interval is current/open")
+    }
+    val orderCount = Tables.table(spark, sfDir, "orders").count()
+    assert(got.map(_._6).sum === orderCount,
+      "interval n_orders must partition the order set")
+  }
 }
