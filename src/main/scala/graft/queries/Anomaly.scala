@@ -1501,8 +1501,131 @@ object Anomaly {
       SELECT event_type, event_id, slope_micro,
              abs(slope_micro) > 50000.0 AS is_steep
       FROM md"""
-    })
+    }),
+
+    // ---- a31: diurnal periodogram — per-series DFT amplitude at the
+    // 24h fundamental and its first two harmonics (12h, 8h), the
+    // frequency-domain seasonality profile behind the reference's
+    // NSeasons knob: a series whose amp24 dominates genuinely has the
+    // daily cycle the seasonal window split assumes. NO cross-engine
+    // trig: cos/sin are pre-fixed to integer micro-units at BUILD time
+    // and embedded as the same 24 literals in both engines, indexed by
+    // (k·hour) mod 24 — so each contribution v6·c6 is an exact int64
+    // product (≤6e14) and the per-series sums are exact 128-bit
+    // integers (DECIMAL(38,0)/HUGEINT: order/partition independent,
+    // one map-side-combined shuffle on the series key, O(series)
+    // output). The only FP: two correctly-rounded int→double casts per
+    // sum, square + add + sqrt + two divisions in identical order,
+    // round(6).
+    Entry("a31_periodogram", (s, dir) => {
+      def sumK(k: Int, arr: Seq[Long], nm: String) =
+        sum(expr(s"cast(v6 * element_at(array(${arr.mkString(",")}), " +
+          s"cast(($k * hod) % 24 + 1 as int)) as decimal(38,0))")).as(nm)
+      def amp(k: Int) = {
+        val (c, sn) = (col(s"sc$k").cast("double"), col(s"ss$k").cast("double"))
+        round((lit(2.0) * sqrt(c * c + sn * sn) / col("n")) / lit(1e12), 6)
+          .as(s"amp${24 / k}h")
+      }
+      Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sumK(1, Cos6, "sc1"), sumK(1, Sin6, "ss1"),
+          sumK(2, Cos6, "sc2"), sumK(2, Sin6, "ss2"),
+          sumK(3, Cos6, "sc3"), sumK(3, Sin6, "ss3"))
+        .select(col("event_type"), col("n"), amp(1), amp(2), amp(3))
+    }, Some {
+      def sumK(k: Int, arr: Seq[Long], nm: String) =
+        s"""sum(v6 * ([${arr.mkString(",")}])[($k * hod) % 24 + 1]) AS $nm"""
+      def amp(k: Int) =
+        s"""round((2.0 * sqrt(CAST(sc$k AS DOUBLE) * CAST(sc$k AS DOUBLE)
+              + CAST(ss$k AS DOUBLE) * CAST(ss$k AS DOUBLE)) / n) / 1e12, 6)
+            AS amp${24 / k}h"""
+      s"""
+      WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      agg AS (SELECT event_type, count(*) AS n,
+                ${sumK(1, Cos6, "sc1")}, ${sumK(1, Sin6, "ss1")},
+                ${sumK(2, Cos6, "sc2")}, ${sumK(2, Sin6, "ss2")},
+                ${sumK(3, Cos6, "sc3")}, ${sumK(3, Sin6, "ss3")}
+              FROM e GROUP BY event_type)
+      SELECT event_type, n, ${amp(1)}, ${amp(2)}, ${amp(3)}
+      FROM agg"""
+    }),
+
+    // ---- a32: seasonal strength — Hyndman's F_s = 1 −
+    // Var(residual)/Var(total) with the hour-of-day profile as the
+    // seasonal component, computed via the EXACT one-way ANOVA
+    // decomposition instead of materializing residuals: within-group
+    // SS = Σv6² − Σ_h S_h²/n_h. Everything that crosses a shuffle is
+    // an exact integer (per-(series,hod) n_h, S_h, Σv6² in
+    // DECIMAL(38,0)/HUGEINT); the 24 rational S_h²/n_h terms are each
+    // ONE double mul+div, then folded in explicit hod order on both
+    // engines (collect→sort→left-fold — never an unordered SUM over
+    // doubles), so the result is bit-stable under any partitioning.
+    // Two shuffles on (series,hod) then series; O(series) output.
+    Entry("a32_seasonal_strength", (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("nh"),
+          sum(col("v6")).as("sh"),
+          sum(expr("cast(v6 * v6 as decimal(38,0))")).as("ssh"))
+        .withColumn("t", (col("sh").cast("double") * col("sh").cast("double"))
+          / col("nh").cast("double"))
+        .groupBy("event_type")
+        .agg(sum("nh").as("n"),
+          sum(col("sh").cast("decimal(38,0)")).as("stot"),
+          sum("ssh").as("ss2"),
+          aggregate(array_sort(collect_list(struct(col("hod"), col("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")).as("between"))
+        .select(col("event_type"), col("n"),
+          round(
+            when(col("ss2").cast("double") -
+              (col("stot").cast("double") * col("stot").cast("double"))
+                / col("n") === 0.0, 0.0)
+            .otherwise(greatest(lit(0.0), lit(1.0) -
+              (col("ss2").cast("double") - col("between")) /
+              (col("ss2").cast("double") -
+                (col("stot").cast("double") * col("stot").cast("double"))
+                  / col("n")))), 6).as("seasonal_strength"))
+    }, Some("""
+      WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      byhod AS (SELECT event_type, hod, count(*) AS nh,
+                  CAST(sum(v6) AS BIGINT) AS sh, sum(v6 * v6) AS ssh
+                FROM e GROUP BY event_type, hod),
+      terms AS (SELECT *, (CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
+                          / CAST(nh AS DOUBLE) AS t
+                FROM byhod),
+      agg AS (SELECT event_type, CAST(sum(nh) AS BIGINT) AS n,
+                sum(sh) AS stot, sum(ssh) AS ss2,
+                list_reduce(list(t ORDER BY hod), (a, b) -> a + b) AS between
+              FROM terms GROUP BY event_type)
+      SELECT event_type, n,
+             round(CASE WHEN CAST(ss2 AS DOUBLE) -
+                 (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)) / n = 0.0
+               THEN 0.0
+               ELSE greatest(0.0, 1.0 -
+                 (CAST(ss2 AS DOUBLE) - between) /
+                 (CAST(ss2 AS DOUBLE) -
+                   (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)) / n))
+               END, 6) AS seasonal_strength
+      FROM agg"""))
   )
+
+  /** Integer-micro-fixed cos/sin tables for a31's diurnal DFT —
+    * round(1e6·cos(2πp/24)), p = 0..23, computed once at build time and
+    * embedded as the SAME literals in both engines (no cross-engine
+    * trig). lazy: referenced while `entries` (declared above)
+    * constructs.
+    */
+  private[queries] lazy val Cos6: Seq[Long] =
+    Seq.tabulate(24)(p => math.round(1e6 * math.cos(2 * math.Pi * p / 24)))
+  private[queries] lazy val Sin6: Seq[Long] =
+    Seq.tabulate(24)(p => math.round(1e6 * math.sin(2 * math.Pi * p / 24)))
 
   /** a29's Mann–Kendall window length; shared with AnomalySpec.
     * lazy: referenced while `entries` (declared above) constructs.

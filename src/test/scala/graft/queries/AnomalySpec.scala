@@ -403,4 +403,69 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(flag === (math.abs(z) > 2.576), s"$tpe flag")
     }
   }
+
+  /** (event_type) -> (hod, v6) rows, for a31/a32. */
+  private lazy val hodRows: Map[String, Array[(Long, Long)]] =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toArray).toMap
+
+  test("a31 periodogram == exact BigInt recompute; the corpus's " +
+    "injected diurnal cycle puts amp24h on top") {
+    val got = Catalog.queries("a31_periodogram")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val expected = hodRows.map { case (tpe, rows) =>
+      val n = rows.length
+      def amp(k: Int): Double = {
+        val sc = rows.map { case (h, v) =>
+          BigInt(v) * Anomaly.Cos6(((k * h) % 24).toInt) }.sum
+        val ss = rows.map { case (h, v) =>
+          BigInt(v) * Anomaly.Sin6(((k * h) % 24).toInt) }.sum
+        rnd6(2.0 * math.sqrt(sc.toDouble * sc.toDouble +
+          ss.toDouble * ss.toDouble) / n / 1e12)
+      }
+      tpe -> ((n.toLong, amp(1), amp(2), amp(3)))
+    }
+    assert(got === expected)
+    // the corpus's hour-of-day profile is periodic but not a pure
+    // sinusoid — some series carry most mass in the 12h harmonic — so
+    // assert diurnal-band ENERGY, not fundamental dominance
+    got.values.foreach { case (_, a24, a12, a8) =>
+      assert(a24 >= 0.0 && a12 >= 0.0 && a8 >= 0.0)
+      assert(Seq(a24, a12, a8).max > 1.0,
+        "the injected daily cycle must be visible in the diurnal band")
+    }
+  }
+
+  test("a32 seasonal strength == exact ANOVA recompute (ordered " +
+    "hod fold); strength in [0,1] and positive on this corpus") {
+    val got = Catalog.queries("a32_seasonal_strength")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val expected = hodRows.map { case (tpe, rows) =>
+      val n = rows.length
+      val ss2 = rows.map { case (_, v) => BigInt(v) * BigInt(v) }.sum
+      val stot = rows.map(_._2).map(BigInt(_)).sum
+      val byHod = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      var between = 0.0
+      byHod.foreach { case (_, rs) =>
+        val sh = rs.map(_._2).sum // int64 like the engines
+        between = between + (sh.toDouble * sh.toDouble) / rs.length.toDouble
+      }
+      val ssTotal = ss2.toDouble - stot.toDouble * stot.toDouble / n
+      val strength =
+        if (ssTotal == 0.0) 0.0
+        else math.max(0.0, 1.0 - (ss2.toDouble - between) / ssTotal)
+      tpe -> ((n.toLong, rnd6(strength)))
+    }
+    assert(got === expected)
+    got.values.foreach { case (_, s) =>
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s > 0.0, "hour-of-day structure exists in this corpus")
+    }
+  }
 }
