@@ -435,4 +435,33 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(p, "BroadcastHashJoin") >= 1,
       s"customer join should broadcast at dim scale:\n$p")
   }
+
+  test("q42: SCD2 — ONE customer-keyed shuffle; both window passes and " +
+    "the island aggregate ride it") {
+    val p = plan("q42_scd2_intervals")
+    assert(countOf(p, "Exchange hashpartitioning") === 1,
+      s"lag, island sum, groupBy and lead must share one exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join belongs in this plan:\n$p")
+  }
+
+  test("a31/a32: seasonality profiles partial-aggregate map-side " +
+    "before their keyed shuffles") {
+    Seq("a31_periodogram" -> 1, "a32_seasonal_strength" -> 2).foreach {
+      case (q, shuffles) =>
+        val p = plan(q)
+        assert(countOf(p, "Exchange hashpartitioning") === shuffles,
+          s"$q expected $shuffles keyed shuffle(s):\n$p")
+        assert(p.contains("partial_"),
+          s"$q must combine map-side before the exchange:\n$p")
+    }
+  }
+
+  test("q41: salted join — the dim replicates per salt and the join " +
+    "keys carry the salt (broadcast at this dim size; a shuffle join " +
+    "would hash on (key, salt))") {
+    val p = plan("q41_skew_salted_join")
+    assert(p.contains("__salt"), s"salt must reach the join keys:\n$p")
+    assert(p.contains("explode"), s"dim must replicate per salt:\n$p")
+  }
 }
