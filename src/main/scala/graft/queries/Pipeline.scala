@@ -2448,10 +2448,14 @@ object Pipeline {
             / count(lit(1)) / 1e6, 6).as("mean_abs_gap"))
     }, Some(s"""
       WITH $lshPairsOracleCtes,
+      -- truth shingles only for docs the LSH actually surfaced — the
+      -- same pair-restriction the Spark side gets from its joins
       sh5 AS (SELECT DISTINCT doc_id,
                 array_to_string(toks[i:i+4], ' ') AS shingle
               FROM docs, UNNEST(CASE WHEN len(toks) >= 5
-                THEN range(1, len(toks)-3) ELSE [] END) AS t(i)),
+                THEN range(1, len(toks)-3) ELSE [] END) AS t(i)
+              WHERE doc_id IN (SELECT doc_a FROM pairs
+                               UNION SELECT doc_b FROM pairs)),
       cnt5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY doc_id),
       com AS (SELECT p.doc_a, p.doc_b, count(sb.shingle) AS common
               FROM pairs p
