@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-level robustness: every catalog query must PLAN and EXECUTE
+  * on a zero-row corpus with the production schemas — no
+  * division-by-zero crashes, no empty-aggregate surprises, no operator
+  * that silently assumes data exists. (At 100 TB, empty partitions and
+  * empty date-slices of every table are routine inputs, not edge
+  * cases.)
+  */
+class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft-empty-corpus").toFile
+    dir.deleteOnExit()
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      // raw read (no Tables normalization) so the written schema is
+      // byte-for-byte what the corpus generator ships, just with 0 rows
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${dir.getAbsolutePath}/$t.parquet")
+    }
+    dir.getAbsolutePath
+  }
+
+  test("every catalog query executes on a zero-row corpus") {
+    val failures = queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptyDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"queries must survive empty inputs:\n${failures.mkString("\n")}")
+  }
+
+  test("representative per-row and per-window queries return zero rows " +
+    "on the empty corpus (no phantom output)") {
+    Seq("q01_agg", "q42_scd2_intervals", "a04_anomaly_ensemble",
+      "a31_periodogram", "p01_dedup_exact", "p30_quality_filter",
+      "p54_minhash_calibration").foreach { name =>
+      assert(queries.Catalog.queries(name)(spark, emptyDir).count() === 0L,
+        s"$name should be empty on empty input")
+    }
+  }
+}
