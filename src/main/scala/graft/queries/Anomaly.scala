@@ -1613,7 +1613,90 @@ object Anomaly {
                  (CAST(ss2 AS DOUBLE) -
                    (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)) / n))
                END, 6) AS seasonal_strength
-      FROM agg"""))
+      FROM agg""")),
+
+    // ---- a33: lead–lag cross-correlation grid — for every ordered
+    // series pair, Pearson correlation of hourly totals at lags −3..+3
+    // hours, with the argmax flagged: "errors lead clicks by 2h" is the
+    // causal-direction signal a fleet dashboard wants next to a18's
+    // contemporaneous correlation. Scale shape: the ONLY corpus-sized
+    // work is the hourly pre-aggregate (one map-side-combined shuffle);
+    // the lag join runs on the O(series × hours) dim table with the
+    // shifted hour as a derived EQUI key (hsx + lag·3600 = hsy — no
+    // range join, no cross join), and the grid is O(series² × lags)
+    // rows. Exactness: all five co-moment sums are exact 128-bit
+    // integers; each correlation is ONE double expression in pinned op
+    // order, round(6); zero-variance slices emit 0 by an integer
+    // predicate. The argmax window orders by (corr DESC, |lag|, lag) —
+    // total, engine-independent.
+    Entry("a33_leadlag", (s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val hs = Tables.events(s, dir)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("hsec"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .groupBy("event_type", "hsec").agg(sum("v6").as("s6"))
+      val x = hs.toDF("ta", "hsx", "x6")
+        .withColumn("lag", explode(sequence(lit(-3L), lit(3L))))
+      val y = hs.toDF("tb", "hsy", "y6")
+      val g = x.join(y, col("hsx") + col("lag") * 3600L === col("hsy") &&
+          col("ta") < col("tb"))
+        .groupBy("ta", "tb", "lag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("x6"))).as("sx"), sum(dec(col("y6"))).as("sy"),
+          sum(dec(col("x6")) * col("x6")).as("sxx"),
+          sum(dec(col("y6")) * col("y6")).as("syy"),
+          sum(dec(col("x6")) * col("y6")).as("sxy"))
+        .withColumn("vx", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", dec(col("n")) * col("syy") - col("sy") * col("sy"))
+        .withColumn("corr", round(
+          when(col("vx") === 0 || col("vy") === 0, 0.0).otherwise(
+            (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt(col("vx").cast("double")) *
+                sqrt(col("vy").cast("double")))), 6))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("ta", "tb")
+        .orderBy(col("corr").desc, abs(col("lag")), col("lag"))
+      g.withColumn("rk", row_number().over(wB))
+        .select(concat(col("ta"), lit("~"), col("tb")).as("pair"),
+          col("lag"), col("n").as("n_overlap"), col("corr"),
+          (col("rk") === 1).as("is_best"))
+    }, Some("""
+      WITH e AS (SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hsec,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      h AS (SELECT event_type, hsec, CAST(sum(v6) AS BIGINT) AS s6
+            FROM e GROUP BY 1, 2),
+      x AS (SELECT event_type AS ta, hsec AS hsx, s6 AS x6, l.lag
+            FROM h, (SELECT UNNEST(range(-3, 4)) AS lag) l),
+      g AS (SELECT ta, tb, lag, count(*) AS n,
+              sum(CAST(x6 AS HUGEINT)) AS sx,
+              sum(CAST(y6 AS HUGEINT)) AS sy,
+              sum(CAST(x6 AS HUGEINT) * x6) AS sxx,
+              sum(CAST(y6 AS HUGEINT) * y6) AS syy,
+              sum(CAST(x6 AS HUGEINT) * y6) AS sxy
+            FROM x JOIN (SELECT event_type AS tb, hsec AS hsy, s6 AS y6
+                         FROM h) y
+              ON x.hsx + x.lag * 3600 = y.hsy AND x.ta < y.tb
+            GROUP BY ta, tb, lag),
+      c AS (SELECT ta, tb, lag, n,
+              CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+              CAST(n AS HUGEINT) * syy - sy * sy AS vy,
+              round(CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0
+                           OR CAST(n AS HUGEINT) * syy - sy * sy = 0
+                    THEN 0.0
+                    ELSE CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                              AS DOUBLE))
+                            * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                AS DOUBLE)))
+                    END, 6) AS corr
+            FROM g)
+      SELECT ta || '~' || tb AS pair, lag, n AS n_overlap, corr,
+             row_number() OVER (PARTITION BY ta, tb
+               ORDER BY corr DESC, abs(lag), lag) = 1 AS is_best
+      FROM c"""))
   )
 
   /** Integer-micro-fixed cos/sin tables for a31's diurnal DFT —

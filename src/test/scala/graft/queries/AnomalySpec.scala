@@ -468,4 +468,51 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(s > 0.0, "hour-of-day structure exists in this corpus")
     }
   }
+
+  test("a33 lead-lag grid == exact BigInt recompute; exactly one best " +
+    "lag per pair under the total (corr, |lag|, lag) order") {
+    val got = Catalog.queries("a33_leadlag")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).cast("long").as("hsec"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val types = hourly.keys.map(_._1).toSeq.distinct.sorted
+    val expected = (for {
+      ta <- types; tb <- types if ta < tb; lag <- -3L to 3L
+    } yield {
+      // .toSeq BEFORE collect: collecting a Map into pair tuples would
+      // rebuild a Map and silently dedup equal (x6, y6) pairs
+      val rows = hourly.toSeq.collect {
+        case ((t, h), x6) if t == ta && hourly.contains((tb, h + lag * 3600))
+          => (BigInt(x6), BigInt(hourly((tb, h + lag * 3600))))
+      }
+      val n = BigInt(rows.length)
+      val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+      val sxx = rows.map(r => r._1 * r._1).sum
+      val syy = rows.map(r => r._2 * r._2).sum
+      val sxy = rows.map(r => r._1 * r._2).sum
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val corr = if (vx == 0 || vy == 0) 0.0
+        else rnd6((n * sxy - sx * sy).toDouble /
+          (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+      (s"$ta~$tb", lag) -> ((rows.length.toLong, corr))
+    }).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, (n, corr)) =>
+      val (gn, gcorr, _) = got(key)
+      assert(gn === n, s"$key n_overlap")
+      assert(gcorr === corr, s"$key corr")
+    }
+    // argmax: exactly one flagged row per pair, and it attains the max
+    got.groupBy(_._1._1).foreach { case (pair, rows) =>
+      val best = rows.filter(_._2._3)
+      assert(best.size === 1, s"$pair must flag exactly one best lag")
+      assert(best.head._2._2 === rows.values.map(_._2).max,
+        s"$pair best lag must attain the max correlation")
+    }
+  }
 }
