@@ -2477,7 +2477,102 @@ object Pipeline {
              round(CAST(sum(true6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_true,
              round(CAST(sum(abs(est6 - true6)) AS DOUBLE) / count(*) / 1e6, 6)
                AS mean_abs_gap
-      FROM per GROUP BY est64 // 8"""))
+      FROM per GROUP BY est64 // 8""")),
+
+    // ---- p55: k-means refinement (3 Lloyd iterations) — the canonical
+    // iterative ML workload over the embedding corpus, upgrading p15's
+    // FIXED seed centroids into data-fitted cells (better IVF lists,
+    // better p35 semdedup buckets). Determinism is the hard part and is
+    // engineered: assignment distances are exact int64 sums of squared
+    // micro-diffs with a total (d2, cid) tie-break; each centroid
+    // update is an exact 128-bit per-dimension sum with ONE rounded
+    // division fixing the mean back to integer micro-units — so the
+    // whole trajectory is bit-identical on any engine and partitioning
+    // (the oracle unrolls the same 3 iterations). Emptied cells keep
+    // their previous centroid (left-join coalesce), so k never decays.
+    // Scale shape per iteration: the k×d centroid table BROADCASTS to
+    // the assignment (corpus never shuffles for it); the update is one
+    // (cell, dim)-keyed map-side-combined aggregate — the textbook
+    // distributed-k-means round; lineage would checkpoint per round at
+    // 100 TB like p23/p52.
+    Entry("p55_kmeans_refine", (s, dir) => {
+      val iters = 3
+      // persisted: the assignment join re-reads the micro-fixed corpus
+      // every iteration plus the final report
+      val e = embs(s, dir)
+        .select(col("vec_id"),
+          expr("transform(emb, x -> cast(round(x*1000000) as bigint))")
+            .as("ei"))
+        .persist()
+      val d2 = expr("aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (a, x) -> a + x)")
+      val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      def assign(cents: DataFrame): DataFrame =
+        e.join(broadcast(cents))
+          .withColumn("d2", d2)
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("ei"), col("cid"), col("d2"))
+      var cents = e.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("cid"), col("ei").as("ci"))
+      for (_ <- 1 to iters) {
+        val upd = assign(cents)
+          .select(col("cid"), posexplode(col("ei")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim")
+          .agg(sum(col("x").cast("decimal(38,0)")).as("sx"),
+            count(lit(1)).as("nx"))
+          .select(col("cid"), col("dim"),
+            expr("cast(round(cast(sx as double) / nx) as bigint)").as("cv"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), " +
+            "p -> p.cv)").as("ci_new"))
+        cents = cents.join(upd, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("ci_new"), col("ci")).as("ci"))
+      }
+      assign(cents)
+        .withColumn("cell_size",
+          count(lit(1)).over(Window.partitionBy("cid")))
+        .select(col("vec_id"), col("cid").as("cell"), col("d2"),
+          col("cell_size"))
+    }, Some {
+      val iter = (1 to 3).map { i =>
+        s"""a$i AS (SELECT vec_id, ei, cid FROM (
+             SELECT e.vec_id, e.ei, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      list_sum(list_transform(range(1, len(e.ei)+1),
+                        j -> (e.ei[j] - c.ci[j]) * (e.ei[j] - c.ci[j]))),
+                      c.cid) AS rk
+             FROM e, c${i - 1} c) WHERE rk = 1),
+           u$i AS (SELECT cid, list(cv ORDER BY dim) AS ci FROM (
+             SELECT cid, dim,
+                    CAST(round(CAST(sum(ei[dim]) AS DOUBLE) / count(*))
+                      AS BIGINT) AS cv
+             FROM a$i, UNNEST(range(1, len(ei)+1)) AS t(dim)
+             GROUP BY cid, dim) GROUP BY cid),
+           c$i AS (SELECT c.cid, coalesce(u.ci, c.ci) AS ci
+                   FROM c${i - 1} c LEFT JOIN u$i u USING (cid))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x*1000000) AS BIGINT)) AS ei
+                 FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      $iter,
+      fin AS (SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, len(e.ei)+1),
+                 j -> (e.ei[j] - c.ci[j]) * (e.ei[j] - c.ci[j])))
+                 AS BIGINT) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.ei)+1),
+                   j -> (e.ei[j] - c.ci[j]) * (e.ei[j] - c.ci[j]))),
+                 c.cid) AS rk
+        FROM e, c3 c) WHERE rk = 1)
+      SELECT vec_id, cid AS cell, d2,
+             count(*) OVER (PARTITION BY cid) AS cell_size
+      FROM fin"""
+    })
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

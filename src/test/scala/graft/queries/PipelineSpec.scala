@@ -769,4 +769,55 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         "mean |gap| can never undercut |mean gap|")
     }
   }
+
+  test("p55 k-means == sequential Lloyd recompute (3 iterations, " +
+    "integer-exact); refinement does not worsen the objective") {
+    val got = run("p55_kmeans_refine").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), " +
+          "x -> cast(round(x*1000000) as bigint)) as ei")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assignAll(cents: Map[Long, Array[Long]]) = vecs.map {
+      case (id, ei) =>
+        id -> cents.toSeq
+          .map { case (c, ci) => (c, d2(ei, ci)) }
+          .minBy { case (c, dd) => (dd, c) }
+    }
+    var cents = vecs.collect { case (id, ei) if id % 100 == 7 => id -> ei }
+      .toMap
+    val initialObjective = assignAll(cents).values.map(_._2).sum
+    (1 to 3).foreach { _ =>
+      val byCell = assignAll(cents).toSeq.groupBy(_._2._1)
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case None => cid -> old // emptied cell keeps its centroid
+          case Some(members) =>
+            val eis = members.map(m => vecs(m._1))
+            cid -> Array.tabulate(old.length) { d =>
+              val s = eis.map(e => BigInt(e(d))).sum
+              // same op order AND rounding as both engines: exact sum ->
+              // double division -> HALF_UP (Math.round would round
+              // negative halves toward +inf instead of away from zero)
+              java.math.BigDecimal.valueOf(s.toDouble / eis.length)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            }
+        }
+      }
+    }
+    val fin = assignAll(cents)
+    val sizes = fin.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = fin.map { case (id, (cid, dd)) =>
+      id -> ((cid, dd, sizes(cid)))
+    }
+    assert(got === expected)
+    assert(sizes.size > 1, "clustering must use more than one cell")
+    assert(fin.values.map(_._2).sum <= initialObjective,
+      "3 Lloyd rounds must not worsen the seed objective")
+  }
 }
