@@ -1136,7 +1136,52 @@ object Relational {
              lead(valid_from) OVER w2 AS valid_to, n_orders,
              lead(valid_from) OVER w2 IS NULL AS is_current
       FROM seg
-      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)""")))
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)""")),
+
+    // ---- q43: ordered conversion funnel — first view, first click
+    // strictly after it, first purchase strictly after that, per user:
+    // the product-analytics staple that needs ORDER, not just
+    // existence (a purchase before any view must NOT count). Shape at
+    // scale: three stage aggregates chained by user-keyed equi-joins —
+    // each stage's input is pre-filtered by event type at the scan
+    // (pushdown) and pre-aggregated before its join, so nothing ever
+    // pairs events×events; no window over the raw log at all. Stage
+    // times are min() of exact second-longs; strict > comparisons make
+    // the stage order unambiguous, ties broken by the data itself.
+    Entry("q43_funnel", (s, dir) => {
+      def stage(tpe: String) = Tables.events(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts").cast("long").as("tsec"))
+      val v = stage("view").groupBy("user_id").agg(min("tsec").as("t_view"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("tsec") > col("t_view"))
+        .groupBy("user_id").agg(min("tsec").as("t_click"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("tsec") > col("t_click"))
+        .groupBy("user_id").agg(min("tsec").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"), col("t_click").isNotNull.as("reached_click"),
+          col("t_purchase").isNotNull.as("converted"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type,
+                   -- floor: Spark's long cast truncates sub-second
+                   -- fractions; a bare BIGINT cast of epoch() rounds
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+      v AS (SELECT user_id, min(tsec) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.tsec) AS t_click
+            FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.tsec > v.t_view
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.tsec) AS t_purchase
+            FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.tsec > c.t_click
+            GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+             c.t_click IS NOT NULL AS reached_click,
+             p.t_purchase IS NOT NULL AS converted
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

@@ -191,4 +191,37 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._6).sum === orderCount,
       "interval n_orders must partition the order set")
   }
+
+  test("q43 funnel == per-user sequential recompute; order is " +
+    "enforced, not just existence") {
+    val got = Catalog.queries("q43_funnel")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = byUser.flatMap { case (u, evs) =>
+      def firstAfter(tpe: String, after: Long): Option[Long] = {
+        val ts = evs.collect { case (_, t, s) if t == tpe && s > after => s }
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      firstAfter("view", Long.MinValue).map { tv =>
+        val tc = firstAfter("click", tv)
+        val tp = tc.flatMap(c => firstAfter("purchase", c))
+        u -> ((Some(tv), tc, tp, tc.isDefined, tp.isDefined))
+      }
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.exists(_._5),
+      "the corpus should contain full conversions")
+    // the dense test corpus converts every clicker, so pin the ORDER
+    // invariant instead of demanding partial funnels exist
+    got.values.foreach { case (tv, tc, tp, _, _) =>
+      tc.foreach(c => assert(c > tv.get, "click must follow the view"))
+      tp.foreach(p => assert(p > tc.get, "purchase must follow the click"))
+    }
+  }
 }
