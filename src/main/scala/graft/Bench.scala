@@ -79,7 +79,13 @@ object Bench {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).filter(_ >= 0).sum
+    // value_min (sum of per-query minima) rides along because the
+    // driver host is shared: medians absorb co-tenant noise runs, the
+    // min is the reproducible steady-state floor a regression claim
+    // should be judged against
+    val totalMin = mins.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""value_min":$totalMin,""" +
       s""""queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }

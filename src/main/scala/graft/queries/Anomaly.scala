@@ -1696,8 +1696,100 @@ object Anomaly {
       SELECT ta || '~' || tb AS pair, lag, n AS n_overlap, corr,
              row_number() OVER (PARTITION BY ta, tb
                ORDER BY corr DESC, abs(lag), lag) = 1 AS is_best
-      FROM c"""))
+      FROM c""")),
+
+    // ---- a34: variance-time Hurst estimator — long-range dependence,
+    // the burstiness property none of the point/window tests see: slice
+    // each series into blocks of m ∈ {4,16,64} consecutive points,
+    // regress ln Var(block means) on ln m; slope = 2H−2, H > 0.5 marks
+    // persistent (self-similar) load, H ≈ 0.5 short-memory noise.
+    // Exactness: block sums and both variance moments are exact 128-bit
+    // integers, so Var_m = (B·ΣS² − (ΣS)²)/(m²B²) reaches the double
+    // world as ONE division of two exact ints; ln is the only libm call
+    // and is round(6)-micro-fixed immediately (p46's discipline — ulp
+    // differences cannot survive), with ln m embedded as build-time
+    // integer literals. The 3-point OLS is then pure int64 arithmetic
+    // with one final division. Shuffles: the rn sort on the series key,
+    // then (series, m, block) and (series, m) aggregates that ride it —
+    // block slicing by row index needs no resampling join.
+    Entry("a34_hurst", (s, dir) => {
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val xs = VtScales.map(m => math.round(1e6 * math.log(m.toDouble)))
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      val pts = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("m", explode(array(VtScales.map(lit): _*)))
+        .withColumn("blk", expr("(rn - 1) div m"))
+        .groupBy("event_type", "m", "blk")
+        .agg(count(lit(1)).as("bn"), sum("v6").as("sb"))
+        .filter(col("bn") === col("m"))
+        .groupBy("event_type", "m")
+        .agg(count(lit(1)).as("nb"),
+          sum(dec(col("sb"))).as("s1"), sum(dec(col("sb")) * col("sb")).as("s2"))
+        .withColumn("num", dec(col("nb")) * col("s2") - col("s1") * col("s1"))
+        .withColumn("den",
+          dec(col("m")) * col("m") * col("nb") * col("nb"))
+        .filter(col("num") > 0)
+        .withColumn("l6", expr(
+          "cast(round(1e6 * ln(cast(num as double) / cast(den as double))) " +
+            "as bigint)"))
+        .withColumn("x6", expr(s"element_at(array(${xs.mkString(",")}), " +
+          s"cast(array_position(array(${VtScales.mkString(",")}), m) as int))"))
+      pts.groupBy("event_type")
+        .agg(count(lit(1)).as("np"), sum("l6").as("sy"),
+          sum(col("x6") * col("l6")).as("sxy"))
+        .filter(col("np") === VtScales.length)
+        .select(col("event_type"),
+          round((((col("sxy") * 3 - lit(sx) * col("sy")).cast("double") /
+            lit((3L * sxx - sx * sx).toDouble)) / lit(2.0) + lit(1.0)), 6)
+            .as("hurst"))
+    }, Some {
+      val xs = VtScales.map(m => math.round(1e6 * math.log(m.toDouble)))
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      val xcase = VtScales.zip(xs).map { case (m, x) =>
+        s"WHEN m = $m THEN $x" }.mkString(" ")
+      s"""
+      WITH e AS (SELECT event_type, ts, event_id,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      rn AS (SELECT event_type, v6, row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS rn
+             FROM e),
+      blk AS (SELECT event_type, m.m, (rn - 1) // m.m AS blk,
+                count(*) AS bn, CAST(sum(v6) AS BIGINT) AS sb
+              FROM rn, (SELECT UNNEST([${VtScales.mkString(",")}]) AS m) m
+              GROUP BY 1, 2, 3),
+      agg AS (SELECT event_type, m, count(*) AS nb,
+                sum(CAST(sb AS HUGEINT)) AS s1,
+                sum(CAST(sb AS HUGEINT) * sb) AS s2
+              FROM blk WHERE bn = m GROUP BY 1, 2),
+      pt AS (SELECT event_type, m, nb,
+               CAST(nb AS HUGEINT) * s2 - s1 * s1 AS num,
+               CAST(m AS HUGEINT) * m * nb * nb AS den
+             FROM agg),
+      l AS (SELECT event_type,
+              CAST(round(1e6 * ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
+                AS BIGINT) AS l6,
+              CASE $xcase END AS x6
+            FROM pt WHERE num > 0),
+      ols AS (SELECT event_type, count(*) AS np,
+                CAST(sum(l6) AS BIGINT) AS sy,
+                CAST(sum(x6 * l6) AS BIGINT) AS sxy
+              FROM l GROUP BY event_type)
+      SELECT event_type,
+             round((CAST(sxy * 3 - $sx * sy AS DOUBLE) /
+               ${3L * sxx - sx * sx}.0) / 2.0 + 1.0, 6) AS hurst
+      FROM ols WHERE np = ${VtScales.length}"""
+    })
   )
+
+  /** a34's variance-time block sizes. lazy: referenced while `entries`
+    * (declared above) constructs.
+    */
+  private[queries] lazy val VtScales: Seq[Long] = Seq(4L, 16L, 64L)
 
   /** Integer-micro-fixed cos/sin tables for a31's diurnal DFT —
     * round(1e6·cos(2πp/24)), p = 0..23, computed once at build time and

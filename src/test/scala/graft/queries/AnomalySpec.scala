@@ -515,4 +515,44 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
         s"$pair best lag must attain the max correlation")
     }
   }
+
+  test("a34 Hurst == exact BigInt variance-time recompute; estimates " +
+    "stay in the plausible band") {
+    val got = Catalog.queries("a34_hurst")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val series = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"), expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(_._4).toArray)
+      .toMap
+    val scales = Seq(4, 16, 64)
+    val xs = scales.map(m => math.round(1e6 * math.log(m.toDouble)))
+    val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+    val expected = series.flatMap { case (tpe, vs) =>
+      val pts = scales.zip(xs).flatMap { case (m, x6) =>
+        val sums = vs.grouped(m).filter(_.length == m)
+          .map(b => BigInt(b.sum)).toSeq
+        val nb = BigInt(sums.length)
+        val (s1, s2) = (sums.sum, sums.map(s => s * s).sum)
+        val num = nb * s2 - s1 * s1
+        val den = BigInt(m) * m * nb * nb
+        if (num > 0)
+          Some((x6, math.round(1e6 * math.log(num.toDouble / den.toDouble))))
+        else None
+      }
+      if (pts.length != scales.length) None
+      else {
+        val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        Some(tpe -> rnd6((3 * sxy - sx * sy).toDouble /
+          (3L * sxx - sx * sx).toDouble / 2.0 + 1.0))
+      }
+    }
+    assert(got === expected)
+    got.values.foreach(h => assert(h > 0.0 && h < 1.5,
+      s"Hurst estimate $h outside the plausible band"))
+  }
 }
