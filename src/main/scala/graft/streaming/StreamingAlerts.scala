@@ -27,7 +27,8 @@ object StreamingAlerts {
   case class AlertState(wasAbove: Boolean, lastAlertSec: Long, seq: Long)
 
   /** The per-point state transition, exposed for the spec's sequential
-    * fold: returns the new state and the alert, if one fires.
+    * fold and the property suite: returns the new state and the alert,
+    * if one fires.
     */
   private[streaming] def step(s: AlertState, p: AnomalyScore,
       threshold: Double, cooldownSec: Long): (AlertState, Option[Alert]) = {
