@@ -1181,7 +1181,50 @@ object Relational {
       SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
              c.t_click IS NOT NULL AS reached_click,
              p.t_purchase IS NOT NULL AS converted
-      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")))
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
+
+    // ---- q44: retention cohort triangle — users grouped by their
+    // first-activity week, counted in every later week they return:
+    // THE product-health table, and a two-aggregate shape at any
+    // scale. Weeks are pure integer epoch-day division (no date
+    // truncation semantics to disagree on cross-engine); the cohort
+    // dim derives from the same distinct (user, week) activity table
+    // the fact side uses — one corpus aggregate, one user-keyed join
+    // of user-cardinality tables, one (cohort, offset) count. The
+    // retention rate divides two exact counts, round(6).
+    Entry("q44_retention", (s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(to_unix_timestamp(ts) as bigint) div 604800")
+            .as("wk"))
+        .distinct()
+      val cohorts = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val sizes = cohorts.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_users"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+          .as("week_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("active_users"),
+          col("cohort_users"),
+          round(col("active_users") / col("cohort_users"), 6)
+            .as("retention"))
+    }, Some("""
+      WITH wk AS (SELECT DISTINCT user_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+                  FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk
+                 FROM wk GROUP BY user_id),
+      sizes AS (SELECT cohort_wk, count(*) AS cohort_users
+                FROM cohort GROUP BY cohort_wk),
+      act AS (SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+                count(*) AS active_users
+              FROM wk w JOIN cohort c USING (user_id)
+              GROUP BY 1, 2)
+      SELECT cohort_wk, week_offset, active_users, cohort_users,
+             round(active_users / cohort_users, 6) AS retention
+      FROM act JOIN sizes USING (cohort_wk)""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

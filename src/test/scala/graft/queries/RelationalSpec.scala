@@ -224,4 +224,26 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       tp.foreach(p => assert(p > tc.get, "purchase must follow the click"))
     }
   }
+
+  test("q44 retention: offset-0 row is the full cohort by definition; " +
+    "active never exceeds cohort; totals == sequential recompute") {
+    val got = Catalog.queries("q44_retention")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    got.foreach { case ((cw, off), (active, size, rate)) =>
+      assert(off >= 0, s"cohort $cw cannot be active before it exists")
+      assert(active <= size, s"cohort $cw offset $off: active > cohort")
+      if (off == 0) assert(active === size,
+        s"cohort $cw: every member is active in their first week")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    val weeks = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("cast(to_unix_timestamp(ts) as bigint) div 604800").as("wk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohortOf = weeks.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = weeks.groupBy { case (u, w) => (cohortOf(u), w - cohortOf(u)) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === expected)
+  }
 }
