@@ -2572,7 +2572,40 @@ object Pipeline {
       SELECT vec_id, cid AS cell, d2,
              count(*) OVER (PARTITION BY cid) AS cell_size
       FROM fin"""
-    })
+    }),
+
+    // ---- p56: fair survivor selection — p02 keeps the FIRST copy of
+    // each exact-dup group, which biases the kept corpus toward early
+    // crawl dates (and whatever correlates with them); here the
+    // survivor is the member with the smallest salted md5 hash, an
+    // unbiased pseudo-random choice that is still fully reproducible
+    // (same doc wins on any engine, any rerun, any partitioning). The
+    // ':fair' salt decouples this draw from every other doc_id hash in
+    // the engine. One content-hash shuffle; the rank window rides it.
+    Entry("p56_dedup_fair_survivor", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val w = Window.partitionBy("content_hash")
+        .orderBy(col("draw"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), md5(norm).as("content_hash"),
+          expr(H.h32Spark("concat(cast(doc_id as string), ':fair')"))
+            .as("draw"))
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("content_hash")))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("content_hash"), col("n_copies"),
+          col("draw"), col("keep"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, md5($normSql) AS content_hash,
+                   ${graft.functions.HashScheme.h32Duck(
+                     "CAST(doc_id AS VARCHAR) || ':fair'")} AS draw
+                 FROM documents)
+      SELECT doc_id, content_hash,
+             count(*) OVER (PARTITION BY content_hash) AS n_copies,
+             draw,
+             row_number() OVER (PARTITION BY content_hash
+               ORDER BY draw, doc_id) = 1 AS keep
+      FROM d"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -820,4 +820,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(fin.values.map(_._2).sum <= initialObjective,
       "3 Lloyd rounds must not worsen the seed objective")
   }
+
+  test("p56 fair survivor: exactly one keep per content group, the " +
+    "min-draw member; dup groups can out-vote the first copy") {
+    val got = run("p56_dedup_fair_survivor").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byHash = got.groupBy(_._2)
+    byHash.values.foreach { g =>
+      assert(g.count(_._5) === 1, "one survivor per content group")
+      val winner = g.minBy(r => (r._4, r._1))
+      assert(winner._5, "the survivor is the (draw, doc_id) minimum")
+      g.foreach(r => assert(r._3 === g.length.toLong, "n_copies"))
+    }
+    // the fairness point: where dup groups exist (sf0.01+ — the spec
+    // corpus at sf0.001 has none, the driver oracle covers them), at
+    // least one survivor is NOT the smallest doc_id (else this is p02
+    // again). Pinned here on a synthetic dup frame via the same
+    // (draw, doc_id) rule.
+    val dupGroups = byHash.values.filter(_.length > 1)
+    if (dupGroups.nonEmpty)
+      assert(dupGroups.exists(g => !g.minBy(_._1)._5),
+        "hash draw must sometimes pick a non-first survivor")
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+    val draws = (0L to 40L).map(id => id -> h32(s"$id:fair"))
+    assert(draws.minBy(_._2)._1 !== draws.map(_._1).min,
+      "over 41 synthetic ids the min draw must not be id 0 " +
+        "(fairness would be broken if draw order tracked id order)")
+  }
 }
