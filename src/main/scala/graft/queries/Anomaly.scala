@@ -1783,7 +1783,53 @@ object Anomaly {
              round((CAST(sxy * 3 - $sx * sy AS DOUBLE) /
                ${3L * sxx - sx * sx}.0) / 2.0 + 1.0, 6) AS hurst
       FROM ols WHERE np = ${VtScales.length}"""
-    })
+    }),
+
+    // ---- a35: inter-arrival burstiness — the POINT-PROCESS companion
+    // to a34's count-series Hurst: CV² of the gaps between consecutive
+    // events per series (CV² = 1 ⇒ Poisson arrivals, > 1 bursty,
+    // < 1 pacemaker-regular). Arrival-pattern shifts precede value
+    // anomalies in most fleets, and none of the value-window tests can
+    // see them. Gaps are exact integer MICROSECONDS from one lag over
+    // the series sort; the two moment sums are exact 128-bit integers,
+    // so CV² = (n·Σg² − (Σg)²)/(Σg)² reaches FP as ONE division of two
+    // exact ints, round(6). One series shuffle; O(series) output.
+    Entry("a35_interarrival", (s, dir) => {
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("tus"), col("event_id"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("tus"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(wRn))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(dec(col("gap"))).as("sg"),
+          sum(dec(col("gap")) * col("gap")).as("sgg"))
+        .filter(col("sg") > 0)
+        .select(col("event_type"), col("n_gaps"),
+          round((dec(col("n_gaps")) * col("sgg") - col("sg") * col("sg"))
+            .cast("double") /
+            (col("sg") * col("sg")).cast("double"), 6).as("cv2"),
+          round(col("sg").cast("double") / col("n_gaps") / 1e6, 6)
+            .as("mean_gap_sec"))
+    }, Some("""
+      WITH e AS (SELECT event_type, event_id,
+                   epoch_us(ts) AS tus FROM events),
+      g AS (SELECT event_type,
+              tus - lag(tus) OVER (PARTITION BY event_type
+                ORDER BY tus, event_id) AS gap
+            FROM e),
+      agg AS (SELECT event_type, count(*) AS n_gaps,
+                sum(CAST(gap AS HUGEINT)) AS sg,
+                sum(CAST(gap AS HUGEINT) * gap) AS sgg
+              FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+      SELECT event_type, n_gaps,
+             round(CAST(CAST(n_gaps AS HUGEINT) * sgg - sg * sg AS DOUBLE)
+               / CAST(sg * sg AS DOUBLE), 6) AS cv2,
+             round(CAST(sg AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_sec
+      FROM agg WHERE sg > 0"""))
   )
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

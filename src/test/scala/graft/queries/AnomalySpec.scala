@@ -555,4 +555,32 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     got.values.foreach(h => assert(h > 0.0 && h < 1.5,
       s"Hurst estimate $h outside the plausible band"))
   }
+
+  test("a35 burstiness == exact BigInt recompute; CV2 positive and " +
+    "gaps partition the series span") {
+    val got = Catalog.queries("a35_interarrival")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3))).toMap
+    val expected = byType.flatMap { case (tpe, rows) =>
+      val gaps = rows.map(_._2).sliding(2).filter(_.length == 2)
+        .map(w => BigInt(w(1) - w(0))).toSeq
+      val n = BigInt(gaps.length)
+      val (sg, sgg) = (gaps.sum, gaps.map(g => g * g).sum)
+      if (sg <= 0) None
+      else Some(tpe -> ((gaps.length.toLong,
+        rnd6((n * sgg - sg * sg).toDouble / (sg * sg).toDouble),
+        rnd6(sg.toDouble / gaps.length / 1e6))))
+    }
+    assert(got === expected)
+    got.foreach { case (tpe, (n, cv2, meanGap)) =>
+      assert(n > 0 && cv2 >= 0.0 && meanGap > 0.0, s"$tpe sanity")
+      // gaps partition the span: n_gaps = points - 1
+      assert(n === byType(tpe).length - 1L, s"$tpe gap count")
+    }
+  }
 }
