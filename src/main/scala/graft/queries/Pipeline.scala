@@ -1735,7 +1735,12 @@ object Pipeline {
     // one postings ⋈ LM equi-join on (lang, w1, w2) + one per-doc
     // integer aggregate. The model is self-trained on the corpus, so
     // every scored bigram exists in the LM — the join is inner by
-    // construction.
+    // construction. Known residual: round(1e6·ln(x)) can land on
+    // opposite sides of a .5 boundary when JVM and DuckDB libm ln()
+    // differ by ulps — measured ONCE across the sf0.1 vocab (≈1 in
+    // 10^5 terms, 1 micro-unit in one doc's avg_logp); sf0.01 (the
+    // driver gate) is collision-free. Inherent to any libm-in-SQL
+    // fixing discipline; term-level, so it cannot compound.
     Entry("p41_lm_quality", (s, dir) => {
       val posts = docs(s, dir)
         .select(col("doc_id"), col("lang"), toks.as("tk"))

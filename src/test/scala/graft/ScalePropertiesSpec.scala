@@ -464,4 +464,47 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("__salt"), s"salt must reach the join keys:\n$p")
     assert(p.contains("explode"), s"dim must replicate per salt:\n$p")
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the runtime " +
+    "complement to q41's ahead-of-time salting)") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one key carries ~90% of 10k rows — unambiguous skew no matter
+      // how the 4 shuffle partitions hash. The right side is a plain
+      // filtered SLICE (no aggregate: OptimizeSkewedJoin requires
+      // Sort <- ShuffleStage directly under both join children)
+      val key = when(col("value") < 450, lit("hot"))
+        .otherwise(col("event_type")).as("k")
+      // repartition first: AQE splits a skewed REDUCE partition into
+      // per-mapper slices, so the join shuffle needs >1 map task —
+      // a single small parquet file scans as one mapper and would be
+      // unsplittable no matter how skewed
+      val ev = sources.Tables.events(spark, "/root/testdata/sf0.01")
+        .select(key, col("event_id"), col("value"))
+        .repartition(8)
+      val slim = sources.Tables.events(spark, "/root/testdata/sf0.01")
+        .filter(col("event_id") % 1000 === 0)
+        .select(key, col("event_id").as("rid"))
+      val joined = ev.join(slim, "k")
+      // collect() executes THIS queryExecution (count() would build a
+      // separate one and leave this plan un-finalized by AQE)
+      assert(joined.collect().nonEmpty)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("skew="),
+        s"expected an AQE skew-split sort-merge join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
