@@ -1829,8 +1829,140 @@ object Anomaly {
              round(CAST(CAST(n_gaps AS HUGEINT) * sgg - sg * sg AS DOUBLE)
                / CAST(sg * sg AS DOUBLE), 6) AS cv2,
              round(CAST(sg AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_sec
-      FROM agg WHERE sg > 0"""))
+      FROM agg WHERE sg > 0""")),
+
+    // ---- a36: generalized ESD (Rosner) — the iterative extension of
+    // a25's single-shot Grubbs: k=3 unrolled rounds over the trailing
+    // 20-point window, each computing the max studentized deviation
+    // R_r, then REMOVING that point (first index on ties — one
+    // deterministic rule on both engines) and re-testing the remainder;
+    // n_anom = the largest r with R_r above its critical value, the
+    // masking-proof count a single Grubbs pass cannot give (two spikes
+    // inflate the stddev and hide each other). Exactness mirrors a25:
+    // micro-fixed int64 values, window sums reused across rounds by
+    // integer SUBTRACTION of the removed point (no re-aggregation —
+    // each round is O(w) array math on the row), 128-bit variance
+    // numerators, and R_r built from the same integer operands by the
+    // same double ops on both engines. One series-key shuffle total;
+    // rows where any round's remainder is constant (varnum=0) are
+    // excluded, as in a25.
+    Entry("a36_esd", (s, dir) => {
+      val w = EsdWindow
+      val k = EsdRounds
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wS.rowsBetween(-(w - 1), 0)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      var df = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("arr0", collect_list(col("v6")).over(frame))
+        .withColumn("sx0", sum(col("v6")).over(frame))
+        .withColumn("sxx0", sum(dec(col("v6")) * col("v6")).over(frame))
+        .filter(col("rn") >= w)
+      for (r <- 1 to k) {
+        val p = r - 1
+        val n = w - p
+        df = df
+          .withColumn(s"varnum$p",
+            lit(n) * col(s"sxx$p") - dec(col(s"sx$p")) * col(s"sx$p"))
+          .withColumn(s"maxdev$p",
+            expr(s"array_max(transform(arr$p, x -> abs($n * x - sx$p)))"))
+          .withColumn(s"r$r",
+            col(s"maxdev$p").cast("double") / lit(n.toDouble) /
+              sqrt(col(s"varnum$p").cast("double") /
+                lit((n * (n - 1)).toDouble)))
+        if (r < k) {
+          // try_element_at (not element_at): the trailing varnum filter
+          // is predicate-pushed through these projections into the base
+          // rn>=w filter, where its substituted expression chain can be
+          // evaluated on short-frame rows — the indexing must be total.
+          df = df
+            .withColumn(s"idx$p", expr(s"try_element_at(filter(sequence(1, $n)," +
+              s" i -> abs($n * try_element_at(arr$p, i) - sx$p) = maxdev$p), 1)"))
+            .withColumn(s"rm$p", expr(s"try_element_at(arr$p, idx$p)"))
+            .withColumn(s"arr$r", expr(s"concat(slice(arr$p, 1, idx$p - 1)," +
+              s" slice(arr$p, idx$p + 1, $n - idx$p))"))
+            .withColumn(s"sx$r", col(s"sx$p") - col(s"rm$p"))
+            .withColumn(s"sxx$r",
+              col(s"sxx$p") - dec(col(s"rm$p")) * col(s"rm$p"))
+        }
+      }
+      val lam = EsdLambda
+      df.filter((0 until k).map(p => col(s"varnum$p") =!= lit(0))
+          .reduce(_ && _))
+        .select(col("event_type"), col("event_id"),
+          col("r1"), col("r2"), col("r3"),
+          when(col("r3") > lam(2), 3L).when(col("r2") > lam(1), 2L)
+            .when(col("r1") > lam(0), 1L).otherwise(0L).as("n_anom"))
+    }, Some {
+      val w = EsdWindow
+      val k = EsdRounds
+      val lam = EsdLambda
+      val rounds = (1 to k).map { r =>
+        val p = r - 1
+        val n = w - p
+        val next =
+          if (r < k) s""",
+          f$r AS (SELECT event_type, event_id,
+                    list_concat(arr$p[1:idx$p - 1], arr$p[idx$p + 1:$n])
+                      AS arr$r,
+                    sx$p - arr$p[idx$p] AS sx$r,
+                    sxx$p - CAST(arr$p[idx$p] AS HUGEINT) * arr$p[idx$p]
+                      AS sxx$r,
+                    ${(1 to r).map(j => s"r$j").mkString(", ")}
+                  FROM g$p)"""
+          else ""
+        s""",
+          g$p AS (SELECT *,
+                    CAST(maxdev$p AS DOUBLE) / $n.0
+                      / sqrt(CAST(varnum$p AS DOUBLE) / ${n * (n - 1)}.0)
+                      AS r$r
+                  FROM (SELECT *,
+                    $n * sxx$p - CAST(sx$p AS HUGEINT) * sx$p AS varnum$p,
+                    list_max(list_transform(arr$p,
+                      x -> abs($n * x - sx$p))) AS maxdev$p,
+                    list_filter(range(1, ${n + 1}),
+                      i -> abs($n * arr$p[i] - sx$p) =
+                        list_max(list_transform(arr$p,
+                          x -> abs($n * x - sx$p))))[1] AS idx$p
+                  FROM f$p)
+                  WHERE varnum$p <> 0)$next"""
+      }.mkString("")
+      s"""
+      WITH base AS (
+        SELECT event_type, event_id,
+               row_number() OVER win AS rn,
+               array_agg(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+                 AS arr0,
+               CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sx0,
+               sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
+                   * CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+                 AS sxx0
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      f0 AS (SELECT * FROM base WHERE rn >= $w)$rounds
+      SELECT event_type, event_id, r1, r2, r3,
+             CASE WHEN r3 > ${lam(2)} THEN 3
+                  WHEN r2 > ${lam(1)} THEN 2
+                  WHEN r1 > ${lam(0)} THEN 1
+                  ELSE 0 END::BIGINT AS n_anom
+      FROM g${k - 1}"""
+    })
   )
+
+  /** a36's generalized-ESD window, round count, and per-round critical
+    * values (fixed constants embedded identically in both engines).
+    * lazy: referenced while `entries` (declared above) constructs.
+    */
+  private[graft] lazy val EsdWindow = 20
+  private[graft] lazy val EsdRounds = 3
+  private[graft] lazy val EsdLambda: Seq[Double] = Seq(2.71, 2.68, 2.65)
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`
     * (declared above) constructs.

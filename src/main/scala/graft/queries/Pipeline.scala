@@ -2610,7 +2610,161 @@ object Pipeline {
              draw,
              row_number() OVER (PARTITION BY content_hash
                ORDER BY draw, doc_id) = 1 AS keep
-      FROM d"""))
+      FROM d""")),
+
+    // ---- p57: per-label embedding dispersion — the semantic-diversity
+    // health signal for a training mix: mean pairwise dot product
+    // inside each label cohort, computed WITHOUT the O(n²) pair join
+    // via the Gram identity Σ_{i≠j} v_i·v_j = ‖Σv‖² − Σ‖v‖². Per label
+    // the whole statistic is two map-side-combined aggregates over the
+    // (label, dim) explode — O(n·d) rows, one shuffle on (label, dim)
+    // and one on label — so it scales to any cohort size where the
+    // naive pairwise version (the p06 shape) is a non-starter. All
+    // arithmetic is exact: micro-fixed int64 coordinates, 128-bit
+    // Σv per dim and Σ‖v‖², the two squares exact in DECIMAL(38)/
+    // HUGEINT, and integer HALF_UP rounding to micro-units (the +K·den
+    // shift keeps the floor-div rounding correct for the possibly
+    // NEGATIVE pairwise sum; K = 8e6 bounds |mean_pair_dot| ≤ 8).
+    // A tight cohort reads mean_pair_dot ≈ mean_sq_norm; a diverse one
+    // reads ≈ 0 — the gap is the dispersion a curator balances.
+    Entry("p57_label_dispersion", (s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      embs(s, dir)
+        .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .withColumn("x6", expr("cast(round(x * 1e6) as bigint)"))
+        .groupBy("label", "dim")
+        .agg(sum(col("x6")).as("s6"),
+          sum(dec(col("x6")) * col("x6")).as("q"),
+          count(lit(1)).as("nv"))
+        .groupBy("label")
+        .agg(max(col("nv")).as("n_vecs"),
+          sum(dec(col("s6")) * col("s6")).as("gram"),
+          sum(col("q")).as("qq"))
+        .filter(col("n_vecs") >= 2)
+        .withColumn("den_pd",
+          dec(lit(1000000L)) * col("n_vecs") * (col("n_vecs") - 1))
+        .withColumn("den_n", dec(lit(1000000L)) * col("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          ((expr("(gram - qq + 8000000 * den_pd + den_pd div 2) div den_pd")
+            .cast("long") - lit(8000000L)) / 1e6).as("mean_pair_dot"),
+          (expr("(qq + den_n div 2) div den_n").cast("long") / 1e6)
+            .as("mean_sq_norm"))
+    }, Some("""
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+      x AS (SELECT label, i AS dim,
+              CAST(round(emb[i] * 1e6) AS BIGINT) AS x6
+            FROM e, UNNEST(range(1, len(emb) + 1)) t(i)),
+      pd AS (SELECT label, dim,
+              CAST(sum(x6) AS BIGINT) AS s6,
+              sum(CAST(x6 AS HUGEINT) * x6) AS q,
+              count(*) AS nv
+            FROM x GROUP BY 1, 2),
+      l AS (SELECT label, max(nv) AS n_vecs,
+              sum(CAST(s6 AS HUGEINT) * s6) AS gram,
+              sum(q) AS qq
+            FROM pd GROUP BY 1),
+      r AS (SELECT label, n_vecs, gram, qq,
+              1000000::HUGEINT * n_vecs * (n_vecs - 1) AS den_pd,
+              1000000::HUGEINT * n_vecs AS den_n
+            FROM l WHERE n_vecs >= 2)
+      SELECT label, n_vecs,
+        (CAST((gram - qq + 8000000 * den_pd + den_pd // 2) // den_pd
+           AS BIGINT) - 8000000) / 1e6 AS mean_pair_dot,
+        CAST((qq + den_n // 2) // den_n AS BIGINT) / 1e6 AS mean_sq_norm
+      FROM r""")),
+
+    // ---- p58: BM25 query-by-document retrieval — the lexical
+    // retrieval scorer (Robertson k1=1.2, b=0.75) that complements the
+    // embedding ANN family (p07/p08/p15): each sample doc (doc_id %100
+    // = 0) retrieves its top-5 corpus docs by BM25 over their shared
+    // terms. 100 TB shape: candidate generation is a BROADCAST join of
+    // the postings against the (small) query-term dim — each query
+    // term costs df rows, never df² (the p44/p53 bound); a production
+    // corpus adds stop-term pruning (the p49 df cap) to bound the
+    // hottest terms, but THIS corpus is a 31-token synthetic vocab
+    // where every term has df ≈ 0.8·N, so any useful cap would empty
+    // retrieval — the scale lever is documented, not exercised. The
+    // only corpus-wide shuffles are the vocab-sized df aggregate
+    // (map-side combined) and the final (query, doc) score aggregate.
+    // idf is Lucene's ln(1 + (N−df+0.5)/(df+0.5)) = ln((N+1)/(df+0.5))
+    // — strictly positive for ANY df ≤ N (classic Robertson idf goes
+    // negative past df = N/2, which this corpus's hot terms all do),
+    // keeping the integer rounding idiom one-sided.
+    // Exactness: with avgdl = A/N left as the RATIONAL A/N, the BM25
+    // term weight tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) multiplies out
+    // to 22·tf·A / (10·tf·A + 3·A + 9·dl·N) — exact integers; the only
+    // libm call is the idf ln, fixed to micro-units in the query-term
+    // dim (p41's documented pattern), and each term's contribution is
+    // idf6·tf_norm via one integer HALF_UP division, so the score sum
+    // is pure int64 and partition-order independent.
+    Entry("p58_bm25_topk", (s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val post = docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(array_distinct(col("tk"))).as("tok"),
+          col("tk"))
+        .select(col("doc_id"), col("dl"), col("tok"),
+          size(filter(col("tk"), x => x === col("tok"))).cast("long")
+            .as("tf"))
+        .persist() // read 3×: df dim, query terms, candidate probe
+      val scal = docs(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks)).cast("long").as("a_toks"))
+      val dfdim = post.groupBy("tok").agg(count(lit(1)).as("df"))
+      val qdim = post.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("tok"))
+        .join(dfdim, "tok")
+        .crossJoin(broadcast(scal))
+        .withColumn("idf6", expr("cast(round(ln((n_docs + 1.0D) / " +
+          "(df + 0.5D)) * 1e6) as bigint)"))
+        .select(col("q_id"), col("tok"), col("idf6"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score6").desc, col("doc_id"))
+      post.join(broadcast(qdim), "tok")
+        .filter(col("doc_id") =!= col("q_id"))
+        .crossJoin(broadcast(scal))
+        .withColumn("den", dec(lit(10L)) * col("tf") * col("a_toks") +
+          dec(lit(3L)) * col("a_toks") +
+          dec(lit(9L)) * col("dl") * col("n_docs"))
+        .withColumn("num", dec(col("idf6")) * lit(22L) * col("tf") *
+          col("a_toks"))
+        .withColumn("c6", expr("cast((num + den div 2) div den as bigint)"))
+        .groupBy(col("q_id").as("query_id"), col("doc_id"))
+        .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          (col("score6") / 1e6).as("bm25"), col("rk"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      post AS (SELECT doc_id, len(tk) AS dl, u.tok,
+                 CAST(len(list_filter(tk, x -> x = u.tok)) AS BIGINT) AS tf
+               FROM d, UNNEST(list_distinct(tk)) AS u(tok)),
+      scal AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len(tk)) AS BIGINT) AS a_toks FROM d),
+      dfdim AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+      qdim AS (SELECT p.doc_id AS q_id, p.tok,
+                 CAST(round(ln((s.n_docs + 1.0) /
+                   (f.df + 0.5)) * 1e6) AS BIGINT) AS idf6
+               FROM post p JOIN dfdim f USING (tok), scal s
+               WHERE p.doc_id % 100 = 0),
+      cand AS (SELECT q.q_id AS query_id, p.doc_id,
+                 CAST((CAST(q.idf6 AS HUGEINT) * 22 * p.tf * s.a_toks
+                   + (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
+                      + 9::HUGEINT * p.dl * s.n_docs) // 2)
+                   // (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
+                      + 9::HUGEINT * p.dl * s.n_docs) AS BIGINT) AS c6
+               FROM post p JOIN qdim q USING (tok), scal s
+               WHERE p.doc_id <> q.q_id),
+      sc AS (SELECT query_id, doc_id,
+               CAST(sum(c6) AS BIGINT) AS score6,
+               count(*) AS n_terms
+             FROM cand GROUP BY 1, 2)
+      SELECT query_id, doc_id, n_terms, score6 / 1e6 AS bm25, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score6 DESC, doc_id) AS BIGINT) AS rk
+        FROM sc) WHERE rk <= 5"""))
   )
 
   /** Two-phase distributed prefix sum giving each doc its coordinates

@@ -1224,7 +1224,80 @@ object Relational {
               GROUP BY 1, 2)
       SELECT cohort_wk, week_offset, active_users, cohort_users,
              round(active_users / cohort_users, 6) AS retention
-      FROM act JOIN sizes USING (cohort_wk)""")))
+      FROM act JOIN sizes USING (cohort_wk)""")),
+
+    // ---- q45: MERGE / upsert — the Delta-Lake-style three-way merge
+    // (update matched, insert unmatched, keep the rest) as a pure
+    // relational query: target = orders, delta = a deterministic
+    // derived changeset (keys %10=3 become updates with a +7.00 price
+    // correction; keys %97=0 re-keyed above the keyspace become
+    // inserts). 100 TB shape: the delta is the SMALL side, so the
+    // matched/keep pass is one broadcast left join against the target
+    // scan — the target never shuffles — and the insert pass anti-joins
+    // the delta against the (small, matched-keys-only) projection of
+    // that same join rather than against the full target, so both
+    // passes are broadcast joins. The target IS scanned twice (once per
+    // UNION branch); a table format with a key index (or Delta's
+    // file-pruning) removes the second scan — out of scope for a pure
+    // query engine. Money arithmetic in DECIMAL(18,2) end to end.
+    Entry("q45_merge_upsert", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val money = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+      val delta = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("d_orderkey"),
+          col("o_custkey").as("d_custkey"),
+          lit("U").as("d_orderstatus"),
+          money(money(col("o_totalprice")) + lit(7)).as("d_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + lit(9000000000L)).as("d_orderkey"),
+            col("o_custkey").as("d_custkey"),
+            lit("N").as("d_orderstatus"),
+            money(col("o_totalprice")).as("d_totalprice")))
+      val merged = orders.join(broadcast(delta),
+        col("o_orderkey") === col("d_orderkey"), "left")
+      val upserted = merged.select(col("o_orderkey"),
+        coalesce(col("d_custkey"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("d_orderstatus"), col("o_orderstatus"))
+          .as("o_orderstatus"),
+        money(coalesce(col("d_totalprice"), money(col("o_totalprice"))))
+          .as("o_totalprice"),
+        when(col("d_orderkey").isNotNull, "update").otherwise("keep")
+          .as("merge_action"))
+      val matchedKeys = merged.filter(col("d_orderkey").isNotNull)
+        .select(col("d_orderkey"))
+      val inserts = delta
+        .join(broadcast(matchedKeys), Seq("d_orderkey"), "left_anti")
+        .select(col("d_orderkey").as("o_orderkey"),
+          col("d_custkey").as("o_custkey"),
+          col("d_orderstatus").as("o_orderstatus"),
+          col("d_totalprice").as("o_totalprice"),
+          lit("insert").as("merge_action"))
+      upserted.unionByName(inserts)
+    }, Some("""
+      WITH delta AS (
+        SELECT o_orderkey AS d_orderkey, o_custkey AS d_custkey,
+               'U' AS d_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 7
+                 AS DECIMAL(18,2)) AS d_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 9000000000, o_custkey, 'N',
+               CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o.o_orderkey,
+             coalesce(d.d_custkey, o.o_custkey) AS o_custkey,
+             coalesce(d.d_orderstatus, o.o_orderstatus) AS o_orderstatus,
+             CAST(coalesce(d.d_totalprice,
+               CAST(o.o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS o_totalprice,
+             CASE WHEN d.d_orderkey IS NOT NULL THEN 'update'
+                  ELSE 'keep' END AS merge_action
+      FROM orders o LEFT JOIN delta d ON o.o_orderkey = d.d_orderkey
+      UNION ALL
+      SELECT d.d_orderkey, d.d_custkey, d.d_orderstatus, d.d_totalprice,
+             'insert'
+      FROM delta d LEFT JOIN orders o ON d.d_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

@@ -507,4 +507,41 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("a36: the three unrolled ESD rounds ride ONE series-key " +
+    "shuffle (removal is row-local array math, not re-aggregation)") {
+    val pl = plan("a36_esd")
+    assert(countOf(pl, "Exchange hashpartitioning") === 1,
+      s"a36 expected exactly one key shuffle:\n$pl")
+    assert(countOf(pl, "Window") <= 2,
+      s"all frame sums must share one WindowExec pass:\n$pl")
+  }
+
+  test("p57: dispersion is two aggregate stages and ZERO joins — the " +
+    "Gram identity replaces the O(n^2) pair join") {
+    val pl = plan("p57_label_dispersion")
+    assert(countOf(pl, "Join") === 0,
+      s"no pair join may appear:\n$pl")
+    assert(pl.contains("partial"),
+      s"both aggregates must combine map-side:\n$pl")
+  }
+
+  test("p58: the query-term dim broadcasts onto the postings — " +
+    "candidates cost df rows per query term, never a postings " +
+    "self-shuffle") {
+    val pl = plan("p58_bm25_topk")
+    assert(countOf(pl, "BroadcastHashJoin") >= 2,
+      s"query dim and scalars must broadcast:\n$pl")
+    assert(pl.contains("WindowGroupLimit"),
+      s"per-query top-5 must push the rank limit down:\n$pl")
+  }
+
+  test("q45: MERGE never shuffles the target — both passes are " +
+    "broadcast joins against the delta side") {
+    val pl = plan("q45_merge_upsert")
+    assert(countOf(pl, "BroadcastHashJoin") >= 2,
+      s"update/keep and insert passes must broadcast:\n$pl")
+    assert(countOf(pl, "SortMergeJoin") === 0,
+      s"the 100 TB target must not sort-merge:\n$pl")
+  }
 }

@@ -583,4 +583,62 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(n === byType(tpe).length - 1L, s"$tpe gap count")
     }
   }
+
+  test("a36 generalized ESD == exact BigInt sequential recompute " +
+    "(3 unrolled removal rounds); n_anom equals the threshold CASE") {
+    val got = Catalog.queries("a36_esd")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    val w = Anomaly.EsdWindow
+    val k = Anomaly.EsdRounds
+    val lam = Anomaly.EsdLambda
+    val wspec = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val expected = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wspec))
+      .withColumn("arr",
+        collect_list(expr("cast(round(value * 1e6) as bigint)"))
+          .over(wspec.rowsBetween(-(w - 1), 0)))
+      .filter(col("rn") >= w)
+      .select(col("event_type"), col("event_id"), col("arr"))
+      .collect()
+      .flatMap { row =>
+        var arr = row.getSeq[Long](2).toVector
+        var sx = arr.sum
+        var sxx = arr.map(x => BigInt(x) * x).sum
+        val rs = Array.ofDim[Double](k)
+        var ok = true
+        for (r <- 1 to k if ok) {
+          val n = arr.length
+          val varnum = BigInt(n) * sxx - BigInt(sx) * sx
+          if (varnum == 0) ok = false
+          else {
+            val maxdev = arr.map(x => (n * x - sx).abs).max
+            // same double-op order as both engines
+            rs(r - 1) = maxdev.toDouble / n.toDouble /
+              math.sqrt(varnum.toDouble / (n * (n - 1)).toDouble)
+            // first index on ties — the pinned removal rule
+            val idx = arr.indexWhere(x => (n * x - sx).abs == maxdev)
+            val rm = arr(idx)
+            arr = arr.patch(idx, Nil, 1)
+            sx -= rm
+            sxx -= BigInt(rm) * rm
+          }
+        }
+        if (!ok) None
+        else {
+          val nAnom = if (rs(2) > lam(2)) 3L else if (rs(1) > lam(1)) 2L
+            else if (rs(0) > lam(0)) 1L else 0L
+          Some((row.getString(0), row.getLong(1)) ->
+            ((rs(0), rs(1), rs(2), nAnom)))
+        }
+      }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // masking resistance: the corpus must contain a window where the
+    // SECOND round still fires (a single Grubbs pass would stop at 1)
+    assert(got.values.exists(_._4 >= 2L),
+      "expected a multi-outlier window at sf0.001")
+  }
 }

@@ -851,4 +851,83 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "over 41 synthetic ids the min draw must not be id 0 " +
         "(fairness would be broken if draw order tracked id order)")
   }
+
+  test("p57 label dispersion == brute-force pairwise recompute; tight " +
+    "cohorts read near their mean square norm") {
+    val got = run("p57_label_dispersion").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("label",
+        "transform(cast(embedding as array<double>), " +
+          "x -> cast(round(x * 1e6) as bigint)) as v6")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def div6(num: BigInt, den: BigInt): Double = {
+      // the query's shifted HALF_UP floor-div, exactly
+      val k = BigInt(8000000)
+      (((num + k * den + den / 2) / den) - k).toDouble / 1e6
+    }
+    val expected = vecs.collect { case (label, vs) if vs.length >= 2 =>
+      val n = vs.length
+      // the O(n²) definition the query's Gram identity replaces
+      val pairSum = (for {
+        i <- vs.indices; j <- vs.indices if i != j
+      } yield vs(i).zip(vs(j)).map { case (a, b) => BigInt(a) * b }.sum)
+        .sum
+      val sqSum = vs.map(v => v.map(x => BigInt(x) * x).sum).sum
+      label -> ((n.toLong,
+        div6(pairSum, BigInt(1000000) * n * (n - 1)),
+        (((sqSum + BigInt(500000) * n) / (BigInt(1000000) * n)).toDouble
+          / 1e6)))
+    }
+    assert(got === expected)
+    got.values.foreach { case (n, pd, msn) =>
+      assert(n >= 2L)
+      // a mean pairwise dot can never exceed the mean square norm
+      assert(pd <= msn + 1e-9)
+    }
+  }
+
+  test("p58 BM25 == sequential recompute (exact integer term " +
+    "contributions, Lucene idf); ranks are dense and self is excluded") {
+    val got = run("p58_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> seqToks(r.getString(1)).toSeq).toMap
+    val nDocs = docs.size.toLong
+    val aToks = docs.values.map(_.length.toLong).sum
+    val df = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def idf6(d: Long): Long =
+      math.round(math.log((nDocs + 1.0) / (d + 0.5)) * 1e6)
+    val scores = for {
+      (q, qt) <- docs.toSeq if q % 100 == 0
+      (d, dt) <- docs.toSeq if d != q
+      shared = qt.distinct.toSet.intersect(dt.distinct.toSet)
+      if shared.nonEmpty
+    } yield {
+      val dl = dt.length.toLong
+      val s6 = shared.toSeq.map { t =>
+        val tf = dt.count(_ == t).toLong
+        val den = BigInt(10) * tf * aToks + BigInt(3) * aToks +
+          BigInt(9) * dl * nDocs
+        val num = BigInt(idf6(df(t))) * 22 * tf * aToks
+        ((num + den / 2) / den).toLong
+      }.sum
+      (q, d, shared.size.toLong, s6)
+    }
+    val expected = scores.groupBy(_._1).flatMap { case (q, cands) =>
+      cands.sortBy(c => (-c._4, c._2)).take(5).zipWithIndex.map {
+        case ((_, d, nt, s6), i) =>
+          (q, d) -> ((nt, s6.toDouble / 1e6, i + 1L))
+      }
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+    got.keys.foreach { case (q, d) => assert(q != d, "self-retrieval") }
+  }
 }

@@ -246,4 +246,43 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .view.mapValues(_.length.toLong).toMap
     assert(got.view.mapValues(_._1).toMap === expected)
   }
+
+  test("q45 merge upsert: actions partition the keyspace, updates " +
+    "carry the +7.00 correction, inserts are exactly the unmatched " +
+    "delta, keeps are untouched") {
+    val got = Catalog.queries("q45_merge_upsert")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getDecimal(3), r.getString(4))))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getDouble(3)))).toMap
+    def money(d: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(d).setScale(2,
+        java.math.RoundingMode.HALF_UP)
+    // one output row per target key plus one per re-keyed insert
+    val inserted = orders.keys.filter(_ % 97 == 0).map(_ + 9000000000L)
+    assert(got.length === orders.size + inserted.size)
+    val byKey = got.toMap
+    assert(got.length === byKey.size, "merge output keys must be unique")
+    orders.foreach { case (k, (ck, st, tp)) =>
+      val (gck, gst, gtp, act) = byKey(k)
+      assert(gck === ck)
+      if (k % 10 == 3) {
+        assert(act === "update")
+        assert(gst === "U")
+        assert(gtp === money(tp).add(new java.math.BigDecimal("7.00")))
+      } else {
+        assert(act === "keep")
+        assert(gst === st)
+        assert(gtp === money(tp))
+      }
+    }
+    inserted.foreach { nk =>
+      val (_, st, _, act) = byKey(nk)
+      assert(act === "insert")
+      assert(st === "N")
+    }
+  }
 }
