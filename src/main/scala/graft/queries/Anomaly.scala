@@ -1953,7 +1953,9 @@ object Anomaly {
                   WHEN r1 > ${lam(0)} THEN 1
                   ELSE 0 END::BIGINT AS n_anom
       FROM g${k - 1}"""
-    })
+    }),
+
+    binsegEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -1963,6 +1965,104 @@ object Anomaly {
   private[graft] lazy val EsdWindow = 20
   private[graft] lazy val EsdRounds = 3
   private[graft] lazy val EsdLambda: Seq[Double] = Seq(2.71, 2.68, 2.65)
+
+  /** a37: two-level binary-segmentation changepoint detection — the
+    * offline complement of a17's windowed CUSUM and a26's sequential
+    * Page–Hinkley: per series, the level-1 split t1 maximizes the
+    * CUSUM statistic G(t) = |n·S_t − t·S_n| over the WHOLE series
+    * (ties → smallest t, one rule on both engines), then each side is
+    * split once more with the same statistic restricted to the
+    * segment — the classic top-down changepoint tree, depth 2.
+    * Exactness: everything is prefix-sum integer arithmetic on
+    * micro-fixed values (G is the a17/a10 multiply-through trick, no
+    * division until the final mean-shift magnitude, which is ONE
+    * integer HALF_UP division to micro-units). 100 TB shape: ONE
+    * series-key shuffle; every level-2 quantity is derived from the
+    * SAME prefix sums via stacked whole-partition window aggregates
+    * (max / conditional min), so adding a level costs projections,
+    * not shuffles — no joins, no re-aggregation, no argmax UDF.
+    */
+  private[queries] def binsegEntry: Entry =
+    Entry("a37_binseg", (s, dir) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Long.MinValue, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("s", sum(col("v6")).over(wRun))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sn", sum(col("v6")).over(wAll))
+        .withColumn("g", when(col("t") < col("n"),
+          abs(col("n") * col("s") - col("t") * col("sn"))))
+        .withColumn("g1", max(col("g")).over(wAll))
+        .withColumn("t1",
+          min(when(col("g") === col("g1"), col("t"))).over(wAll))
+        .withColumn("s1",
+          min(when(col("t") === col("t1"), col("s"))).over(wAll))
+        .withColumn("g2",
+          when(col("t") < col("t1"),
+            abs(col("t1") * col("s") - col("t") * col("s1")))
+          .when(col("t") > col("t1") && col("t") < col("n"),
+            abs((col("n") - col("t1")) * (col("s") - col("s1")) -
+              (col("t") - col("t1")) * (col("sn") - col("s1")))))
+        .withColumn("gl",
+          max(when(col("t") < col("t1"), col("g2"))).over(wAll))
+        .withColumn("t2l", min(when(col("t") < col("t1") &&
+          col("g2") === col("gl"), col("t"))).over(wAll))
+        .withColumn("gr",
+          max(when(col("t") > col("t1"), col("g2"))).over(wAll))
+        .withColumn("t2r", min(when(col("t") > col("t1") &&
+          col("g2") === col("gr"), col("t"))).over(wAll))
+        .filter(col("t") === col("t1"))
+        .withColumn("den", col("t1") * (col("n") - col("t1")))
+        .select(col("event_type"), col("n"), col("t1"), col("g1"),
+          (expr("(g1 + den div 2) div den") / 1e6).as("mean_shift"),
+          col("t2l").as("t2_left"), col("t2r").as("t2_right"))
+    }, Some("""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      w AS (SELECT event_type,
+              CAST(row_number() OVER win AS BIGINT) AS t,
+              CAST(sum(v6) OVER (win ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS s,
+              count(*) OVER wall AS n,
+              CAST(sum(v6) OVER wall AS BIGINT) AS sn
+            FROM e
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id),
+                   wall AS (PARTITION BY event_type)),
+      g AS (SELECT *, CASE WHEN t < n THEN abs(n*s - t*sn) END AS g
+            FROM w),
+      l1 AS (SELECT *, max(g) OVER wall AS g1
+             FROM g WINDOW wall AS (PARTITION BY event_type)),
+      l1a AS (SELECT *, min(CASE WHEN g = g1 THEN t END) OVER wall AS t1
+              FROM l1 WINDOW wall AS (PARTITION BY event_type)),
+      l1b AS (SELECT *, min(CASE WHEN t = t1 THEN s END) OVER wall AS s1
+              FROM l1a WINDOW wall AS (PARTITION BY event_type)),
+      g2 AS (SELECT *,
+               CASE WHEN t < t1 THEN abs(t1*s - t*s1)
+                    WHEN t > t1 AND t < n THEN
+                      abs((n - t1)*(s - s1) - (t - t1)*(sn - s1))
+               END AS g2
+             FROM l1b),
+      l2 AS (SELECT *,
+               max(CASE WHEN t < t1 THEN g2 END) OVER wall AS gl,
+               max(CASE WHEN t > t1 THEN g2 END) OVER wall AS gr
+             FROM g2 WINDOW wall AS (PARTITION BY event_type)),
+      l2b AS (SELECT *,
+                min(CASE WHEN t < t1 AND g2 = gl THEN t END)
+                  OVER wall AS t2l,
+                min(CASE WHEN t > t1 AND g2 = gr THEN t END)
+                  OVER wall AS t2r
+              FROM l2 WINDOW wall AS (PARTITION BY event_type))
+      SELECT event_type, n, t1, g1,
+             CAST((g1 + (t1*(n - t1)) // 2) // (t1*(n - t1)) AS BIGINT)
+               / 1e6 AS mean_shift,
+             t2l AS t2_left, t2r AS t2_right
+      FROM l2b WHERE t = t1"""))
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`
     * (declared above) constructs.

@@ -2764,8 +2764,104 @@ object Pipeline {
       SELECT query_id, doc_id, n_terms, score6 / 1e6 AS bm25, rk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY score6 DESC, doc_id) AS BIGINT) AS rk
-        FROM sc) WHERE rk <= 5"""))
+        FROM sc) WHERE rk <= 5""")),
+
+    // ---- p59: product-quantization ANN (ADC) — the memory-compression
+    // end of the ANN family: p26 shrinks vectors 4× (int8), PQ shrinks
+    // them to M=4 CODES (one codebook id per 16-dim subspace) — the
+    // 4-byte-per-vector regime that makes billion-scale serving fit in
+    // RAM. Codebook = the subvectors of the deterministic seed rows
+    // (vec_id % 31 = 0, the p15 seeding pattern); encoding assigns each
+    // subvector its nearest centroid by EXACT integer squared distance
+    // with (d2, cid) tie-break — one map-side-combined (vec, subspace)
+    // aggregate over a broadcast centroid join, the same engineered
+    // determinism as p55's Lloyd assignment. Query scoring is classic
+    // asymmetric distance: the per-query lookup table LUT[q, m, cid] =
+    // <q_m, c_cid,m> (exact integer micro² dots, queries × M × K rows)
+    // BROADCASTS onto the code table, so the corpus side touches only
+    // its M codes per vector — never the raw embedding — and the
+    // (query, vec) sum + top-5 rank ride one aggregate. approx_dot is
+    // the exact integer LUT sum scaled back to unit² (÷1e12).
+    Entry("p59_pq_topk", (s, dir) => {
+      val e6 = embs(s, dir)
+        .select(col("vec_id"),
+          expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
+            .as("v6"))
+      val subs = e6.select(col("vec_id"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"m -> slice(v6, m * $PqSub + 1, $PqSub))"))
+            .as(Seq("m", "sub")))
+        .select(col("vec_id"), col("m").cast("long").as("m"), col("sub"))
+        .persist() // read 3×: centroid dim, encode probe, query LUT
+      val cents = subs.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
+      val codes = subs.join(broadcast(cents), "m")
+        .withColumn("d2", expr("aggregate(zip_with(sub, csub, " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("code"))
+      val lut = subs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+        .join(broadcast(cents), "m")
+        .select(col("query_id"), col("m"), col("cid"),
+          expr("aggregate(zip_with(sub, csub, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x)").as("dot12"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adot12").desc, col("neighbor_id"))
+      codes.join(broadcast(lut),
+          codes("m") === lut("m") && codes("code") === lut("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dot12")).as("adot12"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("adot12"),
+          (col("adot12") / 1e12).as("approx_dot"), col("rk"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x * 1e6) AS BIGINT)) AS v6
+                 FROM embeddings),
+      subs AS (SELECT vec_id, CAST(m AS BIGINT) AS m,
+                 v6[m * $PqSub + 1 : m * $PqSub + $PqSub] AS sub
+               FROM e, UNNEST(range(0, $PqM)) t(m)),
+      cents AS (SELECT vec_id AS cid, m, sub AS csub
+                FROM subs WHERE vec_id % 31 = 0),
+      codes AS (SELECT vec_id, m, cid AS code FROM (
+                  SELECT s.vec_id, s.m, c.cid,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY CAST(list_sum(list_transform(
+                             range(1, $PqSub + 1), j ->
+                               (s.sub[j] - c.csub[j])
+                               * (s.sub[j] - c.csub[j]))) AS BIGINT),
+                             c.cid) AS rn
+                  FROM subs s JOIN cents c USING (m))
+                WHERE rn = 1),
+      lut AS (SELECT s.vec_id AS query_id, s.m, c.cid,
+                CAST(list_sum(list_transform(range(1, $PqSub + 1),
+                  j -> s.sub[j] * c.csub[j])) AS BIGINT) AS dot12
+              FROM subs s JOIN cents c USING (m)
+              WHERE s.vec_id % 50 = 0),
+      sc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+               CAST(sum(l.dot12) AS BIGINT) AS adot12
+             FROM codes co JOIN lut l
+               ON co.m = l.m AND co.code = l.cid
+             WHERE co.vec_id <> l.query_id
+             GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, adot12, adot12 / 1e12 AS approx_dot,
+             rk
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adot12 DESC, neighbor_id) AS BIGINT) AS rk
+            FROM sc) WHERE rk <= 5"""))
   )
+
+  /** p59's product-quantization geometry: M subspaces of PqSub dims
+    * each (M·PqSub = the embedding dim). lazy: referenced while
+    * `entries` (declared above) constructs.
+    */
+  private[graft] lazy val PqM = 4
+  private[graft] lazy val PqSub = 16
 
   /** Two-phase distributed prefix sum giving each doc its coordinates
     * in the budget-sliced concatenated token stream. Exposed so the

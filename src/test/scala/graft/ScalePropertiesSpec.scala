@@ -544,4 +544,24 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(pl, "SortMergeJoin") === 0,
       s"the 100 TB target must not sort-merge:\n$pl")
   }
+
+  test("a37: both binseg levels ride ONE series-key shuffle — stacked " +
+    "whole-partition windows, no joins, no re-aggregation") {
+    val pl = plan("a37_binseg")
+    assert(countOf(pl, "Exchange hashpartitioning") === 1,
+      s"a37 expected exactly one key shuffle:\n$pl")
+    assert(countOf(pl, "Join") === 0, s"no joins expected:\n$pl")
+  }
+
+  test("p59: PQ centroids and the query LUT broadcast; the only " +
+    "shuffles are encode, score, and the per-query rank") {
+    val pl = plan("p59_pq_topk")
+    assert(countOf(pl, "BroadcastHashJoin") >= 2,
+      s"centroid dim and LUT must broadcast:\n$pl")
+    assert(countOf(pl, "Exchange hashpartitioning") === 3,
+      s"encode (vec, m), score (query, vec), rank (query) — and " +
+        s"nothing else — may shuffle:\n$pl")
+    assert(pl.contains("WindowGroupLimit"),
+      s"the top-5 must be a pushed rank limit, not a full sort:\n$pl")
+  }
 }

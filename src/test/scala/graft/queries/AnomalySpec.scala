@@ -641,4 +641,55 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._4 >= 2L),
       "expected a multi-outlier window at sf0.001")
   }
+
+  test("a37 binseg == exact integer sequential recompute; both levels " +
+    "split inside their segments") {
+    val got = Catalog.queries("a37_binseg")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    val wspec = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val series = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wspec))
+      .select(col("event_type"), col("rn"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val expected = series.collect { case (tpe, vs) if vs.length >= 2 =>
+      val n = vs.length.toLong
+      val pre = vs.scanLeft(0L)(_ + _).tail // S_1..S_n
+      val sn = pre.last
+      def cusum(t: Int): Long = math.abs(n * pre(t - 1) - t * sn)
+      val g1 = (1 until vs.length).map(cusum).max
+      val t1 = (1 until vs.length).find(t => cusum(t) == g1).get.toLong
+      val s1 = pre(t1.toInt - 1)
+      def gLeft(t: Int): Long =
+        math.abs(t1 * pre(t - 1) - t * s1)
+      def gRight(t: Int): Long =
+        math.abs((n - t1) * (pre(t - 1) - s1) - (t - t1) * (sn - s1))
+      val lts = (1 until t1.toInt)
+      val rts = ((t1.toInt + 1) until vs.length)
+      val t2l = if (lts.isEmpty) None else {
+        val m = lts.map(gLeft).max; Some(lts.find(t => gLeft(t) == m).get.toLong)
+      }
+      val t2r = if (rts.isEmpty) None else {
+        val m = rts.map(gRight).max; Some(rts.find(t => gRight(t) == m).get.toLong)
+      }
+      val den = t1 * (n - t1)
+      val shift = ((g1 + den / 2) / den).toDouble / 1e6
+      tpe -> ((n, t1, g1, shift, t2l, t2r))
+    }
+    assert(got === expected)
+    got.foreach { case (tpe, (n, t1, _, shift, t2l, t2r)) =>
+      assert(t1 >= 1 && t1 < n, s"$tpe level-1 split in range")
+      t2l.foreach(t => assert(t < t1, s"$tpe left split inside segment"))
+      t2r.foreach(t => assert(t > t1 && t < n,
+        s"$tpe right split inside segment"))
+      assert(shift >= 0.0)
+    }
+  }
 }

@@ -930,4 +930,51 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
     got.keys.foreach { case (q, d) => assert(q != d, "self-retrieval") }
   }
+
+  test("p59 PQ == sequential recompute (codebook, codes, ADC); codes " +
+    "index real centroids and self is excluded") {
+    val got = run("p59_pq_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), " +
+          "x -> cast(round(x * 1e6) as bigint)) as v6")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    val M = Pipeline.PqM; val sub = Pipeline.PqSub
+    def subv(v: Array[Long], m: Int): Array[Long] =
+      v.slice(m * sub, (m + 1) * sub)
+    val cents = vecs.keys.filter(_ % 31 == 0).toSeq.sorted
+    assert(cents.nonEmpty)
+    // encode: per (vec, m) the (d2, cid)-min centroid
+    val codes = for ((id, v) <- vecs.toSeq; m <- 0 until M) yield {
+      val best = cents.map { c =>
+        val cs = subv(vecs(c), m)
+        val d2 = subv(v, m).zip(cs)
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, c)
+      }.min
+      ((id, m), best._2)
+    }
+    val codeMap = codes.toMap
+    val queries = vecs.keys.filter(_ % 50 == 0).toSeq
+    val scores = for (q <- queries; (d, _) <- vecs.toSeq if d != q) yield {
+      val s = (0 until M).map { m =>
+        val c = codeMap((d, m))
+        subv(vecs(q), m).zip(subv(vecs(c), m))
+          .map { case (a, b) => a * b }.sum
+      }.sum
+      (q, d, s)
+    }
+    val expected = scores.groupBy(_._1).flatMap { case (q, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(5).zipWithIndex.map {
+        case ((_, d, s), i) =>
+          (q, d) -> ((s, s.toDouble / 1e12, i + 1L))
+      }
+    }
+    assert(got === expected)
+    got.keys.foreach { case (q, d) => assert(q != d) }
+    assert(got.nonEmpty)
+  }
 }
