@@ -72,6 +72,74 @@ object Pipeline {
   private[graft] val BloomBits = 131072L
   private[graft] val BloomK = 4
 
+  /** p58/p60's shared BM25 scorer: (query_id, doc_id, score6, n_terms)
+    * for every sample query (doc_id % 100 = 0) against every corpus doc
+    * sharing a term. See p58's header comment for the exactness and
+    * scale analysis; p60 fuses these scores with the dense ranking.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val post = docs(s, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(array_distinct(col("tk"))).as("tok"),
+        col("tk"))
+      .select(col("doc_id"), col("dl"), col("tok"),
+        size(filter(col("tk"), x => x === col("tok"))).cast("long")
+          .as("tf"))
+      .persist() // read 3×: df dim, query terms, candidate probe
+    val scal = docs(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("a_toks"))
+    val dfdim = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qdim = post.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(dfdim, "tok")
+      .crossJoin(broadcast(scal))
+      .withColumn("idf6", expr("cast(round(ln((n_docs + 1.0D) / " +
+        "(df + 0.5D)) * 1e6) as bigint)"))
+      .select(col("q_id"), col("tok"), col("idf6"))
+    post.join(broadcast(qdim), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(scal))
+      .withColumn("den", dec(lit(10L)) * col("tf") * col("a_toks") +
+        dec(lit(3L)) * col("a_toks") +
+        dec(lit(9L)) * col("dl") * col("n_docs"))
+      .withColumn("num", dec(col("idf6")) * lit(22L) * col("tf") *
+        col("a_toks"))
+      .withColumn("c6", expr("cast((num + den div 2) div den as bigint)"))
+      .groupBy(col("q_id").as("query_id"), col("doc_id"))
+      .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms"))
+  }
+
+  /** The matching DuckDB CTE chain, ending in
+    * sc(query_id, doc_id, score6, n_terms). */
+  private def bm25Cte: String = s"""
+      d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      post AS (SELECT doc_id, len(tk) AS dl, u.tok,
+                 CAST(len(list_filter(tk, x -> x = u.tok)) AS BIGINT) AS tf
+               FROM d, UNNEST(list_distinct(tk)) AS u(tok)),
+      scal AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len(tk)) AS BIGINT) AS a_toks FROM d),
+      dfdim AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+      qdim AS (SELECT p.doc_id AS q_id, p.tok,
+                 CAST(round(ln((s.n_docs + 1.0) /
+                   (f.df + 0.5)) * 1e6) AS BIGINT) AS idf6
+               FROM post p JOIN dfdim f USING (tok), scal s
+               WHERE p.doc_id % 100 = 0),
+      cand AS (SELECT q.q_id AS query_id, p.doc_id,
+                 CAST((CAST(q.idf6 AS HUGEINT) * 22 * p.tf * s.a_toks
+                   + (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
+                      + 9::HUGEINT * p.dl * s.n_docs) // 2)
+                   // (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
+                      + 9::HUGEINT * p.dl * s.n_docs) AS BIGINT) AS c6
+               FROM post p JOIN qdim q USING (tok), scal s
+               WHERE p.doc_id <> q.q_id),
+      sc AS (SELECT query_id, doc_id,
+               CAST(sum(c6) AS BIGINT) AS score6,
+               count(*) AS n_terms
+             FROM cand GROUP BY 1, 2)"""
+
   /** Candidate near-dup pairs sharing >=1 surviving shingle, with the
     * common-shingle count and both set sizes. Exposed (with the cap as a
     * parameter) so PipelineSpec can pin the cardinality contract:
@@ -2698,69 +2766,15 @@ object Pipeline {
     // idf6·tf_norm via one integer HALF_UP division, so the score sum
     // is pure int64 and partition-order independent.
     Entry("p58_bm25_topk", (s, dir) => {
-      val dec = (c: Column) => c.cast("decimal(38,0)")
-      val post = docs(s, dir)
-        .select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-          explode(array_distinct(col("tk"))).as("tok"),
-          col("tk"))
-        .select(col("doc_id"), col("dl"), col("tok"),
-          size(filter(col("tk"), x => x === col("tok"))).cast("long")
-            .as("tf"))
-        .persist() // read 3×: df dim, query terms, candidate probe
-      val scal = docs(s, dir)
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(toks)).cast("long").as("a_toks"))
-      val dfdim = post.groupBy("tok").agg(count(lit(1)).as("df"))
-      val qdim = post.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"), col("tok"))
-        .join(dfdim, "tok")
-        .crossJoin(broadcast(scal))
-        .withColumn("idf6", expr("cast(round(ln((n_docs + 1.0D) / " +
-          "(df + 0.5D)) * 1e6) as bigint)"))
-        .select(col("q_id"), col("tok"), col("idf6"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("score6").desc, col("doc_id"))
-      post.join(broadcast(qdim), "tok")
-        .filter(col("doc_id") =!= col("q_id"))
-        .crossJoin(broadcast(scal))
-        .withColumn("den", dec(lit(10L)) * col("tf") * col("a_toks") +
-          dec(lit(3L)) * col("a_toks") +
-          dec(lit(9L)) * col("dl") * col("n_docs"))
-        .withColumn("num", dec(col("idf6")) * lit(22L) * col("tf") *
-          col("a_toks"))
-        .withColumn("c6", expr("cast((num + den div 2) div den as bigint)"))
-        .groupBy(col("q_id").as("query_id"), col("doc_id"))
-        .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms"))
+      bm25Scores(s, dir)
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           (col("score6") / 1e6).as("bm25"), col("rk"))
     }, Some(s"""
-      WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-      post AS (SELECT doc_id, len(tk) AS dl, u.tok,
-                 CAST(len(list_filter(tk, x -> x = u.tok)) AS BIGINT) AS tf
-               FROM d, UNNEST(list_distinct(tk)) AS u(tok)),
-      scal AS (SELECT count(*) AS n_docs,
-                 CAST(sum(len(tk)) AS BIGINT) AS a_toks FROM d),
-      dfdim AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
-      qdim AS (SELECT p.doc_id AS q_id, p.tok,
-                 CAST(round(ln((s.n_docs + 1.0) /
-                   (f.df + 0.5)) * 1e6) AS BIGINT) AS idf6
-               FROM post p JOIN dfdim f USING (tok), scal s
-               WHERE p.doc_id % 100 = 0),
-      cand AS (SELECT q.q_id AS query_id, p.doc_id,
-                 CAST((CAST(q.idf6 AS HUGEINT) * 22 * p.tf * s.a_toks
-                   + (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
-                      + 9::HUGEINT * p.dl * s.n_docs) // 2)
-                   // (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
-                      + 9::HUGEINT * p.dl * s.n_docs) AS BIGINT) AS c6
-               FROM post p JOIN qdim q USING (tok), scal s
-               WHERE p.doc_id <> q.q_id),
-      sc AS (SELECT query_id, doc_id,
-               CAST(sum(c6) AS BIGINT) AS score6,
-               count(*) AS n_terms
-             FROM cand GROUP BY 1, 2)
+      WITH $bm25Cte
       SELECT query_id, doc_id, n_terms, score6 / 1e6 AS bm25, rk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY score6 DESC, doc_id) AS BIGINT) AS rk
@@ -2853,7 +2867,79 @@ object Pipeline {
              rk
       FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY adot12 DESC, neighbor_id) AS BIGINT) AS rk
-            FROM sc) WHERE rk <= 5"""))
+            FROM sc) WHERE rk <= 5""")),
+
+    // ---- p60: hybrid retrieval via reciprocal-rank fusion — the
+    // production RAG pattern: fuse p58's LEXICAL (BM25) ranking with
+    // the DENSE (embedding cosine) ranking of the same queries
+    // (doc_id ≡ vec_id in this corpus) by RRF: score = Σ_lists
+    // 1/(60 + rank) over each list's top-10, the rank-only fusion that
+    // needs no score calibration between the two signals (Cormack et
+    // al.'s k=60). Rank-only also makes exactness trivial: ranks are
+    // deterministic integers (each list's established tie-break), and
+    // 1/(60+r) is fixed to micro-units by INTEGER floor division —
+    // identical on both engines by construction. 100 TB shape: both
+    // per-query top-10 lists are WindowGroupLimit-bounded and tiny;
+    // the fusion join touches ≤ 20 rows per query.
+    Entry("p60_hybrid_rrf", (s, dir) => {
+      val wl = Window.partitionBy("query_id")
+        .orderBy(col("score6").desc, col("doc_id"))
+      val lex = bm25Scores(s, dir)
+        .withColumn("rl", row_number().over(wl).cast("long"))
+        .filter(col("rl") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rl"))
+      val e = embs(s, dir)
+      val wd = Window.partitionBy("query_id")
+        .orderBy(col("cs").desc, col("doc_id"))
+      val dense = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .join(e.select(col("vec_id").as("doc_id"), col("emb").as("nemb")),
+          col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          round(graft.functions.VectorOps.cosine(col("qemb"),
+            col("nemb")), 6).as("cs"))
+        .withColumn("rd", row_number().over(wd).cast("long"))
+        .filter(col("rd") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rd"))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("rrf6").desc, col("doc_id"))
+      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf6",
+          expr("coalesce(1000000 div (60 + rl), 0L) + " +
+            "coalesce(1000000 div (60 + rd), 0L)"))
+        .withColumn("rk", row_number().over(wf).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("doc_id"),
+          col("rl").isNotNull.as("in_lexical"),
+          col("rd").isNotNull.as("in_dense"),
+          (col("rrf6") / 1e6).as("rrf"), col("rk"))
+    }, Some(s"""
+      WITH $bm25Cte,
+      lex AS (SELECT query_id, doc_id, rl FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY score6 DESC, doc_id) AS BIGINT) AS rl
+                FROM sc) WHERE rl <= 10),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      dn AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cs
+             FROM e a JOIN e b ON b.vec_id <> a.vec_id
+             WHERE a.vec_id % 100 = 0),
+      dense AS (SELECT query_id, doc_id, rd FROM (
+                  SELECT query_id, doc_id,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cs DESC, doc_id) AS BIGINT) AS rd
+                  FROM dn) WHERE rd <= 10),
+      fused AS (SELECT query_id, doc_id,
+                  rl, rd,
+                  coalesce(1000000 // (60 + rl), 0) +
+                  coalesce(1000000 // (60 + rd), 0) AS rrf6
+                FROM lex FULL JOIN dense USING (query_id, doc_id))
+      SELECT query_id, doc_id, rl IS NOT NULL AS in_lexical,
+             rd IS NOT NULL AS in_dense, rrf6 / 1e6 AS rrf, rk
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rk
+            FROM fused) WHERE rk <= 5"""))
   )
 
   /** p59's product-quantization geometry: M subspaces of PqSub dims

@@ -1297,7 +1297,62 @@ object Relational {
       SELECT d.d_orderkey, d.d_custkey, d.d_orderstatus, d.d_totalprice,
              'insert'
       FROM delta d LEFT JOIN orders o ON d.d_orderkey = o.o_orderkey
-      WHERE o.o_orderkey IS NULL""")))
+      WHERE o.o_orderkey IS NULL""")),
+
+    // ---- q46: incremental aggregate maintenance — the materialized-
+    // view refresh algebra: a base aggregate state (count + exact
+    // integer-cent quantity sum per group) is combined with the DELTA
+    // batch's partial aggregate of the same shape, and the merged
+    // state re-derives the averages. This is the op that makes a 100 TB
+    // rollup refreshable by touching only the arriving delta — the
+    // merge is a full-outer join of two O(groups) states (here the
+    // base state is recomputed from the complement split so the whole
+    // query is self-contained and oracle-checkable; a production run
+    // reads it from the stored MV). Both partial aggregates map-side
+    // combine and land partitioned on the group key, so the state
+    // merge reuses their shuffles — two exchanges total. The average
+    // is integer HALF_UP micro-units from the exact cent sum (the p11
+    // idiom), never a float re-aggregation; PinSpec proves merged ==
+    // full recompute, the algebra's defining property.
+    Entry("q46_incremental_agg", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val isDelta = col("l_orderkey") % 13 === 0
+      def partial(d: DataFrame) =
+        d.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q2"))
+      val base = partial(li.filter(!isDelta))
+        .withColumnRenamed("n", "n_b").withColumnRenamed("q2", "q_b")
+      val delta = partial(li.filter(isDelta))
+        .withColumnRenamed("n", "n_d").withColumnRenamed("q2", "q_d")
+      base.join(delta, Seq("l_returnflag", "l_linestatus"), "full_outer")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("q_b"), lit(0L)) + coalesce(col("q_d"), lit(0L)))
+            .as("q2"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          (col("q2") / 100.0).as("sum_qty"),
+          (expr("(q2 * 10000 + n_rows div 2) div n_rows") / 1e6)
+            .as("avg_qty"))
+    }, Some("""
+      WITH b AS (SELECT l_returnflag, l_linestatus, count(*) AS n_b,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS BIGINT) AS q_b
+                 FROM lineitem WHERE l_orderkey % 13 <> 0 GROUP BY 1, 2),
+      d AS (SELECT l_returnflag, l_linestatus, count(*) AS n_d,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                AS BIGINT) AS q_d
+            FROM lineitem WHERE l_orderkey % 13 = 0 GROUP BY 1, 2),
+      m AS (SELECT l_returnflag, l_linestatus,
+              coalesce(n_b, 0) + coalesce(n_d, 0) AS n_rows,
+              coalesce(q_b, 0) + coalesce(q_d, 0) AS q2
+            FROM b FULL JOIN d USING (l_returnflag, l_linestatus))
+      SELECT l_returnflag, l_linestatus, n_rows,
+             q2 / 100.0 AS sum_qty,
+             CAST((q2 * 10000 + n_rows // 2) // n_rows AS BIGINT) / 1e6
+               AS avg_qty
+      FROM m""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

@@ -564,4 +564,21 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(pl.contains("WindowGroupLimit"),
       s"the top-5 must be a pushed rank limit, not a full sort:\n$pl")
   }
+
+  test("q46: the state merge reuses the two partial aggregates' group-" +
+    "key shuffles — two exchanges total, both partial map-side") {
+    val pl = plan("q46_incremental_agg")
+    assert(countOf(pl, "Exchange hashpartitioning") === 2,
+      s"base + delta partials only; the merge join must reuse their " +
+        s"partitioning:\n$pl")
+    assert(pl.contains("partial_count"),
+      s"partials must combine map-side:\n$pl")
+  }
+
+  test("p60: both retrieval lists are WindowGroupLimit-bounded before " +
+    "the fusion join") {
+    val pl = plan("p60_hybrid_rrf")
+    assert(countOf(pl, "WindowGroupLimit") >= 2,
+      s"lexical and dense top-10 must push their rank limits:\n$pl")
+  }
 }

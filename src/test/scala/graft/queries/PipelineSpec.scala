@@ -977,4 +977,85 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     got.keys.foreach { case (q, d) => assert(q != d) }
     assert(got.nonEmpty)
   }
+
+  test("p60 hybrid RRF == sequential fusion of the two top-10 lists; " +
+    "every fused hit is in at least one list") {
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = run("p60_hybrid_rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    // lexical side: the p58 sequential BM25, top-10 per query
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> seqToks(r.getString(1)).toSeq).toMap
+    val nDocs = docs.size.toLong
+    val aToks = docs.values.map(_.length.toLong).sum
+    val df = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def idf6(d: Long): Long =
+      math.round(math.log((nDocs + 1.0) / (d + 0.5)) * 1e6)
+    val lexRank: Map[(Long, Long), Long] = docs.keys.filter(_ % 100 == 0)
+      .flatMap { q =>
+        val qt = docs(q).distinct.toSet
+        val cands = docs.toSeq.filter(_._1 != q).flatMap { case (d, dt) =>
+          val shared = qt.intersect(dt.distinct.toSet)
+          if (shared.isEmpty) None
+          else {
+            val dl = dt.length.toLong
+            val s6 = shared.toSeq.map { tk =>
+              val tf = dt.count(_ == tk).toLong
+              val den = BigInt(10) * tf * aToks + BigInt(3) * aToks +
+                BigInt(9) * dl * nDocs
+              ((BigInt(idf6(df(tk))) * 22 * tf * aToks + den / 2) / den)
+                .toLong
+            }.sum
+            Some((d, s6))
+          }
+        }
+        cands.sortBy(c => (-c._2, c._1)).take(10).zipWithIndex
+          .map { case ((d, _), i) => (q, d) -> (i + 1L) }
+      }.toMap
+    // dense side: CosineSim's exact double-op order, round(6), top-10
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      var nb = 0.0; i = 0
+      while (i < a.length) { nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val denseRank: Map[(Long, Long), Long] = vecs.keys.filter(_ % 100 == 0)
+      .flatMap { q =>
+        vecs.toSeq.filter(_._1 != q)
+          .map { case (d, v) => (d, rnd6(cos(vecs(q), v))) }
+          .sortBy(c => (-c._2, c._1)).take(10).zipWithIndex
+          .map { case ((d, _), i) => (q, d) -> (i + 1L) }
+      }.toMap
+    val expected = (lexRank.keySet ++ denseRank.keySet).groupBy(_._1)
+      .flatMap { case (q, keys) =>
+        keys.toSeq.map { k =>
+          val rrf6 = lexRank.get(k).map(r => 1000000L / (60 + r))
+            .getOrElse(0L) +
+            denseRank.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+          (k._2, rrf6)
+        }.sortBy(c => (-c._2, c._1)).take(5).zipWithIndex.map {
+          case ((d, rrf6), i) =>
+            (q, d) -> ((lexRank.contains((q, d)), denseRank.contains((q, d)),
+              rrf6.toDouble / 1e6, i + 1L))
+        }
+      }
+    assert(got === expected)
+    got.foreach { case (_, (inL, inD, rrf, _)) =>
+      assert(inL || inD, "fused hit must come from a list")
+      assert(rrf > 0.0)
+    }
+  }
 }

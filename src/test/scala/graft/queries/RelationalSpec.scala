@@ -285,4 +285,25 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       assert(st === "N")
     }
   }
+
+  test("q46 incremental aggregate == full recompute (the merge " +
+    "algebra's defining property)") {
+    val got = Catalog.queries("q46_incremental_agg")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val full = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_linestatus", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        math.round(r.getDouble(2) * 100))
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    val expected = full.map { case (k, cents) =>
+      val n = cents.size.toLong
+      val q2 = cents.sum
+      k -> ((n, q2 / 100.0,
+        ((q2 * 10000 + n / 2) / n).toDouble / 1e6))
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
