@@ -69,6 +69,37 @@ object MultiModal {
       .as[MediaObject]
   }
 
+  /** Object-store ingest: a directory of raw media files →
+    * MediaObjects, via Spark's native `binaryFile` source (content +
+    * path/length/mtime columns) — the layout a crawl actually lands in
+    * (`s3://bucket/media/00017.jpg`). doc_id parses from the file
+    * name, the modality from the extension; `pathGlobFilter` prunes at
+    * LISTING time, so non-matching files are never opened — at 100 TB
+    * the listing filter is the difference between touching the media
+    * prefix and scanning it. Unknown extensions map to "binary" rather
+    * than dropping rows; files WITHOUT a numeric id in the name are
+    * skipped (try_cast, not an ANSI cast error on sidecar files).
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaObject] = {
+    import spark.implicits._
+    val ext = regexp_extract(col("path"), "\\.([a-zA-Z0-9]+)$", 1)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        expr("try_cast(regexp_extract(path, " +
+          "'([0-9]+)\\\\.[a-zA-Z0-9]+$', 1) as bigint)").as("doc_id"),
+        coalesce(element_at(typedlit(Map(
+          "jpg" -> "image", "jpeg" -> "image", "png" -> "image",
+          "wav" -> "audio", "flac" -> "audio",
+          "mp4" -> "video", "webm" -> "video",
+          "txt" -> "text")), lower(ext)), lit("binary")).as("media_type"),
+        col("content").as("payload"))
+      .filter(col("doc_id").isNotNull)
+      .as[MediaObject]
+  }
+
   /** Batch feature extraction over partitions. One shuffle-free pass:
     * Spark splits the scan, each task streams its rows through a
     * per-partition codec context.
