@@ -2939,7 +2939,57 @@ object Pipeline {
              rd IS NOT NULL AS in_dense, rrf6 / 1e6 AS rrf, rk
       FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rk
-            FROM fused) WHERE rk <= 5"""))
+            FROM fused) WHERE rk <= 5""")),
+
+    // ---- p61: incremental dedup against a prior manifest — the mode
+    // production dedup actually runs in at 100 TB: yesterday's corpus
+    // is already deduped into a (content_hash → canonical doc) MANIFEST
+    // (an O(distinct) aggregate, stored); today's arriving batch is
+    // hash-joined against that manifest and windowed against ITSELF —
+    // the historical corpus is never re-paired. Here the prior split
+    // (doc_id % 7 ≠ 0) stands in for the stored manifest so the query
+    // is self-contained. Verdicts: 'dup_prior' (hash exists in the
+    // manifest → canonical is the prior min id; ALL batch copies point
+    // there), 'dup_batch' (first batch copy of a new hash is 'new',
+    // later copies point at it), 'new'. The manifest aggregate, the
+    // batch window, and the join all key on content_hash, so the merge
+    // reuses one partitioning — two exchanges total.
+    Entry("p61_dedup_incremental", (s, dir) => {
+      val hash = md5(norm)
+      val isBatch = col("doc_id") % 7 === 0
+      val manifest = docs(s, dir).filter(!isBatch)
+        .select(hash.as("content_hash"), col("doc_id"))
+        .groupBy("content_hash").agg(min("doc_id").as("prior_id"))
+      val wB = Window.partitionBy("content_hash").orderBy("doc_id")
+      docs(s, dir).filter(isBatch)
+        .select(col("doc_id"), hash.as("content_hash"))
+        .withColumn("batch_first",
+          min(col("doc_id")).over(Window.partitionBy("content_hash")))
+        .join(manifest, Seq("content_hash"), "left")
+        .select(col("doc_id"), col("content_hash"),
+          when(col("prior_id").isNotNull, "dup_prior")
+            .when(col("doc_id") =!= col("batch_first"), "dup_batch")
+            .otherwise("new").as("status"),
+          coalesce(col("prior_id"),
+            when(col("doc_id") =!= col("batch_first"), col("batch_first"))
+              .otherwise(col("doc_id"))).as("canonical_id"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, md5($normSql) AS content_hash
+                 FROM documents),
+      manifest AS (SELECT content_hash, min(doc_id) AS prior_id
+                   FROM d WHERE doc_id % 7 <> 0 GROUP BY content_hash),
+      batch AS (SELECT doc_id, content_hash,
+                  min(doc_id) OVER (PARTITION BY content_hash)
+                    AS batch_first
+                FROM d WHERE doc_id % 7 = 0)
+      SELECT b.doc_id, b.content_hash,
+             CASE WHEN m.prior_id IS NOT NULL THEN 'dup_prior'
+                  WHEN b.doc_id <> b.batch_first THEN 'dup_batch'
+                  ELSE 'new' END AS status,
+             coalesce(m.prior_id,
+               CASE WHEN b.doc_id <> b.batch_first THEN b.batch_first
+                    ELSE b.doc_id END) AS canonical_id
+      FROM batch b LEFT JOIN manifest m USING (content_hash)"""))
   )
 
   /** p59's product-quantization geometry: M subspaces of PqSub dims

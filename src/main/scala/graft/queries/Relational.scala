@@ -1352,7 +1352,90 @@ object Relational {
              q2 / 100.0 AS sum_qty,
              CAST((q2 * 10000 + n_rows // 2) // n_rows AS BIGINT) / 1e6
                AS avg_qty
-      FROM m""")))
+      FROM m""")),
+
+    // ---- q47: changed-partition detection — the incremental-refresh
+    // primitive that decides WHICH partitions q46's maintenance (or a
+    // backfill) must touch: per order-month, an order-independent
+    // content digest of each snapshot (base orders vs the q45-style
+    // upserted snapshot), compared to flag changed months. The digest
+    // is Σ h32(key || status || cents) summed in exact DECIMAL —
+    // commutative and partition-order independent by construction, so
+    // it hash-matches across engines and across any shuffle layout
+    // (the property a min/first-based digest would NOT have). At
+    // 100 TB each snapshot digests in one month-keyed map-side-combined
+    // aggregate over its scan; the comparison join is O(months).
+    Entry("q47_partition_diff", (s, dir) => {
+      import graft.functions.{HashScheme => H}
+      val orders = t(s, dir, "orders")
+      val money = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+      def digest(d: DataFrame) = d
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          expr(H.h32Spark(
+            "concat(cast(o_orderkey as string), '|', o_orderstatus, " +
+              "'|', cast(cast(round(o_totalprice * 100) as bigint) " +
+              "as string))")).as("h"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n"),
+          sum(col("h").cast("decimal(38,0)")).as("dig"))
+      val base = digest(orders.select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate")))
+      // the q45 delta rule: %10=3 updated (+7.00, status U); inserts
+      // land in a fixed synthetic month so month-keying stays total
+      val upd = orders.select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 3, lit("U"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 3,
+          (money(col("o_totalprice")) + lit(7)).cast("double"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"))
+      val ins = orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(9000000000L)).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          to_timestamp(lit("2099-01-01")).as("o_orderdate"))
+      val next = digest(upd.unionByName(ins))
+      base.toDF("month", "n_base", "dig_base")
+        .join(next.toDF("month", "n_next", "dig_next"),
+          Seq("month"), "full_outer")
+        .select(col("month"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"),
+          (coalesce(col("dig_base"), lit(0L).cast("decimal(38,0)")) =!=
+            coalesce(col("dig_next"), lit(0L).cast("decimal(38,0)")))
+            .as("changed"))
+    }, Some(s"""
+      WITH base AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+               sum(CAST(${graft.functions.HashScheme.h32Duck(
+                 "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus " +
+                   "|| '|' || CAST(CAST(round(o_totalprice * 100) AS " +
+                   "BIGINT) AS VARCHAR)")} AS HUGEINT)) AS dig
+        FROM orders GROUP BY 1),
+      nxt_rows AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 3 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 3 THEN
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 7 AS DOUBLE)
+                 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 9000000000, 'N', o_totalprice,
+               TIMESTAMP '2099-01-01'
+        FROM orders WHERE o_orderkey % 97 = 0),
+      nxt AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+               sum(CAST(${graft.functions.HashScheme.h32Duck(
+                 "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus " +
+                   "|| '|' || CAST(CAST(round(o_totalprice * 100) AS " +
+                   "BIGINT) AS VARCHAR)")} AS HUGEINT)) AS dig
+        FROM nxt_rows GROUP BY 1)
+      SELECT month,
+             coalesce(b.n, 0) AS n_base,
+             coalesce(x.n, 0) AS n_next,
+             coalesce(b.dig, 0) <> coalesce(x.dig, 0) AS changed
+      FROM base b FULL JOIN nxt x USING (month)""")))
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

@@ -581,4 +581,23 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(pl, "WindowGroupLimit") >= 2,
       s"lexical and dense top-10 must push their rank limits:\n$pl")
   }
+
+  test("p61: manifest aggregate, batch window, and the verdict join " +
+    "all ride the content-hash partitioning — two exchanges, no " +
+    "corpus re-pairing") {
+    val pl = plan("p61_dedup_incremental")
+    assert(countOf(pl, "Exchange hashpartitioning") === 2,
+      s"manifest agg + batch re-key only; the join must reuse them:\n$pl")
+    assert(countOf(pl, "SortMergeJoin") + countOf(pl, "ShuffledHashJoin")
+      <= 1, s"one hash-keyed join at most:\n$pl")
+  }
+
+  test("q47: both snapshot digests partial-aggregate map-side; the " +
+    "comparison join is over O(months)") {
+    val pl = plan("q47_partition_diff")
+    assert(pl.contains("partial_sum"),
+      s"digests must combine map-side:\n$pl")
+    assert(countOf(pl, "Exchange hashpartitioning") <= 3,
+      s"two month aggregates + at most one join re-key:\n$pl")
+  }
 }

@@ -1058,4 +1058,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(rrf > 0.0)
     }
   }
+
+  test("p61 incremental dedup == sequential recompute over the two " +
+    "splits; canonicals resolve and prior content never re-pairs") {
+    val got = run("p61_dedup_incremental").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    def normStr(t: String): String =
+      t.trim.replaceAll("\\s+", " ").toLowerCase
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> normStr(r.getString(1)))
+    val prior = all.filter(_._1 % 7 != 0)
+    val batch = all.filter(_._1 % 7 == 0)
+    val priorMin = prior.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    val batchMin = batch.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    val expected = batch.map { case (id, txt) =>
+      priorMin.get(txt) match {
+        case Some(p) => id -> (("dup_prior", p))
+        case None if batchMin(txt) < id => id -> (("dup_batch", batchMin(txt)))
+        case None => id -> (("new", id))
+      }
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // every canonical must resolve to a real doc that is not itself a
+    // later duplicate
+    val canon = got.values.map(_._2).toSet
+    canon.foreach { c =>
+      assert(got.get(c).forall(_._1 == "new") ||
+        prior.exists(_._1 == c), s"canonical $c must be prior or 'new'")
+    }
+  }
 }

@@ -306,4 +306,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q47 changed-partition detection: exactly the months carrying " +
+    "a delta row flag as changed; counts reconcile") {
+    val got = Catalog.queries("q47_partition_diff")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "date_format(o_orderdate, 'yyyy-MM') as m")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byMonth = orders.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nInserts = orders.count(_._1 % 97 == 0).toLong
+    byMonth.foreach { case (m, keys) =>
+      val (nb, nn, changed) = got(m)
+      assert(nb === keys.length.toLong, s"$m base count")
+      assert(nn === keys.length.toLong, s"$m next count (updates stay)")
+      assert(changed === keys.exists(_ % 10 == 3),
+        s"$m changed iff it carries an updated key")
+    }
+    val (ib, in_, ich) = got("2099-01")
+    assert(ib === 0L && in_ === nInserts && ich === (nInserts > 0),
+      "the synthetic insert month holds exactly the inserts")
+    assert(got.size === byMonth.size + 1)
+  }
 }
