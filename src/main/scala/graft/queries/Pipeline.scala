@@ -2784,8 +2784,11 @@ object Pipeline {
     // end of the ANN family: p26 shrinks vectors 4× (int8), PQ shrinks
     // them to M=4 CODES (one codebook id per 16-dim subspace) — the
     // 4-byte-per-vector regime that makes billion-scale serving fit in
-    // RAM. Codebook = the subvectors of the deterministic seed rows
-    // (vec_id % 31 = 0, the p15 seeding pattern); encoding assigns each
+    // RAM. Codebook = the subvectors of a FIXED set of 16 seed rows
+    // (vec_id % 31 = 0 below PqSeedBound — constant K at ANY corpus
+    // size, the property that keeps the encode join linear in the
+    // collection rather than corpus × corpus-growing-K); encoding
+    // assigns each
     // subvector its nearest centroid by EXACT integer squared distance
     // with (d2, cid) tie-break — one map-side-combined (vec, subspace)
     // aggregate over a broadcast centroid join, the same engineered
@@ -2807,7 +2810,8 @@ object Pipeline {
             .as(Seq("m", "sub")))
         .select(col("vec_id"), col("m").cast("long").as("m"), col("sub"))
         .persist() // read 3×: centroid dim, encode probe, query LUT
-      val cents = subs.filter(col("vec_id") % 31 === 0)
+      val cents = subs
+        .filter(col("vec_id") % 31 === 0 && col("vec_id") < PqSeedBound)
         .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
       val codes = subs.join(broadcast(cents), "m")
         .withColumn("d2", expr("aggregate(zip_with(sub, csub, " +
@@ -2841,7 +2845,7 @@ object Pipeline {
                  v6[m * $PqSub + 1 : m * $PqSub + $PqSub] AS sub
                FROM e, UNNEST(range(0, $PqM)) t(m)),
       cents AS (SELECT vec_id AS cid, m, sub AS csub
-                FROM subs WHERE vec_id % 31 = 0),
+                FROM subs WHERE vec_id % 31 = 0 AND vec_id < $PqSeedBound),
       codes AS (SELECT vec_id, m, cid AS code FROM (
                   SELECT s.vec_id, s.m, c.cid,
                          row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -2867,7 +2871,7 @@ object Pipeline {
              rk
       FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY adot12 DESC, neighbor_id) AS BIGINT) AS rk
-            FROM sc) WHERE rk <= 5""")),
+            FROM sc) WHERE rk <= 5"""), bench = true),
 
     // ---- p60: hybrid retrieval via reciprocal-rank fusion — the
     // production RAG pattern: fuse p58's LEXICAL (BM25) ranking with
@@ -2998,6 +3002,15 @@ object Pipeline {
     */
   private[graft] lazy val PqM = 4
   private[graft] lazy val PqSub = 16
+
+  /** p59's codebook is a FIXED K=16 centroids per subspace (seeds
+    * vec_id % 31 = 0 below this bound) — the codebook must NOT scale
+    * with the corpus: PQ's point is a constant-size codebook over an
+    * arbitrarily large collection, and a corpus-growing K would also
+    * grow the encode join linearly. lazy: referenced while `entries`
+    * constructs.
+    */
+  private[graft] lazy val PqSeedBound = 31L * 16
 
   /** Two-phase distributed prefix sum giving each doc its coordinates
     * in the budget-sliced concatenated token stream. Exposed so the

@@ -945,7 +945,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val M = Pipeline.PqM; val sub = Pipeline.PqSub
     def subv(v: Array[Long], m: Int): Array[Long] =
       v.slice(m * sub, (m + 1) * sub)
-    val cents = vecs.keys.filter(_ % 31 == 0).toSeq.sorted
+    val cents = vecs.keys
+      .filter(id => id % 31 == 0 && id < Pipeline.PqSeedBound).toSeq.sorted
     assert(cents.nonEmpty)
     // encode: per (vec, m) the (d2, cid)-min centroid
     val codes = for ((id, v) <- vecs.toSeq; m <- 0 until M) yield {
