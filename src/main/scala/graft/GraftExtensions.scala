@@ -104,6 +104,27 @@ object GraftExtensions {
         .toAggregateExpression()
     },
 
+    fn("graft_cosine_sim",
+      "graft_cosine_sim(a, b) - cosine similarity of two double arrays " +
+        "(null on length mismatch or null elements)") {
+      args => CosineSim(args(0), args(1))
+    },
+
+    fn("graft_cosine_lsh_bucket",
+      "graft_cosine_lsh_bucket(emb, nBits, seed) - hyperplane-LSH " +
+        "bucket id of an embedding") {
+      args => CosineLshBucket(args(0),
+        litInt(args(1), "graft_cosine_lsh_bucket", "nBits"),
+        litInt(args(2), "graft_cosine_lsh_bucket", "seed").toLong)
+    },
+
+    fn("graft_md5_minhash",
+      "graft_md5_minhash(shingles) - cross-engine md5 MinHash " +
+        "signature (64 perms) of a shingle array; empty signature for " +
+        "an empty array") {
+      args => Md5MinHash(args.head)
+    },
+
     fn("graft_anomaly_prob",
       "graft_anomaly_prob(window, seriesHash, rowKey, activeSize, " +
         "nSeasons, permCount, methodsCsv) - ensemble anomaly probability") {

@@ -81,4 +81,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("embedding and md5-minhash functions resolve in SQL and match " +
+    "the Column API") {
+    registered
+    import spark.implicits._
+    Seq((Array(1.0, 2.0, 3.0, 4.0), Array(4.0, 3.0, 2.0, 1.0),
+        "a b c d e f g"))
+      .toDF("va", "vb", "text").createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      """SELECT graft_cosine_sim(va, vb) AS cs,
+               graft_cosine_lsh_bucket(va, 8, 7) AS bk,
+               graft_md5_minhash(split(text, ' ')) AS mh
+        FROM ext_emb""").collect().head
+    val viaCol = spark.table("ext_emb").select(
+      graft.functions.VectorOps.cosine(col("va"), col("vb")).as("cs"),
+      graft.functions.VectorOps
+        .cosine_lsh_bucket(col("va"), 8, 7L).as("bk"),
+      graft.functions.TextHashFunctions
+        .md5_minhash(split(col("text"), " ")).as("mh"))
+      .collect().head
+    assert(viaSql.getDouble(0) === viaCol.getDouble(0))
+    assert(viaSql.getInt(1) === viaCol.getInt(1))
+    assert(viaSql.getSeq[Long](2) === viaCol.getSeq[Long](2))
+    assert(viaSql.getSeq[Long](2).length === 64)
+  }
 }
