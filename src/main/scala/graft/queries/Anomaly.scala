@@ -1955,7 +1955,8 @@ object Anomaly {
       FROM g${k - 1}"""
     }),
 
-    binsegEntry
+    binsegEntry,
+    maseEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2063,6 +2064,69 @@ object Anomaly {
                / 1e6 AS mean_shift,
              t2l AS t2_left, t2r AS t2_right
       FROM l2b WHERE t = t1"""))
+
+  /** a38: seasonal-naive predictability (MASE) — the forecast-quality
+    * diagnostic that complements a32's variance-based seasonal
+    * strength: per series, the mean absolute error of the
+    * SEASONAL-naive forecast x̂_t = x_{t−s} (s = 24 positions) divided
+    * by the MAE of the random-walk naive x̂_t = x_{t−1}. MASE < 1 ⇒
+    * the seasonal pattern genuinely predicts (repeat last season beats
+    * repeat last value); ≈1 ⇒ no exploitable seasonality. Exactness:
+    * both MAEs are integer micro-sums over lag differences; the ratio
+    * folds into ONE integer HALF_UP division of 128-bit products
+    * (Σseas·n_naive / Σnaive·n_seas scaled to micro), so nothing
+    * floating crosses a shuffle. One series-key shuffle; both lags
+    * ride the same sort.
+    */
+  private[queries] def maseEntry: Entry =
+    Entry("a38_mase", (s, dir) => {
+      val sLag = 24
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .withColumn("e1", abs(col("v6") - lag(col("v6"), 1).over(wOrd)))
+        .withColumn("es", abs(col("v6") - lag(col("v6"), sLag).over(wOrd)))
+        .groupBy("event_type")
+        .agg(count(col("e1")).as("n_naive"),
+          sum(dec(col("e1"))).as("sum_naive"),
+          count(col("es")).as("n_seas"),
+          sum(dec(col("es"))).as("sum_seas"))
+        .filter(col("sum_naive") > 0 && col("n_seas") > 0)
+        .withColumn("den", col("sum_naive") * col("n_seas"))
+        .select(col("event_type"), col("n_naive"), col("n_seas"),
+          (expr("(sum_naive * 1000000 + n_naive div 2) div n_naive")
+            .cast("long") / 1e6 / 1e6).as("mae_naive"),
+          (expr("(sum_seas * 1000000 + n_seas div 2) div n_seas")
+            .cast("long") / 1e6 / 1e6).as("mae_seasonal"),
+          (expr("(sum_seas * n_naive * 1000000 + den div 2) div den")
+            .cast("long") / 1e6).as("mase"))
+    }, Some("""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      lagd AS (SELECT event_type,
+                 abs(v6 - lag(v6, 1) OVER win) AS e1,
+                 abs(v6 - lag(v6, 24) OVER win) AS es
+               FROM e
+               WINDOW win AS (PARTITION BY event_type
+                 ORDER BY ts, event_id)),
+      agg AS (SELECT event_type,
+                count(e1) AS n_naive,
+                sum(CAST(e1 AS HUGEINT)) AS sum_naive,
+                count(es) AS n_seas,
+                sum(CAST(es AS HUGEINT)) AS sum_seas
+              FROM lagd GROUP BY event_type)
+      SELECT event_type, n_naive, n_seas,
+             CAST((sum_naive * 1000000 + n_naive // 2) // n_naive
+               AS BIGINT) / 1e6 / 1e6 AS mae_naive,
+             CAST((sum_seas * 1000000 + n_seas // 2) // n_seas
+               AS BIGINT) / 1e6 / 1e6 AS mae_seasonal,
+             CAST((sum_seas * n_naive * 1000000
+                   + (sum_naive * n_seas) // 2) // (sum_naive * n_seas)
+               AS BIGINT) / 1e6 AS mase
+      FROM agg WHERE sum_naive > 0 AND n_seas > 0"""))
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`
     * (declared above) constructs.

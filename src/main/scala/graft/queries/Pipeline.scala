@@ -2993,8 +2993,50 @@ object Pipeline {
              coalesce(m.prior_id,
                CASE WHEN b.doc_id <> b.batch_first THEN b.batch_first
                     ELSE b.doc_id END) AS canonical_id
-      FROM batch b LEFT JOIN manifest m USING (content_hash)"""))
+      FROM batch b LEFT JOIN manifest m USING (content_hash)""")),
+
+    // ---- p62: content-group label consistency — the metadata-QA twin
+    // of exact dedup: identical content carrying DIFFERENT lang tags is
+    // a labeling bug (and silently skews every per-language op — p21,
+    // p32, p39, p41 — that trusts the tags), so every content group is
+    // audited for tag agreement: copy count, distinct-lang count, the
+    // SORTED lang list (deterministic join — collect_set order is
+    // not), and the cross_lingual flag curators alert on. Audits ALL
+    // groups (singletons included) so the report is the corpus's full
+    // label-consistency surface; in this corpus no group is
+    // cross-lingual — the spec pins the flag's firing on a synthetic
+    // frame with an injected mislabeled duplicate. One content-hash
+    // shuffle.
+    Entry("p62_dup_lang_consistency",
+      (s, dir) => dupLangAudit(docs(s, dir)),
+      Some(s"""
+      WITH d AS (SELECT md5($normSql) AS content_hash, doc_id, lang
+                 FROM documents),
+      g AS (SELECT content_hash, count(*) AS n_copies,
+              min(doc_id) AS first_doc,
+              CAST(len(list_distinct(list(lang))) AS BIGINT) AS n_langs,
+              array_to_string(list_sort(list_distinct(list(lang))), ',')
+                AS langs
+            FROM d GROUP BY content_hash)
+      SELECT content_hash, n_copies, first_doc, n_langs, langs,
+             n_langs > 1 AS cross_lingual
+      FROM g"""))
   )
+
+  /** p62's audit core over any (text, doc_id, lang) frame — exposed so
+    * the spec can pin the cross_lingual flag on a synthetic frame with
+    * an injected mislabeled duplicate (the real corpus has none).
+    */
+  private[graft] def dupLangAudit(d: DataFrame): DataFrame =
+    d.select(md5(norm).as("content_hash"), col("doc_id"), col("lang"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        min("doc_id").as("first_doc"),
+        expr("size(array_distinct(collect_list(lang)))").cast("long")
+          .as("n_langs"),
+        array_join(array_sort(expr("array_distinct(collect_list(lang))")),
+          ",").as("langs"))
+      .withColumn("cross_lingual", col("n_langs") > 1)
 
   /** p59's product-quantization geometry: M subspaces of PqSub dims
     * each (M·PqSub = the embedding dim). lazy: referenced while

@@ -692,4 +692,42 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(shift >= 0.0)
     }
   }
+
+  test("a38 MASE == exact integer sequential recompute; seasonal-naive " +
+    "beats random-walk somewhere in the corpus") {
+    val got = Catalog.queries("a38_mase")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val wspec = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val series = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wspec))
+      .select(col("event_type"), col("rn"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val expected = series.flatMap { case (tpe, vs) =>
+      val e1 = vs.indices.drop(1).map(i => BigInt((vs(i) - vs(i - 1)).abs))
+      val es = vs.indices.drop(24).map(i => BigInt((vs(i) - vs(i - 24)).abs))
+      val (sn, ss) = (e1.sum, es.sum)
+      if (sn <= 0 || es.isEmpty) None
+      else {
+        def div(num: BigInt, den: BigInt): Double =
+          ((num + den / 2) / den).toDouble
+        val den = sn * es.length
+        Some(tpe -> ((e1.length.toLong, es.length.toLong,
+          div(sn * 1000000, e1.length) / 1e6 / 1e6,
+          div(ss * 1000000, es.length) / 1e6 / 1e6,
+          div(ss * e1.length * 1000000, den) / 1e6)))
+      }
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the corpus has injected diurnal structure: at least one series
+    // must be more seasonal-naive-predictable than random walk
+    assert(got.values.exists(_._5 < 1.0),
+      "expected a series with MASE < 1")
+  }
 }
