@@ -1956,7 +1956,9 @@ object Anomaly {
     }),
 
     binsegEntry,
-    maseEntry
+    maseEntry,
+    sesdEntry,
+    spectralEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2127,6 +2129,237 @@ object Anomaly {
                    + (sum_naive * n_seas) // 2) // (sum_naive * n_seas)
                AS BIGINT) / 1e6 AS mase
       FROM agg WHERE sum_naive > 0 AND n_seas > 0"""))
+
+  /** a39: Seasonal-ESD — the S-ESD composition (Twitter's AnomalyDetection
+    * shape, Hochenbaum et al. 2017): remove the wall-clock seasonal
+    * component first, THEN run a36's generalized-ESD rounds on the
+    * residuals, so a diurnal series' legitimate peak hours stop masking
+    * (or faking) outliers that the raw-value a36 sees. Seasonal
+    * component = the (series, hour-of-day) bucket MEDIAN over the whole
+    * corpus (the robust choice — a single spike cannot drag the bucket
+    * baseline the way a16's mean does). Exactness: the bucket median of
+    * int64 micro-values is a half-integer, so DOUBLED residuals
+    * res2 = 2·v6 − med2 (med2 = 2×median, exact integer via interpolated
+    * percentile of ints — every FP step exact) keep the entire ESD
+    * chain in integers; the studentized statistic R is scale-invariant,
+    * so a36's critical values apply unchanged. 100 TB shape: the
+    * seasonal dim is O(series × 24) — ONE map-side-combinable aggregate
+    * (exact percentile of a bucket is sort-based; at real scale the
+    * same dim drops in from quantile summaries) broadcast back; then
+    * one series-key shuffle that the rn sort, the window sums, and the
+    * round chain all ride — a39 costs exactly one shuffle more than
+    * nothing over a36 (the dim agg), and the rounds are row-local
+    * array math as in a36.
+    */
+  private[queries] def sesdEntry: Entry =
+    Entry("a39_seasonal_esd", (s, dir) => {
+      val w = EsdWindow
+      val k = EsdRounds
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wS.rowsBetween(-(w - 1), 0)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val base = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          hour(col("ts")).cast("long").as("hod"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      val seas = base.groupBy("event_type", "hod")
+        .agg((percentile(col("v6"), lit(0.5)) * 2).cast("long").as("med2"))
+      var df = base
+        .join(broadcast(seas), Seq("event_type", "hod"))
+        .withColumn("res2", lit(2L) * col("v6") - col("med2"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("arr0", collect_list(col("res2")).over(frame))
+        .withColumn("sx0", sum(col("res2")).over(frame))
+        .withColumn("sxx0", sum(dec(col("res2")) * col("res2")).over(frame))
+        .filter(col("rn") >= w)
+      for (r <- 1 to k) {
+        val p = r - 1
+        val n = w - p
+        df = df
+          .withColumn(s"varnum$p",
+            lit(n) * col(s"sxx$p") - dec(col(s"sx$p")) * col(s"sx$p"))
+          .withColumn(s"maxdev$p",
+            expr(s"array_max(transform(arr$p, x -> abs($n * x - sx$p)))"))
+          .withColumn(s"r$r",
+            col(s"maxdev$p").cast("double") / lit(n.toDouble) /
+              sqrt(col(s"varnum$p").cast("double") /
+                lit((n * (n - 1)).toDouble)))
+        if (r < k) {
+          // try_element_at for totality under predicate pushdown — see
+          // the a36 comment on the same idiom
+          df = df
+            .withColumn(s"idx$p", expr(s"try_element_at(filter(sequence(1, $n)," +
+              s" i -> abs($n * try_element_at(arr$p, i) - sx$p) = maxdev$p), 1)"))
+            .withColumn(s"rm$p", expr(s"try_element_at(arr$p, idx$p)"))
+            .withColumn(s"arr$r", expr(s"concat(slice(arr$p, 1, idx$p - 1)," +
+              s" slice(arr$p, idx$p + 1, $n - idx$p))"))
+            .withColumn(s"sx$r", col(s"sx$p") - col(s"rm$p"))
+            .withColumn(s"sxx$r",
+              col(s"sxx$p") - dec(col(s"rm$p")) * col(s"rm$p"))
+        }
+      }
+      val lam = EsdLambda
+      df.filter((0 until k).map(p => col(s"varnum$p") =!= lit(0))
+          .reduce(_ && _))
+        .select(col("event_type"), col("event_id"),
+          (col("res2").cast("double") / lit(2000000.0)).as("res_v"),
+          col("r1"), col("r2"), col("r3"),
+          when(col("r3") > lam(2), 3L).when(col("r2") > lam(1), 2L)
+            .when(col("r1") > lam(0), 1L).otherwise(0L).as("n_anom"))
+    }, Some {
+      val w = EsdWindow
+      val k = EsdRounds
+      val lam = EsdLambda
+      val rounds = (1 to k).map { r =>
+        val p = r - 1
+        val n = w - p
+        val next =
+          if (r < k) s""",
+          f$r AS (SELECT event_type, event_id, res2,
+                    list_concat(arr$p[1:idx$p - 1], arr$p[idx$p + 1:$n])
+                      AS arr$r,
+                    sx$p - arr$p[idx$p] AS sx$r,
+                    sxx$p - CAST(arr$p[idx$p] AS HUGEINT) * arr$p[idx$p]
+                      AS sxx$r,
+                    ${(1 to r).map(j => s"r$j").mkString(", ")}
+                  FROM g$p)"""
+          else ""
+        s""",
+          g$p AS (SELECT *,
+                    CAST(maxdev$p AS DOUBLE) / $n.0
+                      / sqrt(CAST(varnum$p AS DOUBLE) / ${n * (n - 1)}.0)
+                      AS r$r
+                  FROM (SELECT *,
+                    $n * sxx$p - CAST(sx$p AS HUGEINT) * sx$p AS varnum$p,
+                    list_max(list_transform(arr$p,
+                      x -> abs($n * x - sx$p))) AS maxdev$p,
+                    list_filter(range(1, ${n + 1}),
+                      i -> abs($n * arr$p[i] - sx$p) =
+                        list_max(list_transform(arr$p,
+                          x -> abs($n * x - sx$p))))[1] AS idx$p
+                  FROM f$p)
+                  WHERE varnum$p <> 0)$next"""
+      }.mkString("")
+      s"""
+      WITH e AS (SELECT event_type, event_id, ts,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      seas AS (SELECT event_type, hod,
+                 CAST(quantile_cont(v6, 0.5) * 2 AS BIGINT) AS med2
+               FROM e GROUP BY event_type, hod),
+      rsd AS (SELECT e.event_type, e.event_id, e.ts,
+                2 * e.v6 - s.med2 AS res2
+              FROM e JOIN seas s USING (event_type, hod)),
+      base AS (
+        SELECT event_type, event_id, res2,
+               row_number() OVER win AS rn,
+               array_agg(res2) OVER (
+                 win ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+                 AS arr0,
+               CAST(sum(res2) OVER (
+                 win ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sx0,
+               sum(CAST(res2 AS HUGEINT) * res2) OVER (
+                 win ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+                 AS sxx0
+        FROM rsd
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      f0 AS (SELECT * FROM base WHERE rn >= $w)$rounds
+      SELECT event_type, event_id,
+             CAST(res2 AS DOUBLE) / 2000000.0 AS res_v,
+             r1, r2, r3,
+             CASE WHEN r3 > ${lam(2)} THEN 3
+                  WHEN r2 > ${lam(1)} THEN 2
+                  WHEN r1 > ${lam(0)} THEN 1
+                  ELSE 0 END::BIGINT AS n_anom
+      FROM g${k - 1}"""
+    })
+
+  /** a40: full-spectrum concentration — a31 generalized from 3 fixed
+    * periods to the whole 24-point spectrum (harmonics k = 1..12 of
+    * the daily cycle): which period DOMINATES a series and how
+    * concentrated its rhythm is. Outputs the dominant harmonic
+    * (argmax energy, smallest k on ties), its energy share, and the
+    * participation ratio PR = (Σe)²/Σe² — PR ≈ 1 means one clean
+    * periodicity, PR ≈ 12 means flat/aperiodic noise; PR drift is the
+    * "this series lost its rhythm" alarm that fixed-period amplitude
+    * tracking (a31) cannot raise. Exactness: the 24 spectral sums are
+    * exact 128-bit integers over the build-time integer trig table
+    * (a31's no-cross-engine-trig rule); energies and both ratios are
+    * then a FIXED chain of double ops — squares, left-folds in k
+    * order (never an unordered SUM over doubles), two divisions,
+    * round(6) — identical IEEE sequence on both engines. No ln/exp:
+    * concentration is deliberately a ratio statistic, keeping the
+    * whole op libm-free (the p41-documented ln boundary-collision
+    * class cannot occur). 100 TB shape: ONE map-side-combined series
+    * aggregate, O(series) output, 24 integer columns of shuffle
+    * payload per series.
+    */
+  private[queries] def spectralEntry: Entry =
+    Entry("a40_spectral_concentration", (s, dir) => {
+      val ks = 1 to 12
+      def sumK(k: Int, arr: Seq[Long], nm: String) =
+        sum(expr(s"cast(v6 * element_at(array(${arr.mkString(",")}), " +
+          s"cast(($k * hod) % 24 + 1 as int)) as decimal(38,0))")).as(nm)
+      def eK(k: Int) = {
+        val (c, sn) = (col(s"sc$k").cast("double"), col(s"ss$k").cast("double"))
+        (c * c + sn * sn).as(s"e$k")
+      }
+      val eArr = s"array(${ks.map(k => s"e$k").mkString(", ")})"
+      Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+          expr("cast(round(value * 1e6) as bigint)").as("v6"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          ks.flatMap(k => Seq(sumK(k, Cos6, s"sc$k"),
+            sumK(k, Sin6, s"ss$k"))): _*)
+        .select(col("event_type") +: col("n") +: ks.map(k => eK(k)): _*)
+        .withColumn("etot",
+          expr(s"aggregate($eArr, 0D, (a, x) -> a + x)"))
+        .withColumn("emax", expr(s"array_max($eArr)"))
+        .withColumn("dom_k",
+          expr(s"cast(element_at(filter(sequence(1, 12), " +
+            s"k -> element_at($eArr, k) = emax), 1) as bigint)"))
+        .filter(col("etot") > 0.0)
+        .select(col("event_type"), col("n"), col("dom_k"),
+          round(col("emax") / col("etot"), 6).as("dom_share"),
+          round((col("etot") * col("etot")) /
+            expr(s"aggregate($eArr, 0D, (a, x) -> a + x * x)"), 6)
+            .as("pr"))
+    }, Some {
+      val ks = 1 to 12
+      def sumK(k: Int, arr: Seq[Long], nm: String) =
+        s"""sum(v6 * ([${arr.mkString(",")}])[($k * hod) % 24 + 1]) AS $nm"""
+      def eK(k: Int) =
+        s"""(CAST(sc$k AS DOUBLE) * CAST(sc$k AS DOUBLE)
+            + CAST(ss$k AS DOUBLE) * CAST(ss$k AS DOUBLE)) AS e$k"""
+      val eArr = s"[${ks.map(k => s"e$k").mkString(", ")}]"
+      s"""
+      WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
+      agg AS (SELECT event_type, count(*) AS n,
+                ${ks.flatMap(k => Seq(sumK(k, Cos6, s"sc$k"),
+                  sumK(k, Sin6, s"ss$k"))).mkString(",\n                ")}
+              FROM e GROUP BY event_type),
+      en AS (SELECT event_type, n,
+               ${ks.map(eK).mkString(",\n               ")}
+             FROM agg),
+      st AS (SELECT event_type, n,
+               list_reduce(list_prepend(0.0, $eArr), (a, b) -> a + b)
+                 AS etot,
+               list_reduce(list_prepend(0.0,
+                 list_transform($eArr, x -> x * x)), (a, b) -> a + b)
+                 AS esq,
+               list_max($eArr) AS emax,
+               CAST(list_filter(range(1, 13),
+                 k -> $eArr[k] = list_max($eArr))[1] AS BIGINT) AS dom_k
+             FROM en)
+      SELECT event_type, n, dom_k,
+             round(emax / etot, 6) AS dom_share,
+             round((etot * etot) / esq, 6) AS pr
+      FROM st WHERE etot > 0.0"""
+    })
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`
     * (declared above) constructs.

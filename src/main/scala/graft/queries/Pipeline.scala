@@ -3020,7 +3020,241 @@ object Pipeline {
             FROM d GROUP BY content_hash)
       SELECT content_hash, n_copies, first_doc, n_langs, langs,
              n_langs > 1 AS cross_lingual
-      FROM g"""))
+      FROM g""")),
+
+    // ---- p63: IVF-PQ with residual encoding + asymmetric distance —
+    // the FAISS-default billion-scale serving shape, composing p15's
+    // coarse cells with p59's PQ codes: each vector is (cell id +
+    // M=4 codes of its RESIDUAL v − c_cell), and a query scores
+    // candidates as <q, c + r̂> = <q, c_cell> (one scalar per probed
+    // cell) + Σ_m LUT[m, code_m] (LUT = <q_m, codebook>, K·M entries
+    // per query, cell-independent for inner product). The corpus side
+    // of search touches ONLY vectors in the nprobe=2 probed cells and
+    // only their codes — never a raw embedding — which is the whole
+    // point: IVF bounds the candidates, PQ bounds the bytes. PQ is
+    // trained on residuals (the standard choice — residuals are
+    // near-zero-centered so a small codebook covers them) pooled
+    // across cells from the p59 seed rows. Exactness: micro-fixed
+    // int64 coordinates end to end — coarse assignment by exact
+    // integer d2 with (d2, ccid) tie-break (p55's engineered
+    // determinism), residuals exact integer differences, code
+    // assignment exact (d2, cid)-min, LUT and centroid dots exact
+    // integer products, adot12 a pure int64 sum. 100 TB shape: the
+    // coarse centroid table and the K·M codebook broadcast; encode is
+    // one map-side-combined (vec, subspace) aggregate; search joins
+    // the code table on its cell key against the tiny probe list,
+    // with the LUT broadcast — the only corpus-wide shuffle is the
+    // (query, neighbor) score aggregate over probed-cell candidates.
+    Entry("p63_sim_ivfpq", (s, dir) => {
+      val e6 = embs(s, dir).select(col("vec_id"),
+        expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
+          .as("v6"))
+      val coarse = e6.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("ccid"), col("v6").as("c6"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("ccid"))
+      // persisted: read 3× (corpus residual subs, PQ seed codebook,
+      // query probe list)
+      val probed = e6.join(broadcast(coarse))
+        .withColumn("d2", expr("aggregate(zip_with(v6, c6, " +
+          "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") <= 2)
+        .withColumn("qcdot12", expr("aggregate(zip_with(v6, c6, " +
+          "(x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("res", expr("zip_with(v6, c6, (x, y) -> x - y)"))
+        .select(col("vec_id"), col("ccid").as("cell"), col("crk"),
+          col("qcdot12"), col("res"))
+        .persist()
+      val rsubs = probed.filter(col("crk") === 1)
+        .select(col("vec_id"), col("cell"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"m -> slice(res, m * $PqSub + 1, $PqSub))"))
+            .as(Seq("m", "sub")))
+        .select(col("vec_id"), col("cell"),
+          col("m").cast("long").as("m"), col("sub"))
+      val pqc = rsubs
+        .filter(col("vec_id") % 31 === 0 && col("vec_id") < PqSeedBound)
+        .select(col("vec_id").as("cid"), col("m").as("cm"),
+          col("sub").as("csub"))
+      val codes = rsubs.join(broadcast(pqc), col("m") === col("cm"))
+        .withColumn("d2", expr("aggregate(zip_with(sub, csub, " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .groupBy("vec_id", "cell", "m")
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("cell"), col("m"),
+          col("best.cid").as("code"))
+      val qsubs = e6.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"m -> slice(v6, m * $PqSub + 1, $PqSub))"))
+            .as(Seq("m", "qsub")))
+        .select(col("query_id"), col("m").cast("long").as("lm"),
+          col("qsub"))
+      val lut = qsubs.join(broadcast(pqc), col("lm") === col("cm"))
+        .select(col("query_id").as("lq"), col("lm"), col("cid"),
+          expr("aggregate(zip_with(qsub, csub, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x)").as("ldot12"))
+      val qprobe = probed.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("cell"),
+          col("qcdot12"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("adot12").desc, col("neighbor_id"))
+      codes.join(broadcast(qprobe), "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(lut), col("query_id") === col("lq") &&
+          col("m") === col("lm") && col("code") === col("cid"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg((min(col("qcdot12")) + sum(col("ldot12"))).as("adot12"))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("adot12"),
+          (col("adot12") / 1e12).as("approx_dot"), col("rk"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x * 1e6) AS BIGINT)) AS v6
+                 FROM embeddings),
+      coarse AS (SELECT vec_id AS ccid, v6 AS c6 FROM e
+                 WHERE vec_id % 100 = 7),
+      asg AS (SELECT e.vec_id, c.ccid, e.v6, c.c6,
+                CAST(list_sum(list_transform(range(1, len(e.v6) + 1),
+                  i -> (e.v6[i] - c.c6[i]) * (e.v6[i] - c.c6[i])))
+                  AS BIGINT) AS d2,
+                CAST(list_sum(list_transform(range(1, len(e.v6) + 1),
+                  i -> e.v6[i] * c.c6[i])) AS BIGINT) AS qcdot12
+              FROM e, coarse c),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, ccid) AS crk FROM asg),
+      probed AS (SELECT vec_id, ccid AS cell, crk, qcdot12,
+                   list_transform(range(1, len(v6) + 1),
+                     i -> v6[i] - c6[i]) AS res
+                 FROM ranked WHERE crk <= 2),
+      rsubs AS (SELECT vec_id, cell, CAST(m AS BIGINT) AS m,
+                  res[m * $PqSub + 1 : m * $PqSub + $PqSub] AS sub
+                FROM probed, UNNEST(range(0, $PqM)) t(m)
+                WHERE crk = 1),
+      pqc AS (SELECT vec_id AS cid, m, sub AS csub FROM rsubs
+              WHERE vec_id % 31 = 0 AND vec_id < $PqSeedBound),
+      codes AS (SELECT vec_id, cell, m, cid AS code FROM (
+                  SELECT r.vec_id, r.cell, r.m, c.cid,
+                         row_number() OVER (PARTITION BY r.vec_id, r.m
+                           ORDER BY CAST(list_sum(list_transform(
+                             range(1, $PqSub + 1), j ->
+                               (r.sub[j] - c.csub[j])
+                               * (r.sub[j] - c.csub[j]))) AS BIGINT),
+                             c.cid) AS rn
+                  FROM rsubs r JOIN pqc c USING (m))
+                WHERE rn = 1),
+      qsubs AS (SELECT vec_id AS query_id, CAST(m AS BIGINT) AS m,
+                  v6[m * $PqSub + 1 : m * $PqSub + $PqSub] AS qsub
+                FROM e, UNNEST(range(0, $PqM)) t(m)
+                WHERE vec_id % 50 = 0),
+      lut AS (SELECT q.query_id, q.m, c.cid,
+                CAST(list_sum(list_transform(range(1, $PqSub + 1),
+                  j -> q.qsub[j] * c.csub[j])) AS BIGINT) AS ldot12
+              FROM qsubs q JOIN pqc c USING (m)),
+      qprobe AS (SELECT vec_id AS query_id, cell, qcdot12 FROM probed
+                 WHERE vec_id % 50 = 0),
+      sc AS (SELECT p.query_id, co.vec_id AS neighbor_id,
+               CAST(min(p.qcdot12) + sum(l.ldot12) AS BIGINT) AS adot12
+             FROM codes co
+             JOIN qprobe p ON co.cell = p.cell
+             JOIN lut l ON l.query_id = p.query_id AND l.m = co.m
+               AND l.cid = co.code
+             WHERE co.vec_id <> p.query_id
+             GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, adot12, adot12 / 1e12 AS approx_dot,
+             rk
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adot12 DESC, neighbor_id) AS BIGINT) AS rk
+            FROM sc) WHERE rk <= 5""")),
+
+    // ---- p64: PII scrub — the redaction pass every training-data
+    // pipeline runs before anything else: detect + replace emails,
+    // IPv4 addresses, and NANP-style 555 phone numbers, reporting
+    // per-doc counts and the redacted content hash. This corpus
+    // contains no digits at all, so (the p62 pattern) a deterministic
+    // PII payload derived from doc_id is injected into the scanned
+    // body on BOTH engines — the extraction, counting, and
+    // replacement logic is then genuinely exercised and
+    // oracle-checked on ~26% of rows rather than vacuously passing on
+    // zeros. Patterns are restricted to the Java-regex ∩ RE2 common
+    // subset (char classes, bounded repeats, \\b — no backrefs, no
+    // lookaround) so both engines compile identical automata; with
+    // greedy quantifiers and no alternation the Java NFA's
+    // leftmost-first match equals RE2's leftmost-longest. Redaction
+    // order (email → ip → phone) is fixed and the md5 of the redacted
+    // body makes any divergence hash-visible. Per-row and
+    // shuffle-free — the 100 TB cost is exactly one scan.
+    Entry("p64_pii_scrub", (s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\b555-[0-9]{4}\\b"
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                lit("."), (col("doc_id") % 200).cast("string"),
+                lit(".7"))).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("body"))
+        .select(col("doc_id"),
+          // functions API, not expr(): Spark SQL string literals
+          // reprocess backslash escapes, which would corrupt \b / \.
+          size(regexp_extract_all(col("body"), lit(email), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("body"), lit(ipv4), lit(0)))
+            .cast("long").as("n_ip"),
+          size(regexp_extract_all(col("body"), lit(phone), lit(0)))
+            .cast("long").as("n_phone"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("body"), email, "<EMAIL>"),
+              ipv4, "<IP>"),
+            phone, "<PHONE>")).as("red_md5"),
+          length(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("body"), email, "<EMAIL>"),
+              ipv4, "<IP>"),
+            phone, "<PHONE>")).cast("long").as("red_len"))
+    }, Some("""
+      WITH b AS (SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' from 10.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST(doc_id % 200 AS VARCHAR) || '.7'
+               ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS body
+        FROM documents),
+      pat AS (SELECT '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}' AS email,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b' AS ipv4,
+                     '\b555-[0-9]{4}\b' AS phone),
+      red AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(body, email)) AS BIGINT)
+                  AS n_email,
+                CAST(len(regexp_extract_all(body, ipv4)) AS BIGINT)
+                  AS n_ip,
+                CAST(len(regexp_extract_all(body, phone)) AS BIGINT)
+                  AS n_phone,
+                regexp_replace(regexp_replace(regexp_replace(body,
+                  email, '<EMAIL>', 'g'), ipv4, '<IP>', 'g'),
+                  phone, '<PHONE>', 'g') AS redacted
+              FROM b, pat)
+      SELECT doc_id, n_email, n_ip, n_phone,
+             md5(redacted) AS red_md5,
+             CAST(length(redacted) AS BIGINT) AS red_len
+      FROM red"""))
   )
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so

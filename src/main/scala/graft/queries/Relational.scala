@@ -1094,27 +1094,8 @@ object Relational {
     // sort happens once on the fact and everything after is
     // change-volume-sized. No timestamp arithmetic — valid_to is an
     // exact copy of a neighbor's valid_from.
-    Entry("q42_scd2_intervals", (s, dir) => {
-      val wRow = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val wIsl = Window.partitionBy("o_custkey").orderBy(col("island"))
-      t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderdate"))
-        .withColumn("chg",
-          when(lag(col("o_orderstatus"), 1).over(wRow).isNull ||
-            lag(col("o_orderstatus"), 1).over(wRow) =!= col("o_orderstatus"),
-            1L).otherwise(0L))
-        .withColumn("island", sum(col("chg")).over(wRow))
-        .groupBy(col("o_custkey"), col("island"), col("o_orderstatus"))
-        .agg(min(col("o_orderdate")).as("valid_from"),
-          count(lit(1)).as("n_orders"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wIsl))
-        .select(col("o_custkey"), col("island"),
-          col("o_orderstatus").as("status"), col("valid_from"),
-          col("valid_to"), col("n_orders"),
-          col("valid_to").isNull.as("is_current"))
-    }, Some("""
+    Entry("q42_scd2_intervals", (s, dir) =>
+      scd2Intervals(t(s, dir, "orders")), Some("""
       WITH o AS (
         SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
                CASE WHEN lag(o_orderstatus) OVER w IS NULL
@@ -1435,7 +1416,114 @@ object Relational {
              coalesce(b.n, 0) AS n_base,
              coalesce(x.n, 0) AS n_next,
              coalesce(b.dig, 0) <> coalesce(x.dig, 0) AS changed
-      FROM base b FULL JOIN nxt x USING (month)""")))
+      FROM base b FULL JOIN nxt x USING (month)""")),
+
+    // ---- q48: temporal (effective-dated) dimension join — the lookup
+    // side of q42's SCD2 build, and the other half every warehouse
+    // needs: each fact row joins the dimension interval that was in
+    // effect AT ITS OWN date ("which status did this customer have
+    // when this event happened"), not the current one. The Spark plan
+    // is the q18 as-of idiom generalized to interval dimensions:
+    // UNION the interval-start rows (tag 0) with the facts (tag 1),
+    // ONE shuffle on the dimension key, and a running
+    // last-interval-attribute window over (date, tag, island) — so
+    // intervals effective on the fact's own date are visible
+    // (inclusive valid_from), and when two status changes share a
+    // date the LATER island wins, the same rule the oracle states as
+    // ORDER BY valid_from DESC, island DESC. No range join, no
+    // per-fact probe: at 100 TB this costs one sort-shuffle of
+    // facts+intervals, immune to hot customers' interval counts.
+    // Facts before a customer's first interval (or with no dimension
+    // history at all) surface with NULL attributes, as a left lookup
+    // must.
+    Entry("q48_temporal_join", (s, dir) => {
+      val iv = scd2Intervals(t(s, dir, "orders"))
+        .select(col("o_custkey").as("cust"),
+          col("valid_from").cast("date").as("d"),
+          lit(0).as("tag"), col("island"), col("status"),
+          lit(null).cast("long").as("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("cust"), to_date(col("ts")).as("d"),
+          lit(1).as("tag"), lit(null).cast("long").as("island"),
+          lit(null).cast("string").as("status"), col("event_id"))
+      val w = Window.partitionBy("cust")
+        .orderBy(col("d"), col("tag"), col("island"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.unionByName(ev)
+        .withColumn("status_at",
+          last(when(col("tag") === 0, col("status")), ignoreNulls = true)
+            .over(w))
+        .withColumn("island_at",
+          last(when(col("tag") === 0, col("island")), ignoreNulls = true)
+            .over(w))
+        .withColumn("from_at",
+          last(when(col("tag") === 0, col("d")), ignoreNulls = true)
+            .over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("cust").as("user_id"),
+          col("d").as("ev_date"), col("status_at"), col("island_at"),
+          col("from_at"))
+    }, Some("""
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+               CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                      OR lag(o_orderstatus) OVER w != o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+      ), isl AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS island
+        FROM o
+      ), seg AS (
+        SELECT o_custkey, island, o_orderstatus AS status,
+               min(o_orderdate) AS valid_from
+        FROM isl GROUP BY o_custkey, island, o_orderstatus
+      )
+      SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS ev_date,
+        -- per customer, valid_from is monotone in island, so the
+        -- effective interval is simply the largest island whose start
+        -- date is at or before the event's date
+        (SELECT s.status FROM seg s
+         WHERE s.o_custkey = e.user_id
+           AND CAST(s.valid_from AS DATE) <= CAST(e.ts AS DATE)
+         ORDER BY s.island DESC LIMIT 1) AS status_at,
+        (SELECT s.island FROM seg s
+         WHERE s.o_custkey = e.user_id
+           AND CAST(s.valid_from AS DATE) <= CAST(e.ts AS DATE)
+         ORDER BY s.island DESC LIMIT 1) AS island_at,
+        (SELECT CAST(s.valid_from AS DATE) FROM seg s
+         WHERE s.o_custkey = e.user_id
+           AND CAST(s.valid_from AS DATE) <= CAST(e.ts AS DATE)
+         ORDER BY s.island DESC LIMIT 1) AS from_at
+      FROM events e""")))
+
+  /** q42's SCD2 interval build over any orders frame — shared by the
+    * q42 entry and q48's effective-dated lookup so both sides of the
+    * SCD2 story run the SAME dimension-history definition.
+    */
+  private[graft] def scd2Intervals(orders: DataFrame): DataFrame = {
+    val wRow = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wIsl = Window.partitionBy("o_custkey").orderBy(col("island"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(wRow).isNull ||
+          lag(col("o_orderstatus"), 1).over(wRow) =!= col("o_orderstatus"),
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(wRow))
+      .groupBy(col("o_custkey"), col("island"), col("o_orderstatus"))
+      .agg(min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wIsl))
+      .select(col("o_custkey"), col("island"),
+        col("o_orderstatus").as("status"), col("valid_from"),
+        col("valid_to"), col("n_orders"),
+        col("valid_to").isNull.as("is_current"))
+  }
 
   /** q34's batch compaction, exposed on a plain DataFrame so the
     * streaming twin ([[graft.streaming.StreamingLatestState]]) can pin

@@ -600,4 +600,36 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(pl, "Exchange hashpartitioning") <= 3,
       s"two month aggregates + at most one join re-key:\n$pl")
   }
+
+  test("q48: the as-of dimension lookup is the union+window idiom — " +
+    "no range join, no per-fact probe; two key shuffles total") {
+    val pl = plan("q48_temporal_join")
+    assert(countOf(pl, "Join") === 0,
+      s"as-of must not join (range/nested-loop is the anti-plan):\n$pl")
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("BroadcastNestedLoopJoin"),
+      s"no product plans:\n$pl")
+    assert(countOf(pl, "Exchange hashpartitioning") <= 2,
+      s"interval build + the union's customer re-key only:\n$pl")
+  }
+
+  test("p63: coarse centroids, codebook, probe list, and LUT all " +
+    "broadcast; the corpus side never shuffles raw embeddings after " +
+    "assignment") {
+    val pl = plan("p63_sim_ivfpq")
+    assert(countOf(pl, "BroadcastHashJoin") >= 3,
+      s"codebook, probe list, and LUT must broadcast:\n$pl")
+    assert(countOf(pl, "SortMergeJoin") === 0,
+      s"no corpus-sized sort-merge joins in the serving path:\n$pl")
+    assert(pl.contains("WindowGroupLimit"),
+      s"the top-5 must be a pushed rank limit, not a full sort:\n$pl")
+    // the persisted assignment subplan reprints at every reuse site, so
+    // count DISTINCT exchanges by plan id, not string occurrences
+    val distinctShuffles =
+      raw"Exchange hashpartitioning[^\n]*plan_id=(\d+)".r
+        .findAllMatchIn(pl).map(_.group(1)).toSet.size
+    assert(distinctShuffles <= 4,
+      s"assignment window, encode agg, score agg, rank — nothing " +
+        s"else may shuffle:\n$pl")
+  }
 }

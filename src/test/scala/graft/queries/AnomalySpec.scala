@@ -730,4 +730,128 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._5 < 1.0),
       "expected a series with MASE < 1")
   }
+
+  test("a39 seasonal ESD == sequential recompute (hour-of-day bucket " +
+    "median, doubled residuals, 3 removal rounds); the bucket median " +
+    "of the residuals is zero") {
+    val got = Catalog.queries("a39_seasonal_esd")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))))
+      .toMap
+    val w = Anomaly.EsdWindow
+    val k = Anomaly.EsdRounds
+    val lam = Anomaly.EsdLambda
+    val wspec = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val rows = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wspec))
+      .select(col("event_type"), col("event_id"), col("rn"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    // doubled bucket median: interpolated percentile of ints is a
+    // half-integer, so 2x it is the exact integer a + b of the middle
+    // pair (or 2x the middle element)
+    val med2: Map[(String, Long), Long] = rows.groupBy(t => (t._1, t._4))
+      .view.mapValues { bucket =>
+        val s = bucket.map(_._5).sorted
+        val n = s.length
+        if (n % 2 == 1) 2L * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+      }.toMap
+    val expected = rows.groupBy(_._1).flatMap { case (tpe, ts) =>
+      val ordered = ts.sortBy(_._3)
+      val res2 = ordered.map(t => 2L * t._5 - med2((tpe, t._4)))
+      ordered.indices.drop(w - 1).flatMap { i =>
+        var arr = res2.slice(i - w + 1, i + 1).toVector
+        var sx = arr.sum
+        var sxx = arr.map(x => BigInt(x) * x).sum
+        val rs = Array.ofDim[Double](k)
+        var ok = true
+        for (r <- 1 to k if ok) {
+          val n = arr.length
+          val varnum = BigInt(n) * sxx - BigInt(sx) * sx
+          if (varnum == 0) ok = false
+          else {
+            val maxdev = arr.map(x => (n * x - sx).abs).max
+            rs(r - 1) = maxdev.toDouble / n.toDouble /
+              math.sqrt(varnum.toDouble / (n * (n - 1)).toDouble)
+            val idx = arr.indexWhere(x => (n * x - sx).abs == maxdev)
+            val rm = arr(idx)
+            arr = arr.patch(idx, Nil, 1)
+            sx -= rm
+            sxx -= BigInt(rm) * rm
+          }
+        }
+        if (!ok) None
+        else {
+          val nAnom = if (rs(2) > lam(2)) 3L else if (rs(1) > lam(1)) 2L
+            else if (rs(0) > lam(0)) 1L else 0L
+          Some((tpe, ordered(i)._2) ->
+            ((res2(i).toDouble / 2000000.0, rs(0), rs(1), rs(2), nAnom)))
+        }
+      }
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the seasonal median centers every bucket: per (series, hod) the
+    // median of the doubled residuals is exactly zero
+    rows.groupBy(t => (t._1, t._4)).foreach { case (key, bucket) =>
+      val r = bucket.map(t => 2L * t._5 - med2(key)).sorted
+      val n = r.length
+      val m2 = if (n % 2 == 1) 2L * r(n / 2) else r(n / 2 - 1) + r(n / 2)
+      assert(m2 === 0L, s"bucket $key residual median")
+    }
+  }
+
+  test("a40 spectral concentration == exact BigInt + pinned-order " +
+    "double recompute; share/PR stay in their analytic bounds") {
+    val got = Catalog.queries("a40_spectral_concentration")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val cos6 = Anomaly.Cos6; val sin6 = Anomaly.Sin6
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).flatMap { case (tpe, ts) =>
+      val es = (1 to 12).map { k =>
+        val sc = ts.map(t => BigInt(t._3) *
+          cos6(((k * t._2) % 24).toInt)).sum
+        val ss = ts.map(t => BigInt(t._3) *
+          sin6(((k * t._2) % 24).toInt)).sum
+        sc.toDouble * sc.toDouble + ss.toDouble * ss.toDouble
+      }
+      val etot = es.foldLeft(0.0)(_ + _)
+      if (etot <= 0.0) None
+      else {
+        val esq = es.foldLeft(0.0)((a, x) => a + x * x)
+        val emax = es.max
+        val domK = (es.indexWhere(_ == emax) + 1).toLong
+        Some(tpe -> ((ts.length.toLong, domK,
+          rnd6(emax / etot), rnd6(etot * etot / esq))))
+      }
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, k, share, pr) =>
+      assert(k >= 1L && k <= 12L)
+      assert(share > 0.0 && share <= 1.0)
+      assert(pr >= 1.0 - 1e-9 && pr <= 12.0 + 1e-9)
+    }
+    // non-degenerate spectra: every series keeps some concentration
+    // structure (PR strictly below the flat-spectrum maximum), and the
+    // dominant share is consistent with PR's bound share >= 1/PR is
+    // impossible to violate only when both derive from the same
+    // energies — which the exact-equality pin above already forces
+    assert(got.values.forall(_._4 < 12.0), "flat spectrum")
+    got.values.foreach { case (_, _, share, pr) =>
+      assert(share * pr >= 1.0 - 1e-6,
+        s"share $share inconsistent with PR $pr")
+    }
+  }
 }

@@ -1127,4 +1127,103 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(audited(3L) === ((1L, "en", false)))
     assert(got.values.forall(!_._5), "real corpus: no cross-lingual")
   }
+
+  test("p63 IVFPQ == sequential recompute (coarse assign, residual " +
+    "codebook, ADC = centroid dot + LUT sum over probed cells); self " +
+    "excluded") {
+    val got = run("p63_sim_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), " +
+          "x -> cast(round(x * 1e6) as bigint)) as v6")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    val M = Pipeline.PqM; val sub = Pipeline.PqSub
+    def subv(v: Array[Long], m: Int): Array[Long] =
+      v.slice(m * sub, (m + 1) * sub)
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * (x - y) }.sum
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val coarse = vecs.keys.filter(_ % 100 == 7).toSeq.sorted
+    assert(coarse.nonEmpty)
+    // (d2, ccid)-ranked cells: head = assignment, take(2) = probes
+    val probes: Map[Long, Seq[Long]] = vecs.map { case (id, v) =>
+      id -> coarse.map(c => (d2(v, vecs(c)), c)).sorted.take(2).map(_._2)
+    }
+    val res: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> v.zip(vecs(probes(id).head)).map { case (x, y) => x - y }
+    }
+    val cents = vecs.keys
+      .filter(id => id % 31 == 0 && id < Pipeline.PqSeedBound).toSeq.sorted
+    assert(cents.nonEmpty)
+    val codeMap = (for ((id, _) <- vecs.toSeq; m <- 0 until M) yield {
+      val best = cents.map(c =>
+        (d2(subv(res(id), m), subv(res(c), m)), c)).min
+      ((id, m), best._2)
+    }).toMap
+    val queries = vecs.keys.filter(_ % 50 == 0).toSeq
+    val scores = for {
+      q <- queries
+      cell <- probes(q)
+      (d, _) <- vecs.toSeq
+      if d != q && probes(d).head == cell
+    } yield {
+      val adot = dot(vecs(q), vecs(cell)) +
+        (0 until M).map(m =>
+          dot(subv(vecs(q), m), subv(res(codeMap((d, m))), m))).sum
+      (q, d, adot)
+    }
+    val expected = scores.groupBy(_._1).flatMap { case (q, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(5).zipWithIndex.map {
+        case ((_, d, s), i) =>
+          (q, d) -> ((s, s.toDouble / 1e12, i + 1L))
+      }
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+    got.keys.foreach { case (q, d) => assert(q != d, "self-retrieval") }
+  }
+
+  test("p64 PII scrub == sequential Java-regex recompute (counts, " +
+    "redacted md5/len); patterns fire exactly on the injection rule") {
+    val got = run("p64_pii_scrub").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\b555-[0-9]{4}\\b"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val body = text +
+        (if (id % 7 == 0) s" contact user$id@example.com now" else "") +
+        (if (id % 11 == 0) s" from 10.${id % 256}.${id % 200}.7" else "") +
+        (if (id % 13 == 0) f" call 555-${id % 10000}%04d" else "")
+      val red = body.replaceAll(email, "<EMAIL>")
+        .replaceAll(ipv4, "<IP>").replaceAll(phone, "<PHONE>")
+      val exp = (email.r.findAllIn(body).length.toLong,
+        ipv4.r.findAllIn(body).length.toLong,
+        phone.r.findAllIn(body).length.toLong,
+        md5hex(red), red.length.toLong)
+      assert(got(id) === exp, s"doc $id")
+      // the injection rule IS the expected count profile
+      assert(exp._1 === (if (id % 7 == 0) 1L else 0L), s"doc $id email")
+      assert(exp._2 === (if (id % 11 == 0) 1L else 0L), s"doc $id ip")
+      assert(exp._3 === (if (id % 13 == 0) 1L else 0L), s"doc $id phone")
+      // nothing PII-shaped survives redaction
+      assert(email.r.findFirstIn(red).isEmpty &&
+        ipv4.r.findFirstIn(red).isEmpty && phone.r.findFirstIn(red).isEmpty,
+        s"doc $id residual PII")
+    }
+    assert(docs.count { case (id, _) => id % 7 == 0 } > 0,
+      "corpus must exercise the email branch")
+  }
 }
