@@ -66,9 +66,13 @@ object Anomaly {
       .filter(col("rn") >= spec.windowSize)
 
   /** DuckDB SQL computing the same prob columns; kept as one CTE chain
-    * shared by all deterministic anomaly oracles.
+    * shared by all deterministic anomaly oracles. `src` is the source
+    * relation — `events` for the raw-series oracles, a derived-series
+    * CTE (prepended via `pre`) for aggregate-then-detect compositions
+    * like a41; it must expose (event_type, event_id, user_id, ts,
+    * value).
     */
-  private val probsCte: String = {
+  private def probsCteFrom(src: String, pre: String = ""): String = {
     val a = spec.activeSize // 2
     val w = spec.windowSize // 10
     val cdfRefLen = w - a - 1 // 7
@@ -76,13 +80,13 @@ object Anomaly {
     val bound = (hi - lo) / 2
     val mid = lo + bound
     s"""
-    WITH base AS (
+    WITH ${pre}base AS (
       SELECT event_type, event_id, user_id, value,
              row_number() OVER win AS rn,
              avg(value) OVER (win ROWS BETWEEN ${a - 1} PRECEDING AND CURRENT ROW) AS act_mean,
              avg(value) OVER (win ROWS BETWEEN ${w - 1} PRECEDING AND $a PRECEDING) AS ref_mean,
              abs(value - lag(value) OVER win) AS d
-      FROM events
+      FROM $src
       WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
     ), diffs AS (
       SELECT *,
@@ -116,6 +120,8 @@ object Anomaly {
       FROM micro
     )"""
   }
+
+  private val probsCte: String = probsCteFrom("events")
 
   /** Kernel-backed conf for the permutation-test queries. */
   private val permConf = AnomalyzerConf(
@@ -1958,7 +1964,8 @@ object Anomaly {
     binsegEntry,
     maseEntry,
     sesdEntry,
-    spectralEntry
+    spectralEntry,
+    rollupDetectEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2359,6 +2366,54 @@ object Anomaly {
              round(emax / etot, 6) AS dom_share,
              round((etot * etot) / esq, 6) AS pr
       FROM st WHERE etot > 0.0"""
+    })
+
+  /** a41: aggregate-then-detect — the ops-metrics composition every
+    * monitoring stack runs: roll the raw log up to an hourly
+    * mean-value series per series key, then run the reference's FULL
+    * ensemble (magnitude short-circuit, dynamic weights, fence, cdf)
+    * on the derived series. This is the q27/WindowedRollup
+    * composition, but driver-ORACLED end to end: the DuckDB side
+    * prepends the identical rollup CTE to the SAME probsCte chain
+    * a01–a05 are checked against, so the oracle covers the
+    * composition, not just the parts. Exactness: the derived value is
+    * exact-integer micro-sum / count / 1e6 in the same IEEE order on
+    * both engines (bit-equal inputs), after which the a01–a05
+    * exactness argument applies verbatim. 100 TB shape: one
+    * map-side-combined (series, hour) rollup — output O(series×hours),
+    * corpus-independent — then the detector's single series-key
+    * shuffle over that small table; detection cost no longer scales
+    * with the raw log at all.
+    */
+  private[queries] def rollupDetectEntry: Entry =
+    Entry("a41_rollup_detect", (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ts"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(round(value * 1e6) as bigint)")).as("s6"))
+        .select(col("event_type"), col("ts"),
+          col("ts").cast("long").as("event_id"),
+          (col("s6").cast("double") / col("cnt") / lit(1e6)).as("value"))
+      Detectors.withProbsFused(hourly, col("event_type"), col("ts"),
+          Seq(col("event_id")), col("value"), spec)
+        .filter(col("rn") >= spec.windowSize)
+        .select(col("event_type"), col("event_id").as("hour_id"),
+          col("value").as("mean_v"), col("prob_ensemble"))
+    }, Some {
+      val pre = """hourly AS (
+      SELECT event_type,
+             CAST(NULL AS BIGINT) AS user_id,
+             date_trunc('hour', ts) AS ts,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+               AS event_id,
+             CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS value
+      FROM events GROUP BY 1, 3, 4),
+    """
+      s"""${probsCteFrom("hourly", pre)}
+        SELECT event_type, event_id AS hour_id, value AS mean_v,
+               prob_ensemble
+        FROM scored WHERE rn >= ${spec.windowSize}"""
     })
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

@@ -3168,7 +3168,7 @@ object Pipeline {
              rk
       FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY adot12 DESC, neighbor_id) AS BIGINT) AS rk
-            FROM sc) WHERE rk <= 5""")),
+            FROM sc) WHERE rk <= 5"""), bench = true),
 
     // ---- p64: PII scrub — the redaction pass every training-data
     // pipeline runs before anything else: detect + replace emails,
@@ -3255,7 +3255,75 @@ object Pipeline {
              md5(redacted) AS red_md5,
              CAST(length(redacted) AS BIGINT) AS red_len
       FROM red"""))
-  )
+  ) ++ Seq(dedupSavingsEntry)
+
+  /** p65: dedup-savings report — the curator dashboard that decides
+    * WHERE to set the near-dup threshold before committing to a dedup
+    * run: for each candidate threshold on p04's estimated Jaccard,
+    * how many pairs fire, how many documents the greedy
+    * drop-the-higher-id policy would remove, and what fraction of the
+    * corpus's token mass that recovers. Built ON the shared
+    * `minhashLshPairs` generator (definitionally the p04/p23/p52/p54
+    * pair set), so the report describes exactly the dedup the engine
+    * would execute. Exactness: est_jaccard values are k/64 rationals
+    * rounded to 6 decimals — exact binary doubles — so the threshold
+    * comparisons are deterministic on both engines; the token
+    * fraction is one integer HALF_UP micro-division. 100 TB shape:
+    * thresholds multiply only the PAIR table (LSH-bounded, tiny
+    * relative to the corpus) by a constant 3; the token dim join is
+    * doc-keyed; the rollup output is O(thresholds).
+    */
+  private[queries] def dedupSavingsEntry: Entry =
+    Entry("p65_dedup_savings", (s, dir) => {
+      val d = docs(s, dir)
+      val tk = d.select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+      val tot = tk.agg(sum(col("n_toks")).as("tot_toks"))
+      val thrDf = s.range(1).select(
+        explode(array(lit(0.5), lit(0.7), lit(0.9))).as("thr"))
+      val pt = minhashLshPairs(d)
+        .withColumn("thr", explode(array(lit(0.5), lit(0.7), lit(0.9))))
+        .filter(col("est_jaccard") >= col("thr"))
+      val np = pt.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+      val rm = pt.select("thr", "doc_b").distinct()
+        .join(tk, col("doc_b") === col("doc_id"))
+        .groupBy("thr").agg(count(lit(1)).as("n_removable"),
+          sum(col("n_toks")).as("toks_removable"))
+      thrDf
+        .join(np, Seq("thr"), "left")
+        .join(rm, Seq("thr"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("thr"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_removable"), lit(0L)).as("n_removable"),
+          coalesce(col("toks_removable"), lit(0L)).as("toks_removable"),
+          (expr("(coalesce(toks_removable, 0L) * 1000000 " +
+            "+ tot_toks div 2) div tot_toks").cast("long") / 1e6)
+            .as("frac_toks"))
+    }, Some(s"""
+      WITH $lshPairsOracleCtes,
+      tk AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+             FROM documents),
+      tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tot_toks FROM tk),
+      thr AS (SELECT CAST(thr AS DOUBLE) AS thr
+              FROM UNNEST([0.5, 0.7, 0.9]) t(thr)),
+      pt AS (SELECT t.thr, p.doc_a, p.doc_b FROM pairs p
+             JOIN thr t ON p.est_jaccard >= t.thr),
+      np AS (SELECT thr, count(*) AS n_pairs FROM pt GROUP BY thr),
+      rm AS (SELECT pt.thr, count(*) AS n_removable,
+               CAST(sum(k.n_toks) AS BIGINT) AS toks_removable
+             FROM (SELECT DISTINCT thr, doc_b FROM pt) pt
+             JOIN tk k ON pt.doc_b = k.doc_id
+             GROUP BY pt.thr)
+      SELECT t.thr,
+             coalesce(np.n_pairs, 0) AS n_pairs,
+             coalesce(rm.n_removable, 0) AS n_removable,
+             coalesce(rm.toks_removable, 0) AS toks_removable,
+             CAST((coalesce(rm.toks_removable, 0) * 1000000
+               + tot_toks // 2) // tot_toks AS BIGINT) / 1e6 AS frac_toks
+      FROM thr t
+      LEFT JOIN np USING (thr)
+      LEFT JOIN rm USING (thr)
+      CROSS JOIN tot"""))
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Streaming twin of q46's incremental-aggregate maintenance: the
+  * materialized view lives as per-group state — exact row count and
+  * integer-cent measure sum — and every micro-batch is the "delta"
+  * whose partial aggregate merges in, exactly the ⊎ the batch entry
+  * computes with a full-outer join of two partials. Each touched group
+  * re-emits its refreshed (count, sum, avg) row.
+  *
+  * Shape at scale: state is two longs per live group — bounded by group
+  * cardinality, never by stream length (the defining property of
+  * aggregate maintenance). The merge is integer addition, which
+  * commutes and associates, so ANY micro-batch slicing or arrival order
+  * converges to the batch aggregate of the same rows — the algebra q46
+  * pins with merged == full-recompute, held here across time instead of
+  * across a join. The average is never stored: it re-derives from the
+  * exact integer sums on emit by the same HALF_UP micro-division as the
+  * batch side, so view refreshes can never accumulate FP drift.
+  */
+object StreamingIncrementalAgg {
+
+  case class MeasureIn(flag: String, status: String, qty2: Long)
+
+  case class AggState(n: Long, q2: Long)
+
+  case class ViewOut(flag: String, status: String, n_rows: Long,
+      sum_qty: Double, avg_qty: Double)
+
+  /** The shared emit arithmetic: q46's exact-integer derivation of
+    * (sum, avg) from (count, cent-sum).
+    */
+  private[streaming] def emit(flag: String, status: String,
+      s: AggState): ViewOut =
+    ViewOut(flag, status, s.n, s.q2 / 100.0,
+      ((s.q2 * 10000L + s.n / 2) / s.n).toDouble / 1e6)
+
+  /** Update-mode stream: one refreshed view row per touched group per
+    * micro-batch.
+    */
+  def maintain(rows: DataFrame)(implicit
+      spark: SparkSession): Dataset[ViewOut] = {
+    import spark.implicits._
+    rows.as[MeasureIn]
+      .groupByKey(r => (r.flag, r.status))
+      .mapGroupsWithState[AggState, ViewOut](GroupStateTimeout.NoTimeout) {
+        case ((flag, status), batch, state) =>
+          // the micro-batch's partial aggregate, then the ⊎ merge —
+          // both pure integer addition
+          var dn = 0L
+          var dq = 0L
+          batch.foreach { r => dn += 1; dq += r.qty2 }
+          val s = state.getOption.getOrElse(AggState(0L, 0L))
+          val merged = AggState(s.n + dn, s.q2 + dq)
+          state.update(merged)
+          emit(flag, status, merged)
+      }
+  }
+}

@@ -854,4 +854,48 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
         s"share $share inconsistent with PR $pr")
     }
   }
+
+  test("a41 rollup-then-detect == kernel ensemble on the sequentially " +
+    "rolled-up hourly mean series") {
+    val conf = AnomalyzerConf(
+      activeSize = spec.activeSize, nSeasons = spec.nSeasons,
+      upperBound = spec.upperBound, lowerBound = spec.lowerBound,
+      sensitivity = spec.sensitivity,
+      methods = Seq("magnitude", "fence", "cdf"))
+    val got = Catalog.queries("a41_rollup_detect")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("long").as("tsec"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (tpe, rows) =>
+      // the rollup, sequentially: exact integer micro-sum / count / 1e6
+      // in the engines' shared op order
+      val hourly = rows.groupBy(t => t._2 - Math.floorMod(t._2, 3600L))
+        .toSeq.map { case (h, rs) =>
+          (h, rs.map(_._3).sum.toDouble / rs.length / 1e6)
+        }.sortBy(_._1)
+      hourly.indices.drop(wSize - 1).map { i =>
+        val arr = hourly.slice(i - wSize + 1, i + 1).map(_._2).toArray
+        // per-test kernel probs, then the QUERY's exact-integer micro
+        // weighted mean (probs rounded to 1e-6 BEFORE weighting — the
+        // fused expression's arithmetic, which differs from the
+        // full-precision kernel combine by 1 ulp of 1e-6 on boundary
+        // rows)
+        val pm = Ensemble.evalByTest(arr, conf, new SplittableRandom(0L))
+        val pm6 = Math.round(pm("magnitude") * 1e6)
+        val pf6 = Math.round(pm("fence") * 1e6)
+        val pc6 = Math.round(pm("cdf") * 1e6)
+        val wm = if (pm6 > 800000L) 10L else 1L
+        val wf = if (pf6 > 800000L) 10L else 1L
+        val pe = if (pm6 < Math.round(conf.sensitivity * 1e6)) 0.0
+          else Math.floor((2L * (wm * pm6 + wf * pf6 + pc6) +
+            (wm + wf + 1L)) / (2.0 * (wm + wf + 1L))) / 1e6
+        (tpe, hourly(i)._1) -> ((hourly(i)._2, pe))
+      }
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

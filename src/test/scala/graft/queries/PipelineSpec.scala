@@ -1226,4 +1226,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(docs.count { case (id, _) => id % 7 == 0 } > 0,
       "corpus must exercise the email branch")
   }
+
+  test("p65 dedup savings == recompute from the p04 pair set; counts " +
+    "and savings are monotone non-increasing in the threshold") {
+    val got = run("p65_dedup_savings").collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val pairs = run("p04_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nToks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> seqToks(r.getString(1)).length.toLong)
+      .toMap
+    val tot = nToks.values.sum
+    val expected = Seq(0.5, 0.7, 0.9).map { thr =>
+      val fired = pairs.filter(_._3 >= thr)
+      val rm = fired.map(_._2).distinct
+      val toks = rm.map(nToks).sum
+      thr -> ((fired.length.toLong, rm.length.toLong, toks,
+        ((toks * 1000000L + tot / 2) / tot).toDouble / 1e6))
+    }.toMap
+    assert(got === expected)
+    assert(got.size === 3)
+    val byThr = got.toSeq.sortBy(_._1).map(_._2)
+    byThr.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo._1 >= hi._1 && lo._2 >= hi._2 && lo._3 >= hi._3,
+        "raising the threshold cannot fire more")
+    }
+    assert(got(0.5)._1 === pairs.length.toLong,
+      "0.5 is the pair generator's own floor: everything fires")
+  }
 }
