@@ -3255,7 +3255,7 @@ object Pipeline {
              md5(redacted) AS red_md5,
              CAST(length(redacted) AS BIGINT) AS red_len
       FROM red"""))
-  ) ++ Seq(dedupSavingsEntry)
+  ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3324,6 +3324,74 @@ object Pipeline {
       LEFT JOIN np USING (thr)
       LEFT JOIN rm USING (thr)
       CROSS JOIN tot"""))
+
+  /** p66: leakage-free train/val/test split — p31's salted-hash split
+    * re-keyed by the NEAR-DUP CLUSTER id (p23's connected component)
+    * instead of the document id, so near-duplicate copies of the same
+    * content can never straddle the train/test boundary — the
+    * eval-contamination channel a per-document split leaves wide open
+    * (a test doc's near-twin in train is memorization, not
+    * generalization). Singleton docs keep cluster_id = doc_id, so
+    * their assignment is IDENTICAL to p31's; `rehomed` flags the docs
+    * whose per-document split would have differed — exactly the
+    * leakage this op removes, made visible for audit. 100 TB shape:
+    * p23's O(log n) component rounds, then one broadcast-back label
+    * join and per-row hashing — the split itself adds nothing to the
+    * component cost.
+    */
+  private[queries] def splitLeakfreeEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' " +
+        s"ELSE 'test' END"
+    Entry("p66_split_leakfree", (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+      val labels = Components.connectedComponents(pairs)
+      val bucketOf = (src: String) =>
+        expr(H.h32Spark(s"concat(cast($src as string), ':split')") +
+          " % 100")
+      d.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("bucket", bucketOf("cluster_id"))
+        .withColumn("dbucket", bucketOf("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"),
+          (when(col("dbucket") < 90, "train")
+            .when(col("dbucket") < 95, "val")
+            .otherwise("test") =!=
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test")).as("rehomed"))
+    }, Some(s"""
+      WITH RECURSIVE $lshPairsOracleCtes,
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      labels AS (SELECT u AS doc_id, min(v) AS cluster_id
+                 FROM reach GROUP BY u),
+      manifest AS (SELECT d.doc_id,
+                          coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                   FROM docs d LEFT JOIN labels l USING (doc_id)),
+      b AS (SELECT doc_id, cluster_id,
+              ${H.h32Duck("CAST(cluster_id AS VARCHAR) || ':split'")}
+                % 100 AS bucket,
+              ${H.h32Duck("CAST(doc_id AS VARCHAR) || ':split'")}
+                % 100 AS dbucket
+            FROM manifest)
+      SELECT doc_id, cluster_id, bucket,
+             ${splitCase("bucket")} AS split,
+             ${splitCase("dbucket")} <> ${splitCase("bucket")} AS rehomed
+      FROM b"""))
+  }
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

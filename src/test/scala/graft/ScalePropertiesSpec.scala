@@ -613,6 +613,17 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"interval build + the union's customer re-key only:\n$pl")
   }
 
+  test("a41: rollup-then-detect is two exchanges — the (series, hour) " +
+    "aggregate (map-side combined) and the detector's series window; " +
+    "no joins") {
+    val pl = plan("a41_rollup_detect")
+    assert(countOf(pl, "Exchange hashpartitioning") === 2,
+      s"rollup agg + series re-key only:\n$pl")
+    assert(countOf(pl, "Join") === 0, s"no joins expected:\n$pl")
+    assert(pl.contains("partial_count") || pl.contains("partial_sum"),
+      s"the rollup must combine map-side:\n$pl")
+  }
+
   test("p63: coarse centroids, codebook, probe list, and LUT all " +
     "broadcast; the corpus side never shuffles raw embeddings after " +
     "assignment") {

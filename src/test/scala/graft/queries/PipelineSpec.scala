@@ -1256,4 +1256,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0.5)._1 === pairs.length.toLong,
       "0.5 is the pair generator's own floor: everything fires")
   }
+
+  test("p66 leakage-free split: no cluster straddles splits; singleton " +
+    "docs keep p31's assignment; rehomed flags exactly the moved docs") {
+    val got = run("p66_split_leakfree").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3),
+        r.getBoolean(4)))).toMap
+    val clusters = run("p23_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val p31 = run("p31_split_assign").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.size === p31.size)
+    // same cluster -> same split, for every cluster
+    got.values.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.map(_._2).toSet.size === 1,
+        s"cluster $cid spans splits")
+    }
+    got.foreach { case (doc, (cid, split, rehomed)) =>
+      assert(cid === clusters(doc)._1, s"doc $doc cluster drift vs p23")
+      if (clusters(doc)._2 === 1L) {
+        // singleton: cluster_id == doc_id -> identical to the p31 rule
+        assert(cid === doc)
+        assert(split === p31(doc), s"doc $doc singleton split")
+        assert(!rehomed, s"doc $doc singleton cannot be rehomed")
+      }
+      // rehomed <=> the per-doc rule would have placed it elsewhere
+      assert(rehomed === (p31(doc) != split), s"doc $doc rehomed flag")
+    }
+    // the corpus's near-dup clusters must actually exercise the rehome
+    // path (clusters whose members hash to different per-doc splits)
+    // OR every cluster happens to agree — assert only consistency, and
+    // that multi-doc clusters exist at all
+    assert(clusters.values.exists(_._2 > 1L), "expected non-singletons")
+  }
 }
