@@ -1965,7 +1965,9 @@ object Anomaly {
     maseEntry,
     sesdEntry,
     spectralEntry,
-    rollupDetectEntry
+    rollupDetectEntry,
+    sketchQuantileEntry,
+    evtTailEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2415,6 +2417,194 @@ object Anomaly {
                prob_ensemble
         FROM scored WHERE rn >= ${spec.windowSize}"""
     })
+
+  /** a42's quantile targets (percent). Shared with AnomalySpec so the
+    * accuracy pin derives its ranks from the query's own constants.
+    */
+  private[graft] lazy val SketchQs: Seq[Int] = Seq(50, 90, 99)
+
+  /** a42: mergeable log2-bucket quantile sketch — the DDSketch idea
+    * (Masson/Lee/Law, VLDB'19: relative-error log-γ binning with
+    * mergeable bucket counts) at γ=2, made exact-integer so both
+    * engines bin identically: value → micro int (round(v·1e6)), bucket
+    * = bit-length of the micro int (`length(bin(m))` — integer
+    * floor(log2)+1 on BOTH engines, no libm), zero/negative → bucket 0.
+    * The sketch is the (series, bucket) count table: bounded at ≤64
+    * rows per series regardless of corpus size, count-mergeable across
+    * partitions / files / days by plain addition — THE 100 TB quantile
+    * shape (one map-side-combined shuffle builds it; quantile
+    * extraction then runs over sketch rows only, corpus-independent).
+    * q-th percentile = first bucket whose cumulative count reaches
+    * rank ceil(n·q/100); the answer is bracketed by the bucket edges
+    * [2^(b-1), 2^b − 1] micro — a ≤2× relative-error contract pinned
+    * in AnomalySpec against the exact order statistic.
+    */
+  private[queries] def sketchQuantileEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    Entry("a42_sketch_quantile", (s, dir) => {
+      val sketch = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("cast(round(value * 1e6) as bigint)").as("micro"))
+        .withColumn("bkt", when(col("micro") <= 0L, lit(0))
+          .otherwise(length(bin(col("micro")))))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("bkt")
+      val wAll = Window.partitionBy("event_type")
+      sketch
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("q", explode(array(SketchQs.map(lit(_)): _*)))
+        .filter(col("cum") >= expr("(n * q + 99) div 100"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(min(col("bkt")).as("q_bucket"), max(col("n")).as("n"))
+        .select(col("event_type"), col("q").cast("long").as("q"),
+          col("n"), col("q_bucket").cast("long").as("q_bucket"),
+          when(col("q_bucket") === 0, lit(0L))
+            .otherwise(pow(lit(2.0), col("q_bucket") - 1).cast("long"))
+            .as("est_micro"),
+          when(col("q_bucket") === 0, lit(0L))
+            .otherwise(pow(lit(2.0), col("q_bucket")).cast("long") - 1)
+            .as("est_hi_micro"))
+        .withColumn("est", col("est_micro") / lit(1e6))
+    }, Some(s"""
+      WITH m AS (SELECT event_type,
+                   CAST(round(value * 1e6) AS BIGINT) AS micro
+                 FROM events),
+      b AS (SELECT event_type,
+              CASE WHEN micro <= 0 THEN 0
+                   ELSE length(bin(micro)) END AS bkt
+            FROM m),
+      sk AS (SELECT event_type, bkt, count(*) AS cnt FROM b GROUP BY 1, 2),
+      c AS (SELECT event_type, bkt, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM sk),
+      qs AS (SELECT unnest([${SketchQs.mkString(", ")}]) AS q),
+      hit AS (SELECT c.event_type, qs.q,
+                CAST(min(c.bkt) AS BIGINT) AS q_bucket,
+                CAST(max(c.n) AS BIGINT) AS n
+              FROM c CROSS JOIN qs
+              WHERE c.cum >= (c.n * qs.q + 99) // 100
+              GROUP BY 1, 2)
+      SELECT event_type, CAST(q AS BIGINT) AS q, n, q_bucket,
+             CAST(CASE WHEN q_bucket = 0 THEN 0
+                  ELSE CAST(pow(2.0, q_bucket - 1) AS BIGINT) END
+               AS BIGINT) AS est_micro,
+             CAST(CASE WHEN q_bucket = 0 THEN 0
+                  ELSE CAST(pow(2.0, q_bucket) AS BIGINT) - 1 END
+               AS BIGINT) AS est_hi_micro,
+             CAST(CASE WHEN q_bucket = 0 THEN 0
+                  ELSE CAST(pow(2.0, q_bucket - 1) AS BIGINT) END
+               AS BIGINT) / 1e6 AS est
+      FROM hit"""), bench = false)
+  }
+
+  /** a43: peaks-over-threshold extreme-tail fit — the EVT operator of
+    * the SPOT family (Siffer et al., KDD'17: anomaly thresholds from a
+    * generalized-Pareto fit to threshold exceedances) in a one-pass
+    * mergeable form: the threshold u is the moment bound mean+std
+    * (not an order statistic, so pass 1 is a plain map-side-combined
+    * aggregate), and the GPD (ξ, σ) come from the method-of-moments
+    * estimator ξ = ½(1 − m²/v), σ = ½m(1 + m²/v) over exceedances
+    * y = value − u. Cross-engine exactness: u lives on the micro-int
+    * grid (round-to-int of a double both engines build identically),
+    * so the exceedance filter is an INTEGER compare that cannot flip
+    * on ulps; exceedance moments are exact integer sums (Spark
+    * DECIMAL(38) / DuckDB HUGEINT for the squares) cast to double at
+    * the very end. 100 TB shape: two corpus scans (threshold, then
+    * exceedance moments), both map-side combined; the 5-row threshold
+    * dim broadcasts back — no corpus-sized shuffle or join anywhere.
+    * The pow-based return-level curve is deliberately NOT in the
+    * oracle (data-dependent exponent → libm pow risk); AnomalySpec
+    * pins it against a sequential recompute instead.
+    */
+  private[queries] def evtTailEntry: Entry =
+    Entry("a43_evt_tail", (s, dir) => {
+      val micro = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("cast(round(value * 1e6) as bigint)").as("micro"))
+      val thr = micro.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("micro")).as("s1"),
+          sum(col("micro").cast("decimal(19,0)") *
+            col("micro").cast("decimal(19,0)")).as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mean_m"),
+          (((col("s2").cast("double") / col("n")) -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n"))) * col("n") /
+            (col("n") - 1)).as("var_s"))
+        .select(col("event_type"), col("n"),
+          expr("cast(round(mean_m + sqrt(var_s)) as bigint)")
+            .as("u_micro"))
+      val exc = micro.join(broadcast(thr), Seq("event_type"))
+        .filter(col("micro") > col("u_micro"))
+        .withColumn("y", col("micro") - col("u_micro"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("k"),
+          sum(col("y")).as("e1"),
+          sum(col("y").cast("decimal(19,0)") *
+            col("y").cast("decimal(19,0)")).as("e2"))
+        .select(col("event_type"), col("k"),
+          (col("e1").cast("double") / col("k")).as("mean_e"),
+          ((col("e2").cast("double") / col("k")) -
+            (col("e1").cast("double") / col("k")) *
+            (col("e1").cast("double") / col("k"))).as("var_e"))
+      thr.join(exc, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          round(col("u_micro") / lit(1e6), 6).as("u"),
+          coalesce(col("k"), lit(0L)).as("n_exc"),
+          round(coalesce(col("k"), lit(0L)).cast("double") / col("n"), 6)
+            .as("tail_frac"),
+          round(col("mean_e") / lit(1e6), 6).as("mean_exc"),
+          when(col("k") >= 2 && col("var_e") > 0,
+            round(lit(0.5) * (lit(1.0) -
+              col("mean_e") * col("mean_e") / col("var_e")), 6))
+            .as("xi"),
+          when(col("k") >= 2 && col("var_e") > 0,
+            round(lit(0.5) * (col("mean_e") / lit(1e6)) * (lit(1.0) +
+              col("mean_e") * col("mean_e") / col("var_e")), 6))
+            .as("sigma"))
+    }, Some("""
+      WITH m AS (SELECT event_type,
+                   CAST(round(value * 1e6) AS BIGINT) AS micro
+                 FROM events),
+      t AS (SELECT event_type, count(*) AS n, sum(micro) AS s1,
+                   sum(CAST(micro AS HUGEINT) * micro) AS s2
+            FROM m GROUP BY 1),
+      u AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST(round(CAST(s1 AS DOUBLE) / n +
+                sqrt(((CAST(s2 AS DOUBLE) / n -
+                  (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  * n) / (n - 1))) AS BIGINT) AS u_micro
+            FROM t),
+      e AS (SELECT m.event_type, count(*) AS k,
+                   sum(m.micro - u.u_micro) AS e1,
+                   sum(CAST(m.micro - u.u_micro AS HUGEINT) *
+                       (m.micro - u.u_micro)) AS e2
+            FROM m JOIN u USING (event_type)
+            WHERE m.micro > u.u_micro
+            GROUP BY 1),
+      s AS (SELECT u.event_type, u.n, u.u_micro,
+                   CAST(e.k AS BIGINT) AS k,
+                   CAST(e.e1 AS DOUBLE) / e.k AS mean_e,
+                   CAST(e.e2 AS DOUBLE) / e.k -
+                     (CAST(e.e1 AS DOUBLE) / e.k) *
+                     (CAST(e.e1 AS DOUBLE) / e.k) AS var_e
+            FROM u LEFT JOIN e USING (event_type))
+      SELECT event_type, n, round(u_micro / 1e6, 6) AS u,
+             coalesce(k, 0) AS n_exc,
+             round(CAST(coalesce(k, 0) AS DOUBLE) / n, 6) AS tail_frac,
+             round(mean_e / 1e6, 6) AS mean_exc,
+             CASE WHEN k >= 2 AND var_e > 0
+                  THEN round(0.5 * (1.0 - mean_e * mean_e / var_e), 6)
+             END AS xi,
+             CASE WHEN k >= 2 AND var_e > 0
+                  THEN round(0.5 * (mean_e / 1e6) *
+                    (1.0 + mean_e * mean_e / var_e), 6)
+             END AS sigma
+      FROM s"""))
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`
     * (declared above) constructs.

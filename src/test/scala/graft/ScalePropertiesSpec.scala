@@ -643,4 +643,27 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"assignment window, encode agg, score agg, rank — nothing " +
         s"else may shuffle:\n$pl")
   }
+
+  test("a42: the quantile sketch partial-aggregates map-side; after " +
+    "the one (series, bucket) shuffle everything runs over sketch " +
+    "rows (<=64/series) — no joins, no corpus-sized second pass") {
+    val pl = plan("a42_sketch_quantile")
+    assert(pl.contains("partial_count"),
+      s"bucket counts must combine map-side:\n$pl")
+    assert(countOf(pl, "Exchange hashpartitioning") <= 2,
+      s"sketch build + the sketch-row window re-key only:\n$pl")
+    assert(countOf(pl, "Join") === 0, s"no joins expected:\n$pl")
+  }
+
+  test("a43: EVT tail — the 5-row threshold dim broadcasts back onto " +
+    "the corpus (never a sort-merge join); both moment passes " +
+    "partial-aggregate map-side") {
+    val pl = plan("a43_evt_tail")
+    assert(countOf(pl, "BroadcastHashJoin") >= 1,
+      s"threshold dim must broadcast:\n$pl")
+    assert(countOf(pl, "SortMergeJoin") === 0,
+      s"no corpus-sized sort-merge joins:\n$pl")
+    assert(pl.contains("partial_count") || pl.contains("partial_sum"),
+      s"moment sums must combine map-side:\n$pl")
+  }
 }

@@ -898,4 +898,97 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  /** (event_type) -> sorted micro-int values, the a42/a43 ground truth. */
+  private lazy val microByType: Map[String, Array[Long]] =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("cast(round(value * 1e6) as bigint)").as("m"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+
+  test("a42 sketch quantile: bucket edges bracket the exact order " +
+    "statistic (the <=2x relative-error contract); sketch counts merge " +
+    "across disjoint halves") {
+    val out = Catalog.queries("a42_sketch_quantile")(spark, sfDir).collect()
+    assert(out.length === microByType.size * Anomaly.SketchQs.size)
+    out.foreach { r =>
+      val (et, q, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (bkt, lo, hi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val xs = microByType(et)
+      assert(n === xs.length.toLong, s"$et n")
+      val rank = ((n * q + 99) / 100).toInt // ceil(nq/100), ints exact
+      val exact = xs(rank - 1)
+      if (bkt > 0) {
+        assert(lo <= exact && exact <= hi,
+          s"$et q$q: exact $exact outside sketch bracket [$lo, $hi]")
+        assert(hi === 2 * lo - 1, s"$et q$q: gamma=2 bucket edges")
+      } else assert(exact <= 0, s"$et q$q: zero bucket only for <=0")
+      assert(r.getDouble(6) === lo / 1e6, s"$et q$q: est is the lower edge")
+    }
+    // mergeability: bucket counts over two disjoint halves (split by
+    // event_id parity — an arbitrary partition) ADD to the full sketch,
+    // i.e. the sketch state is count-mergeable with no rescan
+    def sketch(f: org.apache.spark.sql.DataFrame) = f
+      .select(col("event_type"),
+        expr("cast(round(value * 1e6) as bigint)").as("micro"))
+      .withColumn("bkt", when(col("micro") <= 0L, lit(0))
+        .otherwise(length(bin(col("micro")))))
+      .groupBy("event_type", "bkt").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+    val full = sketch(ev)
+    val a = sketch(ev.filter(col("event_id") % 2 === 0))
+    val b = sketch(ev.filter(col("event_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === full, "half-sketches must add to the full sketch")
+  }
+
+  test("a43 EVT tail == sequential method-of-moments recompute, " +
+    "exactly; GPD invariants hold") {
+    val out = Catalog.queries("a43_evt_tail")(spark, sfDir).collect()
+    assert(out.length === microByType.size)
+    out.foreach { r =>
+      val et = r.getString(0)
+      val xs = microByType(et)
+      val n = xs.length
+      // exact integer sums -> the doubles are fold-order-independent
+      val s1 = xs.sum
+      val s2 = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val mean = s1.toDouble / n
+      val varS = ((s2.toDouble / n - mean * mean) * n) / (n - 1)
+      val uMicro = Math.round(mean + math.sqrt(varS))
+      val ys = xs.filter(_ > uMicro).map(_ - uMicro)
+      val k = ys.length
+      assert(r.getLong(1) === n.toLong, s"$et n")
+      assert(r.getDouble(2) === rnd6(uMicro / 1e6), s"$et u")
+      assert(r.getLong(3) === k.toLong, s"$et n_exc")
+      assert(r.getDouble(4) === rnd6(k.toDouble / n), s"$et tail_frac")
+      assert(k >= 2, s"$et: mean+std threshold must leave exceedances")
+      val e1 = ys.sum
+      val e2 = ys.map(y => BigInt(y) * BigInt(y)).sum
+      val meanE = e1.toDouble / k
+      val varE = e2.toDouble / k - meanE * meanE
+      assert(r.getDouble(5) === rnd6(meanE / 1e6), s"$et mean_exc")
+      val ratio = meanE * meanE / varE
+      assert(r.getDouble(6) === rnd6(0.5 * (1.0 - ratio)), s"$et xi")
+      assert(r.getDouble(7) === rnd6(0.5 * (meanE / 1e6) * (1.0 + ratio)),
+        s"$et sigma")
+      // method-of-moments invariants: xi < 1/2 by construction, sigma
+      // > 0, and the implied return level is monotone in the period
+      val (xi, sg) = (r.getDouble(6), r.getDouble(7))
+      assert(xi < 0.5 && sg > 0.0, s"$et GPD params out of range")
+      val u = r.getDouble(2)
+      val zs = Seq(2.0, 10.0, 100.0).map { mult =>
+        // POT return level for exceedance prob (k/n)/mult
+        if (math.abs(xi) < 1e-12) u + sg * math.log(mult)
+        else u + sg / xi * (math.pow(mult, xi) - 1.0)
+      }
+      assert(zs === zs.sorted, s"$et return levels must be monotone")
+      assert(zs.head > u, s"$et return level must exceed the threshold")
+    }
+  }
 }
