@@ -1967,7 +1967,8 @@ object Anomaly {
     spectralEntry,
     rollupDetectEntry,
     sketchQuantileEntry,
-    evtTailEntry
+    evtTailEntry,
+    distDriftEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2605,6 +2606,98 @@ object Anomaly {
                     (1.0 + mean_e * mean_e / var_e), 6)
              END AS sigma
       FROM s"""))
+
+  /** a44: distribution drift between the first and second half of each
+    * series' observation stream, measured on a42's log2 sketch buckets
+    * — the population-stability check behind "did this metric's SHAPE
+    * change", which mean/variance drift (a14) misses entirely. The
+    * drift statistic is total-variation distance ½·Σ|p_b − q_b| kept
+    * EXACT-integer until the last step: |p − q| = |cnt1·n2 − cnt2·n1| /
+    * (n1·n2), so the summed numerator is an exact BIGINT (≤64 buckets ×
+    * n², far under 2^63) and TV is ONE double division — no libm, no
+    * rounding, no fold-order sensitivity anywhere. Also emits the
+    * argmax drifting bucket (ties → smallest bucket) and its signed
+    * second-minus-first numerator. 100 TB shape: the series window
+    * (rank split) and the (series, half, bucket) count are the only
+    * corpus-sized steps — both one shuffle, the count map-side
+    * combined; the TV aggregation runs over sketch rows (≤128/series).
+    */
+  private[queries] def distDriftEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    Entry("a44_dist_drift", (s, dir) => {
+      val wSer = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val wAll = Window.partitionBy("event_type")
+      val halves = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("cast(round(value * 1e6) as bigint)").as("micro"))
+        .withColumn("rn", row_number().over(wSer))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("half",
+          when(col("rn") <= expr("n div 2"), lit(1)).otherwise(lit(2)))
+        .withColumn("bkt", when(col("micro") <= 0L, lit(0))
+          .otherwise(length(bin(col("micro")))))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+      val wTot = Window.partitionBy("event_type")
+      val scored = halves
+        .withColumn("n1", sum(col("c1")).over(wTot))
+        .withColumn("n2", sum(col("c2")).over(wTot))
+        .withColumn("num", col("c1") * col("n2") - col("c2") * col("n1"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("event_type")
+          .orderBy(abs(col("num")).desc, col("bkt").asc)))
+      scored.groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(abs(col("num"))).as("tv_num"),
+          max(when(col("rk") === 1, col("bkt"))).cast("long")
+            .as("drift_bucket"),
+          max(when(col("rk") === 1, -col("num"))).as("drift_num"))
+        .select(col("event_type"), col("n1"), col("n2"), col("tv_num"),
+          (col("tv_num") / (lit(2.0) * col("n1") * col("n2"))).as("tv"),
+          col("drift_bucket"), col("drift_num"))
+    }, Some("""
+      WITH m AS (SELECT event_type, ts, event_id,
+                   CAST(round(value * 1e6) AS BIGINT) AS micro
+                 FROM events),
+      r AS (SELECT event_type, micro,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY ts, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM m),
+      h AS (SELECT event_type,
+              CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS half,
+              CASE WHEN micro <= 0 THEN 0
+                   ELSE length(bin(micro)) END AS bkt
+            FROM r),
+      sk AS (SELECT event_type, bkt,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c1,
+               CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c2
+             FROM h GROUP BY 1, 2),
+      t AS (SELECT event_type, bkt, c1, c2,
+              sum(c1) OVER (PARTITION BY event_type) AS n1,
+              sum(c2) OVER (PARTITION BY event_type) AS n2
+            FROM sk),
+      d AS (SELECT event_type, bkt, n1, n2,
+              c1 * n2 - c2 * n1 AS num,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(c1 * n2 - c2 * n1) DESC, bkt ASC) AS rk
+            FROM t)
+      SELECT event_type,
+             CAST(max(n1) AS BIGINT) AS n1,
+             CAST(max(n2) AS BIGINT) AS n2,
+             CAST(sum(abs(num)) AS BIGINT) AS tv_num,
+             CAST(sum(abs(num)) AS BIGINT) /
+               (2.0 * CAST(max(n1) AS BIGINT) * CAST(max(n2) AS BIGINT))
+               AS tv,
+             CAST(max(CASE WHEN rk = 1 THEN bkt END) AS BIGINT)
+               AS drift_bucket,
+             CAST(max(CASE WHEN rk = 1 THEN -num END) AS BIGINT)
+               AS drift_num
+      FROM d GROUP BY 1"""))
+  }
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`
     * (declared above) constructs.

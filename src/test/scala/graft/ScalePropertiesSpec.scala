@@ -666,4 +666,13 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(pl.contains("partial_count") || pl.contains("partial_sum"),
       s"moment sums must combine map-side:\n$pl")
   }
+
+  test("a44: drift rides ONE series-key shuffle — the half-split " +
+    "window, the bucket counts, the share windows, and the final TV " +
+    "aggregate all reuse the same event_type partitioning; no joins") {
+    val pl = plan("a44_dist_drift")
+    assert(countOf(pl, "Exchange hashpartitioning") === 1,
+      s"everything must reuse the series partitioning:\n$pl")
+    assert(countOf(pl, "Join") === 0, s"no joins expected:\n$pl")
+  }
 }

@@ -991,4 +991,39 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(zs.head > u, s"$et return level must exceed the threshold")
     }
   }
+
+  test("a44 distribution drift == exact sequential TV recompute over " +
+    "the half-split sketches; TV bounded in [0,1]") {
+    val out = Catalog.queries("a44_dist_drift")(spark, sfDir).collect()
+    // ordered micro stream per series, the query's (ts, event_id) order
+    val streams: Map[String, Array[Long]] = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1e6) as bigint)").as("m"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(3)) }
+    assert(out.length === streams.size)
+    def bkt(m: Long): Int =
+      if (m <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+    out.foreach { r =>
+      val et = r.getString(0)
+      val xs = streams(et)
+      val n1 = xs.length / 2
+      val (first, second) = xs.splitAt(n1)
+      val n2 = second.length
+      assert(r.getLong(1) === n1.toLong && r.getLong(2) === n2.toLong)
+      val c1 = first.groupBy(bkt).map { case (b, v) => b -> v.length.toLong }
+      val c2 = second.groupBy(bkt).map { case (b, v) => b -> v.length.toLong }
+      val nums = (c1.keySet ++ c2.keySet).toSeq.sorted.map { b =>
+        b -> (c1.getOrElse(b, 0L) * n2 - c2.getOrElse(b, 0L) * n1)
+      }
+      val tvNum = nums.map { case (_, d) => math.abs(d) }.sum
+      assert(r.getLong(3) === tvNum, s"$et tv_num")
+      assert(r.getDouble(4) === tvNum / (2.0 * n1 * n2), s"$et tv")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"$et range")
+      val (topB, topD) = nums.maxBy { case (b, d) => (math.abs(d), -b) }
+      assert(r.getLong(5) === topB.toLong, s"$et drift_bucket")
+      assert(r.getLong(6) === -topD, s"$et drift_num (second minus first)")
+    }
+  }
 }
