@@ -2530,6 +2530,9 @@ object Anomaly {
           sum(col("micro")).as("s1"),
           sum(col("micro").cast("decimal(19,0)") *
             col("micro").cast("decimal(19,0)")).as("s2"))
+        // a tail fit needs >= 2 points: degenerate series emit no row
+        // (also keeps the n-1 divisor away from ANSI's x/0 error)
+        .filter(col("n") >= 2)
         .select(col("event_type"), col("n"),
           (col("s1").cast("double") / col("n")).as("mean_m"),
           (((col("s2").cast("double") / col("n")) -
@@ -2579,7 +2582,7 @@ object Anomaly {
                 sqrt(((CAST(s2 AS DOUBLE) / n -
                   (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                   * n) / (n - 1))) AS BIGINT) AS u_micro
-            FROM t),
+            FROM t WHERE n >= 2),
       e AS (SELECT m.event_type, count(*) AS k,
                    sum(m.micro - u.u_micro) AS e1,
                    sum(CAST(m.micro - u.u_micro AS HUGEINT) *
@@ -2654,7 +2657,10 @@ object Anomaly {
             .as("drift_bucket"),
           max(when(col("rk") === 1, -col("num"))).as("drift_num"))
         .select(col("event_type"), col("n1"), col("n2"), col("tv_num"),
-          (col("tv_num") / (lit(2.0) * col("n1") * col("n2"))).as("tv"),
+          // one-row series (n1 = 0) have no drift question to answer:
+          // NULL tv, and the guard keeps ANSI's x/0 error out
+          when(col("n1") > 0 && col("n2") > 0,
+            col("tv_num") / (lit(2.0) * col("n1") * col("n2"))).as("tv"),
           col("drift_bucket"), col("drift_num"))
     }, Some("""
       WITH m AS (SELECT event_type, ts, event_id,
@@ -2689,9 +2695,10 @@ object Anomaly {
              CAST(max(n1) AS BIGINT) AS n1,
              CAST(max(n2) AS BIGINT) AS n2,
              CAST(sum(abs(num)) AS BIGINT) AS tv_num,
-             CAST(sum(abs(num)) AS BIGINT) /
-               (2.0 * CAST(max(n1) AS BIGINT) * CAST(max(n2) AS BIGINT))
-               AS tv,
+             CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+               CAST(sum(abs(num)) AS BIGINT) /
+                 (2.0 * CAST(max(n1) AS BIGINT) * CAST(max(n2) AS BIGINT))
+             END AS tv,
              CAST(max(CASE WHEN rk = 1 THEN bkt END) AS BIGINT)
                AS drift_bucket,
              CAST(max(CASE WHEN rk = 1 THEN -num END) AS BIGINT)

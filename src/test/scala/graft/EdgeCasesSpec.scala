@@ -49,4 +49,20 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
         s"$name should be empty on empty input")
     }
   }
+
+  test("a43/a44 survive a one-row series: degenerate moments emit no " +
+    "tail fit (a43) and a NULL drift (a44), never an ANSI x/0 error") {
+    val dir = Files.createTempDirectory("graft-singleton-corpus").toFile
+    dir.deleteOnExit()
+    spark.read.parquet(s"$sfDir/events.parquet").limit(1)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val tail = queries.Catalog.queries("a43_evt_tail")(
+      spark, dir.getAbsolutePath).collect()
+    assert(tail.isEmpty, "a tail fit needs >= 2 points")
+    val drift = queries.Catalog.queries("a44_dist_drift")(
+      spark, dir.getAbsolutePath).collect()
+    assert(drift.length === 1)
+    assert(drift.head.isNullAt(4), "one-row series must report NULL tv")
+  }
 }
