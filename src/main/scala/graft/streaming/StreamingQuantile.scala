@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming twin of a42's mergeable log2-bucket quantile sketch: the
+  * sketch lives as per-series state — a bucket→count map, ≤64 entries
+  * no matter how long the stream runs — and every micro-batch's
+  * partial bucket counts merge in by plain addition, the same ⊎ the
+  * batch query's map-side combine performs. Each touched series
+  * re-emits its refreshed percentile rows (same extraction rule as
+  * a42: rank ceil(n·q/100), first bucket whose cumulative count
+  * reaches it, estimate = the bucket's lower edge).
+  *
+  * Shape at scale: state is bounded by series-count × 64 longs, never
+  * by stream length — the defining property of sketch maintenance.
+  * Count addition commutes and associates, so ANY micro-batch slicing
+  * or arrival order converges to the batch a42 answer over the same
+  * rows — pinned in StreamingQuantileSpec as streaming-final ==
+  * batch-query, row for row.
+  */
+object StreamingQuantile {
+
+  case class ObsIn(event_type: String, micro: Long)
+
+  case class SketchState(counts: Map[Int, Long])
+
+  case class QOut(event_type: String, q: Long, n: Long, q_bucket: Long,
+      est_micro: Long, est_hi_micro: Long, est: Double)
+
+  /** a42's bucket function: bit-length of the micro int (integer
+    * floor(log2)+1), zero/negative → bucket 0.
+    */
+  private[streaming] def bucket(micro: Long): Int =
+    if (micro <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(micro)
+
+  /** a42's extraction rule over a sketch: for each percentile q, the
+    * first bucket whose cumulative count reaches rank ceil(n·q/100),
+    * bracketed by the bucket edges.
+    */
+  private[streaming] def extract(et: String, counts: Map[Int, Long],
+      qs: Seq[Int]): Seq[QOut] = {
+    val n = counts.valuesIterator.sum
+    val sorted = counts.toSeq.sortBy(_._1)
+    qs.map { q =>
+      val rank = (n * q + 99) / 100
+      var cum = 0L
+      var hit = -1
+      sorted.foreach { case (b, c) =>
+        cum += c
+        if (hit < 0 && cum >= rank) hit = b
+      }
+      val lo = if (hit == 0) 0L else 1L << (hit - 1)
+      val hi = if (hit == 0) 0L else (1L << hit) - 1
+      QOut(et, q.toLong, n, hit.toLong, lo, hi, lo / 1e6)
+    }
+  }
+
+  /** Update-mode stream: refreshed percentile rows per touched series
+    * per micro-batch.
+    */
+  def maintain(rows: DataFrame, qs: Seq[Int])(implicit
+      spark: SparkSession): Dataset[QOut] = {
+    import spark.implicits._
+    rows.as[ObsIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SketchState, QOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (et, batch, state) =>
+          // the micro-batch's partial sketch, then the ⊎ merge — both
+          // pure integer bucket-count addition
+          val delta = collection.mutable.Map.empty[Int, Long]
+          batch.foreach { r =>
+            val b = bucket(r.micro)
+            delta.update(b, delta.getOrElse(b, 0L) + 1L)
+          }
+          val prev = state.getOption.getOrElse(SketchState(Map.empty)).counts
+          val merged = (prev.keySet ++ delta.keySet).map(b =>
+            b -> (prev.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+          state.update(SketchState(merged))
+          extract(et, merged, qs).iterator
+      }
+  }
+}
