@@ -303,6 +303,9 @@ object Pipeline {
     * oracle and p23's cluster oracle so both checks see definitionally
     * identical pair sets. Declared ABOVE `entries` — object init order
     * would otherwise interpolate null into the oracle strings.
+    * `sigs`/`pairs` are AS MATERIALIZED: the recursive-closure oracles
+    * (p23/p66/p67) otherwise re-inline the whole LSH pipeline into
+    * every fixpoint iteration (measured ~13x slower at sf0.01).
     */
   private val lshPairsOracleCtes: String = {
     import graft.functions.{HashScheme => H}
@@ -311,7 +314,7 @@ object Pipeline {
                list_transform(range(1, len(toks)-3), j ->
                  ${H.h32Duck("array_to_string(toks[j:j+4], ' ')")})
              ELSE [] END AS hs FROM docs),
-      sigs AS (SELECT doc_id, list_transform(range(0, ${H.MinHashK}), i ->
+      sigs AS MATERIALIZED (SELECT doc_id, list_transform(range(0, ${H.MinHashK}), i ->
           list_min(list_transform(hs, h ->
             (${H.minhashALiteral}[i+1]*h + ${H.minhashBLiteral}[i+1])
               % ${H.MinHashP}))) AS sig
@@ -322,7 +325,7 @@ object Pipeline {
                FROM banded x JOIN banded y
                  ON x.band = y.band AND x.bucket = y.bucket
                  AND x.doc_id < y.doc_id),
-      pairs AS (SELECT c.doc_a, c.doc_b,
+      pairs AS MATERIALIZED (SELECT c.doc_a, c.doc_b,
         round(list_sum(list_transform(range(1, ${H.MinHashK + 1}), i ->
           CASE WHEN sa.sig[i] = sb.sig[i] THEN 1.0 ELSE 0.0 END))
           / ${H.MinHashK}, 6) AS est_jaccard
@@ -969,7 +972,7 @@ object Pipeline {
         .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
     }, Some(s"""
       WITH RECURSIVE $lshPairsOracleCtes,
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
                 UNION SELECT doc_b, doc_a FROM pairs),
       reach(u, v) AS (
         SELECT u, u FROM edges
@@ -2422,7 +2425,7 @@ object Pipeline {
       }.mkString(",\n      ")
       s"""
       WITH $lshPairsOracleCtes,
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
       e AS (SELECT src, dst, deg FROM edges JOIN dg USING (src)),
@@ -3255,7 +3258,7 @@ object Pipeline {
              md5(redacted) AS red_md5,
              CAST(length(redacted) AS BIGINT) AS red_len
       FROM red"""))
-  ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry)
+  ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3370,7 +3373,7 @@ object Pipeline {
               .otherwise("test")).as("rehomed"))
     }, Some(s"""
       WITH RECURSIVE $lshPairsOracleCtes,
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
                 UNION SELECT doc_b, doc_a FROM pairs),
       reach(u, v) AS (
         SELECT u, u FROM edges
@@ -3391,6 +3394,89 @@ object Pipeline {
              ${splitCase("bucket")} AS split,
              ${splitCase("dbucket")} <> ${splitCase("bucket")} AS rehomed
       FROM b"""))
+  }
+
+  /** p67: train/test leakage audit — the evaluation-side proof that
+    * p66's cluster-keyed split is worth its extra join: over the SAME
+    * LSH near-dup pair set both splits would consume, count the pairs
+    * whose endpoints land in different splits ("straddles" — each one
+    * is a memorization channel from train into eval) under (a) p31's
+    * per-document rule and (b) p66's cluster-keyed rule. (b) is ZERO by
+    * construction — every LSH pair lies inside one connected component,
+    * and a component has one split — and the oracle proves that
+    * invariant independently on DuckDB's recursive closure rather than
+    * trusting the Spark implementation. Leak fraction is the exact
+    * HALF_UP micro-division used everywhere else. 100 TB shape: the
+    * pair table (LSH-bounded) joins the component labels twice on the
+    * pair endpoints — label table is O(docs in pairs), far below the
+    * corpus; the splits are per-row hashes, no extra pass over the
+    * corpus at all.
+    */
+  private[queries] def leakageAuditEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    def splitCol(c: String): Column = {
+      val b = expr(H.h32Spark(s"concat(cast($c as string), ':split')") +
+        " % 100")
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    def splitSql(c: String): String = {
+      val b = s"(${H.h32Duck(s"CAST($c AS VARCHAR) || ':split'")} % 100)"
+      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' " +
+        s"ELSE 'test' END"
+    }
+    Entry("p67_leakage_audit", (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+      val labels = Components.connectedComponents(pairs)
+      pairs
+        .join(labels.withColumnRenamed("node", "doc_a")
+          .withColumnRenamed("label", "ca"), Seq("doc_a"))
+        .join(labels.withColumnRenamed("node", "doc_b")
+          .withColumnRenamed("label", "cb"), Seq("doc_b"))
+        .select(
+          (splitCol("doc_a") =!= splitCol("doc_b")).cast("long").as("sd"),
+          (splitCol("ca") =!= splitCol("cb")).cast("long").as("sc"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("sd")), lit(0L)).as("n_straddle_doc"),
+          coalesce(sum(col("sc")), lit(0L)).as("n_straddle_cluster"))
+        .select(col("n_pairs"), col("n_straddle_doc"),
+          col("n_straddle_cluster"),
+          when(col("n_pairs") > 0,
+            expr("cast((n_straddle_doc * 1000000 + n_pairs div 2) " +
+              "div n_pairs as bigint)") / lit(1e6))
+            .otherwise(lit(0.0)).as("leak_frac_doc"))
+    }, Some(s"""
+      WITH RECURSIVE $lshPairsOracleCtes,
+      edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      labels AS (SELECT u AS doc_id, min(v) AS cluster_id
+                 FROM reach GROUP BY u),
+      j AS (SELECT p.doc_a, p.doc_b, la.cluster_id AS ca,
+                   lb.cluster_id AS cb
+            FROM pairs p JOIN labels la ON p.doc_a = la.doc_id
+                         JOIN labels lb ON p.doc_b = lb.doc_id),
+      f AS (SELECT
+              CASE WHEN ${splitSql("doc_a")} <> ${splitSql("doc_b")}
+                THEN 1 ELSE 0 END AS sd,
+              CASE WHEN ${splitSql("ca")} <> ${splitSql("cb")}
+                THEN 1 ELSE 0 END AS sc
+            FROM j),
+      agg AS (SELECT count(*) AS n_pairs,
+                CAST(coalesce(sum(sd), 0) AS BIGINT) AS n_straddle_doc,
+                CAST(coalesce(sum(sc), 0) AS BIGINT)
+                  AS n_straddle_cluster
+              FROM f)
+      SELECT CAST(n_pairs AS BIGINT) AS n_pairs, n_straddle_doc,
+             n_straddle_cluster,
+             CASE WHEN n_pairs > 0 THEN
+               CAST((n_straddle_doc * 1000000 + n_pairs // 2)
+                 // n_pairs AS BIGINT) / 1e6
+             ELSE 0.0 END AS leak_frac_doc
+      FROM agg"""))
   }
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so

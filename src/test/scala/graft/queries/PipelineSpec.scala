@@ -1289,4 +1289,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // that multi-doc clusters exist at all
     assert(clusters.values.exists(_._2 > 1L), "expected non-singletons")
   }
+
+  test("p67 leakage audit: recomputes from the shared pair set and the " +
+    "two split rules; cluster-keyed straddles are zero by construction") {
+    val r = run("p67_leakage_audit").collect()
+    assert(r.length === 1)
+    val (nPairs, sDoc, sCluster, frac) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+        r.head.getDouble(3))
+    // recompute from the published p04 pair set and p31/p66 splits
+    val pairs = run("p04_dedup_minhash_lsh").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val p31 = run("p31_split_assign").collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    val p66 = run("p66_split_leakfree").collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(nPairs === pairs.length.toLong)
+    assert(sDoc ===
+      pairs.count { case (a, b) => p31(a) != p31(b) }.toLong,
+      "per-doc straddle count must match the p31 rule over p04 pairs")
+    assert(sCluster === 0L,
+      "the cluster-keyed split may never straddle a near-dup pair")
+    assert(sCluster ===
+      pairs.count { case (a, b) => p66(a) != p66(b) }.toLong)
+    val want =
+      if (pairs.isEmpty) 0.0
+      else (sDoc * 1000000L + nPairs / 2) / nPairs / 1e6
+    assert(frac === want, "HALF_UP micro leak fraction")
+    // the audit must have teeth on this corpus: the per-doc rule leaks
+    assert(sDoc > 0L, "expected real leakage under the per-doc split")
+  }
 }
