@@ -1968,7 +1968,8 @@ object Anomaly {
     rollupDetectEntry,
     sketchQuantileEntry,
     evtTailEntry,
-    distDriftEntry
+    distDriftEntry,
+    incidentCorrEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2388,22 +2389,31 @@ object Anomaly {
     * shuffle over that small table; detection cost no longer scales
     * with the raw log at all.
     */
-  private[queries] def rollupDetectEntry: Entry =
-    Entry("a41_rollup_detect", (s, dir) => {
-      val hourly = Tables.events(s, dir)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ts"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(expr("cast(round(value * 1e6) as bigint)")).as("s6"))
-        .select(col("event_type"), col("ts"),
-          col("ts").cast("long").as("event_id"),
-          (col("s6").cast("double") / col("cnt") / lit(1e6)).as("value"))
-      Detectors.withProbsFused(hourly, col("event_type"), col("ts"),
-          Seq(col("event_id")), col("value"), spec)
-        .filter(col("rn") >= spec.windowSize)
-        .select(col("event_type"), col("event_id").as("hour_id"),
-          col("value").as("mean_v"), col("prob_ensemble"))
-    }, Some {
-      val pre = """hourly AS (
+  /** a41/a45's shared hourly-rollup detector: (series, hour) mean
+    * series (exact micro-sum/count/1e6), scored by the full ensemble.
+    * Returns (event_type, hour_id, mean_v, prob_ensemble).
+    */
+  private def hourlyScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(round(value * 1e6) as bigint)")).as("s6"))
+      .select(col("event_type"), col("ts"),
+        col("ts").cast("long").as("event_id"),
+        (col("s6").cast("double") / col("cnt") / lit(1e6)).as("value"))
+    Detectors.withProbsFused(hourly, col("event_type"), col("ts"),
+        Seq(col("event_id")), col("value"), spec)
+      .filter(col("rn") >= spec.windowSize)
+      .select(col("event_type"), col("event_id").as("hour_id"),
+        col("value").as("mean_v"), col("prob_ensemble"))
+  }
+
+  /** The DuckDB twin of [[hourlyScored]]'s input CTE, prepended to
+    * probsCteFrom("hourly", ...) by the a41/a45 oracles. lazy:
+    * referenced while `entries` (declared above) constructs.
+    */
+  private lazy val hourlyPre: String = """hourly AS (
       SELECT event_type,
              CAST(NULL AS BIGINT) AS user_id,
              date_trunc('hour', ts) AS ts,
@@ -2413,11 +2423,85 @@ object Anomaly {
                / count(*) / 1e6 AS value
       FROM events GROUP BY 1, 3, 4),
     """
-      s"""${probsCteFrom("hourly", pre)}
+
+  private[queries] def rollupDetectEntry: Entry =
+    Entry("a41_rollup_detect", (s, dir) => hourlyScored(s, dir),
+      Some(s"""${probsCteFrom("hourly", hourlyPre)}
         SELECT event_type, event_id AS hour_id, value AS mean_v,
                prob_ensemble
-        FROM scored WHERE rn >= ${spec.windowSize}"""
+        FROM scored WHERE rn >= ${spec.windowSize}"""))
+
+  /** a45's alert threshold on the hourly ensemble (round6-hardened on
+    * both engines, so the compare cannot flip). Shared with AnomalySpec.
+    */
+  private[graft] lazy val IncidentThreshold = 0.8
+
+  /** a45: incident correlation — the on-call "is this ONE incident or
+    * five" question: for every pair of series, how often do their
+    * hourly anomalies (a41's ensemble > threshold) co-occur, beyond
+    * what their individual alert rates predict? Per pair over the
+    * hours BOTH series have warmed-up scores: flagged-hour counts, the
+    * co-occurrence Jaccard |A∩B|/|A∪B|, and the lift
+    * P(both)/(P(a)·P(b)) = n_both·n_hours/(n_a·n_b) — both as exact
+    * HALF_UP micro-divisions of integer counts, so nothing floating
+    * crosses an engine boundary. 100 TB shape: the detector output is
+    * O(series×hours) — corpus-independent — and the pair join is
+    * hour-keyed over that small flag table; with S series it emits
+    * O(S²) pairs per hour, the op's true scale knob (restrict the
+    * series universe, not the corpus, when S is large).
+    */
+  private[queries] def incidentCorrEntry: Entry = {
+    def microDiv(num: String, den: String): String =
+      s"cast(($num * 1000000L + $den div 2) div $den as bigint)"
+    Entry("a45_incident_corr", (s, dir) => {
+      val flags = hourlyScored(s, dir)
+        .select(col("event_type"), col("hour_id"),
+          (col("prob_ensemble") > IncidentThreshold).cast("long")
+            .as("flag"))
+      val x = flags.toDF("type_a", "hour_id", "fa")
+      val y = flags.toDF("type_b", "hour_id", "fb")
+      x.join(y, Seq("hour_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("fa")).as("n_a"), sum(col("fb")).as("n_b"),
+          sum(col("fa") * col("fb")).as("n_both"))
+        .select(col("type_a"), col("type_b"), col("n_hours"),
+          col("n_a"), col("n_b"), col("n_both"),
+          when(col("n_a") + col("n_b") - col("n_both") > 0,
+            expr(microDiv("n_both", "(n_a + n_b - n_both)")) / lit(1e6))
+            .otherwise(lit(0.0)).as("jaccard"),
+          when(col("n_a") * col("n_b") > 0,
+            expr(microDiv("(n_both * n_hours)", "(n_a * n_b)")) /
+              lit(1e6))
+            .otherwise(lit(0.0)).as("lift"))
+    }, Some {
+      def microDivSql(num: String, den: String): String =
+        s"CAST(($num * 1000000 + $den // 2) // $den AS BIGINT)"
+      s"""${probsCteFrom("hourly", hourlyPre)},
+      fl AS (SELECT event_type, event_id AS hour_id,
+               CASE WHEN prob_ensemble > $IncidentThreshold
+                 THEN 1 ELSE 0 END AS flag
+             FROM scored WHERE rn >= ${spec.windowSize}),
+      pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+               count(*) AS n_hours,
+               CAST(sum(x.flag) AS BIGINT) AS n_a,
+               CAST(sum(y.flag) AS BIGINT) AS n_b,
+               CAST(sum(x.flag * y.flag) AS BIGINT) AS n_both
+             FROM fl x JOIN fl y ON x.hour_id = y.hour_id
+               AND x.event_type < y.event_type
+             GROUP BY 1, 2)
+      SELECT type_a, type_b, CAST(n_hours AS BIGINT) AS n_hours,
+             n_a, n_b, n_both,
+             CASE WHEN (n_a + n_b - n_both) > 0 THEN
+               ${microDivSql("n_both", "(n_a + n_b - n_both)")} / 1e6
+             ELSE 0.0 END AS jaccard,
+             CASE WHEN (n_a * n_b) > 0 THEN
+               ${microDivSql("(n_both * n_hours)", "(n_a * n_b)")} / 1e6
+             ELSE 0.0 END AS lift
+      FROM pr"""
     })
+  }
 
   /** a42's quantile targets (percent). Shared with AnomalySpec so the
     * accuracy pin derives its ranks from the query's own constants.

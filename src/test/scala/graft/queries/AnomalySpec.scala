@@ -1026,4 +1026,37 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(6) === -topD, s"$et drift_num (second minus first)")
     }
   }
+
+  test("a45 incident correlation == exact recompute from a41's scored " +
+    "hours; jaccard/lift are the HALF_UP micro-divisions") {
+    val scored = Catalog.queries("a41_rollup_detect")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val flagOf = scored.map { case (t, h, p) =>
+      (t, h) -> (if (p > Anomaly.IncidentThreshold) 1L else 0L)
+    }.toMap
+    val hoursOf = scored.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._2).toSet
+    }
+    val out = Catalog.queries("a45_incident_corr")(spark, sfDir).collect()
+    val types = hoursOf.keySet.toSeq.sorted
+    assert(out.length === types.size * (types.size - 1) / 2)
+    def micro(num: Long, den: Long): Double =
+      if (den <= 0) 0.0 else ((num * 1000000L + den / 2) / den) / 1e6
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val shared = (hoursOf(a) intersect hoursOf(b)).toSeq
+      val na = shared.count(h => flagOf((a, h)) == 1L).toLong
+      val nb = shared.count(h => flagOf((b, h)) == 1L).toLong
+      val both = shared.count(h =>
+        flagOf((a, h)) == 1L && flagOf((b, h)) == 1L).toLong
+      assert(r.getLong(2) === shared.size.toLong, s"$a/$b n_hours")
+      assert(r.getLong(3) === na && r.getLong(4) === nb, s"$a/$b counts")
+      assert(r.getLong(5) === both, s"$a/$b n_both")
+      assert(r.getDouble(6) === micro(both, na + nb - both), s"$a/$b j")
+      assert(r.getDouble(7) ===
+        micro(both * shared.size, na * nb), s"$a/$b lift")
+    }
+    // the corpus must exercise real co-occurrence, not all-zero pairs
+    assert(out.exists(_.getLong(5) > 0L), "expected co-occurring alerts")
+  }
 }
