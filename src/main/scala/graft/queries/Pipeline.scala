@@ -3258,7 +3258,8 @@ object Pipeline {
              md5(redacted) AS red_md5,
              CAST(length(redacted) AS BIGINT) AS red_len
       FROM red"""))
-  ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry)
+  ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
+    mixtureBudgetEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3478,6 +3479,121 @@ object Pipeline {
              ELSE 0.0 END AS leak_frac_doc
       FROM agg"""))
   }
+
+  /** p68: token-budget mixture allocation by water-filling — the
+    * curator op that turns "sample 90% of the corpus, balanced across
+    * sources" into per-source quotas: each round splits the remaining
+    * budget equally over unsaturated sources (integer division —
+    * deterministic), sources whose whole token mass fits inside their
+    * quota saturate (take everything, exit), and their unused budget
+    * redistributes next round; 3 rounds unrolled (fixed-point for any
+    * realistic source skew — the spec pins that round 3 changes
+    * nothing here), leftover emitted as `slack`. EVERY quantity is an
+    * exact integer (token counts, integer-div quotas, HALF_UP micro
+    * rates) so the oracle is bit-for-bit. 100 TB shape: one map-side-
+    * combined (source) aggregate over the corpus; all redistribution
+    * math runs on the O(sources) dim via broadcast cross joins — the
+    * corpus is scanned exactly once.
+    */
+  private[queries] def mixtureBudgetEntry: Entry =
+    Entry("p68_mixture_budget", (s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("source"), size(toks).cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("t"))
+      val tot = tk.agg(sum(col("t")).as("tt"), count(lit(1)).as("ns"))
+        .select(col("tt"), col("ns"), expr("(tt * 9L) div 10L").as("b1"))
+      val r1 = tk.crossJoin(broadcast(tot))
+        .withColumn("q1", expr("b1 div ns"))
+        .withColumn("sat1", col("t") <= col("q1"))
+      val a1 = r1.agg(
+        coalesce(sum(when(col("sat1"), col("t"))), lit(0L)).as("used1"),
+        coalesce(sum(when(col("sat1"), 1L)), lit(0L)).as("k1"))
+      val r2 = r1.crossJoin(broadcast(a1))
+        .withColumn("b2", col("b1") - col("used1"))
+        .withColumn("u2", col("ns") - col("k1"))
+        .withColumn("q2",
+          when(col("u2") > 0, expr("b2 div u2")).otherwise(lit(0L)))
+        .withColumn("sat2", !col("sat1") && col("t") <= col("q2"))
+      val a2 = r2.agg(
+        coalesce(sum(when(col("sat2"), col("t"))), lit(0L)).as("used2"),
+        coalesce(sum(when(col("sat2"), 1L)), lit(0L)).as("k2"))
+      val r3 = r2.crossJoin(broadcast(a2))
+        .withColumn("b3", col("b2") - col("used2"))
+        .withColumn("u3", col("u2") - col("k2"))
+        .withColumn("q3",
+          when(col("u3") > 0, expr("b3 div u3")).otherwise(lit(0L)))
+        .withColumn("sat3", !col("sat1") && !col("sat2") &&
+          col("t") <= col("q3"))
+      val a3 = r3.agg(
+        coalesce(sum(when(col("sat3"), col("t"))), lit(0L)).as("used3"),
+        coalesce(sum(when(col("sat3"), 1L)), lit(0L)).as("k3"))
+      r3.crossJoin(broadcast(a3))
+        .withColumn("b4", col("b3") - col("used3"))
+        .withColumn("u4", col("u3") - col("k3"))
+        .withColumn("q4",
+          when(col("u4") > 0, expr("b4 div u4")).otherwise(lit(0L)))
+        .select(col("source"), col("t").as("t_toks"),
+          when(col("sat1") || col("sat2") || col("sat3"), col("t"))
+            .otherwise(col("q4")).as("alloc"),
+          when(col("sat1"), 1L).when(col("sat2"), 2L)
+            .when(col("sat3"), 3L).otherwise(0L).as("sat_round"),
+          (col("b4") - col("u4") * col("q4")).as("slack"))
+        .withColumn("rate", when(col("t_toks") > 0,
+          expr("cast((alloc * 1000000L + t_toks div 2) div t_toks " +
+            "as bigint)") / lit(1e6)).otherwise(lit(0.0)))
+    }, Some(s"""
+      WITH tk AS (SELECT source,
+                    CAST(sum(len($toksSql)) AS BIGINT) AS t
+                  FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+                     count(*) AS ns,
+                     (CAST(sum(t) AS BIGINT) * 9) // 10 AS b1
+              FROM tk),
+      r1 AS (SELECT tk.*, tot.ns, tot.b1, tot.b1 // tot.ns AS q1,
+                    tk.t <= tot.b1 // tot.ns AS sat1
+             FROM tk CROSS JOIN tot),
+      a1 AS (SELECT CAST(coalesce(sum(CASE WHEN sat1 THEN t END), 0)
+                      AS BIGINT) AS used1,
+                    CAST(coalesce(sum(CASE WHEN sat1 THEN 1 END), 0)
+                      AS BIGINT) AS k1
+             FROM r1),
+      r2 AS (SELECT r1.*, b1 - used1 AS b2, ns - k1 AS u2,
+                    CASE WHEN ns - k1 > 0
+                      THEN (b1 - used1) // (ns - k1) ELSE 0 END AS q2
+             FROM r1 CROSS JOIN a1),
+      r2f AS (SELECT r2.*, NOT sat1 AND t <= q2 AS sat2 FROM r2),
+      a2 AS (SELECT CAST(coalesce(sum(CASE WHEN sat2 THEN t END), 0)
+                      AS BIGINT) AS used2,
+                    CAST(coalesce(sum(CASE WHEN sat2 THEN 1 END), 0)
+                      AS BIGINT) AS k2
+             FROM r2f),
+      r3 AS (SELECT r2f.*, b2 - used2 AS b3, u2 - k2 AS u3,
+                    CASE WHEN u2 - k2 > 0
+                      THEN (b2 - used2) // (u2 - k2) ELSE 0 END AS q3
+             FROM r2f CROSS JOIN a2),
+      r3f AS (SELECT r3.*, NOT sat1 AND NOT sat2 AND t <= q3 AS sat3
+              FROM r3),
+      a3 AS (SELECT CAST(coalesce(sum(CASE WHEN sat3 THEN t END), 0)
+                      AS BIGINT) AS used3,
+                    CAST(coalesce(sum(CASE WHEN sat3 THEN 1 END), 0)
+                      AS BIGINT) AS k3
+             FROM r3f),
+      fin AS (SELECT r3f.*, b3 - used3 AS b4, u3 - k3 AS u4,
+                     CASE WHEN u3 - k3 > 0
+                       THEN (b3 - used3) // (u3 - k3) ELSE 0 END AS q4
+              FROM r3f CROSS JOIN a3)
+      SELECT source, t AS t_toks,
+             CAST(CASE WHEN sat1 OR sat2 OR sat3 THEN t ELSE q4 END
+               AS BIGINT) AS alloc,
+             CAST(CASE WHEN sat1 THEN 1 WHEN sat2 THEN 2
+                  WHEN sat3 THEN 3 ELSE 0 END AS BIGINT) AS sat_round,
+             CAST(b4 - u4 * q4 AS BIGINT) AS slack,
+             CASE WHEN t > 0 THEN
+               CAST((CAST(CASE WHEN sat1 OR sat2 OR sat3 THEN t
+                 ELSE q4 END AS BIGINT) * 1000000 + t // 2) // t
+                 AS BIGINT) / 1e6
+             ELSE 0.0 END AS rate
+      FROM fin"""))
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

@@ -1319,4 +1319,49 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // the audit must have teeth on this corpus: the per-doc rule leaks
     assert(sDoc > 0L, "expected real leakage under the per-doc split")
   }
+
+  test("p68 mixture budget == sequential water-filling recompute; " +
+    "budget conserves; 3 rounds reach the fixed point on this corpus") {
+    val out = run("p68_mixture_budget").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.nonEmpty)
+    val t = out.map { case (s, v) => s -> v._1 }
+    val total = t.values.sum
+    val budget = total * 9 / 10
+    // sequential water-fill, 3 rounds
+    var remaining = budget
+    var unsat = t.keySet
+    val satRound = collection.mutable.Map.empty[String, Long]
+    (1 to 3).foreach { round =>
+      if (unsat.nonEmpty) {
+        val q = remaining / unsat.size
+        val newlySat = unsat.filter(s => t(s) <= q)
+        newlySat.foreach { s =>
+          satRound(s) = round.toLong
+          remaining -= t(s)
+        }
+        unsat = unsat -- newlySat
+      }
+    }
+    val q4 = if (unsat.isEmpty) 0L else remaining / unsat.size
+    out.foreach { case (s, (ts, alloc, sr, slack, rate)) =>
+      val wantAlloc = if (satRound.contains(s)) t(s) else q4
+      assert(alloc === wantAlloc, s"$s alloc")
+      assert(sr === satRound.getOrElse(s, 0L), s"$s sat_round")
+      assert(alloc <= ts, s"$s alloc may never exceed its mass")
+      assert(slack === remaining - unsat.size * q4, s"$s slack")
+      val wantRate =
+        if (ts > 0) ((alloc * 1000000L + ts / 2) / ts) / 1e6 else 0.0
+      assert(rate === wantRate, s"$s HALF_UP rate")
+      if (satRound.contains(s)) assert(rate === 1.0, s"$s saturated rate")
+    }
+    // conservation: allocations + slack == the declared budget
+    assert(out.values.map(_._2).sum + (remaining - unsat.size * q4)
+      === budget, "budget conservation")
+    // corpus must exercise redistribution AND converge by round 3:
+    assert(satRound.nonEmpty, "expected saturated sources")
+    assert(unsat.forall(s => t(s) > q4),
+      "3 rounds must reach the water-filling fixed point here")
+  }
 }
