@@ -1969,7 +1969,8 @@ object Anomaly {
     sketchQuantileEntry,
     evtTailEntry,
     distDriftEntry,
-    incidentCorrEntry
+    incidentCorrEntry,
+    alertEpisodesEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2788,6 +2789,66 @@ object Anomaly {
              CAST(max(CASE WHEN rk = 1 THEN -num END) AS BIGINT)
                AS drift_num
       FROM d GROUP BY 1"""))
+  }
+
+  /** a46: alert-episode statistics — the alert-fatigue view of a41's
+    * hourly ensemble: maximal runs of CONSECUTIVE flagged hours are one
+    * "episode" (the unit on-call actually experiences; a45 asks who
+    * alerts together, a46 asks how long and how often each series
+    * alerts). Classic gaps-and-islands: island key = hour_id − 3600·rn
+    * over flagged hours — constant exactly within a consecutive run —
+    * then per-series episode count, HALF_UP micro mean length, max
+    * length, and the longest episode's start hour (earliest-start
+    * ties). All integer arithmetic. 100 TB shape: the detector output
+    * is O(series×hours); both windows and both aggregates ride the
+    * series partitioning — corpus-independent beyond a41's rollup.
+    */
+  private[queries] def alertEpisodesEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    Entry("a46_alert_episodes", (s, dir) => {
+      val wSer = Window.partitionBy("event_type").orderBy("hour_id")
+      val flagged = hourlyScored(s, dir)
+        .filter(col("prob_ensemble") > IncidentThreshold)
+        .withColumn("rn", row_number().over(wSer))
+        .withColumn("isl", col("hour_id") - lit(3600L) * col("rn"))
+      val episodes = flagged.groupBy(col("event_type"), col("isl"))
+        .agg(count(lit(1)).as("len"), min(col("hour_id")).as("start"))
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(col("len").desc, col("start").asc)
+      episodes
+        .withColumn("rk", row_number().over(wPick))
+        .groupBy(col("event_type"))
+        .agg(sum(col("len")).as("n_flagged"),
+          count(lit(1)).as("n_episodes"),
+          max(col("len")).as("max_len"),
+          max(when(col("rk") === 1, col("start"))).as("longest_start"))
+        .select(col("event_type"), col("n_flagged"), col("n_episodes"),
+          (expr("cast((n_flagged * 1000000L + n_episodes div 2) div " +
+            "n_episodes as bigint)") / lit(1e6)).as("mean_len"),
+          col("max_len"), col("longest_start"))
+    }, Some(s"""${probsCteFrom("hourly", hourlyPre)},
+      fl AS (SELECT event_type, event_id AS hour_id,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY event_id) AS rw
+             FROM scored
+             WHERE rn >= ${spec.windowSize}
+               AND prob_ensemble > $IncidentThreshold),
+      ep AS (SELECT event_type, hour_id - 3600 * rw AS isl,
+               count(*) AS len, min(hour_id) AS start
+             FROM fl GROUP BY 1, 2),
+      rk AS (SELECT event_type, len, start,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY len DESC, start ASC) AS r
+             FROM ep)
+      SELECT event_type,
+             CAST(sum(len) AS BIGINT) AS n_flagged,
+             count(*) AS n_episodes,
+             CAST((CAST(sum(len) AS BIGINT) * 1000000 + count(*) // 2)
+               // count(*) AS BIGINT) / 1e6 AS mean_len,
+             CAST(max(len) AS BIGINT) AS max_len,
+             CAST(max(CASE WHEN r = 1 THEN start END) AS BIGINT)
+               AS longest_start
+      FROM rk GROUP BY 1"""))
   }
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

@@ -1059,4 +1059,38 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     // the corpus must exercise real co-occurrence, not all-zero pairs
     assert(out.exists(_.getLong(5) > 0L), "expected co-occurring alerts")
   }
+
+  test("a46 alert episodes == sequential islands recompute from a41's " +
+    "scored hours; multi-hour episodes exist") {
+    val flagged = Catalog.queries("a41_rollup_detect")(spark, sfDir)
+      .collect()
+      .filter(_.getDouble(3) > Anomaly.IncidentThreshold)
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val out = Catalog.queries("a46_alert_episodes")(spark, sfDir)
+      .collect()
+    assert(out.length === flagged.size)
+    out.foreach { r =>
+      val et = r.getString(0)
+      val hours = flagged(et)
+      // sequential episode split: break when the gap exceeds one hour
+      val episodes = hours.foldLeft(List.empty[List[Long]]) {
+        case (acc, h) => acc match {
+          case cur :: rest if cur.head + 3600L == h =>
+            (h :: cur) :: rest
+          case _ => List(h) :: acc
+        }
+      }.map(e => (e.length.toLong, e.min))
+      assert(r.getLong(1) === hours.length.toLong, s"$et n_flagged")
+      assert(r.getLong(2) === episodes.size.toLong, s"$et n_episodes")
+      val meanWant =
+        ((hours.length.toLong * 1000000L + episodes.size / 2) /
+          episodes.size) / 1e6
+      assert(r.getDouble(3) === meanWant, s"$et mean_len")
+      assert(r.getLong(4) === episodes.map(_._1).max, s"$et max_len")
+      val longest = episodes.minBy { case (len, start) => (-len, start) }
+      assert(r.getLong(5) === longest._2, s"$et longest_start")
+    }
+    assert(out.exists(_.getLong(4) > 1L), "expected multi-hour episodes")
+  }
 }
