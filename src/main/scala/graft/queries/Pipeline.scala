@@ -256,8 +256,12 @@ object Pipeline {
       .filter(col("rk") <= 5)
   }
 
-  private def ivfOracle(nprobe: Int): String = s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+  /** The p15 IVF chain as a CTE list ending in `ivf_topk` — shared by
+    * the p15 oracle and p69's recall report so both checks see the
+    * definitionally identical index.
+    */
+  private def ivfOracleCtes(nprobe: Int): String = s"""
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
                    list_transform(embedding::DOUBLE[],
                      x -> CAST(round(x*1000000) AS BIGINT)) AS ei
                  FROM embeddings),
@@ -277,11 +281,15 @@ object Pipeline {
                WHERE q.vec_id % 50 = 0 AND q.rk <= $nprobe),
       sims AS (SELECT query_id, neighbor_id,
                       round(list_cosine_similarity(qemb, nemb), 6) AS cos_sim
-               FROM cand)
-      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+               FROM cand),
+      ivf_topk AS (SELECT query_id, neighbor_id, cos_sim, rk FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, neighbor_id) AS rk
-        FROM sims) WHERE rk <= 5"""
+        FROM sims) WHERE rk <= 5)"""
+
+  private def ivfOracle(nprobe: Int): String = s"""
+      WITH ${ivfOracleCtes(nprobe)}
+      SELECT query_id, neighbor_id, cos_sim, rk FROM ivf_topk"""
 
   /** p20's pack budget (tokens per context window) and bucket width
     * (doc-ids per prefix-sum bucket).
@@ -3259,7 +3267,7 @@ object Pipeline {
              CAST(length(redacted) AS BIGINT) AS red_len
       FROM red"""))
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
-    mixtureBudgetEntry)
+    mixtureBudgetEntry, annRecallEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3594,6 +3602,54 @@ object Pipeline {
                  AS BIGINT) / 1e6
              ELSE 0.0 END AS rate
       FROM fin"""))
+
+  /** p69: ANN recall report — the index-quality eval every serving
+    * team runs before trusting an approximate index: per query vector,
+    * recall@5 of the IVF index (p15, nprobe=2) against the exact
+    * brute-force top-5 (p07), as an exact HALF_UP micro-fraction. Both
+    * retrieval lists come from the CATALOG ENTRIES THEMSELVES (the run
+    * lambdas compose Catalog.queries at execution time), so the report
+    * evaluates exactly the artifacts the driver oracles — no shadow
+    * reimplementation to drift. The oracle rebuilds both sides from
+    * the shared ivf_topk CTE chain plus p07's exact chain over the
+    * same `e`. 100 TB shape: the report itself is a (query, neighbor)
+    * equi-join of two k·Q-row top-k tables — negligible next to the
+    * retrievals it audits; the retrievals keep their own documented
+    * shapes.
+    */
+  private[queries] def annRecallEntry: Entry =
+    Entry("p69_ann_recall", (s, dir) => {
+      val exact = Catalog.queries("p07_sim_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Catalog.queries("p15_sim_ivf")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_exact"), col("n_hits"),
+          (expr("cast((n_hits * 1000000L + n_exact div 2) div n_exact " +
+            "as bigint)") / lit(1e6)).as("recall"))
+    }, Some(s"""
+      WITH ${ivfOracleCtes(2)},
+      ex_sims AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.emb, n.emb), 6) AS cos_sim
+             FROM e q JOIN e n ON q.vec_id != n.vec_id
+             WHERE q.vec_id % 50 = 0),
+      ex AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+               FROM ex_sims) WHERE rk <= 5),
+      m AS (SELECT ex.query_id, count(*) AS n_exact,
+              CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM ex LEFT JOIN ivf_topk iv
+              USING (query_id, neighbor_id)
+            GROUP BY 1)
+      SELECT query_id, CAST(n_exact AS BIGINT) AS n_exact, n_hits,
+             CAST((n_hits * 1000000 + n_exact // 2) // n_exact
+               AS BIGINT) / 1e6 AS recall
+      FROM m"""))
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

@@ -1364,4 +1364,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(unsat.forall(s => t(s) > q4),
       "3 rounds must reach the water-filling fixed point here")
   }
+
+  test("p69 ANN recall report == set intersection of the p07 and p15 " +
+    "catalog outputs; recall is imperfect but nonzero at nprobe=2") {
+    val exact = run("p07_sim_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = run("p15_sim_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = run("p69_ann_recall").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val byQuery = exact.groupBy(_._1)
+    assert(out.keySet === byQuery.keySet)
+    byQuery.foreach { case (q, neighbors) =>
+      val hits = neighbors.count(ivf.contains).toLong
+      val n = neighbors.length.toLong
+      val (nExact, nHits, recall) = out(q)
+      assert(nExact === n, s"q$q n_exact")
+      assert(nHits === hits, s"q$q n_hits")
+      assert(recall === ((hits * 1000000L + n / 2) / n) / 1e6,
+        s"q$q HALF_UP recall")
+    }
+    val recalls = out.values.map(_._3)
+    assert(recalls.exists(_ > 0.0), "nprobe=2 must find something")
+    assert(recalls.exists(_ < 1.0),
+      "an honest approximate index misses something here")
+  }
 }
