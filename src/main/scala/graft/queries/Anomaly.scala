@@ -1970,7 +1970,8 @@ object Anomaly {
     evtTailEntry,
     distDriftEntry,
     incidentCorrEntry,
-    alertEpisodesEntry
+    alertEpisodesEntry,
+    quantileTrendEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2849,6 +2850,111 @@ object Anomaly {
              CAST(max(CASE WHEN r = 1 THEN start END) AS BIGINT)
                AS longest_start
       FROM rk GROUP BY 1"""))
+  }
+
+  /** a47: quantile trend from merged sketches — the "daily p95 plus
+    * trailing-7-day p95" ops panel, computed the way a 100 TB system
+    * MUST compute it: the corpus is scanned ONCE into per-(series, day)
+    * log2-bucket sketches (a42's binning), the daily p95 reads its
+    * day's sketch, and the trailing-7-day p95 comes from MERGING the
+    * seven daily sketches by bucket-count addition — never re-reading
+    * raw data. The merge join runs over sketch rows (O(series × days ×
+    * 64)), so a month of trailing windows costs the same as one. The
+    * absent-bucket subtlety is handled by joining the day spine to the
+    * sketch (a bucket missing on day d but present on d−3 still counts
+    * in d's merged sketch — a rangeBetween window over existing rows
+    * would silently drop it). All integer arithmetic; estimates are
+    * bucket lower edges, same contract as a42.
+    */
+  private[queries] def quantileTrendEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    Entry("a47_quantile_trend", (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          date_trunc("DAY", col("ts")).cast("long").as("day_id"),
+          expr("cast(round(value * 1e6) as bigint)").as("micro"))
+        .withColumn("bkt", when(col("micro") <= 0L, lit(0))
+          .otherwise(length(bin(col("micro")))))
+        .groupBy(col("event_type"), col("day_id"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // read twice: the daily path and the merge join
+      def pick(sketch: org.apache.spark.sql.DataFrame, dayCol: String)
+          : org.apache.spark.sql.DataFrame = {
+        val wCum = Window.partitionBy("event_type", dayCol).orderBy("bkt")
+        val wAll = Window.partitionBy("event_type", dayCol)
+        sketch
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .filter(col("cum") >= expr("(n * 95L + 99L) div 100L"))
+          .groupBy(col("event_type"), col(dayCol))
+          .agg(min(col("bkt")).as("qb"), max(col("n")).as("n"))
+          .select(col("event_type"), col(dayCol), col("n"),
+            when(col("qb") === 0, lit(0L))
+              .otherwise(pow(lit(2.0), col("qb") - 1).cast("long"))
+              .as("p95_micro"))
+      }
+      val dayQ = pick(daily, "day_id")
+        .toDF("event_type", "day_id", "n_day", "p95_day_micro")
+      val spine = daily.select(col("event_type"), col("day_id")).distinct()
+      val merged = spine.toDF("event_type", "d")
+        .join(daily, Seq("event_type"))
+        .filter(col("day_id") <= col("d") &&
+          col("day_id") >= col("d") - lit(6L * 86400L))
+        .groupBy(col("event_type"), col("d"), col("bkt"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val weekQ = pick(merged, "d")
+        .toDF("event_type", "day_id", "n_7d", "p95_7d_micro")
+      dayQ.join(weekQ, Seq("event_type", "day_id"))
+        .select(col("event_type"), col("day_id"), col("n_day"),
+          (col("p95_day_micro") / lit(1e6)).as("p95_day"),
+          col("n_7d"), (col("p95_7d_micro") / lit(1e6)).as("p95_7d"))
+    }, Some("""
+      WITH m AS (SELECT event_type,
+                   CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                     AS day_id,
+                   CAST(round(value * 1e6) AS BIGINT) AS micro
+                 FROM events),
+      daily AS (SELECT event_type, day_id,
+                  CASE WHEN micro <= 0 THEN 0
+                       ELSE length(bin(micro)) END AS bkt,
+                  count(*) AS cnt
+                FROM m GROUP BY 1, 2, 3),
+      dq AS (SELECT event_type, day_id,
+               CAST(max(n) AS BIGINT) AS n_day,
+               CAST(min(bkt) AS BIGINT) AS qb
+             FROM (SELECT event_type, day_id, bkt, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type, day_id
+                       ORDER BY bkt) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type, day_id)
+                       AS n
+                   FROM daily)
+             WHERE cum >= (n * 95 + 99) // 100
+             GROUP BY 1, 2),
+      spine AS (SELECT DISTINCT event_type, day_id AS d FROM daily),
+      merged AS (SELECT s.event_type, s.d, x.bkt,
+                   CAST(sum(x.cnt) AS BIGINT) AS cnt
+                 FROM spine s JOIN daily x ON s.event_type = x.event_type
+                   AND x.day_id <= s.d AND x.day_id >= s.d - 6 * 86400
+                 GROUP BY 1, 2, 3),
+      wq AS (SELECT event_type, d AS day_id,
+               CAST(max(n) AS BIGINT) AS n_7d,
+               CAST(min(bkt) AS BIGINT) AS qb
+             FROM (SELECT event_type, d, bkt, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type, d
+                       ORDER BY bkt) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type, d) AS n
+                   FROM merged)
+             WHERE cum >= (n * 95 + 99) // 100
+             GROUP BY 1, 2)
+      SELECT dq.event_type, dq.day_id, dq.n_day,
+             CASE WHEN dq.qb = 0 THEN 0
+                  ELSE CAST(pow(2.0, dq.qb - 1) AS BIGINT) END / 1e6
+               AS p95_day,
+             wq.n_7d,
+             CASE WHEN wq.qb = 0 THEN 0
+                  ELSE CAST(pow(2.0, wq.qb - 1) AS BIGINT) END / 1e6
+               AS p95_7d
+      FROM dq JOIN wq USING (event_type, day_id)"""))
   }
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

@@ -1093,4 +1093,52 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(out.exists(_.getLong(4) > 1L), "expected multi-hour episodes")
   }
+
+  test("a47 quantile trend == sequential per-day and merged-7d sketch " +
+    "recompute; estimates bracket the exact trailing p95") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        date_trunc("DAY", col("ts")).cast("long").as("d"),
+        expr("cast(round(value * 1e6) as bigint)").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def bkt(m: Long): Int =
+      if (m <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+    def sketchP95(ms: Seq[Long]): (Long, Long) = {
+      // (n, p95 lower-edge micro) by a42's extraction rule
+      val counts = ms.groupBy(bkt).map { case (b, v) =>
+        b -> v.size.toLong
+      }.toSeq.sortBy(_._1)
+      val n = ms.size.toLong
+      val rank = (n * 95L + 99L) / 100L
+      var cum = 0L
+      var hit = -1
+      counts.foreach { case (b, c) =>
+        cum += c; if (hit < 0 && cum >= rank) hit = b
+      }
+      (n, if (hit == 0) 0L else 1L << (hit - 1))
+    }
+    val byDay = rows.groupBy(r => (r._1, r._2))
+    val out = Catalog.queries("a47_quantile_trend")(spark, sfDir)
+      .collect()
+    assert(out.length === byDay.size)
+    out.foreach { r =>
+      val (et, d) = (r.getString(0), r.getLong(1))
+      val dayMs = byDay((et, d)).map(_._3).toSeq
+      val (nDay, pDay) = sketchP95(dayMs)
+      assert(r.getLong(2) === nDay, s"$et/$d n_day")
+      assert(r.getDouble(3) === pDay / 1e6, s"$et/$d p95_day")
+      val weekMs = rows.filter(x =>
+        x._1 == et && x._2 <= d && x._2 >= d - 6L * 86400L).map(_._3)
+      val (n7, p7) = sketchP95(weekMs.toSeq)
+      assert(r.getLong(4) === n7, s"$et/$d n_7d")
+      assert(r.getDouble(5) === p7 / 1e6, s"$et/$d p95_7d")
+      // bracket contract on the merged sketch: lower edge <= exact
+      // trailing p95 <= upper edge (gamma=2)
+      val sorted = weekMs.sorted
+      val exact = sorted(((n7 * 95L + 99L) / 100L - 1L).toInt)
+      if (p7 > 0L)
+        assert(p7 <= exact && exact <= 2L * p7 - 1L,
+          s"$et/$d exact $exact outside [${p7}, ${2 * p7 - 1}]")
+    }
+  }
 }
