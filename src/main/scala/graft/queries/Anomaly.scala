@@ -1971,7 +1971,8 @@ object Anomaly {
     distDriftEntry,
     incidentCorrEntry,
     alertEpisodesEntry,
-    quantileTrendEntry
+    quantileTrendEntry,
+    sloBurnEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -2955,6 +2956,94 @@ object Anomaly {
                   ELSE CAST(pow(2.0, wq.qb - 1) AS BIGINT) END / 1e6
                AS p95_7d
       FROM dq JOIN wq USING (event_type, day_id)"""))
+  }
+
+  /** a48's error budget: at most 5% of scored hours may alert. The 5%
+    * makes the burn rate an exact integer — burn = frac/0.05 =
+    * frac·20 in micro units, no FP division anywhere.
+    */
+  private[graft] lazy val SloBudgetPct = 5L
+
+  /** a48: SLO error-budget burn rate — the SRE multiwindow pager
+    * (Google SRE workbook's multiwindow-multirate policy, public) over
+    * a41's hourly alerts: per (series, day), the flagged-hour fraction
+    * of the trailing 1-day and 7-day windows, each expressed as a burn
+    * MULTIPLE of the 5% budget, and page = both multiples > 2 (the
+    * short window confirms the long one — a stale incident can't page
+    * forever, a blip can't page at all). Counts are integers, fractions
+    * HALF_UP micro-divisions, and the budget division is exact (×20):
+    * nothing floating crosses an engine boundary. 100 TB shape: the
+    * per-(series, day) flag totals are O(series×days); the trailing
+    * sums ride the a47 day-spine join over that dim — corpus-
+    * independent beyond the rollup scan.
+    */
+  private[queries] def sloBurnEntry: Entry = {
+    def burn(frac: String) = s"($frac * ${100L / SloBudgetPct})"
+    Entry("a48_slo_burn", (s, dir) => {
+      val daily = hourlyScored(s, dir)
+        .groupBy(col("event_type"),
+          expr("cast(hour_id - (hour_id % 86400) as bigint)").as("day_id"))
+        .agg(count(lit(1)).as("h"),
+          sum((col("prob_ensemble") > IncidentThreshold).cast("long"))
+            .as("f"))
+        .persist() // spine + two trailing joins read it
+      val spine = daily.select(col("event_type"), col("day_id")).distinct()
+      def trailing(days: Long, fc: String, hc: String) = spine
+        .toDF("event_type", "d")
+        .join(daily, Seq("event_type"))
+        .filter(col("day_id") <= col("d") &&
+          col("day_id") >= col("d") - lit((days - 1) * 86400L))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("f")).as(fc), sum(col("h")).as(hc))
+      val t1 = trailing(1L, "f1", "h1")
+      val t7 = trailing(7L, "f7", "h7")
+      t1.join(t7, Seq("event_type", "d"))
+        .select(col("event_type"), col("d").as("day_id"),
+          col("f1"), col("h1"), col("f7"), col("h7"),
+          expr("cast((f1 * 1000000L + h1 div 2) div h1 as bigint)")
+            .as("frac1_micro"),
+          expr("cast((f7 * 1000000L + h7 div 2) div h7 as bigint)")
+            .as("frac7_micro"))
+        .select(col("event_type"), col("day_id"), col("f1"), col("h1"),
+          col("f7"), col("h7"),
+          (expr(burn("frac1_micro")) / lit(1e6)).as("burn_1d"),
+          (expr(burn("frac7_micro")) / lit(1e6)).as("burn_7d"),
+          (expr(burn("frac1_micro")) > 2000000L &&
+            expr(burn("frac7_micro")) > 2000000L).as("page"))
+    }, Some(s"""${probsCteFrom("hourly", hourlyPre)},
+      fl AS (SELECT event_type,
+               event_id - (event_id % 86400) AS day_id,
+               count(*) AS h,
+               CAST(sum(CASE WHEN prob_ensemble > $IncidentThreshold
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f
+             FROM scored WHERE rn >= ${spec.windowSize}
+             GROUP BY 1, 2),
+      spine AS (SELECT DISTINCT event_type, day_id AS d FROM fl),
+      t1 AS (SELECT s.event_type, s.d,
+               CAST(sum(x.f) AS BIGINT) AS f1,
+               CAST(sum(x.h) AS BIGINT) AS h1
+             FROM spine s JOIN fl x ON s.event_type = x.event_type
+               AND x.day_id = s.d
+             GROUP BY 1, 2),
+      t7 AS (SELECT s.event_type, s.d,
+               CAST(sum(x.f) AS BIGINT) AS f7,
+               CAST(sum(x.h) AS BIGINT) AS h7
+             FROM spine s JOIN fl x ON s.event_type = x.event_type
+               AND x.day_id <= s.d AND x.day_id >= s.d - 6 * 86400
+             GROUP BY 1, 2),
+      j AS (SELECT t1.event_type, t1.d AS day_id, f1, h1, f7, h7,
+              CAST((f1 * 1000000 + h1 // 2) // h1 AS BIGINT)
+                AS frac1_micro,
+              CAST((f7 * 1000000 + h7 // 2) // h7 AS BIGINT)
+                AS frac7_micro
+            FROM t1 JOIN t7 ON t1.event_type = t7.event_type
+              AND t1.d = t7.d)
+      SELECT event_type, day_id, f1, h1, f7, h7,
+             ${burn("frac1_micro")} / 1e6 AS burn_1d,
+             ${burn("frac7_micro")} / 1e6 AS burn_7d,
+             ${burn("frac1_micro")} > 2000000
+               AND ${burn("frac7_micro")} > 2000000 AS page
+      FROM j"""))
   }
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

@@ -1141,4 +1141,43 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
           s"$et/$d exact $exact outside [${p7}, ${2 * p7 - 1}]")
     }
   }
+
+  test("a48 SLO burn == sequential multiwindow recompute from a41's " +
+    "scored hours; paging requires BOTH windows over budget") {
+    val scored = Catalog.queries("a41_rollup_detect")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(3) > Anomaly.IncidentThreshold))
+    val byDay = scored.groupBy(r => (r._1, r._2 - (r._2 % 86400L)))
+      .map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.count(_._3).toLong))
+      }
+    val out = Catalog.queries("a48_slo_burn")(spark, sfDir).collect()
+    assert(out.length === byDay.size)
+    val mult = 100L / Anomaly.SloBudgetPct
+    out.foreach { r =>
+      val (et, d) = (r.getString(0), r.getLong(1))
+      def trailing(days: Long): (Long, Long) = {
+        val win = byDay.filter { case ((t, dd), _) =>
+          t == et && dd <= d && dd >= d - (days - 1) * 86400L
+        }.values
+        (win.map(_._2).sum, win.map(_._1).sum)
+      }
+      val (f1, h1) = trailing(1L)
+      val (f7, h7) = trailing(7L)
+      assert(r.getLong(2) === f1 && r.getLong(3) === h1, s"$et/$d 1d")
+      assert(r.getLong(4) === f7 && r.getLong(5) === h7, s"$et/$d 7d")
+      val b1 = ((f1 * 1000000L + h1 / 2) / h1) * mult
+      val b7 = ((f7 * 1000000L + h7 / 2) / h7) * mult
+      assert(r.getDouble(6) === b1 / 1e6, s"$et/$d burn_1d")
+      assert(r.getDouble(7) === b7 / 1e6, s"$et/$d burn_7d")
+      assert(r.getBoolean(8) === (b1 > 2000000L && b7 > 2000000L),
+        s"$et/$d page")
+    }
+    // the policy's two sides must both occur on this corpus: pages,
+    // and days where exactly one window is hot (suppressed)
+    assert(out.exists(_.getBoolean(8)), "expected paging days")
+    assert(out.exists(r => !r.getBoolean(8) &&
+      (r.getDouble(6) > 2.0 || r.getDouble(7) > 2.0)),
+      "expected days suppressed by the other window")
+  }
 }
