@@ -344,6 +344,26 @@ object Pipeline {
           / ${H.MinHashK}, 6) >= 0.5)"""
   }
 
+  /** p29's chunk construction as a DuckDB CTE chain ending in
+    * `chunks(doc_id, chunk_id, start_tok, chunk_len, chunk_hash)` —
+    * shared by the p29 oracle and p70's chunk-dup census so both see
+    * the definitionally identical chunking. Declared ABOVE `entries`
+    * (object init order).
+    */
+  private val chunkOracleCtes: String = s"""
+      docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      st AS (SELECT doc_id, toks,
+               UNNEST(range(1, len(toks) + 1, 24)) AS start FROM docs),
+      c AS (SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+              CAST(start AS BIGINT) AS start_tok,
+              toks[start:start+31] AS chunk
+            FROM st),
+      chunks AS (SELECT doc_id, chunk_id, start_tok,
+               CAST(len(chunk) AS BIGINT) AS chunk_len,
+               ${graft.functions.HashScheme.h32Duck(
+                 "array_to_string(chunk, ' ')")} AS chunk_hash
+             FROM c)"""
+
   val entries: Seq[Entry] = Seq(
 
     // ---- p01: exact dedup — group by normalized-content hash
@@ -1240,18 +1260,9 @@ object Pipeline {
           size(col("chunk")).cast("long").as("chunk_len"),
           expr(H.h32Spark("array_join(chunk, ' ')")).as("chunk_hash"))
     }, Some(s"""
-      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-      st AS (SELECT doc_id, toks,
-               UNNEST(range(1, len(toks) + 1, 24)) AS start FROM docs),
-      c AS (SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
-              CAST(start AS BIGINT) AS start_tok,
-              toks[start:start+31] AS chunk
-            FROM st)
-      SELECT doc_id, chunk_id, start_tok,
-             CAST(len(chunk) AS BIGINT) AS chunk_len,
-             ${graft.functions.HashScheme.h32Duck(
-               "array_to_string(chunk, ' ')")} AS chunk_hash
-      FROM c""")),
+      WITH $chunkOracleCtes
+      SELECT doc_id, chunk_id, start_tok, chunk_len, chunk_hash
+      FROM chunks""")),
 
     // ---- p30: composite quality filter with reasons — the C4-style
     // rule gate curators actually ship: every doc gets a keep/drop
@@ -3267,7 +3278,7 @@ object Pipeline {
              CAST(length(redacted) AS BIGINT) AS red_len
       FROM red"""))
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
-    mixtureBudgetEntry, annRecallEntry)
+    mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3650,6 +3661,52 @@ object Pipeline {
              CAST((n_hits * 1000000 + n_exact // 2) // n_exact
                AS BIGINT) / 1e6 AS recall
       FROM m"""))
+
+  /** p70: chunk-level duplication census — duplication measured at the
+    * TRAINING-UNIT granularity (p29's 32-token chunks), not the
+    * document: a chunk whose content hash appears in more than one
+    * document is memorization surface even when neither document is a
+    * near-dup of the other (quotes, boilerplate, shared passages —
+    * exactly what doc-level dedup cannot see). Per source: chunk
+    * instances, instances whose hash spans >1 doc, and the HALF_UP
+    * micro duplication fraction. The chunk list comes from the p29
+    * CATALOG ENTRY at run time (the p69 pattern — no shadow chunking
+    * to drift) and the oracle shares p29's chunk CTE chain verbatim.
+    * 100 TB shape: the hash-df groupBy and its join back are the
+    * standard exact-dedup shuffles over the chunk table (~tokens/24
+    * rows); the source rollup rides the doc join.
+    */
+  private[queries] def chunkDupCensusEntry: Entry =
+    Entry("p70_chunk_dup_census", (s, dir) => {
+      val chunks = Catalog.queries("p29_chunk_stride")(s, dir)
+        .select(col("doc_id"), col("chunk_hash"))
+      val dfh = chunks.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(dfh, Seq("chunk_hash"))
+        .join(docs(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          coalesce(sum(when(col("nd") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_dup"))
+        .select(col("source"), col("n_chunks"), col("n_dup"),
+          (expr("cast((n_dup * 1000000L + n_chunks div 2) div n_chunks " +
+            "as bigint)") / lit(1e6)).as("dup_frac"))
+    }, Some(s"""
+      WITH $chunkOracleCtes,
+      dfh AS (SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+              FROM chunks GROUP BY 1),
+      agg AS (SELECT d.source, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup
+              FROM chunks c
+              JOIN dfh f USING (chunk_hash)
+              JOIN documents d USING (doc_id)
+              GROUP BY 1)
+      SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks, n_dup,
+             CAST((n_dup * 1000000 + n_chunks // 2) // n_chunks
+               AS BIGINT) / 1e6 AS dup_frac
+      FROM agg"""))
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

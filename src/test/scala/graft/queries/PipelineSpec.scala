@@ -1390,4 +1390,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(recalls.exists(_ < 1.0),
       "an honest approximate index misses something here")
   }
+
+  test("p70 chunk-dup census == sequential recompute from the p29 " +
+    "chunk list; cross-doc duplicated chunks exist in this corpus") {
+    val chunks = run("p29_chunk_stride").collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    val srcOf = run("p31_split_assign").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docsPerHash = chunks.groupBy(_._2)
+      .map { case (h, rs) => h -> rs.map(_._1).distinct.size }
+    val bySource = chunks.groupBy { case (d, _) => srcOf(d) }
+    val out = run("p70_chunk_dup_census").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet === bySource.keySet)
+    bySource.foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val dup = rs.count { case (_, h) => docsPerHash(h) > 1 }.toLong
+      val (gotN, gotDup, gotFrac) = out(src)
+      assert(gotN === n, s"$src n_chunks")
+      assert(gotDup === dup, s"$src n_dup")
+      assert(gotFrac === ((dup * 1000000L + n / 2) / n) / 1e6,
+        s"$src dup_frac")
+    }
+    assert(out.values.exists(_._2 > 0L),
+      "expected cross-doc duplicated chunks (the corpus has exact dups)")
+    assert(out.values.exists(v => v._2 < v._1),
+      "not everything may be duplicated")
+  }
 }
