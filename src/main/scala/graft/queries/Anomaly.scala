@@ -2461,6 +2461,10 @@ object Anomaly {
         .select(col("event_type"), col("hour_id"),
           (col("prob_ensemble") > IncidentThreshold).cast("long")
             .as("flag"))
+        // persisted: the pair self-join reads both sides from this
+        // frame — uncached, Catalyst re-derives the whole rollup +
+        // detector twice
+        .persist()
       val x = flags.toDF("type_a", "hour_id", "fa")
       val y = flags.toDF("type_b", "hour_id", "fb")
       x.join(y, Seq("hour_id"))

@@ -3519,6 +3519,11 @@ object Pipeline {
       val tk = docs(s, dir)
         .select(col("source"), size(toks).cast("long").as("nt"))
         .groupBy("source").agg(sum(col("nt")).as("t"))
+        // persisted: the round chain references this rollup from every
+        // crossJoin side — uncached, Catalyst re-derives it 16 times
+        // (16 corpus scans at scale; the ScalePropertiesSpec pin
+        // counts them)
+        .persist()
       val tot = tk.agg(sum(col("t")).as("tt"), count(lit(1)).as("ns"))
         .select(col("tt"), col("ns"), expr("(tt * 9L) div 10L").as("b1"))
       val r1 = tk.crossJoin(broadcast(tot))

@@ -675,4 +675,60 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"everything must reuse the series partitioning:\n$pl")
     assert(countOf(pl, "Join") === 0, s"no joins expected:\n$pl")
   }
+
+  test("a47/a48: trailing windows join the day spine to SKETCH/FLAG " +
+    "rows, never raw data — every parquet scan in the plan is the ONE " +
+    "persisted rollup re-printed under its InMemoryTableScan readers") {
+    Seq("a47_quantile_trend", "a48_slo_burn").foreach { name =>
+      val pl = plan(name)
+      val cached = countOf(pl, "InMemoryTableScan")
+      assert(cached >= 2, s"$name: the rollup must be reused:\n$pl")
+      // cached subtrees re-print their build plan, so raw-scan count
+      // equal to cached-read count == zero scans OUTSIDE the cache
+      assert(countOf(pl, "Scan parquet") === cached,
+        s"$name: every scan must sit under a cached read:\n$pl")
+      assert(pl.contains("partial_count") || pl.contains("partial_sum"),
+        s"$name: the rollup must combine map-side:\n$pl")
+      // the one tolerated SMJ (a48's t1-t7 dim-dim join) runs over
+      // O(series x days) rows; AQE converts it at runtime
+      assert(countOf(pl, "SortMergeJoin") <= 1,
+        s"$name: no corpus-sized sort-merge joins:\n$pl")
+    }
+  }
+
+  test("a45/a46: both incident views run the rollup+detector ONCE — " +
+    "a45's pair self-join reads the persisted flag table from both " +
+    "sides; a46 is a pure window chain with no joins") {
+    val pl45 = plan("a45_incident_corr")
+    val cached = countOf(pl45, "InMemoryTableScan")
+    assert(cached >= 2, s"a45: flags must be cache-reused:\n$pl45")
+    assert(countOf(pl45, "Scan parquet") === cached,
+      s"a45: every scan must sit under the cached flags:\n$pl45")
+    val pl46 = plan("a46_alert_episodes")
+    assert(countOf(pl46, "Join") === 0, s"a46: no joins expected:\n$pl46")
+    assert(countOf(pl46, "Scan parquet") === 1,
+      s"a46: one corpus scan:\n$pl46")
+  }
+
+  test("p70: the chunk-hash df combines map-side and the census adds " +
+    "no nested loop — the standard exact-dedup shuffles only") {
+    val pl = plan("p70_chunk_dup_census")
+    assert(countOf(pl, "NestedLoop") === 0,
+      s"no nested loops in the census:\n$pl")
+    assert(pl.contains("partial_count"),
+      s"hash-df must combine map-side:\n$pl")
+  }
+
+  test("p68: every redistribution round reads the PERSISTED source " +
+    "rollup (uncached, Catalyst re-derives it 16x — 16 corpus scans " +
+    "at scale); no shuffle beyond the rollup itself") {
+    val pl = plan("p68_mixture_budget")
+    val cached = countOf(pl, "InMemoryTableScan")
+    assert(cached >= 2, s"the rollup must be cache-reused:\n$pl")
+    // cached subtrees re-print their build plan: equality means zero
+    // parquet scans OUTSIDE the cache
+    assert(countOf(pl, "Scan parquet") === cached,
+      s"every scan must sit under the cached rollup:\n$pl")
+    assert(countOf(pl, "SortMergeJoin") === 0, s"no SMJ:\n$pl")
+  }
 }
