@@ -2589,7 +2589,7 @@ object Anomaly {
              CAST(CASE WHEN q_bucket = 0 THEN 0
                   ELSE CAST(pow(2.0, q_bucket - 1) AS BIGINT) END
                AS BIGINT) / 1e6 AS est
-      FROM hit"""), bench = false)
+      FROM hit"""), bench = true)
   }
 
   /** a43: peaks-over-threshold extreme-tail fit — the EVT operator of
@@ -2959,7 +2959,7 @@ object Anomaly {
              CASE WHEN wq.qb = 0 THEN 0
                   ELSE CAST(pow(2.0, wq.qb - 1) AS BIGINT) END / 1e6
                AS p95_7d
-      FROM dq JOIN wq USING (event_type, day_id)"""))
+      FROM dq JOIN wq USING (event_type, day_id)"""), bench = true)
   }
 
   /** a48's error budget: at most 5% of scored hours may alert. The 5%
