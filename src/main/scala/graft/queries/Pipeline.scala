@@ -3278,7 +3278,8 @@ object Pipeline {
              CAST(length(redacted) AS BIGINT) AS red_len
       FROM red"""))
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
-    mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry)
+    mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
+    splitContaminationEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3432,18 +3433,24 @@ object Pipeline {
     * corpus; the splits are per-row hashes, no extra pass over the
     * corpus at all.
     */
-  private[queries] def leakageAuditEntry: Entry = {
+  /** The p31/p66 split rule over any id-typed column — shared by p67's
+    * audit and p71's per-split contamination so every consumer applies
+    * the definitionally identical assignment.
+    */
+  private def splitCol(c: String): Column = {
     import graft.functions.{HashScheme => H}
-    def splitCol(c: String): Column = {
-      val b = expr(H.h32Spark(s"concat(cast($c as string), ':split')") +
-        " % 100")
-      when(b < 90, "train").when(b < 95, "val").otherwise("test")
-    }
-    def splitSql(c: String): String = {
-      val b = s"(${H.h32Duck(s"CAST($c AS VARCHAR) || ':split'")} % 100)"
-      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' " +
-        s"ELSE 'test' END"
-    }
+    val b = expr(H.h32Spark(s"concat(cast($c as string), ':split')") +
+      " % 100")
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+  private def splitSql(c: String): String = {
+    import graft.functions.{HashScheme => H}
+    val b = s"(${H.h32Duck(s"CAST($c AS VARCHAR) || ':split'")} % 100)"
+    s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' " +
+      s"ELSE 'test' END"
+  }
+
+  private[queries] def leakageAuditEntry: Entry = {
     Entry("p67_leakage_audit", (s, dir) => {
       val d = docs(s, dir)
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
@@ -3711,6 +3718,66 @@ object Pipeline {
       SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks, n_dup,
              CAST((n_dup * 1000000 + n_chunks // 2) // n_chunks
                AS BIGINT) / 1e6 AS dup_frac
+      FROM agg"""))
+
+  /** p71: per-split benchmark contamination — the release-gate rollup
+    * of p24: which TRAIN/VAL/TEST fraction shares 3-gram shingles with
+    * the held-out benchmark, under p66's cluster-keyed split. p24
+    * scores documents; p71 answers the question a release review
+    * actually asks ("is the eval split contaminated, and is train
+    * dirtier than test?"). Contaminated docs come from the p24 CATALOG
+    * ENTRY at run time; splits re-derive per-row from the shared split
+    * rule keyed by the p66 cluster id. Counts integer, fraction
+    * HALF_UP micro. 100 TB shape: p24's broadcast-bench join + p66's
+    * component labels are the heavy parts and keep their shapes; the
+    * rollup adds one 3-key groupBy.
+    */
+  private[queries] def splitContaminationEntry: Entry =
+    Entry("p71_split_contamination", (s, dir) => {
+      val contam = Catalog.queries("p24_contamination")(s, dir)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      val splits = Catalog.queries("p66_split_leakfree")(s, dir)
+        .select(col("doc_id"), col("split"))
+      splits.filter(col("doc_id") % 100 =!= 0) // the universe p24 scores
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contam"))
+        .select(col("split"), col("n_docs"), col("n_contam"),
+          (expr("cast((n_contam * 1000000L + n_docs div 2) div n_docs " +
+            "as bigint)") / lit(1e6)).as("contam_frac"))
+    }, Some(s"""
+      WITH RECURSIVE $lshPairsOracleCtes,
+      edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      labels AS (SELECT u AS doc_id, min(v) AS cluster_id
+                 FROM reach GROUP BY u),
+      manifest AS (SELECT d.doc_id,
+                          coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                   FROM docs d LEFT JOIN labels l USING (doc_id)),
+      spl AS (SELECT doc_id, ${splitSql("cluster_id")} AS split
+              FROM manifest),
+      sh3 AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                THEN range(1, len(toks)-1) ELSE [] END) AS t(i)),
+      bench AS (SELECT shingle FROM sh3 WHERE doc_id % 100 = 0
+                GROUP BY shingle),
+      hits AS (SELECT DISTINCT s.doc_id FROM sh3 s
+               JOIN bench b USING (shingle) WHERE s.doc_id % 100 != 0),
+      agg AS (SELECT spl.split, count(*) AS n_docs,
+                CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_contam
+              FROM spl LEFT JOIN hits h USING (doc_id)
+              WHERE spl.doc_id % 100 != 0
+              GROUP BY 1)
+      SELECT split, CAST(n_docs AS BIGINT) AS n_docs, n_contam,
+             CAST((n_contam * 1000000 + n_docs // 2) // n_docs
+               AS BIGINT) / 1e6 AS contam_frac
       FROM agg"""))
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so

@@ -1418,4 +1418,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.values.exists(v => v._2 < v._1),
       "not everything may be duplicated")
   }
+
+  test("p71 per-split contamination == recompute from the p24 and p66 " +
+    "catalog outputs; every split is represented and contaminated here") {
+    val contam = run("p24_contamination").collect()
+      .map(_.getLong(0)).toSet
+    val splits = run("p66_split_leakfree").collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+      .filter { case (d, _) => d % 100 != 0 }
+    val out = run("p71_split_contamination").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val bySplit = splits.groupBy(_._2)
+    assert(out.keySet === bySplit.keySet)
+    assert(out.keySet === Set("train", "val", "test"),
+      "all three splits must appear in this corpus")
+    bySplit.foreach { case (sp, docs) =>
+      val n = docs.length.toLong
+      val c = docs.count { case (d, _) => contam(d) }.toLong
+      val (gotN, gotC, gotF) = out(sp)
+      assert(gotN === n, s"$sp n_docs")
+      assert(gotC === c, s"$sp n_contam")
+      assert(gotF === ((c * 1000000L + n / 2) / n) / 1e6, s"$sp frac")
+      assert(c > 0L, s"$sp must show contamination on this corpus")
+    }
+  }
 }
