@@ -1972,7 +1972,8 @@ object Anomaly {
     incidentCorrEntry,
     alertEpisodesEntry,
     quantileTrendEntry,
-    sloBurnEntry
+    sloBurnEntry,
+    ksTwoSeriesEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -3048,6 +3049,98 @@ object Anomaly {
              ${burn("frac1_micro")} > 2000000
                AND ${burn("frac7_micro")} > 2000000 AS page
       FROM j"""))
+  }
+
+  /** a49: two-sample Kolmogorov–Smirnov distance between every pair of
+    * series — "do click and view draw their values from the same
+    * distribution?", the cross-SERIES complement of a08/a10's within-
+    * series KS (reference algorithms.go ksCore compares active vs
+    * reference windows; a49 compares whole series pairwise). EXACT
+    * integers throughout: group both series' micro values by value v,
+    * cumulative counts per side over v, and D's numerator is
+    * max |cum_a·n_b − cum_b·n_a| — a BIGINT; D itself is one double
+    * division at the end. Also emits the value where the max gap is
+    * attained (smallest-v ties) — where the two distributions actually
+    * diverge. 100 TB shape: one series shuffle builds per-(pair, v)
+    * counts after a broadcast pair-dim replication (S² blowup is the
+    * op's declared scale knob, like a45); the cum windows ride the
+    * (pair) partitioning over distinct values, not raw rows.
+    */
+  private[queries] def ksTwoSeriesEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    Entry("a49_ks_two_series", (s, dir) => {
+      val m = Tables.events(s, dir).select(col("event_type"),
+        expr("cast(round(value * 1e6) as bigint)").as("v"))
+      val tys = m.select(col("event_type")).distinct()
+      val prs = tys.toDF("ta")
+        .crossJoin(tys.toDF("tb")).filter(col("ta") < col("tb"))
+      val tagged = m.join(broadcast(prs),
+          col("event_type") === col("ta") ||
+            col("event_type") === col("tb"))
+        .groupBy(col("ta"), col("tb"), col("v"))
+        .agg(sum(when(col("event_type") === col("ta"), 1L)
+            .otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === col("tb"), 1L)
+            .otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy("ta", "tb").orderBy("v")
+      val wAll = Window.partitionBy("ta", "tb")
+      val gaps = tagged
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .withColumn("gap",
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("ta", "tb").orderBy(col("gap").desc, col("v").asc)))
+      gaps.groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(col("gap")).as("d_num"),
+          max(when(col("rk") === 1, col("v"))).as("ks_at_micro"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("d_num"),
+          (col("d_num") / (lit(1.0) * col("n_a") * col("n_b"))).as("d"),
+          col("ks_at_micro"),
+          (col("ks_at_micro") / lit(1e6)).as("ks_at"))
+    }, Some("""
+      WITH m AS (SELECT event_type,
+                   CAST(round(value * 1e6) AS BIGINT) AS v
+                 FROM events),
+      tys AS (SELECT DISTINCT event_type FROM m),
+      prs AS (SELECT x.event_type AS ta, y.event_type AS tb
+              FROM tys x, tys y WHERE x.event_type < y.event_type),
+      tagged AS (SELECT p.ta, p.tb, m.v,
+                   CAST(sum(CASE WHEN m.event_type = p.ta
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN m.event_type = p.tb
+                     THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                 FROM m JOIN prs p
+                   ON m.event_type = p.ta OR m.event_type = p.tb
+                 GROUP BY 1, 2, 3),
+      cums AS (SELECT ta, tb, v,
+                 sum(ca) OVER (PARTITION BY ta, tb ORDER BY v) AS cuma,
+                 sum(cb) OVER (PARTITION BY ta, tb ORDER BY v) AS cumb,
+                 sum(ca) OVER (PARTITION BY ta, tb) AS na,
+                 sum(cb) OVER (PARTITION BY ta, tb) AS nb
+               FROM tagged),
+      gaps AS (SELECT ta, tb, v, na, nb,
+                 abs(cuma * nb - cumb * na) AS gap,
+                 row_number() OVER (PARTITION BY ta, tb
+                   ORDER BY abs(cuma * nb - cumb * na) DESC, v ASC)
+                   AS rk
+               FROM cums)
+      SELECT ta AS type_a, tb AS type_b,
+             CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             CAST(max(gap) AS BIGINT) AS d_num,
+             CAST(max(gap) AS BIGINT) /
+               (1.0 * CAST(max(na) AS BIGINT) * CAST(max(nb) AS BIGINT))
+               AS d,
+             CAST(max(CASE WHEN rk = 1 THEN v END) AS BIGINT)
+               AS ks_at_micro,
+             CAST(max(CASE WHEN rk = 1 THEN v END) AS BIGINT) / 1e6
+               AS ks_at
+      FROM gaps GROUP BY 1, 2"""))
   }
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

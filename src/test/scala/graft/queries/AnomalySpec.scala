@@ -1180,4 +1180,30 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       (r.getDouble(6) > 2.0 || r.getDouble(7) > 2.0)),
       "expected days suppressed by the other window")
   }
+
+  test("a49 two-sample KS == exact sequential recompute over every " +
+    "series pair; D in (0, 1], argmax value pinned with smallest ties") {
+    val out = Catalog.queries("a49_ks_two_series")(spark, sfDir)
+      .collect()
+    val vals = microByType // sorted micro values per series
+    val types = vals.keySet.toSeq.sorted
+    assert(out.length === types.size * (types.size - 1) / 2)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (vals(a), vals(b))
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      val grid = (xa ++ xb).distinct.sorted
+      def cle(xs: Array[Long], v: Long): Long =
+        xs.count(_ <= v).toLong // xs sorted; fine at test scale
+      val gaps = grid.map(v =>
+        v -> math.abs(cle(xa, v) * nb - cle(xb, v) * na))
+      val dNum = gaps.map(_._2).max
+      val ksAt = gaps.filter(_._2 == dNum).map(_._1).min
+      assert(r.getLong(2) === na && r.getLong(3) === nb, s"$a/$b n")
+      assert(r.getLong(4) === dNum, s"$a/$b d_num")
+      assert(r.getDouble(5) === dNum / (1.0 * na * nb), s"$a/$b d")
+      assert(r.getLong(6) === ksAt, s"$a/$b ks_at_micro")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"$a/$b range")
+    }
+  }
 }
