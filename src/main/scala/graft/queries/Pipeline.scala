@@ -3279,7 +3279,7 @@ object Pipeline {
       FROM red"""))
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
     mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
-    splitContaminationEntry)
+    splitContaminationEntry, datasetCardEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3779,6 +3779,74 @@ object Pipeline {
              CAST((n_contam * 1000000 + n_docs // 2) // n_docs
                AS BIGINT) / 1e6 AS contam_frac
       FROM agg"""))
+
+  /** p72: the dataset card — the single-row datasheet a corpus release
+    * ships (Gebru et al., "Datasheets for Datasets", public): corpus
+    * size in docs/tokens, source and language coverage, exact-dup
+    * fraction (p01's norm-hash rule), the p31 split sizes, and the
+    * held-out benchmark count. Every number is an exact integer or a
+    * HALF_UP micro-fraction, assembled from per-row expressions and
+    * two small aggregates — the whole card is TWO corpus scans (doc
+    * stats + the dup-hash df) and a handful of one-row broadcasts.
+    */
+  private[queries] def datasetCardEntry: Entry =
+    Entry("p72_dataset_card", (s, dir) => {
+      val d = docs(s, dir)
+      val dup = d.groupBy(md5(norm).as("h"))
+        .agg(count(lit(1)).as("nc"))
+        .agg(coalesce(sum(when(col("nc") > 1, col("nc"))), lit(0L))
+          .as("n_dup_docs"))
+      val base = d.select(
+        col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("nt"),
+        splitCol("doc_id").as("split"),
+        (col("doc_id") % 100 === 0).cast("long").as("is_bench"))
+      base.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("split") === "train", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L))
+            .as("n_test"),
+          sum(col("is_bench")).as("n_bench"))
+        .crossJoin(broadcast(dup))
+        .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+          col("n_langs"), col("n_train"), col("n_val"), col("n_test"),
+          col("n_bench"), col("n_dup_docs"),
+          (expr("cast((n_dup_docs * 1000000L + n_docs div 2) div " +
+            "n_docs as bigint)") / lit(1e6)).as("dup_frac"))
+    }, Some(s"""
+      WITH dup AS (SELECT CAST(coalesce(sum(CASE WHEN nc > 1 THEN nc
+                     END), 0) AS BIGINT) AS n_dup_docs
+                   FROM (SELECT md5($normSql) AS h, count(*) AS nc
+                         FROM documents GROUP BY 1)),
+      base AS (SELECT doc_id, lang, source,
+                 CAST(len($toksSql) AS BIGINT) AS nt,
+                 ${splitSql("doc_id")} AS split,
+                 CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END AS is_bench
+               FROM documents),
+      agg AS (SELECT count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                count(DISTINCT source) AS n_sources,
+                count(DISTINCT lang) AS n_langs,
+                CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+                CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_val,
+                CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test,
+                CAST(sum(is_bench) AS BIGINT) AS n_bench
+              FROM base)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+             CAST(n_sources AS BIGINT) AS n_sources,
+             CAST(n_langs AS BIGINT) AS n_langs,
+             n_train, n_val, n_test, n_bench, d.n_dup_docs,
+             CAST((d.n_dup_docs * 1000000 + n_docs // 2) // n_docs
+               AS BIGINT) / 1e6 AS dup_frac
+      FROM agg CROSS JOIN dup d"""))
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

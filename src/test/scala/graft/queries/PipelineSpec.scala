@@ -1443,4 +1443,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(c > 0L, s"$sp must show contamination on this corpus")
     }
   }
+
+  test("p72 dataset card == recompute from the p09/p31/p01 surfaces; " +
+    "split sizes partition the corpus") {
+    val r = run("p72_dataset_card").collect()
+    assert(r.length === 1)
+    val card = r.head
+    val splits = run("p31_split_assign").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(3)))
+    val nDocs = splits.length.toLong
+    assert(card.getLong(0) === nDocs, "n_docs")
+    // token total from the per-doc stats query (same tokenizer)
+    val nTokens = run("p09_text_stats").collect()
+      .map(_.getLong(1)).sum
+    assert(card.getLong(1) === nTokens, "n_tokens")
+    assert(card.getLong(2) === splits.map(_._2).distinct.length.toLong,
+      "n_sources")
+    val bySplit = splits.groupBy(_._3).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    assert(card.getLong(4) === bySplit.getOrElse("train", 0L), "n_train")
+    assert(card.getLong(5) === bySplit.getOrElse("val", 0L), "n_val")
+    assert(card.getLong(6) === bySplit.getOrElse("test", 0L), "n_test")
+    assert(card.getLong(4) + card.getLong(5) + card.getLong(6) === nDocs,
+      "splits must partition the corpus")
+    assert(card.getLong(7) === splits.count(_._1 % 100 == 0).toLong,
+      "n_bench")
+    // exact-dup mass from the p01 groups (keeper + copies)
+    val dupMass = run("p01_dedup_exact").collect()
+      .map(_.getLong(1)).sum
+    assert(card.getLong(8) === dupMass, "n_dup_docs")
+    assert(card.getDouble(9) ===
+      ((dupMass * 1000000L + nDocs / 2) / nDocs) / 1e6, "dup_frac")
+  }
 }
