@@ -1973,7 +1973,8 @@ object Anomaly {
     alertEpisodesEntry,
     quantileTrendEntry,
     sloBurnEntry,
-    ksTwoSeriesEntry
+    ksTwoSeriesEntry,
+    stlDecomposeEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -3141,6 +3142,100 @@ object Anomaly {
              CAST(max(CASE WHEN rk = 1 THEN v END) AS BIGINT) / 1e6
                AS ks_at
       FROM gaps GROUP BY 1, 2"""))
+  }
+
+  /** a50: robust trend/seasonal/residual decomposition — STL's shape
+    * (Cleveland et al., public) with MEDIANS so spikes cannot drag the
+    * components (the same robustness argument as a39): on the hourly
+    * mean series, trend = centered 25-hour rolling median (odd window
+    * → an exact element pick, no interpolation), seasonal = per
+    * hour-of-day median of the detrended values DOUBLED (even groups
+    * interpolate to half-integers; 2× keeps every value an exact
+    * integer — a39's res2 trick), residual = what's left. The hourly
+    * value itself is the HALF_UP micro mean, so every component is an
+    * exact dyadic rational emitted by the same division on both
+    * engines. 100 TB shape: one map-side-combined rollup, one series
+    * window for the trend, and a 24-row-per-series seasonal dim joined
+    * back broadcast-style — detection-grade decomposition at
+    * O(series×hours), corpus-independent.
+    */
+  private[queries] def stlDecomposeEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    val half = 12 // trend window = 2*half+1 = 25 hours, odd
+    Entry("a50_stl_decompose", (s, dir) => {
+      val wSer = Window.partitionBy("event_type").orderBy("hour_id")
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("tsh"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(round(value * 1e6) as bigint)")).as("s6"))
+        .select(col("event_type"),
+          col("tsh").cast("long").as("hour_id"),
+          expr("(s6 + cnt div 2) div cnt").as("w"))
+      val trended = hourly
+        .withColumn("rn", row_number().over(wSer))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .withColumn("arr", collect_list(col("w")).over(
+          wSer.rowsBetween(-half, half)))
+        .filter(col("rn") > half && col("rn") <= col("n") - half)
+        .withColumn("trend_micro",
+          expr(s"element_at(array_sort(arr), ${half + 1})"))
+        .withColumn("d", col("w") - col("trend_micro"))
+        .select(col("event_type"), col("hour_id"), col("w"), col("d"),
+          col("trend_micro"))
+        .persist() // seasonal dim + final join both read it
+      val seasonal = trended
+        .withColumn("hod", expr("(hour_id div 3600) % 24"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(expr("array_sort(collect_list(d))").as("ds"))
+        .select(col("event_type"), col("hod"),
+          expr("case when size(ds) % 2 = 1 " +
+            "then 2L * element_at(ds, cast((size(ds) + 1) div 2 as int)) " +
+            "else element_at(ds, cast(size(ds) div 2 as int)) + " +
+            "element_at(ds, cast(size(ds) div 2 + 1 as int)) end")
+            .as("s2"))
+      trended
+        .withColumn("hod", expr("(hour_id div 3600) % 24"))
+        .join(broadcast(seasonal), Seq("event_type", "hod"))
+        .select(col("event_type"), col("hour_id"),
+          (col("w") / lit(1e6)).as("v"),
+          (col("trend_micro") / lit(1e6)).as("trend"),
+          (col("s2") / lit(2e6)).as("seasonal"),
+          ((lit(2L) * col("d") - col("s2")) / lit(2e6)).as("residual"))
+    }, Some(s"""
+      WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                 AS hour_id,
+               (sum(CAST(round(value * 1e6) AS BIGINT))
+                 + count(*) // 2) // count(*) AS w
+        FROM events GROUP BY 1, 2),
+      tr AS (SELECT event_type, hour_id, w,
+               row_number() OVER win AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               list_sort(array_agg(w) OVER (win ROWS BETWEEN $half
+                 PRECEDING AND $half FOLLOWING)) AS arr
+             FROM hourly
+             WINDOW win AS (PARTITION BY event_type ORDER BY hour_id)),
+      inner_rows AS (SELECT event_type, hour_id, w,
+               arr[${half + 1}] AS trend_micro,
+               w - arr[${half + 1}] AS d,
+               (hour_id // 3600) % 24 AS hod
+             FROM tr WHERE rn > $half AND rn <= n - $half),
+      seas AS (SELECT event_type, hod,
+                 CASE WHEN len(ds) % 2 = 1
+                   THEN 2 * ds[(len(ds) + 1) // 2]
+                   ELSE ds[len(ds) // 2] + ds[len(ds) // 2 + 1] END AS s2
+               FROM (SELECT event_type, hod,
+                       list_sort(array_agg(d)) AS ds
+                     FROM inner_rows GROUP BY 1, 2))
+      SELECT i.event_type, i.hour_id,
+             i.w / 1e6 AS v,
+             i.trend_micro / 1e6 AS trend,
+             s.s2 / 2e6 AS seasonal,
+             (2 * i.d - s.s2) / 2e6 AS residual
+      FROM inner_rows i JOIN seas s
+        ON i.event_type = s.event_type AND i.hod = s.hod"""))
   }
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

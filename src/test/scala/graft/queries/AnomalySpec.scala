@@ -1206,4 +1206,60 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"$a/$b range")
     }
   }
+
+  test("a50 STL decomposition == sequential median recompute; " +
+    "the decomposition identity holds on every row") {
+    val half = 12
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"),
+        sum(expr("cast(round(value * 1e6) as bigint)")).as("s6"))
+      .select(col("event_type"), col("h").cast("long").as("hid"),
+        expr("(s6 + c div 2) div c").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(x => (x._2, x._3))
+      }
+    val out = Catalog.queries("a50_stl_decompose")(spark, sfDir)
+      .collect()
+    val expected = hourly.flatMap { case (t, series) =>
+      val n = series.length
+      val interior = (half until (n - half)).map { i =>
+        val window = series.slice(i - half, i + half + 1).map(_._2)
+        val trend = window.sorted.apply(half) // odd window: exact pick
+        (t, series(i)._1, series(i)._2, trend)
+      }
+      val byHod = interior.groupBy { case (_, hid, _, _) =>
+        (hid / 3600) % 24
+      }
+      val s2Of = byHod.map { case (hod, rs) =>
+        val ds = rs.map { case (_, _, w, tr) => w - tr }.sorted
+        val s2 =
+          if (ds.length % 2 == 1) 2L * ds(ds.length / 2)
+          else ds(ds.length / 2 - 1) + ds(ds.length / 2)
+        hod -> s2
+      }
+      interior.map { case (tt, hid, w, tr) =>
+        val d = w - tr
+        val s2 = s2Of((hid / 3600) % 24)
+        (tt, hid) -> ((w / 1e6, tr / 1e6, s2 / 2e6, (2L * d - s2) / 2e6))
+      }
+    }
+    val got = out.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"row $k")
+    }
+    // the decomposition identity (up to the /1e6 display rounding:
+    // the INTEGER identity 2w = 2·trend + s2 + (2d − s2) is exact by
+    // construction, the emitted doubles re-divide by non-dyadic 1e6)
+    out.foreach { r =>
+      val gap = r.getDouble(2) -
+        (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))
+      assert(math.abs(gap) < 1e-9,
+        s"identity at ${(r.getString(0), r.getLong(1))}: $gap")
+    }
+  }
 }
