@@ -719,6 +719,31 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"hash-df must combine map-side:\n$pl")
   }
 
+  test("a49: the pair dim broadcasts (never a sort-merge join on the " +
+    "corpus) and the cumulative windows run over distinct values after " +
+    "a map-side-combined (pair, value) count") {
+    val pl = plan("a49_ks_two_series")
+    assert(countOf(pl, "BroadcastHashJoin") +
+      countOf(pl, "BroadcastNestedLoopJoin") >= 1,
+      s"pair dim must broadcast:\n$pl")
+    assert(countOf(pl, "SortMergeJoin") === 0,
+      s"no corpus-sized sort-merge joins:\n$pl")
+    assert(pl.contains("partial_sum") || pl.contains("partial_count"),
+      s"(pair, value) counts must combine map-side:\n$pl")
+  }
+
+  test("a50: trend and seasonal both read the PERSISTED detrended " +
+    "frame; the 24-row seasonal dim broadcasts back") {
+    val pl = plan("a50_stl_decompose")
+    val cached = countOf(pl, "InMemoryTableScan")
+    assert(cached >= 2, s"the detrended frame must be reused:\n$pl")
+    assert(countOf(pl, "Scan parquet") === cached,
+      s"every scan must sit under the cached frame:\n$pl")
+    assert(countOf(pl, "BroadcastHashJoin") >= 1,
+      s"seasonal dim must broadcast:\n$pl")
+    assert(countOf(pl, "SortMergeJoin") === 0, s"no SMJ:\n$pl")
+  }
+
   test("p68: every redistribution round reads the PERSISTED source " +
     "rollup (uncached, Catalyst re-derives it 16x — 16 corpus scans " +
     "at scale); no shuffle beyond the rollup itself") {
