@@ -1974,7 +1974,8 @@ object Anomaly {
     quantileTrendEntry,
     sloBurnEntry,
     ksTwoSeriesEntry,
-    stlDecomposeEntry
+    stlDecomposeEntry,
+    forecastBandEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -3236,6 +3237,84 @@ object Anomaly {
              (2 * i.d - s.s2) / 2e6 AS residual
       FROM inner_rows i JOIN seas s
         ON i.event_type = s.event_type AND i.hod = s.hod"""))
+  }
+
+  /** a51: seasonal-naive forecast with an empirical prediction band —
+    * the "is this hour's value surprising GIVEN yesterday" check a38
+    * motivates (its MASE proves the x_{t−24h} forecast is the one to
+    * beat here): forecast = the value 24 hours ago, band = forecast +
+    * [q05, q95] of the series' own historical seasonal residuals
+    * r_t = w_t − w_{t−24h}, flag = outside the band. Quantiles are
+    * TYPE-1 (exact element pick at rank ceil(q·n/100) on sorted
+    * integer residuals — no interpolation, no FP), so the band edges
+    * are exact micro integers and the flag is an integer compare on
+    * both engines. 100 TB shape: one series-window pass builds the
+    * residuals, the per-series [q05, q95] dim (2 ints/series) joins
+    * back broadcast-style — O(series×hours), corpus-independent
+    * beyond the rollup. (The band uses the full-series residual
+    * distribution — a backtest view; an online variant would restrict
+    * to residuals before t.)
+    */
+  private[queries] def forecastBandEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    Entry("a51_forecast_band", (s, dir) => {
+      val wSer = Window.partitionBy("event_type").orderBy("hour_id")
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("tsh"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(round(value * 1e6) as bigint)")).as("s6"))
+        .select(col("event_type"),
+          col("tsh").cast("long").as("hour_id"),
+          expr("(s6 + cnt div 2) div cnt").as("w"))
+      val resid = hourly
+        .withColumn("fc", lag(col("w"), 24).over(wSer))
+        .filter(col("fc").isNotNull)
+        .withColumn("r", col("w") - col("fc"))
+        .persist() // band dim + final scoring both read it
+      val band = resid.groupBy(col("event_type"))
+        .agg(expr("array_sort(collect_list(r))").as("rs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          expr("element_at(rs, cast((n * 5 + 99) div 100 as int))")
+            .as("q05"),
+          expr("element_at(rs, cast((n * 95 + 99) div 100 as int))")
+            .as("q95"))
+      resid.join(broadcast(band), Seq("event_type"))
+        .select(col("event_type"), col("hour_id"),
+          (col("w") / lit(1e6)).as("v"),
+          (col("fc") / lit(1e6)).as("forecast"),
+          ((col("fc") + col("q05")) / lit(1e6)).as("lo"),
+          ((col("fc") + col("q95")) / lit(1e6)).as("hi"),
+          (col("w") < col("fc") + col("q05") ||
+            col("w") > col("fc") + col("q95")).as("flag_out"))
+    }, Some("""
+      WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                 AS hour_id,
+               (sum(CAST(round(value * 1e6) AS BIGINT))
+                 + count(*) // 2) // count(*) AS w
+        FROM events GROUP BY 1, 2),
+      resid AS (SELECT event_type, hour_id, w,
+                  lag(w, 24) OVER (PARTITION BY event_type
+                    ORDER BY hour_id) AS fc
+                FROM hourly),
+      r2 AS (SELECT event_type, hour_id, w, fc, w - fc AS r
+             FROM resid WHERE fc IS NOT NULL),
+      band AS (SELECT event_type,
+                 rs[CAST((n * 5 + 99) // 100 AS INT)] AS q05,
+                 rs[CAST((n * 95 + 99) // 100 AS INT)] AS q95
+               FROM (SELECT event_type,
+                       list_sort(array_agg(r)) AS rs,
+                       count(*) AS n
+                     FROM r2 GROUP BY 1))
+      SELECT r2.event_type, r2.hour_id,
+             r2.w / 1e6 AS v,
+             r2.fc / 1e6 AS forecast,
+             (r2.fc + b.q05) / 1e6 AS lo,
+             (r2.fc + b.q95) / 1e6 AS hi,
+             r2.w < r2.fc + b.q05 OR r2.w > r2.fc + b.q95 AS flag_out
+      FROM r2 JOIN band b ON r2.event_type = b.event_type"""))
   }
 
   /** a34's variance-time block sizes. lazy: referenced while `entries`

@@ -1262,4 +1262,45 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
         s"identity at ${(r.getString(0), r.getLong(1))}: $gap")
     }
   }
+
+  test("a51 forecast band == sequential recompute; the 90% band flags " +
+    "roughly a tenth of the hours") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"),
+        sum(expr("cast(round(value * 1e6) as bigint)")).as("s6"))
+      .select(col("event_type"), col("h").cast("long").as("hid"),
+        expr("(s6 + c div 2) div c").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(x => (x._2, x._3))
+      }
+    val out = Catalog.queries("a51_forecast_band")(spark, sfDir)
+      .collect()
+    val expected = hourly.flatMap { case (t, series) =>
+      val rows = series.indices.drop(24).map { i =>
+        val fc = series(i - 24)._2
+        (series(i)._1, series(i)._2, fc, series(i)._2 - fc)
+      }
+      val rs = rows.map(_._4).sorted
+      val n = rs.length
+      val q05 = rs(((n * 5 + 99) / 100 - 1).toInt)
+      val q95 = rs(((n * 95 + 99) / 100 - 1).toInt)
+      rows.map { case (hid, w, fc, _) =>
+        (t, hid) -> ((w / 1e6, fc / 1e6, (fc + q05) / 1e6,
+          (fc + q95) / 1e6, w < fc + q05 || w > fc + q95))
+      }
+    }
+    val got = out.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6)))).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"row $k")
+    }
+    val flagFrac =
+      out.count(_.getBoolean(6)).toDouble / out.length
+    assert(flagFrac > 0.04 && flagFrac < 0.16,
+      s"a [q05, q95] band should flag ~10% of hours, got $flagFrac")
+  }
 }
