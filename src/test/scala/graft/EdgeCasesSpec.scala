@@ -64,5 +64,11 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
       spark, dir.getAbsolutePath).collect()
     assert(drift.length === 1)
     assert(drift.head.isNullAt(4), "one-row series must report NULL tv")
+    // the hourly-derived family degrades to empty output (no trend
+    // window, no 24h lag) rather than erroring
+    Seq("a50_stl_decompose", "a51_forecast_band").foreach { n =>
+      assert(queries.Catalog.queries(n)(spark, dir.getAbsolutePath)
+        .collect().isEmpty, s"$n should be empty on a one-row series")
+    }
   }
 }
