@@ -3279,7 +3279,7 @@ object Pipeline {
       FROM red"""))
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
     mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
-    splitContaminationEntry, datasetCardEntry)
+    splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -3847,6 +3847,72 @@ object Pipeline {
              CAST((d.n_dup_docs * 1000000 + n_docs // 2) // n_docs
                AS BIGINT) / 1e6 AS dup_frac
       FROM agg CROSS JOIN dup d"""))
+
+  /** p73: document-length quantiles per source via the a42 log2
+    * sketch — the "what context length fits this corpus" stat behind
+    * p20's packing budget and p29's chunk size, computed the bounded
+    * way: token counts bin by bit-length (integer log2, no libm),
+    * the (source, bucket) count table is ≤64 rows per source at ANY
+    * corpus size and count-mergeable, and p50/p95 doc lengths come
+    * from a42's exact rank rule with the [2^(b−1), 2^b − 1] bracket
+    * (here in TOKEN units, not micro). ONE map-side-combined shuffle;
+    * extraction over sketch rows only.
+    */
+  private[queries] def docLenQuantilesEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(50, 95)
+    Entry("p73_doclen_quantiles", (s, dir) => {
+      val sketch = docs(s, dir)
+        .select(col("source"), size(toks).cast("long").as("nt"))
+        .withColumn("bkt", when(col("nt") <= 0L, lit(0))
+          .otherwise(length(bin(col("nt")))))
+        .groupBy(col("source"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("source").orderBy("bkt")
+      val wAll = Window.partitionBy("source")
+      sketch
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+        .filter(col("cum") >= expr("(n * q + 99) div 100"))
+        .groupBy(col("source"), col("q"))
+        .agg(min(col("bkt")).as("q_bucket"), max(col("n")).as("n"))
+        .select(col("source"), col("q").cast("long").as("q"),
+          col("n"), col("q_bucket").cast("long").as("q_bucket"),
+          when(col("q_bucket") === 0, lit(0L))
+            .otherwise(pow(lit(2.0), col("q_bucket") - 1).cast("long"))
+            .as("len_lo"),
+          when(col("q_bucket") === 0, lit(0L))
+            .otherwise(pow(lit(2.0), col("q_bucket")).cast("long") - 1)
+            .as("len_hi"))
+    }, Some(s"""
+      WITH m AS (SELECT source,
+                   CAST(len($toksSql) AS BIGINT) AS nt
+                 FROM documents),
+      b AS (SELECT source,
+              CASE WHEN nt <= 0 THEN 0 ELSE length(bin(nt)) END AS bkt
+            FROM m),
+      sk AS (SELECT source, bkt, count(*) AS cnt FROM b GROUP BY 1, 2),
+      c AS (SELECT source, bkt, cnt,
+              sum(cnt) OVER (PARTITION BY source ORDER BY bkt) AS cum,
+              sum(cnt) OVER (PARTITION BY source) AS n
+            FROM sk),
+      qs AS (SELECT unnest([${qs.mkString(", ")}]) AS q),
+      hit AS (SELECT c.source, qs.q,
+                CAST(min(c.bkt) AS BIGINT) AS q_bucket,
+                CAST(max(c.n) AS BIGINT) AS n
+              FROM c CROSS JOIN qs
+              WHERE c.cum >= (c.n * qs.q + 99) // 100
+              GROUP BY 1, 2)
+      SELECT source, CAST(q AS BIGINT) AS q, n, q_bucket,
+             CAST(CASE WHEN q_bucket = 0 THEN 0
+                  ELSE CAST(pow(2.0, q_bucket - 1) AS BIGINT) END
+               AS BIGINT) AS len_lo,
+             CAST(CASE WHEN q_bucket = 0 THEN 0
+                  ELSE CAST(pow(2.0, q_bucket) AS BIGINT) - 1 END
+               AS BIGINT) AS len_hi
+      FROM hit"""))
+  }
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

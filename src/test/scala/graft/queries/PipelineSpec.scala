@@ -1476,4 +1476,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(card.getDouble(9) ===
       ((dupMass * 1000000L + nDocs / 2) / nDocs) / 1e6, "dup_frac")
   }
+
+  test("p73 doc-length quantiles: buckets bracket the exact order " +
+    "statistic per source, in token units") {
+    val lens = run("p09_text_stats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)) // (doc_id, n_tokens)
+    val srcOf = run("p31_split_assign").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySource = lens.groupBy { case (d, _) => srcOf(d) }
+      .map { case (s, rs) => s -> rs.map(_._2).sorted }
+    val out = run("p73_doclen_quantiles").collect()
+    assert(out.length === bySource.size * 2)
+    out.foreach { r =>
+      val (src, q, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (lo, hi) = (r.getLong(4), r.getLong(5))
+      val xs = bySource(src)
+      assert(n === xs.length.toLong, s"$src n")
+      val exact = xs(((n * q + 99) / 100 - 1).toInt)
+      assert(lo <= exact && exact <= hi,
+        s"$src q$q: exact $exact outside [$lo, $hi]")
+    }
+  }
 }
