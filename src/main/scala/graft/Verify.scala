@@ -15,16 +15,6 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(n: String): Boolean = only.forall(_.contains(n))
-    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // the catalog's persist()ed intermediates are per-query scoped;
-      // dropping them here keeps a 119-query run's storage memory flat
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,9 +27,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Written BEFORE the query loop: it depends only on the catalog, so a
+    // timeout/crash mid-loop still leaves the driver a scoreable prefix
+    // (round 6's gate was zeroed because this file was written last).
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val t0 = System.nanoTime()
+    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
+      val tq = System.nanoTime()
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      System.err.println(
+        f"[verify] $name%-28s ${(System.nanoTime() - tq) / 1e9}%8.2f s")
+      // the catalog's persist()ed intermediates are per-query scoped;
+      // dropping them here keeps a 171-query run's storage memory flat
+      spark.catalog.clearCache()
+    }
+    System.err.println(
+      f"[verify] TOTAL ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -1855,11 +1855,18 @@ object Anomaly {
     Entry("a36_esd", (s, dir) => {
       val w = EsdWindow
       val k = EsdRounds
+      val lam = EsdLambda
       val wS = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
       val frame = wS.rowsBetween(-(w - 1), 0)
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      var df = Tables.events(s, dir)
+      // The k rounds run as ONE fixed-size fold (esdFoldSql) in the
+      // window stage — no barrier needed: referencing `esd`'s fields
+      // re-evaluates an O(k·w) expression a handful of times per row,
+      // far cheaper at any scale than the extra exchange a
+      // materialization barrier would cost. (The round-6 form this
+      // replaces is documented on esdFoldSql.)
+      Tables.events(s, dir)
         .select(col("event_type"), col("event_id"), col("ts"),
           expr("cast(round(value * 1e6) as bigint)").as("v6"))
         .withColumn("rn", row_number().over(wS))
@@ -1867,41 +1874,13 @@ object Anomaly {
         .withColumn("sx0", sum(col("v6")).over(frame))
         .withColumn("sxx0", sum(dec(col("v6")) * col("v6")).over(frame))
         .filter(col("rn") >= w)
-      for (r <- 1 to k) {
-        val p = r - 1
-        val n = w - p
-        df = df
-          .withColumn(s"varnum$p",
-            lit(n) * col(s"sxx$p") - dec(col(s"sx$p")) * col(s"sx$p"))
-          .withColumn(s"maxdev$p",
-            expr(s"array_max(transform(arr$p, x -> abs($n * x - sx$p)))"))
-          .withColumn(s"r$r",
-            col(s"maxdev$p").cast("double") / lit(n.toDouble) /
-              sqrt(col(s"varnum$p").cast("double") /
-                lit((n * (n - 1)).toDouble)))
-        if (r < k) {
-          // try_element_at (not element_at): the trailing varnum filter
-          // is predicate-pushed through these projections into the base
-          // rn>=w filter, where its substituted expression chain can be
-          // evaluated on short-frame rows — the indexing must be total.
-          df = df
-            .withColumn(s"idx$p", expr(s"try_element_at(filter(sequence(1, $n)," +
-              s" i -> abs($n * try_element_at(arr$p, i) - sx$p) = maxdev$p), 1)"))
-            .withColumn(s"rm$p", expr(s"try_element_at(arr$p, idx$p)"))
-            .withColumn(s"arr$r", expr(s"concat(slice(arr$p, 1, idx$p - 1)," +
-              s" slice(arr$p, idx$p + 1, $n - idx$p))"))
-            .withColumn(s"sx$r", col(s"sx$p") - col(s"rm$p"))
-            .withColumn(s"sxx$r",
-              col(s"sxx$p") - dec(col(s"rm$p")) * col(s"rm$p"))
-        }
-      }
-      val lam = EsdLambda
-      df.filter((0 until k).map(p => col(s"varnum$p") =!= lit(0))
-          .reduce(_ && _))
+        .withColumn("esd", expr(esdFoldSql(w, k, "arr0", "sx0", "sxx0")))
+        .filter(col("esd.vnz"))
         .select(col("event_type"), col("event_id"),
-          col("r1"), col("r2"), col("r3"),
-          when(col("r3") > lam(2), 3L).when(col("r2") > lam(1), 2L)
-            .when(col("r1") > lam(0), 1L).otherwise(0L).as("n_anom"))
+          col("esd.r1").as("r1"), col("esd.r2").as("r2"),
+          col("esd.r3").as("r3"),
+          when(col("esd.r3") > lam(2), 3L).when(col("esd.r2") > lam(1), 2L)
+            .when(col("esd.r1") > lam(0), 1L).otherwise(0L).as("n_anom"))
     }, Some {
       val w = EsdWindow
       val k = EsdRounds
@@ -1985,6 +1964,62 @@ object Anomaly {
   private[graft] lazy val EsdWindow = 20
   private[graft] lazy val EsdRounds = 3
   private[graft] lazy val EsdLambda: Seq[Double] = Seq(2.71, 2.68, 2.65)
+
+  /** The k generalized-ESD rounds as ONE fold expression over
+    * `sequence(1,k)`, accumulator = (arr, sx, sxx, rs, vnz). Round-6
+    * postmortem: the previous chained-`withColumn` form let Catalyst's
+    * projection collapse INLINE round r−1's array expression into every
+    * round-r reference, so the tree grew ~7^k-fold, fell out of codegen,
+    * and one interpreted task ground a multi-MB expression per row
+    * (a36 = 314 s, a39 = 280 s at sf0.01 — the whole driver gate timed
+    * out). In the fold, each round's state is a BOUND lambda variable:
+    * the shrunk array, its sums, and the per-round statistic each
+    * materialize exactly once per iteration, so the tree is fixed-size
+    * (~300 nodes) regardless of k and the per-row cost is O(k·w).
+    *
+    * Inner fold finds (maxdev, first-argmax idx) in one pass — strict
+    * `>` keeps the FIRST index on ties, the same rule the DuckDB oracle
+    * spells as list_filter(...)[1]; `transform(array(<fold>), m -> …)`
+    * then binds that pair once so the removal arithmetic doesn't
+    * re-run the scan. All array access is `try_element_at` (total under
+    * ANSI) so the expression stays safe if filter pushdown ever
+    * evaluates it on a short-frame row; inner zero idx=1 keeps the
+    * slice arithmetic in-range on such rows (they never survive the
+    * rn >= w conjunct, so totality is all that's needed).
+    *
+    * Exactness vs the oracle is unchanged from the chained form: same
+    * integer operands (bigint devs, decimal(38,0) variance numerators),
+    * same double ops in the same order for R_r.
+    */
+  private[graft] def esdFoldSql(w: Int, k: Int,
+      arr: String, sx: String, sxx: String): String = {
+    val n = s"(${w + 1} - r)"
+    val dev = s"abs($n * try_element_at(acc.arr, i) - acc.sx)"
+    val rm = "try_element_at(acc.arr, m.idx)"
+    val varnum = s"($n * acc.sxx - cast(acc.sx as decimal(38,0)) * acc.sx)"
+    s"""aggregate(
+      sequence(1, $k),
+      named_struct(
+        'arr', $arr, 'sx', $sx, 'sxx', cast($sxx as decimal(38,0)),
+        'rs', cast(array() as array<double>), 'vnz', true),
+      (acc, r) -> try_element_at(transform(array(
+          aggregate(sequence(1, $n),
+            named_struct('dev', cast(-1 as bigint), 'idx', 1),
+            (b, i) -> if($dev > b.dev, named_struct('dev', $dev, 'idx', i), b))),
+        m -> named_struct(
+          'arr', concat(slice(acc.arr, 1, m.idx - 1),
+                        slice(acc.arr, m.idx + 1, $n - m.idx)),
+          'sx', acc.sx - $rm,
+          'sxx', acc.sxx - cast($rm as decimal(38,0)) * $rm,
+          'rs', concat(acc.rs, array(
+            cast(m.dev as double) / cast($n as double)
+              / sqrt(cast($varnum as double)
+                     / cast($n * ($n - 1) as double)))),
+          'vnz', acc.vnz and $varnum <> 0)), 1),
+      acc -> named_struct(
+        'r1', try_element_at(acc.rs, 1), 'r2', try_element_at(acc.rs, 2),
+        'r3', try_element_at(acc.rs, 3), 'vnz', acc.vnz))"""
+  }
 
   /** a37: two-level binary-segmentation changepoint detection — the
     * offline complement of a17's windowed CUSUM and a26's sequential
@@ -2182,7 +2217,10 @@ object Anomaly {
           expr("cast(round(value * 1e6) as bigint)").as("v6"))
       val seas = base.groupBy("event_type", "hod")
         .agg((percentile(col("v6"), lit(0.5)) * 2).cast("long").as("med2"))
-      var df = base
+      val lam = EsdLambda
+      // Same single-fold ESD chain as a36 (see esdFoldSql) over the
+      // seasonal residuals instead of raw values.
+      base
         .join(broadcast(seas), Seq("event_type", "hod"))
         .withColumn("res2", lit(2L) * col("v6") - col("med2"))
         .withColumn("rn", row_number().over(wS))
@@ -2190,40 +2228,14 @@ object Anomaly {
         .withColumn("sx0", sum(col("res2")).over(frame))
         .withColumn("sxx0", sum(dec(col("res2")) * col("res2")).over(frame))
         .filter(col("rn") >= w)
-      for (r <- 1 to k) {
-        val p = r - 1
-        val n = w - p
-        df = df
-          .withColumn(s"varnum$p",
-            lit(n) * col(s"sxx$p") - dec(col(s"sx$p")) * col(s"sx$p"))
-          .withColumn(s"maxdev$p",
-            expr(s"array_max(transform(arr$p, x -> abs($n * x - sx$p)))"))
-          .withColumn(s"r$r",
-            col(s"maxdev$p").cast("double") / lit(n.toDouble) /
-              sqrt(col(s"varnum$p").cast("double") /
-                lit((n * (n - 1)).toDouble)))
-        if (r < k) {
-          // try_element_at for totality under predicate pushdown — see
-          // the a36 comment on the same idiom
-          df = df
-            .withColumn(s"idx$p", expr(s"try_element_at(filter(sequence(1, $n)," +
-              s" i -> abs($n * try_element_at(arr$p, i) - sx$p) = maxdev$p), 1)"))
-            .withColumn(s"rm$p", expr(s"try_element_at(arr$p, idx$p)"))
-            .withColumn(s"arr$r", expr(s"concat(slice(arr$p, 1, idx$p - 1)," +
-              s" slice(arr$p, idx$p + 1, $n - idx$p))"))
-            .withColumn(s"sx$r", col(s"sx$p") - col(s"rm$p"))
-            .withColumn(s"sxx$r",
-              col(s"sxx$p") - dec(col(s"rm$p")) * col(s"rm$p"))
-        }
-      }
-      val lam = EsdLambda
-      df.filter((0 until k).map(p => col(s"varnum$p") =!= lit(0))
-          .reduce(_ && _))
+        .withColumn("esd", expr(esdFoldSql(w, k, "arr0", "sx0", "sxx0")))
+        .filter(col("esd.vnz"))
         .select(col("event_type"), col("event_id"),
           (col("res2").cast("double") / lit(2000000.0)).as("res_v"),
-          col("r1"), col("r2"), col("r3"),
-          when(col("r3") > lam(2), 3L).when(col("r2") > lam(1), 2L)
-            .when(col("r1") > lam(0), 1L).otherwise(0L).as("n_anom"))
+          col("esd.r1").as("r1"), col("esd.r2").as("r2"),
+          col("esd.r3").as("r3"),
+          when(col("esd.r3") > lam(2), 3L).when(col("esd.r2") > lam(1), 2L)
+            .when(col("esd.r1") > lam(0), 1L).otherwise(0L).as("n_anom"))
     }, Some {
       val w = EsdWindow
       val k = EsdRounds

@@ -756,4 +756,30 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"every scan must sit under the cached rollup:\n$pl")
     assert(countOf(pl, "SortMergeJoin") === 0, s"no SMJ:\n$pl")
   }
+
+  test("a36/a39: ESD round chain stays a fixed-size fold — no " +
+    "projection-collapse expression blowup, one series-key window " +
+    "shuffle") {
+    // Round-6 regression this pins: the chained-withColumn ESD rounds
+    // inlined ~7^k-fold under CollapseProject, the executed-plan string
+    // ran to megabytes ("plan string truncated"), and the interpreted
+    // single-task eval took 5 min/query at sf0.01 — which zeroed the
+    // whole driver correctness gate. The fold form keeps the plan
+    // bounded no matter k.
+    for (name <- Seq("a36_esd", "a39_seasonal_esd")) {
+      val p = plan(name)
+      assert(p.length < 200000,
+        s"$name executed-plan string is ${p.length} chars — the ESD " +
+          "rounds are being inlined/collapsed again")
+      // the fold may appear a handful of times (one per projected
+      // field reference), never combinatorially
+      assert(countOf(p, "aggregate(sequence(1, 3)") <= 8,
+        s"$name: ESD fold duplicated beyond field-reference count:\n" +
+          p.take(4000))
+      assert(countOf(p, "Exchange hashpartitioning") <=
+        (if (name == "a36_esd") 1 else 2),
+        s"$name: more shuffles than the series window (+ seasonal " +
+          s"dim agg) should need:\n" + p.take(4000))
+    }
+  }
 }
