@@ -25,6 +25,31 @@ object Pipeline {
   private def toks: Column = split(norm, " ")
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** 60-bit SimHash of a token array as one fold over the TOKENS:
+    * each token is hashed exactly once (bound via the 1-element
+    * transform) and contributes ±1 to 60 bit-counters; a final pass
+    * folds the counters into the signature (majority rule `> 0`).
+    * This shape exists because the obvious per-BIT outer fold gets the
+    * token-hash array inlined inside its lambda by projection collapse,
+    * so all 60 iterations re-hash the whole document — O(60·T) md5
+    * calls instead of O(T) (9 s/query at sf0.001 before the fix).
+    * Counter sums are identical, so signatures (and the per-bit DuckDB
+    * oracle form) are unchanged.
+    */
+  private def simhashSql(toksExpr: String): String = {
+    import graft.functions.{HashScheme => H}
+    s"""aggregate($toksExpr,
+         cast(array_repeat(0, 60) as array<int>),
+         (acc, t) -> element_at(transform(array(${H.h60Spark("t")}),
+           h -> transform(sequence(0, 59), b ->
+             element_at(acc, b + 1) +
+               CASE WHEN (shiftright(h, b) & 1) = 1
+                    THEN 1 ELSE -1 END)), 1),
+         cnt -> aggregate(sequence(0, 59), 0L, (a2, b) -> a2 +
+           CASE WHEN element_at(cnt, b + 1) > 0
+                THEN shiftleft(1L, b) ELSE 0L END))"""
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
@@ -434,13 +459,7 @@ object Pipeline {
       import graft.functions.{HashScheme => H}
       val sigs = docs(s, dir)
         .withColumn("toks", toks)
-        .withColumn("hs", expr(s"transform(toks, t -> ${H.h60Spark("t")})"))
-        .withColumn("sig", expr(
-          """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
-               CASE WHEN aggregate(transform(hs, h ->
-                   CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
-                 0, (a, x) -> a + x) > 0
-               THEN shiftleft(1L, b) ELSE 0L END)"""))
+        .withColumn("sig", expr(simhashSql("toks")))
         .select(col("doc_id"), col("sig"))
       val seg = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i => struct(lit(i).as("seg"),
@@ -685,18 +704,17 @@ object Pipeline {
     // Determinism + order-sensitivity additionally pinned in PipelineSpec.
     Entry("p12_fingerprint", (s, dir) => {
       import graft.functions.{HashScheme => H}
+      // simhash via the token-fold (see simhashSql — the per-bit form
+      // re-hashes the document 60x once `hs` is inlined); the rolling
+      // fingerprint folds the inlined hash transform once, which is
+      // already O(T).
       docs(s, dir)
         .withColumn("toks", toks)
         .withColumn("hs", expr(s"transform(toks, t -> ${H.h60Spark("t")})"))
         .select(col("doc_id"),
           expr(s"aggregate(hs, 0L, (acc, h) -> (acc*31L + h) % ${H.FingerprintMod}L)")
             .as("fingerprint"),
-          expr(
-            """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
-                 CASE WHEN aggregate(transform(hs, h ->
-                     CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
-                   0, (a, x) -> a + x) > 0
-                 THEN shiftleft(1L, b) ELSE 0L END)""").as("simhash"))
+          expr(simhashSql("toks")).as("simhash"))
     }, Some {
       import graft.functions.{HashScheme => H}
       s"""

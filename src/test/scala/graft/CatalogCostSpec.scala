@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-cost regression guard. Round 6's driver correctness gate
+  * came back EMPTY because two catalog entries (the chained-withColumn
+  * ESD rounds) each took ~5 minutes at sf0.01 while every other query
+  * finished in seconds — the gate hit its budget mid-run and scored
+  * nothing. That class of bug must fail CI, not the driver gate: this
+  * suite executes every catalog entry at sf0.001 and fails if any
+  * single query costs more than max(20x the median, floor) — a
+  * per-query runtime that far out of family is an accidental
+  * complexity blowup (plan explosion, lost pushdown, driver-side
+  * loop), not data volume.
+  */
+class CatalogCostSpec extends AnyFunSuite with SparkTestBase {
+
+  test("no catalog entry is a runtime outlier at sf0.001 " +
+    "(>20x median => plan-complexity regression)") {
+    // untimed warm-up: the first query otherwise absorbs session
+    // start, parquet footer reads, and codegen warm-up (~9 s) and
+    // reads as a false outlier
+    queries.Catalog.all.head.run(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+    val times = queries.Catalog.all.map { e =>
+      val t0 = System.nanoTime()
+      e.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      val sec = (System.nanoTime() - t0) / 1e9
+      e.name -> sec
+    }
+    val sorted = times.map(_._2).sorted
+    val median = sorted(sorted.size / 2)
+    // floor absorbs constant per-query overhead (session warm-up,
+    // codegen) that dominates at sf0.001 and would make a tiny median
+    // trip healthy queries
+    val limit = math.max(20 * median, 8.0)
+    val outliers = times.filter(_._2 > limit)
+    info(f"catalog: ${times.size} queries, median $median%.2f s, " +
+      f"limit $limit%.1f s, total ${sorted.sum}%.1f s")
+    times.sortBy(-_._2).take(5).foreach { case (n, t) =>
+      info(f"  slowest: $n%-28s $t%6.2f s")
+    }
+    assert(outliers.isEmpty,
+      outliers.map { case (n, t) => f"$n ($t%.1f s)" }.mkString(
+        f"catalog entries over $limit%.1f s at sf0.001 — the round-6 " +
+          "gate-killer class: ", ", ", ""))
+  }
+}
