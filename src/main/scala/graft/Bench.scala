@@ -84,8 +84,18 @@ object Bench {
     // min is the reproducible steady-state floor a regression claim
     // should be judged against
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
+    // value_core: the FIXED round-5 query set, so round-over-round
+    // totals stay apples-to-apples as the bench list grows (the r5->r6
+    // headline went 15s -> 83s purely because the list grew 9 -> 17)
+    val coreSet = Set("q01_agg", "q04_join_multi", "a04_anomaly_ensemble",
+      "a06_anomaly_rank", "a13_anomaly_perm500_chunked",
+      "p03_dedup_ngram_jaccard", "p04_dedup_minhash_lsh", "p07_sim_topk",
+      "p24_contamination")
+    val totalCore = med.collect {
+      case (n, v) if coreSet(n) && v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""value_min":$totalMin,""" +
+      s""""value_min":$totalMin,"value_core":$totalCore,""" +
+      s""""core_queries":${coreSet.size},""" +
       s""""queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }

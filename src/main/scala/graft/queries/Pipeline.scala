@@ -104,14 +104,21 @@ object Pipeline {
     */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // tf via explode + count: linear in tokens. The per-distinct-token
+    // `size(filter(tk, _ === tok))` form this replaces rescanned the
+    // whole token array per posting row — O(dl²) per document, a wrong
+    // shape for long-doc corpora. Map-side partial combine collapses
+    // repeated (doc, tok) pairs before the one shuffle, so shuffle
+    // volume equals the distinct-postings size the old form carried.
+    // dl is functionally dependent on doc_id; grouping by it adds no
+    // cardinality and keeps it without a second pass.
     val post = docs(s, dir)
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(array_distinct(col("tk"))).as("tok"),
-        col("tk"))
-      .select(col("doc_id"), col("dl"), col("tok"),
-        size(filter(col("tk"), x => x === col("tok"))).cast("long")
-          .as("tf"))
+        explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
       .persist() // read 3×: df dim, query terms, candidate probe
     val scal = docs(s, dir)
       .agg(count(lit(1)).as("n_docs"),
@@ -1494,25 +1501,40 @@ object Pipeline {
         .groupBy("word_idx").agg(expr("bit_or(msk)").as("word"))
       val benchSet = bench.select("shingle").distinct()
         .withColumn("exact", lit(true))
-      // k probes as k chained BROADCAST lookups, not an explode +
-      // re-group: exploding to (shingle, i) rows and folding bool_and
-      // back would shuffle the whole training posting list at k times
-      // its size — the very volume the bloom exists to avoid. Chained
-      // broadcast joins keep the probe side entirely map-side; the
-      // only shuffle left in the query is the final per-doc rollup at
-      // one row per posting.
-      val probes = (0 until k).foldLeft(
-        h.filter(col("doc_id") % 100 =!= 0)) { (df, i) =>
-          df.withColumn(s"pos_$i", (col("h1") + lit(i) * col("h2")) % m)
-            .join(broadcast(words.toDF(s"word_idx_$i", s"word_$i")),
-              expr(s"pos_$i div 32") === col(s"word_idx_$i"), "left")
-            .withColumn(s"hit_$i", coalesce(
-              expr(s"(word_$i & shiftleft(cast(1 as bigint), " +
-                s"cast(pos_$i % 32 as int))) != 0"), lit(false)))
-            .drop(s"pos_$i", s"word_idx_$i", s"word_$i")
-        }
+      // The whole m-bit bitmap densifies into ONE row holding an
+      // array<bigint>[m/32] (32 KB), broadcast once; every probe is
+      // then row-local bit math — element_at + mask — inside
+      // whole-stage codegen. This replaces k chained broadcast joins
+      // (k broadcast exchanges + k join operators per run, the
+      // dominant fixed cost at small SF and k pointless hash probes
+      // per posting at large). The sparse->dense fill sorts the set
+      // words and splices zero-runs into the gaps — O(n + m/32); a
+      // map-based fill would be O((m/32)^2) because element_at on
+      // Spark's array-backed map is a linear scan. Never an explode +
+      // re-group: that would shuffle the posting list at k times its
+      // size — the volume the bloom exists to avoid.
+      val bitmap = words
+        .agg(array_sort(collect_list(struct(col("word_idx"), col("word"))))
+          .as("es"))
+        .select(expr(s"""
+          concat(
+            flatten(transform(es, (e, j) ->
+              concat(array_repeat(0L, cast(e.word_idx -
+                  (case when j = 0 then 0L
+                        else element_at(es, j).word_idx + 1L end) as int)),
+                array(e.word)))),
+            array_repeat(0L, cast(${m / 32}L -
+              (case when size(es) = 0 then 0L
+                    else element_at(es, size(es)).word_idx + 1L end)
+              as int)))""").as("bits"))
+      val probes = h.filter(col("doc_id") % 100 =!= 0)
+        .crossJoin(broadcast(bitmap))
         .withColumn("bloom_hit",
-          (0 until k).map(i => col(s"hit_$i")).reduce(_ && _))
+          (0 until k).map { i =>
+            val pos = s"((h1 + $i * h2) % $m)"
+            expr(s"(element_at(bits, cast($pos div 32 as int) + 1) & " +
+              s"shiftleft(cast(1 as bigint), cast($pos % 32 as int))) != 0")
+          }.reduce(_ && _))
       probes
         .join(broadcast(benchSet), Seq("shingle"), "left")
         .groupBy("doc_id")
