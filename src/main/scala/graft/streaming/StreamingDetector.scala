@@ -98,25 +98,39 @@ object StreamingDetector {
     * `spark.sql.streaming.stateStore.providerClass =
     * ...RocksDBStateStoreProvider`.
     */
-  def scoreTws(points: Dataset[SeriesPoint], conf0: AnomalyzerConf)
+  /** `idleTtl`: evict a series' buffer after that much processing-time
+    * inactivity (the TWS state-TTL contract: TTL requires
+    * `TimeMode.ProcessingTime`). Unbounded key-cardinality streams need
+    * this — per-series state is O(window), but the number of series
+    * ever seen is not bounded without eviction. An evicted series that
+    * re-arrives warms up from an empty buffer exactly like a new one
+    * (the kernel's Delay gate holds its scores down until the window
+    * refills), so expiry degrades to cold-start, never to wrong state.
+    */
+  def scoreTws(points: Dataset[SeriesPoint], conf0: AnomalyzerConf,
+      idleTtl: Option[java.time.Duration] = None)
       : Dataset[AnomalyScore] = {
     val conf = AnomalyzerConf.validated(conf0)
     implicit val outEnc = Encoders.product[AnomalyScore]
     implicit val keyEnc = Encoders.STRING
 
+    val timeMode =
+      if (idleTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     points.groupByKey(_.series)
-      .transformWithState(new DetectorProcessor(conf), TimeMode.None(),
+      .transformWithState(new DetectorProcessor(conf, idleTtl), timeMode,
         OutputMode.Append())
   }
 
   /** Per-series bounded-buffer processor for [[scoreTws]]. */
-  class DetectorProcessor(conf: AnomalyzerConf)
+  class DetectorProcessor(conf: AnomalyzerConf,
+      idleTtl: Option[java.time.Duration] = None)
       extends StatefulProcessor[String, SeriesPoint, AnomalyScore] {
     @transient private var state: ValueState[SeriesState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[SeriesState]("buf",
-        Encoders.product[SeriesState], TTLConfig.NONE)
+        Encoders.product[SeriesState],
+        idleTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(series: String,
         rows: Iterator[SeriesPoint],

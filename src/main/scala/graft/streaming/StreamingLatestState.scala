@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the q34 latest-state compaction
   * ([[graft.queries.Relational.latestState]]): maintain the current
@@ -57,6 +57,59 @@ object StreamingLatestState {
           state.update(s)
           StateOut(user, etype, s.last_ts, s.last_event_id, s.last_value,
             s.n_events)
+      }
+  }
+
+  /** [[latestState]] with EVENT-TIME idle expiry: a key whose last
+    * activity sits more than `idleTtl` behind the stream's watermark is
+    * evicted from the state store. This is the knob that makes the
+    * "state = one record per LIVE key" bound hold under unbounded key
+    * CARDINALITY (session-scoped ids, one-shot users): without it the
+    * store grows with every key ever seen; with it, state is bounded by
+    * the keys active inside one TTL horizon.
+    *
+    * Expiry semantics (pinned in StreamingStateTtlSpec): eviction
+    * forgets the key entirely — a later arrival for an expired key
+    * starts a FRESH state (n_events restarts at 1). Event-time (not
+    * processing-time) expiry keeps the behavior deterministic: it
+    * depends only on the data's timestamps and the configured delays,
+    * never on wall-clock scheduling, so replaying a log reproduces the
+    * exact same evictions.
+    *
+    * `watermarkDelay` is the usual out-of-orderness allowance; a late
+    * event inside the allowance still folds into live state exactly as
+    * in [[latestState]].
+    */
+  def latestStateTtl(events: DataFrame, idleTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds")(implicit
+      spark: SparkSession): Dataset[StateOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay).as[EventIn]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[KeyState, StateOut](OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        case ((user, etype), rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption
+              .getOrElse(KeyState(Long.MinValue, Long.MinValue, 0.0, 0L))
+            var maxMs = Long.MinValue
+            rows.foreach { e =>
+              maxMs = math.max(maxMs, e.ts.getTime)
+              s = fold(s, Math.floorDiv(e.ts.getTime, 1000L), e.event_id,
+                e.value)
+            }
+            state.update(s)
+            // evict when the watermark passes last activity + TTL; the
+            // max() guard keeps the timeout legal when this batch's
+            // rows are all older than the current watermark
+            state.setTimeoutTimestamp(math.max(maxMs + idleTtl.toMillis,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.single(StateOut(user, etype, s.last_ts,
+              s.last_event_id, s.last_value, s.n_events))
+          }
       }
   }
 }

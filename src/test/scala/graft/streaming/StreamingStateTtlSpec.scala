@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.streaming.StreamingLatestState.EventIn
+
+/** Pins the event-time idle-TTL contract of the per-key state ops:
+  * (1) the state store stays bounded by the LIVE-key set under key
+  * churn, not by every key ever seen, and (2) eviction forgets the key
+  * entirely — a re-arriving expired key starts fresh. Both are
+  * event-time properties (watermark-driven), so the pins are
+  * deterministic: no sleeps, no wall-clock.
+  */
+class StreamingStateTtlSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ev(id: Long, tMs: Long, user: Long, etype: String,
+      value: Double) = EventIn(id, new Timestamp(tMs), user, etype, value)
+
+  private val ttl = java.time.Duration.ofSeconds(30)
+
+  test("key churn: state rows track the live-key set, dead keys evict " +
+    "as the watermark passes their TTL horizon") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val s = sparkSession
+
+    val input = MemoryStream[EventIn](sparkSession)
+    val query = StreamingLatestState.latestStateTtl(input.toDF(), ttl)
+      .writeStream.format("memory").queryName("ttl_churn_sink")
+      .outputMode("update").start()
+    try {
+      // 3 generations of 20 one-shot keys, 100 s of event time apart —
+      // each generation is far beyond the previous one's 30 s TTL
+      for (gen <- 0 until 3) {
+        val base = gen * 100000L
+        input.addData((0 until 20).map(k =>
+          ev(gen * 100 + k, base, gen * 1000 + k, "click", k.toDouble)): _*)
+        query.processAllAvailable()
+        // a second batch per generation so the watermark (computed
+        // from the PREVIOUS batch's max event time) actually advances
+        // past the older generation before the next one arrives
+        input.addData(ev(gen * 100 + 99, base + 1000L, 999999L, "wm", 0.0))
+        query.processAllAvailable()
+      }
+      val rows = query.lastProgress.stateOperators.head.numRowsTotal
+      // live set = generation 2's 20 keys + the watermark-driver key;
+      // without eviction this would be 61
+      assert(rows <= 25,
+        s"state store holds $rows rows — dead generations not evicted")
+      val dropped = (0 until 3).map(_ => query.lastProgress)
+        .head.stateOperators.head.numRowsRemoved
+      assert(dropped >= 0) // metric present (exact count backend-specific)
+    } finally query.stop()
+  }
+
+  test("expiry forgets the key: a re-arriving expired key restarts " +
+    "n_events at 1 (no-TTL twin keeps counting)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val s = sparkSession
+
+    def lastCountFor(sink: String, user: Long): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("last_ts").desc, col("n_events").desc)
+      spark.table(sink)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("user_id") === user)
+        .select("n_events").collect().head.getLong(0)
+    }
+
+    val inTtl = MemoryStream[EventIn](sparkSession)
+    val qTtl = StreamingLatestState.latestStateTtl(inTtl.toDF(), ttl)
+      .writeStream.format("memory").queryName("ttl_expiry_sink")
+      .outputMode("update").start()
+    val inPlain = MemoryStream[EventIn](sparkSession)
+    val qPlain = StreamingLatestState.latestState(inPlain.toDF())
+      .writeStream.format("memory").queryName("ttl_expiry_plain_sink")
+      .outputMode("update").start()
+    try {
+      val feed = Seq(
+        Seq(ev(1, 10000L, 7, "click", 1.0)),         // key 7 appears
+        Seq(ev(2, 200000L, 8, "click", 2.0)),        // watermark -> 10 s
+        Seq(ev(3, 300000L, 8, "click", 3.0)),        // watermark -> 200 s:
+                                                     // key 7 expired (10+30)
+        Seq(ev(4, 400000L, 7, "click", 4.0)))        // key 7 re-arrives
+      for (batch <- feed) {
+        inTtl.addData(batch: _*); qTtl.processAllAvailable()
+        inPlain.addData(batch: _*); qPlain.processAllAvailable()
+      }
+      assert(lastCountFor("ttl_expiry_sink", 7L) === 1L,
+        "expired key must restart fresh — eviction is forget, not pause")
+      assert(lastCountFor("ttl_expiry_plain_sink", 7L) === 2L,
+        "the no-TTL twin must keep the key's full history")
+    } finally { qTtl.stop(); qPlain.stop() }
+  }
+}
