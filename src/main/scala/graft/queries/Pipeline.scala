@@ -354,11 +354,19 @@ object Pipeline {
                list_transform(range(1, len(toks)-3), j ->
                  ${H.h32Duck("array_to_string(toks[j:j+4], ' ')")})
              ELSE [] END AS hs FROM docs),
-      sigs AS MATERIALIZED (SELECT doc_id, list_transform(range(0, ${H.MinHashK}), i ->
-          list_min(list_transform(hs, h ->
-            (${H.minhashALiteral}[i+1]*h + ${H.minhashBLiteral}[i+1])
-              % ${H.MinHashP}))) AS sig
-        FROM sh WHERE len(hs) > 0),
+      -- signature build is RELATIONAL (explode x 64-row perm dim ->
+      -- vectorized GROUP BY min), not a nested per-perm list lambda:
+      -- the lambda form allocated 64 temporary lists per doc and was
+      -- ~25 s alone at sf0.01 — the whole t2 gate's budget rides on
+      -- these 8 shared-CTE oracles staying cheap
+      hrows AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+      perms AS (SELECT i, (${H.minhashALiteral})[i+1] AS pa,
+                  (${H.minhashBLiteral})[i+1] AS pb
+                FROM (SELECT UNNEST(range(0, ${H.MinHashK})) AS i)),
+      mins AS (SELECT doc_id, i, min((pa*h + pb) % ${H.MinHashP}) AS m
+               FROM hrows, perms GROUP BY 1, 2),
+      sigs AS MATERIALIZED (SELECT doc_id, list(m ORDER BY i) AS sig
+        FROM mins GROUP BY doc_id),
       banded AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket, sig
                  FROM sigs, UNNEST(range(0, 16)) t(b)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
