@@ -1989,7 +1989,14 @@ object Anomaly {
     *
     * Exactness vs the oracle is unchanged from the chained form: same
     * integer operands (bigint devs, decimal(38,0) variance numerators),
-    * same double ops in the same order for R_r.
+    * same double ops in the same order for R_r. The one wrinkle: a
+    * CONSTANT round (varnum = 0) makes sqrt(varnum/...) a ZERO double
+    * divisor, and ANSI mode throws DIVIDE_BY_ZERO even for doubles —
+    * at 100 TB a single flat window anywhere would kill the job
+    * (EsdSpec's crafted constant/spike series caught this; the corpus
+    * never hits it). R_r therefore goes through try_divide: NULL for
+    * rounds the vnz filter excludes anyway, the identical IEEE
+    * division everywhere else.
     */
   private[graft] def esdFoldSql(w: Int, k: Int,
       arr: String, sx: String, sxx: String): String = {
@@ -2012,9 +2019,9 @@ object Anomaly {
           'sx', acc.sx - $rm,
           'sxx', acc.sxx - cast($rm as decimal(38,0)) * $rm,
           'rs', concat(acc.rs, array(
-            cast(m.dev as double) / cast($n as double)
-              / sqrt(cast($varnum as double)
-                     / cast($n * ($n - 1) as double)))),
+            try_divide(cast(m.dev as double) / cast($n as double),
+              sqrt(cast($varnum as double)
+                   / cast($n * ($n - 1) as double))))),
           'vnz', acc.vnz and $varnum <> 0)), 1),
       acc -> named_struct(
         'r1', try_element_at(acc.rs, 1), 'r2', try_element_at(acc.rs, 2),
