@@ -1146,10 +1146,19 @@ object Pipeline {
     // Same declared brute-force candidate shape as p07 (this is a
     // compression baseline; p08/p15 remain the candidate-pruning paths).
     Entry("p26_sim_topk_int8", (s, dir) => {
+      // Zero-norm vectors are EXCLUDED from the index: a zero vector
+      // has no direction, so cosine against it is undefined — and its
+      // ma = 0 makes both the quantization divisor and the similarity
+      // denominator zero, which ANSI mode turns into a job-killing
+      // DIVIDE_BY_ZERO (caught by the degenerate-corpus edge audit).
+      // try_divide keeps the quantization total even if predicate
+      // reordering evaluates it on an excluded row.
       val q8 = embs(s, dir)
         .withColumn("ma", expr("array_max(transform(emb, x -> abs(x)))"))
+        .filter(col("ma") =!= 0.0)
         .withColumn("qv",
-          expr("transform(emb, x -> cast(round(x * 127.0 / ma) as bigint))"))
+          expr("transform(emb, x -> " +
+            "cast(round(try_divide(x * 127.0, ma)) as bigint))"))
         .select(col("vec_id"), col("qv"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -1173,7 +1182,8 @@ object Pipeline {
                 AS qv
             FROM (SELECT vec_id, emb,
                     list_max(list_transform(emb, x -> abs(x))) AS ma
-                  FROM e)),
+                  FROM e)
+            WHERE ma <> 0),
       sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         round(
           CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
@@ -1672,12 +1682,19 @@ object Pipeline {
         .withColumn("tk", toks)
         // need >= 4 grams, i.e. >= 6 tokens (3-gram stream length n-2)
         .filter(size(col("tk")) >= 6)
+        // greatest(..., 1) clamps keep the expression TOTAL on short
+        // rows: InferFiltersFromGenerate hoists a `size(sel) > 0`
+        // predicate below the explode, and predicate reordering can
+        // evaluate it BEFORE the size(tk) >= 6 filter — where an
+        // unclamped sequence(1, size-2) DESCENDS through 0 and slice
+        // throws. Clamped junk on short rows is fine; the row never
+        // survives the size filter.
         .withColumn("sel", expr(
           s"""array_distinct(flatten(transform(
                 array(flatten(transform(
-                  array(transform(sequence(1, size(tk)-2), i ->
+                  array(transform(sequence(1, greatest(size(tk)-2, 1)), i ->
                     ${H.h60Spark("concat_ws(' ', slice(tk, i, 3))")})),
-                  gs -> transform(sequence(1, size(gs)-3), i ->
+                  gs -> transform(sequence(1, greatest(size(gs)-3, 1)), i ->
                     array_min(transform(slice(gs, i, 4), (g, o) ->
                       g*4 + 3 - o)))))),
                 ks -> transform(ks, (k, i0) ->

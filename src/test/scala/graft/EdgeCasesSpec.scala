@@ -50,6 +50,57 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private lazy val degenerateDir: String = {
+    val dir = Files.createTempDirectory("graft-degenerate-corpus").toFile
+    dir.deleteOnExit()
+    val base = dir.getAbsolutePath
+    import org.apache.spark.sql.functions._
+    // pass-through dims, but DEGENERATE facts: constant event values
+    // (every window flat -> zero variance everywhere), documents that
+    // are empty / one-token / all-identical (zero shingles, df = corpus
+    // size, zero distinct-token ratios), and all-zero embeddings (zero
+    // norms -> cosine denominators vanish). At 100 TB each of these
+    // exists somewhere in the data; a query that throws on them here
+    // dies there.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/$t.parquet")
+    }
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("value", lit(5.0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/events.parquet")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, lit(""))
+          .when(col("doc_id") % 3 === 1, lit("tok"))
+          .otherwise(lit("the same eleven words repeated in every " +
+            "document of this corpus")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("embedding",
+        expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/embeddings.parquet")
+    base
+  }
+
+  test("every catalog query executes on a degenerate corpus: constant " +
+    "series, empty/identical documents, zero embeddings") {
+    val failures = queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, degenerateDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
+        } finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty,
+      s"queries must survive degenerate inputs:\n${failures.mkString("\n")}")
+  }
+
   test("a43/a44 survive a one-row series: degenerate moments emit no " +
     "tail fit (a43) and a NULL drift (a44), never an ANSI x/0 error") {
     val dir = Files.createTempDirectory("graft-singleton-corpus").toFile
