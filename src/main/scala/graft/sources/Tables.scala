@@ -41,6 +41,22 @@ object Tables {
     } else df
   }
 
+  /** The metric-value DOMAIN contract, applied at ingestion: an
+    * observation is analyzable iff `value` is finite and micro-fixed-
+    * point representable (|value| < 2^63/1e6 ≈ 9.2e12; the corpus tops
+    * out around 5.6e2). Out-of-domain rows — NaN, ±Inf, astronomically
+    * large floats — are DROPPED here, the reference's own NA-drop
+    * semantics (`anomalyze.go` drops NA observations before every
+    * test) extended to the relational layer. Without this, a single
+    * NaN anywhere in a 100 TB stream kills every fixed-point query
+    * with an ANSI CAST_OVERFLOW (17 of the catalog's entries, per the
+    * NaN-corpus audit); silently try_cast-ing instead would let nulls
+    * leak into window frames and change counts, which is worse. The
+    * filter is a pushed-down parquet predicate — free at scale — and a
+    * no-op on the shipped corpus, so every DuckDB oracle (which reads
+    * the raw table) still sees identical data.
+    */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
+      .filter(!isnan(col("value")) && abs(col("value")) < 9.2e12)
 }

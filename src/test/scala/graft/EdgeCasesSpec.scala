@@ -101,6 +101,39 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
       s"queries must survive degenerate inputs:\n${failures.mkString("\n")}")
   }
 
+  test("every catalog query survives NaN and overflow-scale metric " +
+    "values (the events ingestion domain filter drops them)") {
+    val dir = Files.createTempDirectory("graft-nan-corpus").toFile
+    dir.deleteOnExit()
+    val base = dir.getAbsolutePath
+    import org.apache.spark.sql.functions._
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/$t.parquet")
+    }
+    // a NaN or a 1e15 float anywhere in a 100 TB stream must not kill
+    // a query: before the Tables.events domain filter, 17 fixed-point
+    // entries died with ANSI CAST_OVERFLOW on exactly this corpus
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("value",
+        when(col("event_id") % 97 === 0, lit(Double.NaN))
+          .when(col("event_id") % 89 === 0, lit(1.0e15))
+          .otherwise(col("value")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/events.parquet")
+    val failures = queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, base).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
+        } finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty,
+      s"queries must survive out-of-domain values:\n" +
+        failures.mkString("\n"))
+  }
+
   test("a43/a44 survive a one-row series: degenerate moments emit no " +
     "tail fit (a43) and a NULL drift (a44), never an ANSI x/0 error") {
     val dir = Files.createTempDirectory("graft-singleton-corpus").toFile
