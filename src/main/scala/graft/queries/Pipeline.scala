@@ -53,8 +53,22 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** Embedding-domain contract, applied at ingestion (the events
+    * twin of [[graft.sources.Tables.events]]'s value filter): a vector
+    * is analyzable iff it is non-null and every component is finite
+    * with |x| < 100 — comfortably above any normalized embedding, and
+    * inside the envelope where the catalog's integer-exact paths stay
+    * exact (micro components ≤ 1e8, so 64-dim sums of squares fit
+    * int64 with headroom). A single NaN component in a 100 TB
+    * embedding table previously killed the 8 fixed-point ANN queries
+    * with an ANSI CAST_OVERFLOW (EdgeCasesSpec NaN-corpus audit);
+    * dropping out-of-domain vectors is the NA-drop rule the kernel
+    * already applies to observations.
+    */
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull &&
+        expr("forall(embedding, x -> NOT isnan(x) AND abs(x) < 100.0)"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
 

@@ -108,7 +108,7 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
     val base = dir.getAbsolutePath
     import org.apache.spark.sql.functions._
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
+      "lineitem").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").coalesce(1)
         .write.mode("overwrite").parquet(s"$base/$t.parquet")
     }
@@ -121,6 +121,21 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
           .when(col("event_id") % 89 === 0, lit(1.0e15))
           .otherwise(col("value")))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/events.parquet")
+    // likewise NaN embedding components (8 ANN queries died pre-filter)
+    // and null text / null vectors
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", when(col("doc_id") % 53 === 0,
+        lit(null: String)).otherwise(col("text")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("embedding",
+        when(col("vec_id") % 41 === 0,
+          expr("transform(embedding, x -> CAST('NaN' AS FLOAT))"))
+          .when(col("vec_id") % 43 === 0, lit(null).cast("array<float>"))
+          .otherwise(col("embedding")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/embeddings.parquet")
     val failures = queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, base).count(); None }
