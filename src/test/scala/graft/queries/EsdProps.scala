@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Property pin for the a36 ESD fold: 200 seeded random windows —
+  * including duplicate-heavy ones that force deviation ties and a few
+  * constant ones — evaluated through the actual esdFoldSql expression
+  * in one DataFrame pass, compared bit-for-bit against EsdSpec's
+  * sequential reference semantics re-implemented here.
+  */
+class EsdProps extends AnyFunSuite with SparkTestBase {
+
+  private val w = Anomaly.EsdWindow
+  private val k = Anomaly.EsdRounds
+
+  private def esdRef(win0: Array[Long]): (Seq[Double], Boolean) = {
+    var arr = win0.toVector
+    var sx = arr.map(BigInt(_)).sum
+    var sxx = arr.map(v => BigInt(v) * v).sum
+    var ok = true
+    val rs = (1 to k).map { r =>
+      val n = w - (r - 1)
+      val varnum = n * sxx - sx * sx
+      if (varnum == 0) ok = false
+      val devs = arr.map(x => (BigInt(n) * x - sx).abs)
+      val maxdev = devs.max
+      val idx = devs.indexOf(maxdev)
+      val rr =
+        if (varnum == 0) Double.NaN // fold emits NULL; both filtered
+        else maxdev.toDouble / n.toDouble /
+          math.sqrt(varnum.toDouble / (n * (n - 1)).toDouble)
+      val rm = arr(idx)
+      arr = arr.patch(idx, Nil, 1)
+      sx -= rm
+      sxx -= BigInt(rm) * rm
+      rr
+    }
+    (rs, ok)
+  }
+
+  test("fold == sequential reference on 200 random windows " +
+    "(duplicates, ties, constants)") {
+    val rnd = new java.util.SplittableRandom(0xE5D0L)
+    val windows: Seq[Array[Long]] = (0 until 200).map { i =>
+      if (i % 50 == 49) Array.fill(w)(rnd.nextLong(1000L)) // high-entropy
+      else if (i % 25 == 24) Array.fill(w)(7L) // constant
+      else Array.fill(w)(rnd.nextLong(5L)) // tiny alphabet -> many ties
+    }
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val df = windows.zipWithIndex
+      .map { case (arr, id) => (id, arr) }.toDF("id", "arr0")
+      .withColumn("sx0", expr("aggregate(arr0, 0L, (a, x) -> a + x)"))
+      .withColumn("sxx0", expr(
+        "aggregate(arr0, cast(0 as decimal(38,0)), " +
+          "(a, x) -> a + cast(x as decimal(38,0)) * x)"))
+      .withColumn("esd",
+        expr(Anomaly.esdFoldSql(w, k, "arr0", "sx0", "sxx0")))
+      .select(col("id"), col("esd.r1"), col("esd.r2"), col("esd.r3"),
+        col("esd.vnz"))
+    val got = df.collect().map { r =>
+      r.getInt(0) -> ((Seq(1, 2, 3).map(i =>
+        if (r.isNullAt(i)) Double.NaN else r.getDouble(i)),
+        r.getBoolean(4)))
+    }.toMap
+    windows.zipWithIndex.foreach { case (arr, id) =>
+      val (rs, ok) = esdRef(arr)
+      val (gotRs, gotOk) = got(id)
+      assert(gotOk === ok, s"window $id vnz")
+      rs.zip(gotRs).zipWithIndex.foreach { case ((e, g), j) =>
+        if (ok) // degenerate rounds emit NULL (NaN here) by design
+          assert(java.lang.Double.compare(e, g) === 0,
+            s"window $id round ${j + 1}: expected $e got $g")
+      }
+    }
+  }
+}
