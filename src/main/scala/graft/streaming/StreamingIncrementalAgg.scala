@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming twin of q46's incremental-aggregate maintenance: the
   * materialized view lives as per-group state — exact row count and
@@ -23,6 +23,10 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
 object StreamingIncrementalAgg {
 
   case class MeasureIn(flag: String, status: String, qty2: Long)
+
+  /** [[MeasureIn]] plus the event time the TTL variant evicts by. */
+  case class MeasureTsIn(flag: String, status: String, qty2: Long,
+      ts: java.sql.Timestamp)
 
   case class AggState(n: Long, q2: Long)
 
@@ -56,6 +60,41 @@ object StreamingIncrementalAgg {
           val merged = AggState(s.n + dn, s.q2 + dq)
           state.update(merged)
           emit(flag, status, merged)
+      }
+  }
+
+  /** [[maintain]] with event-time idle eviction — the unbounded-group-
+    * cardinality knob ([[StreamingLatestState.latestStateTtl]]'s
+    * contract): a group quiet for more than `idleTtl` of event time is
+    * dropped from the store; if it re-arrives, its view restarts from
+    * the new rows alone. Same deterministic watermark-driven expiry,
+    * pinned in StreamingStateTtlSpec.
+    */
+  def maintainTtl(rows: DataFrame, idleTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds")(implicit
+      spark: SparkSession): Dataset[ViewOut] = {
+    import spark.implicits._
+    rows.withWatermark("ts", watermarkDelay).as[MeasureTsIn]
+      .groupByKey(r => (r.flag, r.status))
+      .flatMapGroupsWithState[AggState, ViewOut](OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        case ((flag, status), batch, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var dn = 0L
+            var dq = 0L
+            var maxMs = Long.MinValue
+            batch.foreach { r =>
+              dn += 1; dq += r.qty2
+              maxMs = math.max(maxMs, r.ts.getTime)
+            }
+            val s = state.getOption.getOrElse(AggState(0L, 0L))
+            val merged = AggState(s.n + dn, s.q2 + dq)
+            state.update(merged)
+            state.setTimeoutTimestamp(math.max(maxMs + idleTtl.toMillis,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.single(emit(flag, status, merged))
+          }
       }
   }
 }

@@ -23,6 +23,10 @@ object StreamingQuantile {
 
   case class ObsIn(event_type: String, micro: Long)
 
+  /** [[ObsIn]] plus the event time the TTL variant evicts by. */
+  case class ObsTsIn(event_type: String, micro: Long,
+      ts: java.sql.Timestamp)
+
   case class SketchState(counts: Map[Int, Long])
 
   case class QOut(event_type: String, q: Long, n: Long, q_bucket: Long,
@@ -79,6 +83,44 @@ object StreamingQuantile {
             b -> (prev.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
           state.update(SketchState(merged))
           extract(et, merged, qs).iterator
+      }
+  }
+
+  /** [[maintain]] with event-time idle eviction (the shared TTL
+    * contract of the per-key state ops, see
+    * [[StreamingLatestState.latestStateTtl]]): a series quiet past
+    * `idleTtl` of event time drops its sketch; a re-arriving series
+    * rebuilds from the new observations alone. Sketch merge semantics
+    * inside the horizon are unchanged.
+    */
+  def maintainTtl(rows: DataFrame, qs: Seq[Int],
+      idleTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds")(implicit
+      spark: SparkSession): Dataset[QOut] = {
+    import spark.implicits._
+    rows.withWatermark("ts", watermarkDelay).as[ObsTsIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SketchState, QOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (et, batch, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val delta = collection.mutable.Map.empty[Int, Long]
+            var maxMs = Long.MinValue
+            batch.foreach { r =>
+              val b = bucket(r.micro)
+              delta.update(b, delta.getOrElse(b, 0L) + 1L)
+              maxMs = math.max(maxMs, r.ts.getTime)
+            }
+            val prev =
+              state.getOption.getOrElse(SketchState(Map.empty)).counts
+            val merged = (prev.keySet ++ delta.keySet).map(b =>
+              b -> (prev.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+            state.update(SketchState(merged))
+            state.setTimeoutTimestamp(math.max(maxMs + idleTtl.toMillis,
+              state.getCurrentWatermarkMs() + 1))
+            extract(et, merged, qs).iterator
+          }
       }
   }
 }

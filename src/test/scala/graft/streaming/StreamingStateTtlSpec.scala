@@ -99,4 +99,60 @@ class StreamingStateTtlSpec extends AnyFunSuite with SparkTestBase {
         "the no-TTL twin must keep the key's full history")
     } finally { qTtl.stop(); qPlain.stop() }
   }
+
+  test("incremental agg + quantile sketch share the contract: expired " +
+    "group/series rebuilds from post-expiry rows alone") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val s = sparkSession
+    import StreamingIncrementalAgg.MeasureTsIn
+    import StreamingQuantile.ObsTsIn
+
+    def t(ms: Long) = new Timestamp(ms)
+
+    val aggIn = MemoryStream[MeasureTsIn](sparkSession)
+    val qAgg = StreamingIncrementalAgg.maintainTtl(aggIn.toDF(), ttl)
+      .writeStream.format("memory").queryName("ttl_agg_sink")
+      .outputMode("update").start()
+    val skIn = MemoryStream[ObsTsIn](sparkSession)
+    val qSk = StreamingQuantile.maintainTtl(skIn.toDF(), Seq(50), ttl)
+      .writeStream.format("memory").queryName("ttl_sk_sink")
+      .outputMode("update").start()
+    try {
+      // group A gets 2 rows, goes quiet; watermark sails past A+TTL on
+      // other-group traffic; A re-arrives with 1 row -> n must be 1,
+      // not 3
+      val aggBatches = Seq(
+        Seq(MeasureTsIn("A", "F", 100L, t(10000L)),
+          MeasureTsIn("A", "F", 300L, t(11000L))),
+        Seq(MeasureTsIn("B", "O", 100L, t(200000L))),
+        Seq(MeasureTsIn("B", "O", 100L, t(300000L))),
+        Seq(MeasureTsIn("A", "F", 500L, t(400000L))))
+      aggBatches.foreach { b =>
+        aggIn.addData(b: _*); qAgg.processAllAvailable()
+      }
+      val aggNs = spark.table("ttl_agg_sink")
+        .filter(col("flag") === "A")
+        .collect().map(_.getLong(2)).toSet
+      assert(aggNs === Set(2L, 1L),
+        s"expected the pre-expiry n=2 view then a fresh n=1 restart " +
+          s"(n=3 would mean the evicted state leaked back); got $aggNs")
+
+      val skBatches = Seq(
+        Seq(ObsTsIn("A", 100L, t(10000L)), ObsTsIn("A", 200L, t(11000L))),
+        Seq(ObsTsIn("B", 100L, t(200000L))),
+        Seq(ObsTsIn("B", 100L, t(300000L))),
+        Seq(ObsTsIn("A", 999L, t(400000L))))
+      skBatches.foreach { b =>
+        skIn.addData(b: _*); qSk.processAllAvailable()
+      }
+      val ns = spark.table("ttl_sk_sink")
+        .filter(col("event_type") === "A")
+        .select("n").collect().map(_.getLong(0)).sorted
+      assert(ns.contains(2L), "pre-expiry sketch reached n=2")
+      assert(ns.head === 1L && ns.last === 2L,
+        "re-arriving expired series must rebuild its sketch from " +
+          "scratch (n=1), never carry the evicted counts (n=3)")
+    } finally { qAgg.stop(); qSk.stop() }
+  }
 }
