@@ -2495,7 +2495,10 @@ object Pipeline {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // persisted: 5 iterations re-read the degree-annotated edges
       val e = edges.join(deg, "src").persist()
-      val nodes = d.select(col("doc_id"))
+      // persisted: every iteration's left join re-derives the node
+      // spine; uncached that is 5 extra corpus scans for one slim
+      // column (at 100 TB, 5 redundant passes over the whole table)
+      val nodes = d.select(col("doc_id")).persist()
       var ranks = nodes.withColumn("rank", lit(1000000L))
       for (_ <- 1 to 5) {
         val contribs = e
