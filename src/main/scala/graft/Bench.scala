@@ -93,9 +93,16 @@ object Bench {
       "p24_contamination")
     val totalCore = med.collect {
       case (n, v) if coreSet(n) && v >= 0 => v }.sum
+    // core_missing names any core query absent from this run (filtered
+    // out or failed, median -1): a hole in the core sum must be VISIBLE,
+    // or a core query regressing to failure reads as a speedup
+    val coreMissing = (coreSet -- med.collect {
+      case (n, v) if v >= 0 => n }.toSet).toSeq.sorted
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""value_min":$totalMin,"value_core":$totalCore,""" +
-      s""""core_queries":${coreSet.size},""" +
+      s""""core_queries":${coreSet.size - coreMissing.size},""" +
+      s""""core_missing":${coreMissing.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""" +
       s""""queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -510,7 +510,10 @@ object Anomaly {
         .groupBy("event_type")
         .agg(count(lit(1)).cast("double").as("n"),
           sum(col("v6").cast("decimal(38,0)")).cast("double").as("s1"),
-          sum((col("v6") * col("v6")).cast("decimal(38,0)"))
+          // cast BEFORE multiplying: a bigint v6*v6 overflows int64 for
+          // in-domain |value| > ~3e3 (ANSI throw); the decimal product
+          // is the same integer
+          sum(col("v6").cast("decimal(38,0)") * col("v6"))
             .cast("double").as("s2"),
           sum((col("v6").cast("decimal(38,0)") * col("v6") * col("v6"))
             .cast("decimal(38,0)")).cast("double").as("s3"))
@@ -528,7 +531,7 @@ object Anomaly {
       sums AS (SELECT event_type,
                  CAST(count(*) AS DOUBLE) AS n,
                  CAST(sum(CAST(v6 AS HUGEINT)) AS DOUBLE) AS s1,
-                 CAST(sum(CAST(v6 * v6 AS HUGEINT)) AS DOUBLE) AS s2,
+                 CAST(sum(CAST(v6 AS HUGEINT) * v6) AS DOUBLE) AS s2,
                  CAST(sum(CAST(v6 AS HUGEINT) * v6 * v6) AS DOUBLE) AS s3
                FROM e GROUP BY event_type),
       m AS (SELECT event_type, n, s1 / n AS m1, s2 / n AS ex2,
@@ -1525,8 +1528,11 @@ object Anomaly {
     // round(6).
     Entry("a31_periodogram", (s, dir) => {
       def sumK(k: Int, arr: Seq[Long], nm: String) =
-        sum(expr(s"cast(v6 * element_at(array(${arr.mkString(",")}), " +
-          s"cast(($k * hod) % 24 + 1 as int)) as decimal(38,0))")).as(nm)
+        // cast-then-multiply: bigint v6*trig overflows int64 for
+        // in-domain |v6| > ~9.2e12 (trig entries are 1e6-scale)
+        sum(expr(s"cast(v6 as decimal(38,0)) * element_at(array(" +
+          s"${arr.mkString(",")}), " +
+          s"cast(($k * hod) % 24 + 1 as int))")).as(nm)
       def amp(k: Int) = {
         val (c, sn) = (col(s"sc$k").cast("double"), col(s"ss$k").cast("double"))
         round((lit(2.0) * sqrt(c * c + sn * sn) / col("n")) / lit(1e12), 6)
@@ -1543,7 +1549,7 @@ object Anomaly {
         .select(col("event_type"), col("n"), amp(1), amp(2), amp(3))
     }, Some {
       def sumK(k: Int, arr: Seq[Long], nm: String) =
-        s"""sum(v6 * ([${arr.mkString(",")}])[($k * hod) % 24 + 1]) AS $nm"""
+        s"""sum(CAST(v6 AS HUGEINT) * ([${arr.mkString(",")}])[($k * hod) % 24 + 1]) AS $nm"""
       def amp(k: Int) =
         s"""round((2.0 * sqrt(CAST(sc$k AS DOUBLE) * CAST(sc$k AS DOUBLE)
               + CAST(ss$k AS DOUBLE) * CAST(ss$k AS DOUBLE)) / n) / 1e12, 6)
@@ -1578,7 +1584,8 @@ object Anomaly {
         .groupBy("event_type", "hod")
         .agg(count(lit(1)).as("nh"),
           sum(col("v6")).as("sh"),
-          sum(expr("cast(v6 * v6 as decimal(38,0))")).as("ssh"))
+          // cast-then-multiply (see a14): bigint v6*v6 overflows first
+          sum(expr("cast(v6 as decimal(38,0)) * v6")).as("ssh"))
         .withColumn("t", (col("sh").cast("double") * col("sh").cast("double"))
           / col("nh").cast("double"))
         .groupBy("event_type")
@@ -1601,7 +1608,8 @@ object Anomaly {
       WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
                    CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events),
       byhod AS (SELECT event_type, hod, count(*) AS nh,
-                  CAST(sum(v6) AS BIGINT) AS sh, sum(v6 * v6) AS ssh
+                  CAST(sum(v6) AS BIGINT) AS sh,
+                  sum(CAST(v6 AS HUGEINT) * v6) AS ssh
                 FROM e GROUP BY event_type, hod),
       terms AS (SELECT *, (CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
                           / CAST(nh AS DOUBLE) AS t
@@ -2024,8 +2032,9 @@ object Anomaly {
                    / cast($n * ($n - 1) as double))))),
           'vnz', acc.vnz and $varnum <> 0)), 1),
       acc -> named_struct(
-        'r1', try_element_at(acc.rs, 1), 'r2', try_element_at(acc.rs, 2),
-        'r3', try_element_at(acc.rs, 3), 'vnz', acc.vnz))"""
+        ${(1 to k).map(i =>
+          s"'r$i', try_element_at(acc.rs, $i)").mkString(", ")},
+        'vnz', acc.vnz))"""
   }
 
   /** a37: two-level binary-segmentation changepoint detection — the
@@ -2336,8 +2345,11 @@ object Anomaly {
     Entry("a40_spectral_concentration", (s, dir) => {
       val ks = 1 to 12
       def sumK(k: Int, arr: Seq[Long], nm: String) =
-        sum(expr(s"cast(v6 * element_at(array(${arr.mkString(",")}), " +
-          s"cast(($k * hod) % 24 + 1 as int)) as decimal(38,0))")).as(nm)
+        // cast-then-multiply: bigint v6*trig overflows int64 for
+        // in-domain |v6| > ~9.2e12 (trig entries are 1e6-scale)
+        sum(expr(s"cast(v6 as decimal(38,0)) * element_at(array(" +
+          s"${arr.mkString(",")}), " +
+          s"cast(($k * hod) % 24 + 1 as int))")).as(nm)
       def eK(k: Int) = {
         val (c, sn) = (col(s"sc$k").cast("double"), col(s"ss$k").cast("double"))
         (c * c + sn * sn).as(s"e$k")
@@ -2366,7 +2378,7 @@ object Anomaly {
     }, Some {
       val ks = 1 to 12
       def sumK(k: Int, arr: Seq[Long], nm: String) =
-        s"""sum(v6 * ([${arr.mkString(",")}])[($k * hod) % 24 + 1]) AS $nm"""
+        s"""sum(CAST(v6 AS HUGEINT) * ([${arr.mkString(",")}])[($k * hod) % 24 + 1]) AS $nm"""
       def eK(k: Int) =
         s"""(CAST(sc$k AS DOUBLE) * CAST(sc$k AS DOUBLE)
             + CAST(ss$k AS DOUBLE) * CAST(ss$k AS DOUBLE)) AS e$k"""

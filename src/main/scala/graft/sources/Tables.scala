@@ -42,21 +42,33 @@ object Tables {
   }
 
   /** The metric-value DOMAIN contract, applied at ingestion: an
-    * observation is analyzable iff `value` is finite and micro-fixed-
-    * point representable (|value| < 2^63/1e6 ≈ 9.2e12; the corpus tops
-    * out around 5.6e2). Out-of-domain rows — NaN, ±Inf, astronomically
-    * large floats — are DROPPED here, the reference's own NA-drop
-    * semantics (`anomalyze.go` drops NA observations before every
-    * test) extended to the relational layer. Without this, a single
-    * NaN anywhere in a 100 TB stream kills every fixed-point query
-    * with an ANSI CAST_OVERFLOW (17 of the catalog's entries, per the
-    * NaN-corpus audit); silently try_cast-ing instead would let nulls
-    * leak into window frames and change counts, which is worse. The
-    * filter is a pushed-down parquet predicate — free at scale — and a
-    * no-op on the shipped corpus, so every DuckDB oracle (which reads
-    * the raw table) still sees identical data.
+    * observation is analyzable iff `value` is finite and |value| < 1e9
+    * (micro fixed point |v6| < 1e15; the corpus tops out around
+    * 5.6e2). Out-of-domain rows — NaN, ±Inf, astronomically large
+    * floats — are DROPPED here, the reference's own NA-drop semantics
+    * (`anomalyze.go` drops NA observations before every test) extended
+    * to the relational layer: the `events` table IS the observation
+    * stream, and a row whose measurement cannot be analyzed exactly is
+    * not an observation (deployments wanting raw-log semantics read
+    * `Tables.table(_, _, "events")`, which this never filters).
+    * Without the filter, a single NaN anywhere in a 100 TB stream
+    * kills every fixed-point query with an ANSI CAST_OVERFLOW (17 of
+    * the catalog's entries, per the NaN-corpus audit); silently
+    * try_cast-ing instead would let nulls leak into window frames and
+    * change counts, which is worse.
+    *
+    * Why 1e9 and not the raw int64 bound 2^63/1e6: in-domain values
+    * must keep every downstream INTEGER intermediate in range, not
+    * just the first cast. At |v6| < 1e15, windowed sums (w <= 64) stay
+    * under 6.4e16, studentized deviations n·x − sx under 1.3e17 —
+    * >70x int64 headroom — and squares/cubes/series-length-scaling
+    * products are DECIMAL(38,0) by construction (cast-then-multiply,
+    * pinned by the in-domain-extremes corpus audit in EdgeCasesSpec).
+    * The filter is a pushed-down parquet predicate — free at scale —
+    * and a no-op on the shipped corpus, so every DuckDB oracle (which
+    * reads the raw table) still sees identical data.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .filter(!isnan(col("value")) && abs(col("value")) < 9.2e12)
+      .filter(!isnan(col("value")) && abs(col("value")) < 1e9)
 }

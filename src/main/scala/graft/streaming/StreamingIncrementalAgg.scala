@@ -28,7 +28,11 @@ object StreamingIncrementalAgg {
   case class MeasureTsIn(flag: String, status: String, qty2: Long,
       ts: java.sql.Timestamp)
 
-  case class AggState(n: Long, q2: Long)
+  /** `actMs` = activity high-water (max event ms) for the TTL variant;
+    * see [[StreamingLatestState.KeyState]] on why the eviction deadline
+    * must come from the high-water, not the current batch.
+    */
+  case class AggState(n: Long, q2: Long, actMs: Long = Long.MinValue)
 
   case class ViewOut(flag: String, status: String, n_rows: Long,
       sum_qty: Double, avg_qty: Double)
@@ -89,9 +93,12 @@ object StreamingIncrementalAgg {
               maxMs = math.max(maxMs, r.ts.getTime)
             }
             val s = state.getOption.getOrElse(AggState(0L, 0L))
-            val merged = AggState(s.n + dn, s.q2 + dq)
+            val merged = AggState(s.n + dn, s.q2 + dq,
+              math.max(s.actMs, maxMs))
             state.update(merged)
-            state.setTimeoutTimestamp(math.max(maxMs + idleTtl.toMillis,
+            // deadline from the activity high-water, never the batch
+            state.setTimeoutTimestamp(math.max(
+              merged.actMs + idleTtl.toMillis,
               state.getCurrentWatermarkMs() + 1))
             Iterator.single(emit(flag, status, merged))
           }

@@ -22,8 +22,15 @@ object StreamingLatestState {
   case class EventIn(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 
+  /** `act_ms` is the TTL variant's activity HIGH-WATER mark (max event
+    * time ever seen for the key, ms) — distinct from `last_ts`, which
+    * is floor-seconds of the last WINNING event. The eviction deadline
+    * must come from the high-water, not the current batch: an
+    * in-allowance out-of-order batch would otherwise pull the deadline
+    * backwards and evict a key that was active inside the horizon.
+    */
   case class KeyState(last_ts: Long, last_event_id: Long,
-      last_value: Double, n_events: Long)
+      last_value: Double, n_events: Long, act_ms: Long = Long.MinValue)
 
   case class StateOut(user_id: Long, event_type: String, last_ts: Long,
       last_event_id: Long, last_value: Double, n_events: Long)
@@ -95,17 +102,17 @@ object StreamingLatestState {
           } else {
             var s = state.getOption
               .getOrElse(KeyState(Long.MinValue, Long.MinValue, 0.0, 0L))
-            var maxMs = Long.MinValue
             rows.foreach { e =>
-              maxMs = math.max(maxMs, e.ts.getTime)
               s = fold(s, Math.floorDiv(e.ts.getTime, 1000L), e.event_id,
-                e.value)
+                e.value).copy(act_ms = math.max(s.act_ms, e.ts.getTime))
             }
             state.update(s)
-            // evict when the watermark passes last activity + TTL; the
-            // max() guard keeps the timeout legal when this batch's
-            // rows are all older than the current watermark
-            state.setTimeoutTimestamp(math.max(maxMs + idleTtl.toMillis,
+            // evict when the watermark passes the key's activity
+            // HIGH-WATER + TTL (an out-of-order batch must never pull
+            // the deadline backwards); the watermark guard keeps the
+            // timeout legal when even the high-water is already behind
+            // the watermark
+            state.setTimeoutTimestamp(math.max(s.act_ms + idleTtl.toMillis,
               state.getCurrentWatermarkMs() + 1))
             Iterator.single(StateOut(user, etype, s.last_ts,
               s.last_event_id, s.last_value, s.n_events))

@@ -27,7 +27,12 @@ object StreamingQuantile {
   case class ObsTsIn(event_type: String, micro: Long,
       ts: java.sql.Timestamp)
 
-  case class SketchState(counts: Map[Int, Long])
+  /** `actMs` = activity high-water (max event ms) for the TTL variant;
+    * see [[StreamingLatestState.KeyState]] on why the eviction deadline
+    * must come from the high-water, not the current batch.
+    */
+  case class SketchState(counts: Map[Int, Long],
+      actMs: Long = Long.MinValue)
 
   case class QOut(event_type: String, q: Long, n: Long, q_bucket: Long,
       est_micro: Long, est_hi_micro: Long, est: Double)
@@ -112,12 +117,14 @@ object StreamingQuantile {
               delta.update(b, delta.getOrElse(b, 0L) + 1L)
               maxMs = math.max(maxMs, r.ts.getTime)
             }
-            val prev =
-              state.getOption.getOrElse(SketchState(Map.empty)).counts
+            val prevState = state.getOption.getOrElse(SketchState(Map.empty))
+            val prev = prevState.counts
             val merged = (prev.keySet ++ delta.keySet).map(b =>
               b -> (prev.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
-            state.update(SketchState(merged))
-            state.setTimeoutTimestamp(math.max(maxMs + idleTtl.toMillis,
+            val actMs = math.max(prevState.actMs, maxMs)
+            state.update(SketchState(merged, actMs))
+            // deadline from the activity high-water, never the batch
+            state.setTimeoutTimestamp(math.max(actMs + idleTtl.toMillis,
               state.getCurrentWatermarkMs() + 1))
             extract(et, merged, qs).iterator
           }

@@ -115,10 +115,17 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
     // a NaN or a 1e15 float anywhere in a 100 TB stream must not kill
     // a query: before the Tables.events domain filter, 17 fixed-point
     // entries died with ANSI CAST_OVERFLOW on exactly this corpus
+    // the % 83 rows are IN-domain extremes (just under the 1e9 bound,
+    // varied so windows aren't constant): every integer intermediate
+    // downstream — windowed sums, deviations, squares, series-scaled
+    // products — must survive them, which is what makes the domain
+    // contract's "analyzable" claim true rather than aspirational
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("value",
         when(col("event_id") % 97 === 0, lit(Double.NaN))
           .when(col("event_id") % 89 === 0, lit(1.0e15))
+          .when(col("event_id") % 83 === 0,
+            lit(8.8e8) + (col("event_id") % 7) * 1e3)
           .otherwise(col("value")))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/events.parquet")
     // likewise NaN embedding components (8 ANN queries died pre-filter)

@@ -15,30 +15,8 @@ class EsdProps extends AnyFunSuite with SparkTestBase {
   private val w = Anomaly.EsdWindow
   private val k = Anomaly.EsdRounds
 
-  private def esdRef(win0: Array[Long]): (Seq[Double], Boolean) = {
-    var arr = win0.toVector
-    var sx = arr.map(BigInt(_)).sum
-    var sxx = arr.map(v => BigInt(v) * v).sum
-    var ok = true
-    val rs = (1 to k).map { r =>
-      val n = w - (r - 1)
-      val varnum = n * sxx - sx * sx
-      if (varnum == 0) ok = false
-      val devs = arr.map(x => (BigInt(n) * x - sx).abs)
-      val maxdev = devs.max
-      val idx = devs.indexOf(maxdev)
-      val rr =
-        if (varnum == 0) Double.NaN // fold emits NULL; both filtered
-        else maxdev.toDouble / n.toDouble /
-          math.sqrt(varnum.toDouble / (n * (n - 1)).toDouble)
-      val rm = arr(idx)
-      arr = arr.patch(idx, Nil, 1)
-      sx -= rm
-      sxx -= BigInt(rm) * rm
-      rr
-    }
-    (rs, ok)
-  }
+  private def esdRef(win0: Array[Long]): (Seq[Double], Boolean) =
+    EsdTestRef.esdRef(win0, w, k)
 
   test("fold == sequential reference on 200 random windows " +
     "(duplicates, ties, constants)") {

@@ -21,34 +21,9 @@ class EsdSpec extends AnyFunSuite with SparkTestBase {
   private val w = Anomaly.EsdWindow
   private val k = Anomaly.EsdRounds
 
-  /** Sequential generalized ESD over one full window of micro-values:
-    * returns (r1..rk, allRoundsNonConstant). Mirrors the documented
-    * semantics (SURVEY §8, a36): integer sums, 128-bit variance
-    * numerator, max |n·x − sx| deviation, FIRST index on ties, rounds
-    * by integer subtraction.
-    */
-  private def esdRef(win0: Array[Long]): (Seq[Double], Boolean) = {
-    var arr = win0.toVector
-    var sx = arr.map(BigInt(_)).sum
-    var sxx = arr.map(v => BigInt(v) * v).sum
-    var ok = true
-    val rs = (1 to k).map { r =>
-      val n = w - (r - 1)
-      val varnum = n * sxx - sx * sx
-      if (varnum == 0) ok = false
-      val devs = arr.map(x => (BigInt(n) * x - sx).abs)
-      val maxdev = devs.max
-      val idx = devs.indexOf(maxdev) // first index on ties
-      val rr = maxdev.toDouble / n.toDouble /
-        math.sqrt(varnum.toDouble / (n * (n - 1)).toDouble)
-      val rm = arr(idx)
-      arr = arr.patch(idx, Nil, 1)
-      sx -= rm
-      sxx -= BigInt(rm) * rm
-      rr
-    }
-    (rs, ok)
-  }
+  /** Shared sequential reference — see [[EsdTestRef]]. */
+  private def esdRef(win0: Array[Long]): (Seq[Double], Boolean) =
+    EsdTestRef.esdRef(win0, w, k)
 
   private def runA36(values: Map[String, Seq[Double]]): Map[(String, Long),
       (Double, Double, Double, Long)] = {

@@ -49,12 +49,11 @@ class StreamingStateTtlSpec extends AnyFunSuite with SparkTestBase {
       }
       val rows = query.lastProgress.stateOperators.head.numRowsTotal
       // live set = generation 2's 20 keys + the watermark-driver key;
-      // without eviction this would be 61
+      // without eviction this would be 61 — the bound is the whole pin
+      // (numRowsRemoved in lastProgress covers only the final
+      // micro-batch, so it cannot see the earlier generations' drops)
       assert(rows <= 25,
         s"state store holds $rows rows — dead generations not evicted")
-      val dropped = (0 until 3).map(_ => query.lastProgress)
-        .head.stateOperators.head.numRowsRemoved
-      assert(dropped >= 0) // metric present (exact count backend-specific)
     } finally query.stop()
   }
 
@@ -98,6 +97,49 @@ class StreamingStateTtlSpec extends AnyFunSuite with SparkTestBase {
       assert(lastCountFor("ttl_expiry_plain_sink", 7L) === 2L,
         "the no-TTL twin must keep the key's full history")
     } finally { qTtl.stop(); qPlain.stop() }
+  }
+
+  test("an in-allowance OUT-OF-ORDER batch never pulls the eviction " +
+    "deadline backwards (deadline = activity high-water + TTL)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val s = sparkSession
+
+    val input = MemoryStream[EventIn](sparkSession)
+    // generous allowance so the late event is in-allowance
+    val query = StreamingLatestState
+      .latestStateTtl(input.toDF(), ttl, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ttl_ooo_sink")
+      .outputMode("update").start()
+    try {
+      val feed = Seq(
+        Seq(ev(1, 1000000L, 7, "click", 1.0)),  // K active at t=1000s
+        Seq(ev(2, 500000L, 7, "click", 2.0)),   // LATE K event, t=500s:
+                                                // must NOT move K's
+                                                // deadline back to 530s
+        Seq(ev(3, 1010000L, 8, "click", 3.0)),  // wm -> 1000s-10m=400s
+        Seq(ev(4, 1620000L, 8, "click", 4.0)),  // wm -> 1010s-10m=410s
+        Seq(ev(5, 1625000L, 7, "click", 6.0)))  // wm -> 1620s-10m=1020s:
+                                                // past the BUGGY 530s
+                                                // deadline, before the
+                                                // true 1030s one — K
+                                                // must still be live
+      for (batch <- feed) {
+        input.addData(batch: _*); query.processAllAvailable()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy(col("n_events").desc)
+      val n = spark.table("ttl_ooo_sink")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("user_id") === 7)
+        .select("n_events").collect().head.getLong(0)
+      // buggy behavior (deadline from the late batch alone = 530 s):
+      // K evicted when the watermark reached 1020 s and event 6
+      // restarts at n=1; correct behavior keeps all 3 events
+      assert(n === 3L,
+        s"key evicted inside its TTL horizon after an out-of-order " +
+          s"batch (final n_events = $n, expected 3)")
+    } finally query.stop()
   }
 
   test("incremental agg + quantile sketch share the contract: expired " +
