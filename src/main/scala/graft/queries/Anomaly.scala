@@ -1185,8 +1185,12 @@ object Anomaly {
           expr("cast(round(value * 1e6) as bigint)").as("v6"))
         .withColumn("rn", row_number().over(wS))
         .withColumn("sp", sum(col("v6")).over(cum))
+        // rn*v6 in DECIMAL: the bigint product scales with series
+        // length and overflows for a long, large-valued series (the
+        // decimal is the same integer, so the double cast is identical)
         .withColumn("t6", expr(
-          "cast(round(cast(rn * v6 - sp as double) / rn) as bigint) - 5000"))
+          "cast(round(cast(cast(rn as decimal(38,0)) * v6 - sp as double)" +
+            " / rn) as bigint) - 5000"))
         .withColumn("mt", sum(col("t6")).over(cum))
         .withColumn("mmin", min(col("mt")).over(cum))
         .select(col("event_type"), col("event_id"),
@@ -1202,8 +1206,8 @@ object Anomaly {
             FROM e
             WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
       t AS (SELECT event_type, event_id, ts,
-              CAST(round(CAST(rn * v6 - sp AS DOUBLE) / rn) AS BIGINT)
-                - 5000 AS t6
+              CAST(round(CAST(CAST(rn AS HUGEINT) * v6 - sp AS DOUBLE)
+                / rn) AS BIGINT) - 5000 AS t6
             FROM p),
       c AS (SELECT event_type, event_id, ts,
               CAST(sum(t6) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2060,6 +2064,11 @@ object Anomaly {
       val wRun = wOrd.rowsBetween(Long.MinValue, 0)
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type")
+      // CUSUM products scale with SERIES LENGTH (n·s ~ N²·v6), so they
+      // run in DECIMAL(38,0) / HUGEINT on both engines — int64 would
+      // overflow for a long, large-valued series long before the
+      // domain bound; g/g1/g2 stay decimal through the output
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       Tables.events(s, dir)
         .select(col("event_type"), col("event_id"), col("ts"),
           expr("cast(round(value * 1e6) as bigint)").as("v6"))
@@ -2068,7 +2077,7 @@ object Anomaly {
         .withColumn("n", count(lit(1)).over(wAll))
         .withColumn("sn", sum(col("v6")).over(wAll))
         .withColumn("g", when(col("t") < col("n"),
-          abs(col("n") * col("s") - col("t") * col("sn"))))
+          abs(dec(col("n")) * col("s") - dec(col("t")) * col("sn"))))
         .withColumn("g1", max(col("g")).over(wAll))
         .withColumn("t1",
           min(when(col("g") === col("g1"), col("t"))).over(wAll))
@@ -2076,10 +2085,10 @@ object Anomaly {
           min(when(col("t") === col("t1"), col("s"))).over(wAll))
         .withColumn("g2",
           when(col("t") < col("t1"),
-            abs(col("t1") * col("s") - col("t") * col("s1")))
+            abs(dec(col("t1")) * col("s") - dec(col("t")) * col("s1")))
           .when(col("t") > col("t1") && col("t") < col("n"),
-            abs((col("n") - col("t1")) * (col("s") - col("s1")) -
-              (col("t") - col("t1")) * (col("sn") - col("s1")))))
+            abs(dec(col("n") - col("t1")) * (col("s") - col("s1")) -
+              dec(col("t") - col("t1")) * (col("sn") - col("s1")))))
         .withColumn("gl",
           max(when(col("t") < col("t1"), col("g2"))).over(wAll))
         .withColumn("t2l", min(when(col("t") < col("t1") &&
@@ -2089,7 +2098,7 @@ object Anomaly {
         .withColumn("t2r", min(when(col("t") > col("t1") &&
           col("g2") === col("gr"), col("t"))).over(wAll))
         .filter(col("t") === col("t1"))
-        .withColumn("den", col("t1") * (col("n") - col("t1")))
+        .withColumn("den", dec(col("t1")) * (col("n") - col("t1")))
         .select(col("event_type"), col("n"), col("t1"), col("g1"),
           (expr("(g1 + den div 2) div den") / 1e6).as("mean_shift"),
           col("t2l").as("t2_left"), col("t2r").as("t2_right"))
@@ -2105,7 +2114,8 @@ object Anomaly {
             FROM e
             WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id),
                    wall AS (PARTITION BY event_type)),
-      g AS (SELECT *, CASE WHEN t < n THEN abs(n*s - t*sn) END AS g
+      g AS (SELECT *, CASE WHEN t < n THEN
+              abs(CAST(n AS HUGEINT)*s - CAST(t AS HUGEINT)*sn) END AS g
             FROM w),
       l1 AS (SELECT *, max(g) OVER wall AS g1
              FROM g WINDOW wall AS (PARTITION BY event_type)),
@@ -2114,9 +2124,11 @@ object Anomaly {
       l1b AS (SELECT *, min(CASE WHEN t = t1 THEN s END) OVER wall AS s1
               FROM l1a WINDOW wall AS (PARTITION BY event_type)),
       g2 AS (SELECT *,
-               CASE WHEN t < t1 THEN abs(t1*s - t*s1)
+               CASE WHEN t < t1 THEN
+                      abs(CAST(t1 AS HUGEINT)*s - CAST(t AS HUGEINT)*s1)
                     WHEN t > t1 AND t < n THEN
-                      abs((n - t1)*(s - s1) - (t - t1)*(sn - s1))
+                      abs(CAST(n - t1 AS HUGEINT)*(s - s1)
+                          - CAST(t - t1 AS HUGEINT)*(sn - s1))
                END AS g2
              FROM l1b),
       l2 AS (SELECT *,
@@ -2129,8 +2141,9 @@ object Anomaly {
                 min(CASE WHEN t > t1 AND g2 = gr THEN t END)
                   OVER wall AS t2r
               FROM l2 WINDOW wall AS (PARTITION BY event_type))
-      SELECT event_type, n, t1, g1,
-             CAST((g1 + (t1*(n - t1)) // 2) // (t1*(n - t1)) AS BIGINT)
+      SELECT event_type, n, t1, CAST(g1 AS DECIMAL(38,0)) AS g1,
+             CAST((g1 + (CAST(t1 AS HUGEINT)*(n - t1)) // 2)
+               // (CAST(t1 AS HUGEINT)*(n - t1)) AS BIGINT)
                / 1e6 AS mean_shift,
              t2l AS t2_left, t2r AS t2_right
       FROM l2b WHERE t = t1"""))

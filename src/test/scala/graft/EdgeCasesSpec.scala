@@ -120,12 +120,18 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestBase {
     // downstream — windowed sums, deviations, squares, series-scaled
     // products — must survive them, which is what makes the domain
     // contract's "analyzable" claim true rather than aspirational
+    // the 'error' series goes DENSELY large (every row near the bound)
+    // — the worst case for series-length-scaling integer products
+    // (cumulative CUSUM/Page-Hinkley terms ~ N·Σv6), which sparse
+    // extremes never push to their limit
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("value",
         when(col("event_id") % 97 === 0, lit(Double.NaN))
           .when(col("event_id") % 89 === 0, lit(1.0e15))
           .when(col("event_id") % 83 === 0,
             lit(8.8e8) + (col("event_id") % 7) * 1e3)
+          .when(col("event_type") === "error",
+            lit(8.0e8) + (col("event_id") % 11) * 1e4)
           .otherwise(col("value")))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/events.parquet")
     // likewise NaN embedding components (8 ANN queries died pre-filter)
