@@ -36,12 +36,27 @@ class CatalogCostSpec extends AnyFunSuite with SparkTestBase {
     // codegen) that dominates at sf0.001 and would make a tiny median
     // trip healthy queries
     val limit = math.max(20 * median, 8.0)
-    val outliers = times.filter(_._2 > limit)
     info(f"catalog: ${times.size} queries, median $median%.2f s, " +
       f"limit $limit%.1f s, total ${sorted.sum}%.1f s")
     times.sortBy(-_._2).take(5).foreach { case (n, t) =>
       info(f"  slowest: $n%-28s $t%6.2f s")
     }
+    // re-measure first-pass outliers (best of 2) before failing: under
+    // sbt's parallel suite execution other Spark suites share the
+    // session, and a co-scheduled heavy stage can push one measurement
+    // over the limit; a GENUINE complexity blowup (the 300 s round-6
+    // a36) reproduces on retry, a co-load artifact does not
+    val outliers = times.filter(_._2 > limit).map { case (n, t0) =>
+      val retried = (1 to 2).map { _ =>
+        val t = System.nanoTime()
+        queries.Catalog.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t) / 1e9
+      }.min
+      info(f"  retried outlier: $n%-28s first $t0%6.2f s -> $retried%6.2f s")
+      n -> retried
+    }.filter(_._2 > limit)
     assert(outliers.isEmpty,
       outliers.map { case (n, t) => f"$n ($t%.1f s)" }.mkString(
         f"catalog entries over $limit%.1f s at sf0.001 — the round-6 " +

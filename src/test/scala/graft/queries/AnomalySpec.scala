@@ -644,9 +644,11 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
 
   test("a37 binseg == exact integer sequential recompute; both levels " +
     "split inside their segments") {
+    // g1 is DECIMAL(38,0) (series-length-scaling products run in
+    // decimal so a long large-valued series can't overflow int64)
     val got = Catalog.queries("a37_binseg")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4),
+        BigInt(r.getDecimal(3).toBigIntegerExact), r.getDouble(4),
         if (r.isNullAt(5)) None else Some(r.getLong(5)),
         if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
     val wspec = Window.partitionBy(col("event_type"))
@@ -663,14 +665,16 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       val n = vs.length.toLong
       val pre = vs.scanLeft(0L)(_ + _).tail // S_1..S_n
       val sn = pre.last
-      def cusum(t: Int): Long = math.abs(n * pre(t - 1) - t * sn)
+      // BigInt, mirroring the decimal products in the query
+      def cusum(t: Int): BigInt = (BigInt(n) * pre(t - 1) - BigInt(t) * sn).abs
       val g1 = (1 until vs.length).map(cusum).max
       val t1 = (1 until vs.length).find(t => cusum(t) == g1).get.toLong
       val s1 = pre(t1.toInt - 1)
-      def gLeft(t: Int): Long =
-        math.abs(t1 * pre(t - 1) - t * s1)
-      def gRight(t: Int): Long =
-        math.abs((n - t1) * (pre(t - 1) - s1) - (t - t1) * (sn - s1))
+      def gLeft(t: Int): BigInt =
+        (BigInt(t1) * pre(t - 1) - BigInt(t) * s1).abs
+      def gRight(t: Int): BigInt =
+        (BigInt(n - t1) * (pre(t - 1) - s1) -
+          BigInt(t - t1) * (sn - s1)).abs
       val lts = (1 until t1.toInt)
       val rts = ((t1.toInt + 1) until vs.length)
       val t2l = if (lts.isEmpty) None else {
@@ -679,7 +683,7 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       val t2r = if (rts.isEmpty) None else {
         val m = rts.map(gRight).max; Some(rts.find(t => gRight(t) == m).get.toLong)
       }
-      val den = t1 * (n - t1)
+      val den = BigInt(t1) * (n - t1)
       val shift = ((g1 + den / 2) / den).toDouble / 1e6
       tpe -> ((n, t1, g1, shift, t2l, t2r))
     }
