@@ -64,11 +64,16 @@ object Tables {
     * >70x int64 headroom — and squares/cubes/series-length-scaling
     * products are DECIMAL(38,0) by construction (cast-then-multiply,
     * pinned by the in-domain-extremes corpus audit in EdgeCasesSpec).
-    * The filter is a pushed-down parquet predicate — free at scale —
-    * and a no-op on the shipped corpus, so every DuckDB oracle (which
-    * reads the raw table) still sees identical data.
+    *
+    * The filter is a pure RANGE predicate on purpose: `isnan`/`abs`
+    * are not source-pushable, but -1e9 < value < 1e9 reaches the
+    * parquet scan as PushedFilters (row-group min/max pruning at
+    * scale), and Spark orders NaN greater than every double, so the
+    * range excludes NaN too (pinned in ScalePropertiesSpec). A no-op
+    * on the shipped corpus, so every DuckDB oracle (which reads the
+    * raw table) still sees identical data.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .filter(!isnan(col("value")) && abs(col("value")) < 1e9)
+      .filter(col("value") > -1e9 && col("value") < 1e9)
 }

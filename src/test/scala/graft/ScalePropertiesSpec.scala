@@ -760,6 +760,28 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(pl, "SortMergeJoin") === 0, s"no SMJ:\n$pl")
   }
 
+  test("events domain filter reaches the parquet scan as a pushed " +
+    "range predicate (and still excludes NaN via NaN-greatest ordering)") {
+    val p = plan("a04_anomaly_ensemble")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThan(value,-1.0E9)") &&
+      p.contains("LessThan(value,1.0E9)"),
+      "the ingestion domain contract must push to the scan " +
+        "(isnan/abs forms do NOT — they stay post-scan DataFilters):\n" +
+        p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // NaN must fall outside the range under Spark's NaN-greatest rule
+    val kept = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Double.NaN),
+        org.apache.spark.sql.Row(1.5)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .filter(col("value") > -1e9 && col("value") < 1e9)
+      .collect().map(_.getDouble(0))
+    assert(kept.toSeq === Seq(1.5))
+  }
+
   test("a36/a39: ESD round chain stays a fixed-size fold — no " +
     "projection-collapse expression blowup, one series-key window " +
     "shuffle") {
