@@ -110,6 +110,15 @@ object GraftExtensions {
       args => CosineSim(args(0), args(1))
     },
 
+    fn("graft_esd_rounds",
+      "graft_esd_rounds(arr, sx, sxx, w, k) - generalized-ESD (Rosner) " +
+        "round statistics r1..rk + non-constant flag over a trailing " +
+        "window (arr = values, sx = sum, sxx = sum of squares)") {
+      args => EsdRounds(args(0), args(1), args(2),
+        litInt(args(3), "graft_esd_rounds", "w"),
+        litInt(args(4), "graft_esd_rounds", "k"))
+    },
+
     fn("graft_cosine_lsh_bucket",
       "graft_cosine_lsh_bucket(emb, nBits, seed) - hyperplane-LSH " +
         "bucket id of an embedding") {

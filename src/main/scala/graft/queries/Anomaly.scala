@@ -1872,12 +1872,13 @@ object Anomaly {
         .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
       val frame = wS.rowsBetween(-(w - 1), 0)
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      // The k rounds run as ONE fixed-size fold (esdFoldSql) in the
-      // window stage — no barrier needed: referencing `esd`'s fields
-      // re-evaluates an O(k·w) expression a handful of times per row,
-      // far cheaper at any scale than the extra exchange a
-      // materialization barrier would cost. (The round-6 form this
-      // replaces is documented on esdFoldSql.)
+      // The k rounds run as ONE native expression (EsdRounds — the
+      // tight-loop twin of esdFoldSql, which stays as the
+      // SQL-expressible reference; EsdProps pins them bit-identical).
+      // The SQL fold was semantically right but interpretively ~95 us/
+      // row — 20 s/eval at 1M rows on a #series-parallel window stage;
+      // the native loop is sub-us, so no materialization barrier or
+      // extra exchange is needed: one series-key shuffle total.
       Tables.events(s, dir)
         .select(col("event_type"), col("event_id"), col("ts"),
           expr("cast(round(value * 1e6) as bigint)").as("v6"))
@@ -1886,7 +1887,8 @@ object Anomaly {
         .withColumn("sx0", sum(col("v6")).over(frame))
         .withColumn("sxx0", sum(dec(col("v6")) * col("v6")).over(frame))
         .filter(col("rn") >= w)
-        .withColumn("esd", expr(esdFoldSql(w, k, "arr0", "sx0", "sxx0")))
+        .withColumn("esd", graft.functions.EsdFunctions.esd_rounds(
+          col("arr0"), col("sx0"), col("sxx0"), w, k))
         .filter(col("esd.vnz"))
         .select(col("event_type"), col("event_id"),
           col("esd.r1").as("r1"), col("esd.r2").as("r2"),
@@ -1978,7 +1980,18 @@ object Anomaly {
   private[graft] lazy val EsdLambda: Seq[Double] = Seq(2.71, 2.68, 2.65)
 
   /** The k generalized-ESD rounds as ONE fold expression over
-    * `sequence(1,k)`, accumulator = (arr, sx, sxx, rs, vnz). Round-6
+    * `sequence(1,k)`, accumulator = (arr, sx, sxx, rs, vnz).
+    *
+    * STATUS: this is the SQL-expressible REFERENCE form; production
+    * (a36/a39) uses the bit-identical native
+    * [[graft.functions.EsdRounds]] expression (~95 us/row interpreted
+    * HOF cost vs sub-us native — measured 42 s vs 6 s per query on a
+    * 1M-row corpus). EsdProps pins the two against each other and a
+    * sequential Scala reference on random windows. Kept because it
+    * documents the semantics in pure Spark SQL and keeps the catalog's
+    * logic reproducible without the extension jar.
+    *
+    * Round-6
     * postmortem: the previous chained-`withColumn` form let Catalyst's
     * projection collapse INLINE round r−1's array expression into every
     * round-r reference, so the tree grew ~7^k-fold, fell out of codegen,
@@ -2247,8 +2260,8 @@ object Anomaly {
       val seas = base.groupBy("event_type", "hod")
         .agg((percentile(col("v6"), lit(0.5)) * 2).cast("long").as("med2"))
       val lam = EsdLambda
-      // Same single-fold ESD chain as a36 (see esdFoldSql) over the
-      // seasonal residuals instead of raw values.
+      // Same native ESD rounds as a36 (EsdRounds) over the seasonal
+      // residuals instead of raw values.
       base
         .join(broadcast(seas), Seq("event_type", "hod"))
         .withColumn("res2", lit(2L) * col("v6") - col("med2"))
@@ -2257,7 +2270,8 @@ object Anomaly {
         .withColumn("sx0", sum(col("res2")).over(frame))
         .withColumn("sxx0", sum(dec(col("res2")) * col("res2")).over(frame))
         .filter(col("rn") >= w)
-        .withColumn("esd", expr(esdFoldSql(w, k, "arr0", "sx0", "sxx0")))
+        .withColumn("esd", graft.functions.EsdFunctions.esd_rounds(
+          col("arr0"), col("sx0"), col("sxx0"), w, k))
         .filter(col("esd.vnz"))
         .select(col("event_type"), col("event_id"),
           (col("res2").cast("double") / lit(2000000.0)).as("res_v"),

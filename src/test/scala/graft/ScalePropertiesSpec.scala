@@ -796,14 +796,13 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       assert(p.length < 200000,
         s"$name executed-plan string is ${p.length} chars — the ESD " +
           "rounds are being inlined/collapsed again")
-      // the fold may appear a handful of times (one per projected
-      // field reference), never combinatorially. (The sequence(1,k)
-      // argument constant-folds to an UnsafeArrayData literal in the
-      // executed plan, so count the HOF itself, not its argument.)
-      val folds = countOf(p, "aggregate(")
+      // the native rounds expression may appear a handful of times
+      // (one per projected field reference, CSE'd at eval), never
+      // combinatorially
+      val folds = countOf(p, "graft_esd_rounds(")
       assert(folds >= 1 && folds <= 8,
-        s"$name: ESD fold duplicated beyond field-reference count " +
-          s"($folds occurrences):\n" + p.take(4000))
+        s"$name: ESD rounds expression missing or duplicated beyond " +
+          s"field-reference count ($folds occurrences):\n" + p.take(4000))
       assert(countOf(p, "Exchange hashpartitioning") <=
         (if (name == "a36_esd") 1 else 2),
         s"$name: more shuffles than the series window (+ seasonal " +

@@ -29,29 +29,39 @@ class EsdProps extends AnyFunSuite with SparkTestBase {
     val sparkSession = spark
     import sparkSession.implicits._
     import org.apache.spark.sql.functions._
-    val df = windows.zipWithIndex
+    val base = windows.zipWithIndex
       .map { case (arr, id) => (id, arr) }.toDF("id", "arr0")
       .withColumn("sx0", expr("aggregate(arr0, 0L, (a, x) -> a + x)"))
       .withColumn("sxx0", expr(
         "aggregate(arr0, cast(0 as decimal(38,0)), " +
           "(a, x) -> a + cast(x as decimal(38,0)) * x)"))
-      .withColumn("esd",
-        expr(Anomaly.esdFoldSql(w, k, "arr0", "sx0", "sxx0")))
-      .select(col("id"), col("esd.r1"), col("esd.r2"), col("esd.r3"),
-        col("esd.vnz"))
-    val got = df.collect().map { r =>
-      r.getInt(0) -> ((Seq(1, 2, 3).map(i =>
-        if (r.isNullAt(i)) Double.NaN else r.getDouble(i)),
-        r.getBoolean(4)))
-    }.toMap
+    // three-way pin: the production NATIVE expression (EsdRounds), the
+    // SQL-expressible fold it replaced (esdFoldSql, kept as reference),
+    // and the sequential Scala reference must all agree bit-for-bit
+    def collectEsd(esd: org.apache.spark.sql.Column)
+        : Map[Int, (Seq[Double], Boolean)] =
+      base.withColumn("esd", esd)
+        .select(col("id"), col("esd.r1"), col("esd.r2"), col("esd.r3"),
+          col("esd.vnz"))
+        .collect().map { r =>
+          r.getInt(0) -> ((Seq(1, 2, 3).map(i =>
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)),
+            r.getBoolean(4)))
+        }.toMap
+    val gotNative = collectEsd(graft.functions.EsdFunctions.esd_rounds(
+      col("arr0"), col("sx0"), col("sxx0"), w, k))
+    val gotFold =
+      collectEsd(expr(Anomaly.esdFoldSql(w, k, "arr0", "sx0", "sxx0")))
     windows.zipWithIndex.foreach { case (arr, id) =>
       val (rs, ok) = esdRef(arr)
-      val (gotRs, gotOk) = got(id)
-      assert(gotOk === ok, s"window $id vnz")
-      rs.zip(gotRs).zipWithIndex.foreach { case ((e, g), j) =>
-        if (ok) // degenerate rounds emit NULL (NaN here) by design
-          assert(java.lang.Double.compare(e, g) === 0,
-            s"window $id round ${j + 1}: expected $e got $g")
+      for ((tag, got) <- Seq("native" -> gotNative, "fold" -> gotFold)) {
+        val (gotRs, gotOk) = got(id)
+        assert(gotOk === ok, s"window $id vnz [$tag]")
+        rs.zip(gotRs).zipWithIndex.foreach { case ((e, g), j) =>
+          if (ok) // degenerate rounds emit NULL (NaN here) by design
+            assert(java.lang.Double.compare(e, g) === 0,
+              s"window $id round ${j + 1} [$tag]: expected $e got $g")
+        }
       }
     }
   }
