@@ -2112,7 +2112,12 @@ object Anomaly {
           col("g2") === col("gr"), col("t"))).over(wAll))
         .filter(col("t") === col("t1"))
         .withColumn("den", dec(col("t1")) * (col("n") - col("t1")))
-        .select(col("event_type"), col("n"), col("t1"), col("g1"),
+        // g1 leaves as DOUBLE: the internal statistic stays exact
+        // 128-bit, but a DECIMAL output column is hostile to
+        // downstream consumers (and hashers) — casting the same exact
+        // integer to IEEE double is identical on any engine.
+        .select(col("event_type"), col("n"), col("t1"),
+          col("g1").cast("double").as("g1"),
           (expr("(g1 + den div 2) div den") / 1e6).as("mean_shift"),
           col("t2l").as("t2_left"), col("t2r").as("t2_right"))
     }, Some("""
@@ -2154,7 +2159,7 @@ object Anomaly {
                 min(CASE WHEN t > t1 AND g2 = gr THEN t END)
                   OVER wall AS t2r
               FROM l2 WINDOW wall AS (PARTITION BY event_type))
-      SELECT event_type, n, t1, CAST(g1 AS DECIMAL(38,0)) AS g1,
+      SELECT event_type, n, t1, CAST(g1 AS DOUBLE) AS g1,
              CAST((g1 + (CAST(t1 AS HUGEINT)*(n - t1)) // 2)
                // (CAST(t1 AS HUGEINT)*(n - t1)) AS BIGINT)
                / 1e6 AS mean_shift,

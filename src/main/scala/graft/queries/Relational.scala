@@ -1220,7 +1220,9 @@ object Relational {
     // passes are broadcast joins. The target IS scanned twice (once per
     // UNION branch); a table format with a key index (or Delta's
     // file-pruning) removes the second scan — out of scope for a pure
-    // query engine. Money arithmetic in DECIMAL(18,2) end to end.
+    // query engine. Money arithmetic in DECIMAL(18,2) internally; the
+    // OUTPUT is integer cents (BIGINT) — exact, engine-portable, and
+    // hash-stable, where a DECIMAL column's rendering is not.
     Entry("q45_merge_upsert", (s, dir) => {
       val orders = t(s, dir, "orders")
       val money = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
@@ -1240,8 +1242,8 @@ object Relational {
         coalesce(col("d_custkey"), col("o_custkey")).as("o_custkey"),
         coalesce(col("d_orderstatus"), col("o_orderstatus"))
           .as("o_orderstatus"),
-        money(coalesce(col("d_totalprice"), money(col("o_totalprice"))))
-          .as("o_totalprice"),
+        (money(coalesce(col("d_totalprice"), money(col("o_totalprice"))))
+          * 100).cast("bigint").as("o_totalprice_cents"),
         when(col("d_orderkey").isNotNull, "update").otherwise("keep")
           .as("merge_action"))
       val matchedKeys = merged.filter(col("d_orderkey").isNotNull)
@@ -1251,7 +1253,8 @@ object Relational {
         .select(col("d_orderkey").as("o_orderkey"),
           col("d_custkey").as("o_custkey"),
           col("d_orderstatus").as("o_orderstatus"),
-          col("d_totalprice").as("o_totalprice"),
+          (col("d_totalprice") * 100).cast("bigint")
+            .as("o_totalprice_cents"),
           lit("insert").as("merge_action"))
       upserted.unionByName(inserts)
     }, Some("""
@@ -1268,14 +1271,15 @@ object Relational {
       SELECT o.o_orderkey,
              coalesce(d.d_custkey, o.o_custkey) AS o_custkey,
              coalesce(d.d_orderstatus, o.o_orderstatus) AS o_orderstatus,
-             CAST(coalesce(d.d_totalprice,
+             CAST(CAST(coalesce(d.d_totalprice,
                CAST(o.o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(18,2)) AS o_totalprice,
+               AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice_cents,
              CASE WHEN d.d_orderkey IS NOT NULL THEN 'update'
                   ELSE 'keep' END AS merge_action
       FROM orders o LEFT JOIN delta d ON o.o_orderkey = d.d_orderkey
       UNION ALL
-      SELECT d.d_orderkey, d.d_custkey, d.d_orderstatus, d.d_totalprice,
+      SELECT d.d_orderkey, d.d_custkey, d.d_orderstatus,
+             CAST(d.d_totalprice * 100 AS BIGINT),
              'insert'
       FROM delta d LEFT JOIN orders o ON d.d_orderkey = o.o_orderkey
       WHERE o.o_orderkey IS NULL""")),

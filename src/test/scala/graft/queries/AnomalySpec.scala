@@ -644,11 +644,12 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
 
   test("a37 binseg == exact integer sequential recompute; both levels " +
     "split inside their segments") {
-    // g1 is DECIMAL(38,0) (series-length-scaling products run in
-    // decimal so a long large-valued series can't overflow int64)
+    // g1 computes in DECIMAL(38,0) internally (series-length-scaling
+    // products would overflow int64) but leaves as DOUBLE — the exact
+    // BigInt statistic cast to IEEE double is the pinned contract
     val got = Catalog.queries("a37_binseg")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(3).toBigIntegerExact), r.getDouble(4),
+        r.getDouble(3), r.getDouble(4),
         if (r.isNullAt(5)) None else Some(r.getLong(5)),
         if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
     val wspec = Window.partitionBy(col("event_type"))
@@ -685,7 +686,7 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       }
       val den = BigInt(t1) * (n - t1)
       val shift = ((g1 + den / 2) / den).toDouble / 1e6
-      tpe -> ((n, t1, g1, shift, t2l, t2r))
+      tpe -> ((n, t1, g1.toDouble, shift, t2l, t2r))
     }
     assert(got === expected)
     got.foreach { case (tpe, (n, t1, _, shift, t2l, t2r)) =>

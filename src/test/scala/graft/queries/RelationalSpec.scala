@@ -252,15 +252,16 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     "delta, keeps are untouched") {
     val got = Catalog.queries("q45_merge_upsert")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
-        r.getDecimal(3), r.getString(4))))
+        r.getLong(3), r.getString(4))))
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
         r.getDouble(3)))).toMap
-    def money(d: Double): java.math.BigDecimal =
+    // output is integer cents (BIGINT) — money rounded HALF_UP at 2dp
+    def cents(d: Double): Long =
       new java.math.BigDecimal(d).setScale(2,
-        java.math.RoundingMode.HALF_UP)
+        java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact
     // one output row per target key plus one per re-keyed insert
     val inserted = orders.keys.filter(_ % 97 == 0).map(_ + 9000000000L)
     assert(got.length === orders.size + inserted.size)
@@ -272,11 +273,11 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       if (k % 10 == 3) {
         assert(act === "update")
         assert(gst === "U")
-        assert(gtp === money(tp).add(new java.math.BigDecimal("7.00")))
+        assert(gtp === cents(tp) + 700L)
       } else {
         assert(act === "keep")
         assert(gst === st)
-        assert(gtp === money(tp))
+        assert(gtp === cents(tp))
       }
     }
     inserted.foreach { nk =>
