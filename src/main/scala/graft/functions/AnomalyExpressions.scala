@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.SplittableRandom
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -9,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, Generic
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.kernel.{AnomalyzerConf, Ensemble}
+import graft.kernel.{AnomalyzerConf, Ensemble, PermDraw}
 
 /** Catalyst expressions exposing the anomaly kernel as native columns.
   *
@@ -22,13 +20,14 @@ import graft.kernel.{AnomalyzerConf, Ensemble}
   * interpreted.
   *
   * Inputs: `window` ARRAY<DOUBLE> — the (reference+active) tail for one
-  * evaluation, oldest first; `seriesHash` BIGINT — hash of the series
-  * identity (use `xxhash64(series)`); `rowKey` BIGINT — the row's
-  * 1-based position in the series. The RNG seed is derived as
-  * [[graft.kernel.Ensemble.seedFor]](seriesHash, rowKey) — the SAME
+  * evaluation, oldest first; `seriesHash` BIGINT — the cross-engine
+  * md5-60 hash of the series identity ([[graft.kernel.PermDraw.seriesHash60]],
+  * in SQL `conv(substr(md5(series),1,15),16,10)`); `rowKey` BIGINT —
+  * the row's 1-based position in the series. Permutation draws come
+  * from [[graft.kernel.PermDraw]](seriesHash, rowKey) — the SAME
   * derivation the streaming path and the sequential [[graft.kernel.Anomalyzer]]
-  * facade use, so batch, streaming, and sequential permutation-test
-  * probabilities agree bit-for-bit on identical data.
+  * facade use, so batch, streaming, sequential, AND the DuckDB oracle
+  * permutation-test probabilities agree bit-for-bit on identical data.
   */
 abstract class AnomalyExpressionBase
     extends TernaryExpression with org.apache.spark.sql.graft.GraftImplicitCastInputs
@@ -48,9 +47,8 @@ abstract class AnomalyExpressionBase
 
   protected def values(w: Any): Array[Double] =
     w.asInstanceOf[ArrayData].toDoubleArray()
-  protected def rng(sh: Any, rk: Any): SplittableRandom =
-    new SplittableRandom(
-      Ensemble.seedFor(sh.asInstanceOf[Long], rk.asInstanceOf[Long]))
+  protected def rng(sh: Any, rk: Any): PermDraw =
+    new PermDraw(sh.asInstanceOf[Long], rk.asInstanceOf[Long])
 }
 
 /** Final ensemble probability — the reference's `Eval`

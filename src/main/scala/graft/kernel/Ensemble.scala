@@ -1,7 +1,5 @@
 package graft.kernel
 
-import java.util.SplittableRandom
-
 /** Ensemble evaluation: run the configured tests over the window and
   * combine per-test probabilities into one anomaly probability by a
   * weighted mean, with the reference's exact fine print — cap to [0,1],
@@ -15,10 +13,10 @@ object Ensemble {
     * anomalyze.go:195-221). `conf` must already be validated.
     */
   def evalByTest(data: Array[Double], conf: AnomalyzerConf,
-      rng: SplittableRandom): Map[String, Double] = {
+      draw: PermDraw): Map[String, Double] = {
     var probmap = Map.empty[String, Double]
     conf.methods.foreach { method =>
-      val prob = Tests.Algorithms(method)(data, conf, rng)
+      val prob = Tests.Algorithms(method)(data, conf, draw)
         .map(p => Vec.cap(p, 0, 1))
       prob.foreach { p =>
         if (method == "highrank" || method == "lowrank") {
@@ -57,20 +55,9 @@ object Ensemble {
 
   /** Full evaluation incl. the Delay gate (anomalyze.go:145-192). */
   def eval(data: Array[Double], conf: AnomalyzerConf,
-      rng: SplittableRandom): Double = {
+      draw: PermDraw): Double = {
     if (conf.delay && data.length < conf.windowSize) return 0.0
-    combine(evalByTest(data, conf, rng), conf)
-  }
-
-  /** Deterministic per-row RNG seed. Splittable-random-style mix of the
-    * series identity and the row position so every (series, ts) window
-    * evaluation reproduces bit-for-bit across runs and partitionings.
-    */
-  def seedFor(seriesHash: Long, rowKey: Long): Long = {
-    var z = seriesHash * 0x9e3779b97f4a7c15L + rowKey
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+    combine(evalByTest(data, conf, draw), conf)
   }
 }
 
@@ -81,7 +68,7 @@ object Ensemble {
   * (SURVEY.md §1.1) — this buffer is ALWAYS bounded at windowSize, the
   * contract our streaming state relies on.
   */
-final class Anomalyzer(conf0: AnomalyzerConf, seed: Long = 42L) {
+final class Anomalyzer(conf0: AnomalyzerConf, seriesHash: Long = 42L) {
   val conf: AnomalyzerConf = AnomalyzerConf.validated(conf0)
   private val buf = new java.util.ArrayDeque[Double](conf.windowSize + 1)
   private var pushed = 0L
@@ -105,12 +92,10 @@ final class Anomalyzer(conf0: AnomalyzerConf, seed: Long = 42L) {
   def push(x: Double): Double = { append(x); eval() }
 
   def eval(): Double =
-    Ensemble.eval(data, conf,
-      new SplittableRandom(Ensemble.seedFor(seed, pushed)))
+    Ensemble.eval(data, conf, new PermDraw(seriesHash, pushed))
 
   def evalByTest(): (Map[String, Double], Map[String, Double]) = {
-    val probmap = Ensemble.evalByTest(data, conf,
-      new SplittableRandom(Ensemble.seedFor(seed, pushed)))
+    val probmap = Ensemble.evalByTest(data, conf, new PermDraw(seriesHash, pushed))
     (probmap, Ensemble.weights(probmap))
   }
 }

@@ -1,20 +1,20 @@
 package graft.kernel
 
-import java.util.SplittableRandom
-
 /** The seven statistical tests of the reference engine, re-expressed as
-  * pure functions `(window, conf, rng) => Option[probability]`.
+  * pure functions `(window, conf, draw) => Option[probability]`.
   * `None` replaces the reference's NA sentinel ("test not applicable /
   * insufficient data"). Reference: /root/reference/algorithms.go.
   *
-  * Determinism: the permutation tests (diff, highrank, lowrank, ks) take
-  * a caller-seeded RNG instead of the reference's unseeded global RNG
-  * (algorithms.go:126,189,300) — a deliberate, documented divergence that
-  * makes outputs reproducible; statistically the tests are identical.
+  * Determinism: the permutation tests (diff, highrank, lowrank, ks)
+  * take a [[PermDraw]] instead of the reference's unseeded global RNG
+  * (algorithms.go:126,189,300) — a deliberate, documented divergence
+  * that makes outputs reproducible AND replayable by an external SQL
+  * oracle (the draw is md5-keyed sorting, see [[PermDraw]]);
+  * statistically the tests are identical.
   */
 object Tests {
 
-  type Algorithm = (Array[Double], AnomalyzerConf, SplittableRandom) => Option[Double]
+  type Algorithm = (Array[Double], AnomalyzerConf, PermDraw) => Option[Double]
 
   val Algorithms: Map[String, Algorithm] = Map(
     "magnitude" -> ((v, c, _) => magnitude(v, c)),
@@ -73,23 +73,38 @@ object Tests {
   }
 
   /** Bootstrap permutation test on ranks of |relative differences|.
-    * Reference: algorithms.go:105-140.
+    * Reference: algorithms.go:105-140. Each permutation shuffles the
+    * WHOLE vector (by the diff-family key sort, see [[PermDraw]]),
+    * recomputes |relDiff| ranks, and compares the re-extracted active
+    * rank-sum — the reference's exact resampling scheme, only the
+    * permutation source differs.
     */
   def diffTest(v: Array[Double], conf: AnomalyzerConf,
-      rng: SplittableRandom): Option[Double] = {
+      draw: PermDraw): Option[Double] = {
     val ranks = Vec.rank(Vec.abs(Vec.relDiff(v)))
     // diffs shorten the vector by one => refSize-1 (algorithms.go:111)
     Vec.extractWindows(ranks, conf.referenceSize - 1, conf.activeSize,
       conf.activeSize).map { case (_, active) =>
       val activeSum = Vec.sum(active)
+      val a = active.length
+      val n = v.length
+      val order = new Array[Long](n)
+      val perm = new Array[Double](n)
       var significant = 0
       var i = 0
       while (i < conf.permCount) {
-        val permRanks = Vec.rank(Vec.abs(Vec.relDiff(Vec.shuffle(v, rng))))
-        Vec.extractWindows(permRanks, conf.referenceSize - 1,
-          conf.activeSize, conf.activeSize).foreach { case (_, permActive) =>
-          if (Vec.sum(permActive) < activeSum) significant += 1
-        }
+        val (ks, off) = draw.keys(PermDraw.DiffFamily, i, conf.permCount, n)
+        System.arraycopy(ks, off, order, 0, n)
+        java.util.Arrays.sort(order)
+        var j = 0
+        while (j < n) { perm(j) = v(PermDraw.pos(order(j))); j += 1 }
+        val permRanks = Vec.rank(Vec.abs(Vec.relDiff(perm)))
+        // extraction parameters match the original's, so the permuted
+        // active window is simply the last `a` rank entries
+        var s = 0.0
+        var k = permRanks.length - a
+        while (k < permRanks.length) { s += permRanks(k); k += 1 }
+        if (s < activeSum) significant += 1
         i += 1
       }
       significant.toDouble / conf.permCount
@@ -100,7 +115,7 @@ object Tests {
     * selects highrank (<, detects increases) vs lowrank (>, detects
     * decreases). Reference: algorithms.go:142-205.
     */
-  def rankTest(v: Array[Double], conf: AnomalyzerConf, rng: SplittableRandom,
+  def rankTest(v: Array[Double], conf: AnomalyzerConf, draw: PermDraw,
       comparison: (Double, Double) => Boolean): Option[Double] = {
     val ranks = Vec.rank(v)
     Vec.extractWindows(ranks, conf.referenceSize, conf.activeSize,
@@ -112,21 +127,37 @@ object Tests {
       // (algorithms.go:188-201); min-tie ranks depend only on the value
       // multiset, so rank(shuffle(v)) is just a permutation of `ranks`
       // and the permuted active rank-sum is the sum of a uniform random
-      // a-subset. A partial Fisher-Yates draw gives the identical
-      // distribution in O(a) per permutation instead of O(n log n).
-      val idx = Array.range(0, n)
+      // a-subset: the positions holding the `a` SMALLEST rank-family
+      // keys of the permutation (see [[PermDraw]]). highrank and
+      // lowrank share the same key family — one draw, two comparisons
+      // — which both halves the hashing and lets the SQL oracle score
+      // both directions from one pass.
+      val best = new Array[Long](a)
       var significant = 0
       var i = 0
       while (i < conf.permCount) {
-        var s = 0.0
-        var j = n - 1
-        val stop = n - a
-        while (j >= stop) {
-          val r = rng.nextInt(j + 1)
-          val t = idx(r); idx(r) = idx(j); idx(j) = t
-          s += ranks(idx(j))
-          j -= 1
+        val (ks, off) = draw.keys(PermDraw.RankFamily, i, conf.permCount, n)
+        // keep the a smallest composites (insertion into a tiny sorted
+        // buffer — a is the active size, typically 2)
+        var cnt = 0
+        var j = 0
+        while (j < n) {
+          val k = ks(off + j)
+          if (cnt < a) {
+            var m = cnt
+            while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
+            best(m) = k
+            cnt += 1
+          } else if (k < best(a - 1)) {
+            var m = a - 1
+            while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
+            best(m) = k
+          }
+          j += 1
         }
+        var s = 0.0
+        var m = 0
+        while (m < a) { s += ranks(PermDraw.pos(best(m))); m += 1 }
         if (comparison(s, activeSum)) significant += 1
         i += 1
       }
@@ -169,12 +200,13 @@ object Tests {
   /** Bootstrap permutation test on the KS statistic.
     * Reference: algorithms.go:290-309. The reference shuffles the whole
     * vector and re-extracts windows each permutation; the statistic
-    * depends only on WHICH elements land in each window, so drawing a
-    * random (n1+n2)-subset split into (ref, active) via partial
-    * Fisher-Yates is distribution-identical and skips the full shuffle.
+    * depends only on WHICH elements land in each window, so drawing the
+    * windows from the ks-family key order (active = the n2 smallest
+    * keys, reference = the next n1 — see [[PermDraw]]) is
+    * distribution-identical and skips the full shuffle.
     */
   def bootstrapKs(v: Array[Double], conf: AnomalyzerConf,
-      rng: SplittableRandom): Option[Double] =
+      rng: PermDraw): Option[Double] =
     Vec.extractWindows(v, conf.referenceSize, conf.activeSize,
       conf.activeSize).flatMap { case (ref0, act0) =>
       val n1 = ref0.length
@@ -204,7 +236,7 @@ object Tests {
     */
   private def pooledKsLoop(v: Array[Double], ref0: Array[Double],
       act0: Array[Double], dist: Double, conf: AnomalyzerConf,
-      rng: SplittableRandom): Int = {
+      draw: PermDraw): Int = {
     val n1 = ref0.length
     val n2 = act0.length
     val n = v.length
@@ -224,21 +256,34 @@ object Tests {
     }
     val n1d = n1.toDouble
     val n2d = n2.toDouble
-    val idx = Array.range(0, n)
+    val best = new Array[Long](n2)
     val act = new Array[Double](n2)
     var significant = 0
     var i = 0
     while (i < conf.permCount) {
-      // same partial Fisher-Yates draw (and RNG consumption) as the
-      // general loop; only the active-window landings are recorded
-      var j = n - 1
-      while (j >= 0) {
-        val r = rng.nextInt(j + 1)
-        val t = idx(r); idx(r) = idx(j); idx(j) = t
-        val pos = n - 1 - j
-        if (pos >= n1) act(pos - n1) = v(idx(j))
-        j -= 1
+      // the permuted ACTIVE window = values at the n2 smallest
+      // ks-family keys — the same subset the general loop's full key
+      // sort puts first, so pooled == general when the pool is exactly
+      // the two windows (pinned by KsParitySpec)
+      val (ks, off) = draw.keys(PermDraw.KsFamily, i, conf.permCount, n)
+      var cnt = 0
+      var j = 0
+      while (j < n) {
+        val k = ks(off + j)
+        if (cnt < n2) {
+          var m = cnt
+          while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
+          best(m) = k
+          cnt += 1
+        } else if (k < best(n2 - 1)) {
+          var m = n2 - 1
+          while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
+          best(m) = k
+        }
+        j += 1
       }
+      var m = 0
+      while (m < n2) { act(m) = v(PermDraw.pos(best(m))); m += 1 }
       var d = 0.0
       g = 0
       while (g < grid.length) {
@@ -260,23 +305,24 @@ object Tests {
     * only by direct kernel calls on long vectors).
     */
   private[kernel] def generalKsLoop(v: Array[Double], n1: Int, n2: Int,
-      dist: Double, conf: AnomalyzerConf, rng: SplittableRandom): Int = {
+      dist: Double, conf: AnomalyzerConf, draw: PermDraw): Int = {
     val n = v.length
-    val idx = Array.range(0, n)
+    val order = new Array[Long](n)
     val permRef = new Array[Double](n1)
     val permAct = new Array[Double](n2)
     var significant = 0
     var i = 0
     while (i < conf.permCount) {
-      var j = n - 1
-      val stop = n - n1 - n2
-      while (j >= stop) {
-        val r = rng.nextInt(j + 1)
-        val t = idx(r); idx(r) = idx(j); idx(j) = t
-        val pos = n - 1 - j
-        if (pos < n1) permRef(pos) = v(idx(j))
-        else permAct(pos - n1) = v(idx(j))
-        j -= 1
+      // full ks-family key sort: the n2 smallest keys form the active
+      // window, the next n1 the reference (the rest unused) — agreeing
+      // with the pooled loop's subset when n == n1 + n2
+      val (ks, off) = draw.keys(PermDraw.KsFamily, i, conf.permCount, n)
+      System.arraycopy(ks, off, order, 0, n)
+      java.util.Arrays.sort(order)
+      var j = 0
+      while (j < n2) { permAct(j) = v(PermDraw.pos(order(j))); j += 1 }
+      while (j < n1 + n2) {
+        permRef(j - n2) = v(PermDraw.pos(order(j))); j += 1
       }
       if (ksCore(permRef, permAct) < dist) significant += 1
       i += 1

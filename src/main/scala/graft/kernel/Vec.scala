@@ -111,10 +111,12 @@ object Vec {
 
   def abs(xs: Array[Double]): Array[Double] = xs.map(math.abs)
 
-  /** Seeded Fisher–Yates permutation. The reference shuffles with Go's
-    * unseeded global RNG (algorithms.go:126,189,300), making its
-    * permutation tests non-deterministic; we deliberately diverge by
-    * seeding per evaluation so results are reproducible and testable.
+  /** Seeded Fisher–Yates permutation — the port of govector.Shuffle
+    * (the reference shuffles with Go's unseeded global RNG,
+    * algorithms.go:126,189,300). The bootstrap tests themselves now
+    * draw permutations from the md5-keyed [[PermDraw]] (replayable by
+    * the SQL oracle); this stays as the kernel's general-purpose
+    * seeded shuffle.
     */
   def shuffle(xs: Array[Double], rng: SplittableRandom): Array[Double] = {
     val out = xs.clone()

@@ -22,6 +22,14 @@ import graft.kernel.AnomalyzerConf
   */
 object AnomalyOps {
 
+  /** Cross-engine series identity: leading 60 bits of md5 of the
+    * series rendered as a string — [[graft.kernel.PermDraw.seriesHash60]]
+    * as a Catalyst column (HashScheme's h60 primitive).
+    */
+  private def seriesHash60(series: Column): Column =
+    conv(substring(md5(series.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** Appends anomaly columns to `df`.
     *
     * @param series   series key column (partition axis)
@@ -46,11 +54,12 @@ object AnomalyOps {
     // The evaluation window = the buffer the reference would hold after
     // Update-truncation: the last (reference+active) points inclusive.
     val frame = w.rowsBetween(-(c.windowSize - 1), 0)
-    // Deterministic seed independent of physical partitioning: the same
-    // Ensemble.seedFor(xxhash64(series), position) derivation as the
-    // streaming path and the sequential facade, so all three evaluation
-    // paths produce identical permutation-test probabilities.
-    val sHash = xxhash64(series)
+    // Deterministic draw identity independent of physical partitioning:
+    // PermDraw(md5-60(series), position) — the same derivation as the
+    // streaming path, the sequential facade, AND the DuckDB oracle
+    // (HashScheme h60), so all evaluation paths produce identical,
+    // externally checkable permutation-test probabilities.
+    val sHash = seriesHash60(series)
     val rowKey = row_number().over(w).cast("long")
     val windowed = df
       .withColumn("window", collect_list(value.cast("double")).over(frame))
@@ -132,7 +141,7 @@ object AnomalyOps {
       .drop("__cw")
     val cw = Window.partitionBy(series, col("__chunk")).orderBy(ord: _*)
     val frame = cw.rowsBetween(-(c.windowSize - 1), 0)
-    val sHash = xxhash64(series)
+    val sHash = seriesHash60(series)
     // After collect_list every row is self-contained (window array +
     // seed inputs), so the expensive kernel eval is rebalanced onto an
     // explicit round-robin repartition: per-ROW balance whatever the

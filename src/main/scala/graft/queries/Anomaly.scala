@@ -12,9 +12,11 @@ import graft.sources.Tables
   * The deterministic tests (magnitude, fence, cdf and their ensemble)
   * are oracle-checked against DuckDB SQL that mirrors
   * [[graft.operators.Detectors]] expression-for-expression. The
-  * permutation tests (rank, diff, ks) are inherently non-SQL
-  * (bootstrap resampling) — they are declared rows-only here and
-  * verified exactly against the sequential kernel in ScalaTest.
+  * bootstrap permutation tests (rank, diff, ks) draw md5-keyed
+  * permutations ([[graft.kernel.PermDraw]]) that the DuckDB oracle
+  * replays exactly ([[bootstrapOracle]]), so they are value-checked
+  * too — and additionally pinned against the sequential kernel in
+  * ScalaTest.
   */
 object Anomaly {
 
@@ -128,6 +130,168 @@ object Anomaly {
     activeSize = spec.activeSize, nSeasons = spec.nSeasons,
     permCount = 100, methods = Nil) // methods set per query
 
+  /** DuckDB oracle for the bootstrap permutation tests — a full replay
+    * of the kernel's md5-keyed draws (see [[graft.kernel.PermDraw]]).
+    *
+    * The permutation of `n` window positions for (series, row,
+    * permutation p, test family f) sorts positions by the composite
+    * `key24 << 10 | pos`, where position i's 24-bit key is hex chars
+    * `[6*(i mod 5), +6)` of `md5("{sh}:{rn}:{p}:{f}:{b}")`, b = i div
+    * 5, and `sh` is the h60 md5 hash of the series string. Because the
+    * draw is hash-sorting — not sequential RNG consumption — DuckDB
+    * reproduces every subset bit-for-bit, turning the formerly
+    * rows-only bootstrap queries (a06/a07/a08/a13) into exact
+    * value-checked oracles. Family constants: rank=0 (shared by
+    * highrank AND lowrank — one draw, two comparisons), diff=1, ks=2.
+    *
+    * Exactness: rank sums are integers; the KS grid is the a10-pinned
+    * cumulative-step fold; ECDF terms are count/int divisions — every
+    * comparison both engines make is over identical doubles. The
+    * |relDiff| zero-divisor CASE mirrors a09's convention (a no-op on
+    * the shipped corpus, which has no zero values at the oracle SF —
+    * asserted by CorpusDomainSpec).
+    */
+  private def bootstrapOracle(p: Int, rank: Boolean, diff: Boolean,
+      ks: Boolean): String = {
+    val a = spec.activeSize // 2
+    val w = spec.windowSize // 10
+    require(w <= 10, "bootstrap oracle SQL unrolls two md5 key blocks " +
+      "(windows up to 10 positions); widen the block CASE for larger w")
+    // composite key list for family `f` of the current (row, perm):
+    // h0/h1 are that family's two md5 key blocks (positions 0-4, 5-9)
+    def keysSql(f: Int): String =
+      s"""list_transform(range(0, m), i ->
+         CAST('0x' || substr(CASE WHEN i < 5 THEN h0 ELSE h1 END,
+           (i % 5) * 6 + 1, 6) AS BIGINT) * 1024 + i)"""
+    def blocks(f: Int): String =
+      s"""md5(sh::VARCHAR || ':' || rn::VARCHAR || ':' || t.p::VARCHAR || ':$f:0') AS h0,
+          md5(sh::VARCHAR || ':' || rn::VARCHAR || ':' || t.p::VARCHAR || ':$f:1') AS h1"""
+    val rankCte = s"""
+      rk_rows AS (
+        SELECT event_type, event_id, sh, rn, arr, len(arr) AS m,
+               list_transform(arr, x ->
+                 CAST(len(list_filter(arr, y -> y < x)) AS DOUBLE)) AS rks
+        FROM base WHERE len(arr) >= ${2 * a}
+      ), rk_act AS (
+        SELECT *, list_sum(rks[m-${a - 1}:m]) AS active_sum FROM rk_rows
+      ), rk_perm AS (
+        SELECT event_type, event_id, active_sum, m, rks, ${blocks(0)}
+        FROM rk_act, range($p) t(p)
+      ), rk_s AS (
+        SELECT event_type, event_id, active_sum,
+               list_sum(list_transform(list_sort(${keysSql(0)})[1:$a],
+                 k -> rks[(k % 1024) + 1])) AS s
+        FROM rk_perm
+      ), rk_sig AS (
+        SELECT event_type, event_id,
+               sum(CASE WHEN s < active_sum THEN 1 ELSE 0 END) / $p.0 AS ph,
+               sum(CASE WHEN s > active_sum THEN 1 ELSE 0 END) / $p.0 AS pl
+        FROM rk_s GROUP BY 1, 2
+      )"""
+    // |relDiff| with a09's zero-divisor convention (no-op on corpus)
+    def rdSql(src: String): String =
+      s"""list_transform(range(1, m), i ->
+         CASE WHEN $src[i] = 0 THEN
+                (CASE WHEN $src[i+1] = 0 THEN 0.0
+                 ELSE 'infinity'::DOUBLE END)
+              ELSE abs(($src[i+1] - $src[i]) / $src[i]) END)"""
+    // rank-sum of the last `a` entries of rd-vector `src` (len m-1)
+    def lastRankSum(src: String): String =
+      s"""list_sum(list_transform($src[len($src)-${a - 1}:len($src)],
+         x -> CAST(len(list_filter($src, y -> y < x)) AS DOUBLE)))"""
+    val diffCte = s"""
+      df_rows AS (
+        SELECT event_type, event_id, sh, rn, arr, len(arr) AS m
+        FROM base WHERE len(arr) >= ${2 * a + 1}
+      ), df_act AS (
+        SELECT *, ${lastRankSum(rdSql("arr"))} AS active_sum FROM df_rows
+      ), df_perm AS (
+        SELECT event_type, event_id, active_sum, m, arr, ${blocks(1)}
+        FROM df_act, range($p) t(p)
+      ), df_vp AS (
+        SELECT event_type, event_id, active_sum, m,
+               list_transform(list_sort(${keysSql(1)}),
+                 k -> arr[(k % 1024) + 1]) AS vp
+        FROM df_perm
+      ), df_sig AS (
+        SELECT event_type, event_id,
+               sum(CASE WHEN ${lastRankSum(rdSql("vp"))} < active_sum
+                   THEN 1 ELSE 0 END) / $p.0 AS pd
+        FROM df_vp GROUP BY 1, 2
+      )"""
+    val ksCte = s"""
+      ks_rows AS (
+        SELECT event_type, event_id, sh, rn, arr, len(arr) AS m,
+               list_min(arr) AS lo,
+               (list_max(arr) - list_min(arr)) / (len(arr) - 1) AS step
+        FROM base
+        WHERE len(arr) >= ${2 * a} AND (len(arr) - $a) % $a = 0
+      ), ks_grid AS (
+        -- the kernel's cumulative-step linspace (a10's pinned fold)
+        SELECT *, list_reduce(
+            list_prepend([lo], list_transform(range(1, m), j -> [step])),
+            (acc, x) -> list_append(acc, acc[len(acc)] + x[1])) AS grid
+        FROM ks_rows
+      ), ks_tot AS (
+        SELECT *,
+          list_transform(grid, g -> len(list_filter(arr, y -> y <= g))) AS tot,
+          list_transform(grid, g ->
+            len(list_filter(arr[m-${a - 1}:m], y -> y <= g))) AS ca0
+        FROM ks_grid
+      ), ks_dist AS (
+        SELECT *, list_max(list_transform(range(1, m + 1), gi ->
+            abs(ca0[gi] / $a.0 - (tot[gi] - ca0[gi]) / (m - $a)))) AS dist
+        FROM ks_tot
+      ), ks_perm AS (
+        SELECT event_type, event_id, m, arr, grid, tot, dist, ${blocks(2)}
+        FROM ks_dist, range($p) t(p)
+      ), ks_ca AS (
+        SELECT event_type, event_id, m, tot, dist,
+               list_transform(grid, g -> len(list_filter(
+                 list_transform(list_sort(${keysSql(2)})[1:$a],
+                   k -> arr[(k % 1024) + 1]), y -> y <= g))) AS ca
+        FROM ks_perm
+      ), ks_sig AS (
+        SELECT event_type, event_id,
+               sum(CASE WHEN list_max(list_transform(range(1, m + 1), gi ->
+                   abs(ca[gi] / $a.0 - (tot[gi] - ca[gi]) / (m - $a)))) < dist
+                   THEN 1 ELSE 0 END) / $p.0 AS pks
+        FROM ks_ca GROUP BY 1, 2
+      )"""
+    val ctes = Seq(
+      if (rank) Some(rankCte) else None,
+      if (diff) Some(diffCte) else None,
+      if (ks) Some(ksCte) else None).flatten.mkString(",", ",", "")
+    val joins = Seq(
+      if (rank) Some("LEFT JOIN rk_sig r USING (event_type, event_id)") else None,
+      if (diff) Some("LEFT JOIN df_sig d USING (event_type, event_id)") else None,
+      if (ks) Some("LEFT JOIN ks_sig k USING (event_type, event_id)") else None)
+      .flatten.mkString(" ")
+    // Ensemble.combine: equal 0.5 weights; x*0.5 and the two-term
+    // weighted mean are exact FP mirrors of the kernel's weightedMean
+    val probExpr =
+      if (rank && ks) """CASE
+          WHEN r.ph IS NOT NULL AND k.pks IS NOT NULL
+            THEN greatest(r.ph, r.pl) * 0.5 + k.pks * 0.5
+          WHEN r.ph IS NOT NULL THEN greatest(r.ph, r.pl)
+          ELSE 0.0 END"""
+      else if (rank) "coalesce(greatest(r.ph, r.pl), 0.0)"
+      else if (diff) "coalesce(d.pd, 0.0)"
+      else "coalesce(k.pks, 0.0)"
+    s"""
+    WITH base AS (
+      SELECT event_type, event_id,
+             row_number() OVER win AS rn,
+             array_agg(value) OVER (win ROWS BETWEEN ${w - 1}
+               PRECEDING AND CURRENT ROW) AS arr,
+             CAST('0x' || substr(md5(event_type), 1, 15) AS BIGINT) AS sh
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )$ctes
+    SELECT b.event_type, b.event_id, round($probExpr, 6) AS prob
+    FROM base b $joins"""
+  }
+
   // Plain per-series window: at permCount=100/window=10 the kernel is
   // ~µs/row, so the extra shuffle of withAnomalyProbsChunked costs more
   // than its series×chunk parallelism returns (measured at sf0.1:
@@ -216,12 +380,18 @@ object Anomaly {
       FROM anomalous a JOIN customer c ON a.user_id = c.c_custkey
       GROUP BY a.event_type, c.c_mktsegment""")),
 
-    // permutation tests: kernel-backed, seeded; rows-only driver check,
-    // exact oracle lives in AnomalyOpsSpec (Spark == sequential kernel)
-    Entry("a06_anomaly_rank", permQuery(Seq("highrank", "lowrank")), None,
-      bench = true),
-    Entry("a07_anomaly_diff", permQuery(Seq("diff")), None),
-    Entry("a08_anomaly_ks", permQuery(Seq("ks")), None),
+    // bootstrap permutation tests: kernel-backed, md5-keyed draws —
+    // exact DuckDB oracles replay every permutation (bootstrapOracle);
+    // Spark == sequential kernel additionally pinned in AnomalyOpsSpec
+    Entry("a06_anomaly_rank", permQuery(Seq("highrank", "lowrank")),
+      Some(bootstrapOracle(permConf.permCount,
+        rank = true, diff = false, ks = false)), bench = true),
+    Entry("a07_anomaly_diff", permQuery(Seq("diff")),
+      Some(bootstrapOracle(permConf.permCount,
+        rank = false, diff = true, ks = false))),
+    Entry("a08_anomaly_ks", permQuery(Seq("ks")),
+      Some(bootstrapOracle(permConf.permCount,
+        rank = false, diff = false, ks = true))),
 
     // a13: the rank/ks permutation family at the REFERENCE default
     // permCount=500 (anomalyze.go:77-81) through the chunked kernel
@@ -230,7 +400,7 @@ object Anomaly {
     // (measured crossover at permCount >= 500, see the permQuery note).
     // Benched so the scale path's claim is a driver-measured number, not
     // an assertion; bit-parity with the plain path is pinned in
-    // AnomalyOpsSpec, rows-only driver check (bootstrap, like a06-a08).
+    // AnomalyOpsSpec; value-checked by the md5-draw replay oracle.
     Entry("a13_anomaly_perm500_chunked", (s, dir) =>
       AnomalyOps.withAnomalyProbsChunked(Tables.events(s, dir),
           col("event_type"), col("ts"), col("value"),
@@ -239,7 +409,8 @@ object Anomaly {
           tieBreak = Seq(col("event_id")), chunkSize = 2048)
         .select(col("event_type"), col("event_id"),
           round(col("anomaly_prob"), 6).as("prob")),
-      None, bench = true),
+      Some(bootstrapOracle(500, rank = true, diff = false, ks = true)),
+      bench = true),
 
     // a09: the deterministic core of the rank/diff tests, SQL-checkable.
     // The bootstrap p-values above resample with a seeded RNG (not

@@ -37,16 +37,14 @@ case class SeriesState(buffer: Array[Double], pushed: Long)
   */
 object StreamingDetector {
 
-  /** Deterministic seed base per series, bit-identical to Spark SQL's
-    * `xxhash64(series)` (XXH64 over UTF-8 bytes, seed 42) — the hash
-    * the batch path [[graft.operators.AnomalyOps]] uses, so batch and
-    * streaming permutation-test scores agree on identical data.
+  /** Deterministic per-series identity: the cross-engine md5-60 hash
+    * ([[graft.kernel.PermDraw.seriesHash60]]) — the same derivation
+    * the batch path [[graft.operators.AnomalyOps]] compiles into SQL,
+    * so batch, streaming, and the DuckDB oracle permutation-test
+    * scores agree on identical data.
     */
-  def seriesHash(series: String): Long = {
-    val s = org.apache.spark.unsafe.types.UTF8String.fromString(series)
-    org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-  }
+  def seriesHash(series: String): Long =
+    graft.kernel.PermDraw.seriesHash60(series)
 
   /** One micro-batch of one series through the bounded buffer: the
     * shared state transition of both streaming backends.
@@ -66,7 +64,7 @@ object StreamingDetector {
       buf = (buf :+ p.value).takeRight(conf.windowSize)
       pushed += 1
       val prob = Ensemble.eval(buf, conf,
-        new java.util.SplittableRandom(Ensemble.seedFor(sh, pushed)))
+        new graft.kernel.PermDraw(sh, pushed))
       AnomalyScore(series, p.ts, p.value, prob)
     }
     (SeriesState(buf, pushed), out)

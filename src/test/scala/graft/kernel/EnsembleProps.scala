@@ -51,7 +51,7 @@ object EnsembleProps extends Properties("kernel.Ensemble") {
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0))) { xs =>
       val data = xs.toArray
       val c = conf.copy(delay = true, activeSize = 1)
-      val rng = new java.util.SplittableRandom(1L)
+      val rng = new PermDraw(1L, 1L)
       val gated = Ensemble.eval(
         data.take(math.max(c.windowSize - 1, 0)), c, rng)
       gated == 0.0

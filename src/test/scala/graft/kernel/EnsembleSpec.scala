@@ -1,7 +1,6 @@
 package graft.kernel
 
 import org.scalatest.funsuite.AnyFunSuite
-import java.util.SplittableRandom
 
 class ConfSpec extends AnyFunSuite {
   test("defaults: methods, seasons, permCount, sensitivity") {
@@ -66,11 +65,11 @@ class TestsSpec extends AnyFunSuite {
   }
 
   test("highrank ~ P(rank of tail < 6), lowrank 0 on the e2e fixture") {
-    val rng = new SplittableRandom(1)
+    val rng = new PermDraw(1, 1)
     val Some(hi) = Tests.rankTest(v, conf, rng, (x, y) => x < y)
     // active rank-sum is the max rank (6): permuted sum < 6 w.p. 6/7
     assert(math.abs(hi - 6.0 / 7.0) < 0.06)
-    val Some(lo) = Tests.rankTest(v, conf, new SplittableRandom(2), (x, y) => x > y)
+    val Some(lo) = Tests.rankTest(v, conf, new PermDraw(2, 1), (x, y) => x > y)
     assert(lo === 0.0)
   }
 
@@ -115,7 +114,7 @@ class EnsembleSpec extends AnyFunSuite {
 
   test("rank folding takes the max of highrank/lowrank") {
     val probmap = Ensemble.evalByTest(
-      Array(0.1, 2.05, 1.5, 2.5, 2.6, 2.55, 8.0), conf, new SplittableRandom(3))
+      Array(0.1, 2.05, 1.5, 2.5, 2.6, 2.55, 8.0), conf, new PermDraw(3, 1))
     assert(probmap.contains("rank"))
     assert(!probmap.contains("highrank") && !probmap.contains("lowrank"))
     assert(probmap("rank") > 0.7)
@@ -156,7 +155,7 @@ class EnsembleSpec extends AnyFunSuite {
     // single point, magnitude needs ref>=1 => with n=1 ref clamps to 0 -> NA
     val c = AnomalyzerConf.validated(
       AnomalyzerConf(activeSize = 1, methods = Seq("magnitude")))
-    assert(Ensemble.eval(Array(5.0), c, new SplittableRandom(1)) === 0.0)
+    assert(Ensemble.eval(Array(5.0), c, new PermDraw(1, 1)) === 0.0)
   }
 
   test("permutation tests are deterministic given the seed") {
@@ -164,8 +163,8 @@ class EnsembleSpec extends AnyFunSuite {
       activeSize = 2, nSeasons = 2, permCount = 100,
       methods = Seq("highrank", "diff", "ks")))
     val data = Array(1.0, 5.0, 2.0, 6.0, 3.0, 9.0)
-    val p1 = Ensemble.eval(data, c, new SplittableRandom(99))
-    val p2 = Ensemble.eval(data, c, new SplittableRandom(99))
+    val p1 = Ensemble.eval(data, c, new PermDraw(99, 7))
+    val p2 = Ensemble.eval(data, c, new PermDraw(99, 7))
     assert(p1 === p2)
   }
 }

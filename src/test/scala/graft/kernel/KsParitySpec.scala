@@ -4,10 +4,10 @@ import java.util.SplittableRandom
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the pooled KS permutation loop (the zero-allocation fast path
-  * every evaluator hits) to the general shuffle-and-re-extract loop:
-  * identical RNG consumption, identical counts and divisions, so the
-  * bootstrap p-values must match EXACTLY, seed for seed.
+/** Pins the pooled KS permutation loop (the low-allocation fast path
+  * every evaluator hits) to the general full-key-sort loop: identical
+  * md5-keyed subsets, identical counts and divisions, so the bootstrap
+  * p-values must match EXACTLY, draw identity for draw identity.
   */
 class KsParitySpec extends AnyFunSuite {
 
@@ -22,14 +22,14 @@ class KsParitySpec extends AnyFunSuite {
         v(3) = v(7); v(1) = v(7)
       }
       val seed = gen.nextLong()
-      val fast = Tests.bootstrapKs(v, conf, new SplittableRandom(seed))
+      val fast = Tests.bootstrapKs(v, conf, new PermDraw(seed, trial))
         .getOrElse(fail("ks undefined"))
-      // general loop on the same pool: same dist, same RNG stream
+      // general loop on the same pool: same dist, same draw identity
       val (ref0, act0) = Vec.extractWindows(v, conf.referenceSize,
         conf.activeSize, conf.activeSize).get
       val dist = Tests.ksCore(ref0, act0)
       val general = Tests.generalKsLoop(v, ref0.length, act0.length,
-        dist, conf, new SplittableRandom(seed)).toDouble / conf.permCount
+        dist, conf, new PermDraw(seed, trial)).toDouble / conf.permCount
       assert(fast === general, s"trial $trial diverged (seed $seed)")
     }
   }
@@ -37,7 +37,7 @@ class KsParitySpec extends AnyFunSuite {
   test("p-values over a step-change window detect the shift") {
     val flat = Array(10.0, 10.2, 9.9, 10.1, 10.0, 9.8, 10.2, 10.0,
       30.0, 31.0) // active window jumps
-    val p = Tests.bootstrapKs(flat, conf, new SplittableRandom(7L)).get
+    val p = Tests.bootstrapKs(flat, conf, new PermDraw(7L, 1L)).get
     assert(p > 0.9, s"KS bootstrap should flag the level shift, got $p")
   }
 }

@@ -39,8 +39,8 @@ class AnomalyOpsSpec extends AnyFunSuite with SparkTestBase {
       ordered.indices.foreach { i =>
         val from = math.max(0, i - c.windowSize + 1)
         val window = values.slice(from, i + 1)
-        // deterministic methods: the RNG is never consulted
-        val expected = Ensemble.eval(window, c, new java.util.SplittableRandom(0))
+        // deterministic methods: the draw is never consulted
+        val expected = Ensemble.eval(window, c, new graft.kernel.PermDraw(0L, 0L))
         val got = out((series, ordered(i)._2))
         assert(got === expected,
           s"series=$series i=$i expected=$expected got=$got")

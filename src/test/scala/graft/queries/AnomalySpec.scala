@@ -132,8 +132,8 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
           r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
     assert(got.size === windows.size)
     windows.foreach { case (key, arr) =>
-      // deterministic tests ignore the RNG; any seed works
-      val probmap = Ensemble.evalByTest(arr, conf, new SplittableRandom(0L))
+      // deterministic tests ignore the draw; any identity works
+      val probmap = Ensemble.evalByTest(arr, conf, new graft.kernel.PermDraw(0L, 0L))
       val weights = Ensemble.weights(probmap)
       val ensemble = Ensemble.combine(probmap, conf)
       val (pm, pf, pc, wm, wf, pe) = got(key)
@@ -888,7 +888,7 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
         // fused expression's arithmetic, which differs from the
         // full-precision kernel combine by 1 ulp of 1e-6 on boundary
         // rows)
-        val pm = Ensemble.evalByTest(arr, conf, new SplittableRandom(0L))
+        val pm = Ensemble.evalByTest(arr, conf, new graft.kernel.PermDraw(0L, 0L))
         val pm6 = Math.round(pm("magnitude") * 1e6)
         val pf6 = Math.round(pm("fence") * 1e6)
         val pc6 = Math.round(pm("cdf") * 1e6)

@@ -72,8 +72,8 @@ class StreamingAlertsSpec extends AnyFunSuite with SparkTestBase {
         val pushed = st.pushed + 1
         st = SeriesState(buf, pushed)
         val prob = graft.kernel.Ensemble.eval(buf, conf,
-          new java.util.SplittableRandom(graft.kernel.Ensemble.seedFor(
-            StreamingDetector.seriesHash(series), pushed)))
+          new graft.kernel.PermDraw(
+            StreamingDetector.seriesHash(series), pushed))
         AnomalyScore(series, p.ts, p.value, prob)
       }
     }
