@@ -1406,22 +1406,50 @@ object Pipeline {
 
     // ---- p32: per-language top-k bigrams — the corpus LM-ish n-gram
     // census behind stopword lists, contamination heuristics, and
-    // domain drift checks. Shape at 100 TB: explode to (lang, bigram)
-    // -> hash aggregate (map-side partial combine absorbs the heavy
-    // per-doc repetition before the single shuffle) -> the rank window
-    // runs over the AGGREGATED vocab-sized table, never the raw
-    // corpus. Ties (equal counts) break on the bigram string so the
-    // k-boundary is total and engine-independent.
+    // domain drift checks. Shape at 100 TB: the census runs over
+    // 64-bit token-PAIR hashes (xxhash64 — an internal join identity
+    // only, p03's shingle-join rationale), so the explode emits longs,
+    // the hash-agg probes allocate no strings, and the single
+    // vocab-sized shuffle carries (lang, hash, count) plus one
+    // 2-long WITNESS occurrence (min (doc_id, pos)) folded into the
+    // same aggregate. Bigram STRINGS materialize only for the
+    // <= (10 + count-ties) x lang survivors, via a broadcast witness
+    // join back to the documents table — ~50 concats total instead of
+    // one per corpus occurrence (the old form's per-occurrence concat
+    // churn dominated GC at scale). rank() keeps every count-tie at
+    // the k-boundary so the exact (cnt desc, bigram-string) cut —
+    // total and engine-independent — happens after recovery.
     Entry("p32_ngram_topk", (s, dir) => {
-      val bi = docs(s, dir)
-        .select(col("lang"), toks.as("tk"))
+      val counted = docs(s, dir)
+        .select(col("doc_id"), col("lang"), toks.as("tk"))
         // Spark sequence(1, 0) would DESCEND ([1, 0]); guard short docs
         .filter(size(col("tk")) >= 2)
-        .select(col("lang"), explode(expr(
+        .select(col("doc_id"), col("lang"), posexplode(expr(
           "transform(sequence(1, size(tk) - 1), i -> " +
-            "concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
-          .as("bigram"))
-      bi.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+            "xxhash64(element_at(tk, i), element_at(tk, i + 1)))")))
+        .toDF("doc_id", "lang", "pos", "bh")
+        // witness packed into ONE long (codegen'd min; a struct min
+        // falls back to interpreted ordering): doc_id << 20 | pos.
+        // Bounds: pos < 2^20 tokens/doc, doc_id < 2^43 — 8.8e12 docs,
+        // comfortably above a 100 TB corpus's id space.
+        .groupBy("lang", "bh")
+        .agg(count(lit(1)).as("cnt"),
+          min(shiftleft(col("doc_id"), 20) + col("pos")).as("w"))
+      val cand = counted
+        .withColumn("cr", rank().over(Window.partitionBy("lang")
+          .orderBy(col("cnt").desc)))
+        .filter(col("cr") <= 10)
+        .select(col("lang"), col("cnt"),
+          shiftright(col("w"), 20).as("wdoc"),
+          (col("w") % (1 << 20)).cast("int").as("wpos"))
+      // recovery scan: raw text only; the join filters to the ~50
+      // witness docs BEFORE tokenization, so the second pass re-splits
+      // ~50 documents, not the corpus
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .join(broadcast(cand), col("doc_id") === col("wdoc"))
+        .withColumn("tk2", toks)
+        .withColumn("bigram", expr(
+          "concat(element_at(tk2, wpos + 1), ' ', element_at(tk2, wpos + 2))"))
         .withColumn("rk", row_number().over(Window.partitionBy("lang")
           .orderBy(col("cnt").desc, col("bigram"))))
         .filter(col("rk") <= 10)

@@ -166,16 +166,21 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "hash-mod split must not shuffle:\n" + p)
   }
 
-  test("p32: bigram census partial-aggregates before its one shuffle; " +
-    "rank window runs over the aggregated table") {
+  test("p32: hashed bigram census partial-aggregates before its one " +
+    "corpus shuffle; strings recovered via broadcast witness join only") {
     val p = plan("p32_ngram_topk")
     assert(p.contains("partial_count"),
       "map-side combine must absorb per-doc repetition:\n" + p)
-    // one shuffle for the (lang, bigram) aggregate, one to re-key the
-    // vocab-sized aggregate by lang for the rank window — never a
-    // corpus-sized exchange beyond the first
-    assert(countOf(p, "Exchange hashpartitioning") === 2,
-      "expected agg + window re-key shuffles only:\n" + p)
+    // the census shuffle carries (lang, hash, count, witness) — longs,
+    // never bigram strings; after it every exchange is vocab-sized
+    // (rank window re-key) or survivor-sized (final row_number re-key):
+    // corpus-sized exchanges stop at the first
+    assert(countOf(p, "Exchange hashpartitioning") === 3,
+      "expected census agg + rank re-key + survivor re-key only:\n" + p)
+    assert(p.contains("xxhash64"),
+      "census must aggregate 64-bit pair hashes, not strings:\n" + p)
+    assert(p.contains("BroadcastExchange"),
+      "witness string recovery must be a broadcast join:\n" + p)
     val aggAt = p.indexOf("partial_count")
     val winAt = p.indexOf("row_number")
     assert(winAt >= 0 && aggAt > winAt, // executedPlan prints top-down
