@@ -15,8 +15,12 @@ case class MediaObject(
     media_type: String, // "image" | "audio" | "video" | "text"
     payload: Array[Byte])
 
-/** Decoded per-object features. `width`/`height`/`sample_rate` come
-  * from the (stubbed) decoder; byte-level fields are real.
+/** Decoded per-object features. `format` says which decoder fired:
+  * "ppm"/"wav" mean the header was REALLY parsed ([[HeaderCodec]] —
+  * width/height resp. sample_rate/duration_ms are true metadata);
+  * "opaque" means neither matched and dimensions fall back to the
+  * deterministic [[MultiModal.StubCodec]] fake. Byte-level fields are
+  * always real.
   */
 case class MediaFeatures(
     doc_id: Long,
@@ -26,29 +30,34 @@ case class MediaFeatures(
     n_frames: Int,
     width: Int,
     height: Int,
+    format: String,
+    sample_rate: Int,
+    duration_ms: Long,
     byte_histogram: Array[Double])
 
 /** Multimodal column plumbing: schema, partitioning and batch shape are
-  * real Spark; only the codec itself is a stub (this environment ships
-  * no image/audio libraries).
+  * real Spark, and header-described formats (PPM images, WAV PCM
+  * audio) decode for REAL via [[HeaderCodec]]. Compressed codecs
+  * (JPEG/MP4/FLAC) would need media libraries this environment doesn't
+  * ship — those payloads take the deterministic [[StubCodec]] fallback
+  * so the plumbing stays exercised end to end.
   *
   * The decode stage runs as `mapPartitions` — the JVM analog of a
   * vectorized pandas-batch UDF: per-partition setup (digest instance,
-  * would-be codec context) is paid once, then rows stream through.
-  * Swapping [[StubCodec]] for a real JNI/javacv codec changes no
-  * plumbing.
+  * codec context) is paid once, then rows stream through. Adding a
+  * JNI/javacv codec for the compressed formats changes no plumbing:
+  * it is one more branch ahead of the fallback.
   */
 object MultiModal {
 
   val FrameBytes = 64
 
-  /** The decode seam. Deterministic fake: dimensions are derived from
-    * the payload hash — stable, schema-correct, test-friendly — and the
-    * byte histogram is computed for real.
+  /** The fallback decode seam for formats without a header parser.
+    * Deterministic fake: dimensions are derived from the payload hash —
+    * stable, schema-correct, test-friendly.
     */
   object StubCodec {
     def decodeDims(hash: Array[Byte]): (Int, Int) = {
-      // ??? real codec goes here; fake keeps plumbing testable
       val w = 16 * (1 + ((hash(0) & 0x7f) % 120)) // 16..1920
       val h = 16 * (1 + ((hash(1) & 0x7f) % 68)) //  16..1088
       (w, h)
@@ -120,7 +129,18 @@ object MultiModal {
         val n = math.max(m.payload.length, 1)
         var b = 0
         while (b < 8) { hist(b) /= n; b += 1 }
-        val (w, h) = StubCodec.decodeDims(digest)
+        // real header decode first; stub dims only for opaque payloads
+        val (fmt, w, h, rate, durMs) =
+          HeaderCodec.decodePpm(m.payload) match {
+            case Some(ppm) => ("ppm", ppm.width, ppm.height, 0, 0L)
+            case None => HeaderCodec.decodeWav(m.payload) match {
+              case Some(wav) =>
+                ("wav", 0, 0, wav.sampleRate, wav.durationMs)
+              case None =>
+                val (sw, sh) = StubCodec.decodeDims(digest)
+                ("opaque", sw, sh, 0, 0L)
+            }
+          }
         MediaFeatures(
           doc_id = m.doc_id,
           media_type = m.media_type,
@@ -129,6 +149,9 @@ object MultiModal {
           n_frames = (m.payload.length + FrameBytes - 1) / FrameBytes,
           width = w,
           height = h,
+          format = fmt,
+          sample_rate = rate,
+          duration_ms = durMs,
           byte_histogram = hist)
       }
     }

@@ -18,9 +18,93 @@ class MultiModalSpec extends AnyFunSuite with SparkTestBase {
       assert(f.content_sha.length === 64)
       assert(f.n_frames === ((f.n_bytes + MultiModal.FrameBytes - 1)
         / MultiModal.FrameBytes).toInt)
+      // text payloads are no real media format -> stub dims fallback
+      assert(f.format === "opaque")
       assert(f.width >= 16 && f.width <= 1920)
       assert(f.height >= 16 && f.height <= 1088)
       assert(math.abs(f.byte_histogram.sum - 1.0) < 1e-9)
+    }
+  }
+
+  /** A structurally valid binary PPM: header with a comment, then a
+    * full RGB raster.
+    */
+  private def ppmBytes(w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n# synthetic test image\n$w $h\n255\n"
+      .getBytes("US-ASCII")
+    val raster = Array.tabulate(w * h * 3)(i => (i % 251).toByte)
+    header ++ raster
+  }
+
+  /** A structurally valid 16-bit PCM WAV with `nSamples` samples. */
+  private def wavBytes(rate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nSamples * channels).foreach(i => bb.putShort((i % 1000).toShort))
+    bb.array()
+  }
+
+  test("HeaderCodec: real PPM and WAV headers decode to true metadata; " +
+    "malformed payloads fall back") {
+    // direct kernel checks
+    val ppm = HeaderCodec.decodePpm(ppmBytes(320, 200))
+    assert(ppm === Some(HeaderCodec.PpmMeta(320, 200, 255)))
+    // truncated raster is NOT a valid image
+    assert(HeaderCodec.decodePpm(ppmBytes(320, 200).dropRight(1)).isEmpty)
+    assert(HeaderCodec.decodePpm("P6 garbage".getBytes("US-ASCII")).isEmpty)
+    val wav = HeaderCodec.decodeWav(wavBytes(44100, 2, 44100)).get
+    assert(wav.sampleRate === 44100 && wav.channels === 2 &&
+      wav.bitsPerSample === 16)
+    assert(wav.durationMs === 1000L) // 44100 samples at 44.1kHz = 1s
+    assert(HeaderCodec.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // through the Spark decode stage: real formats report real
+    // metadata, everything else takes the stub fallback
+    import spark.implicits._
+    val objs = Seq(
+      MediaObject(1L, "image", ppmBytes(64, 48)),
+      MediaObject(2L, "audio", wavBytes(8000, 1, 4000)),
+      MediaObject(3L, "text", "just some text".getBytes("UTF-8"))).toDS()
+    val f = MultiModal.decodeFeatures(objs).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(f(1L).format === "ppm")
+    assert((f(1L).width, f(1L).height) === ((64, 48)))
+    assert(f(2L).format === "wav")
+    assert(f(2L).sample_rate === 8000)
+    assert(f(2L).duration_ms === 500L)
+    assert((f(2L).width, f(2L).height) === ((0, 0)))
+    assert(f(3L).format === "opaque")
+    assert(f(3L).width >= 16)
+  }
+
+  test("fromBinaryFiles -> decodeFeatures: a real .ppm/.wav on disk " +
+    "round-trips through the object-store ingest with true metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    try {
+      java.nio.file.Files.write(dir.resolve("00007.png"), ppmBytes(128, 96))
+      java.nio.file.Files.write(dir.resolve("00008.wav"),
+        wavBytes(16000, 1, 8000))
+      val f = MultiModal.decodeFeatures(
+        MultiModal.fromBinaryFiles(spark, dir.toString)).collect()
+        .map(x => x.doc_id -> x).toMap
+      assert(f(7L).format === "ppm" && f(7L).width === 128 &&
+        f(7L).height === 96)
+      assert(f(8L).format === "wav" && f(8L).sample_rate === 16000 &&
+        f(8L).duration_ms === 500L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
