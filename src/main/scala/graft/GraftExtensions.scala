@@ -113,7 +113,10 @@ object GraftExtensions {
     fn("graft_esd_rounds",
       "graft_esd_rounds(arr, sx, sxx, w, k) - generalized-ESD (Rosner) " +
         "round statistics r1..rk + non-constant flag over a trailing " +
-        "window (arr = values, sx = sum, sxx = sum of squares)") {
+        "window (arr = values, sx = sum, sxx = sum of squares as an " +
+        "integer DECIMAL(p,0)). Domain: deviations n*x - sx are " +
+        "computed in int64, so |values| must stay within the events " +
+        "ingestion contract (|v6| < 1e15 micro) for exact results") {
       args => EsdRounds(args(0), args(1), args(2),
         litInt(args(3), "graft_esd_rounds", "w"),
         litInt(args(4), "graft_esd_rounds", "k"))

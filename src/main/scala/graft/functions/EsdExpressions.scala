@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   * filter).
   */
 case class EsdRounds(arr: Expression, sx: Expression, sxx: Expression,
-    w: Int, k: Int) extends TernaryExpression with CodegenFallback {
+    w: Int, k: Int) extends TernaryExpression {
 
   override def first: Expression = arr
   override def second: Expression = sx
@@ -51,20 +51,57 @@ case class EsdRounds(arr: Expression, sx: Expression, sxx: Expression,
     (1 to k).map(i => StructField(s"r$i", DoubleType, nullable = true)) :+
       StructField("vnz", BooleanType, nullable = false))
 
+  // sxx must be an INTEGER decimal (scale 0): the kernel consumes it
+  // as an exact BigInteger sum of squares — a nonzero scale would be a
+  // caller bug this check turns into an analysis error instead of a
+  // silently truncated statistic (the eval additionally uses
+  // toBigIntegerExact as a runtime backstop).
   override def checkInputDataTypes(): TypeCheckResult =
     (arr.dataType, sx.dataType, sxx.dataType) match {
-      case (ArrayType(LongType, _), LongType, _: DecimalType) =>
+      case (ArrayType(LongType, _), LongType, d: DecimalType)
+          if d.scale == 0 =>
         TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (ARRAY<BIGINT>, BIGINT, DECIMAL), got " +
-          s"(${a.sql}, ${b.sql}, ${c.sql})")
+        s"$prettyName expects (ARRAY<BIGINT>, BIGINT, DECIMAL(p, 0)), " +
+          s"got (${a.sql}, ${b.sql}, ${c.sql})")
     }
 
   override protected def nullSafeEval(arrVal: Any, sxVal: Any,
-      sxxVal: Any): Any = {
-    val xs = arrVal.asInstanceOf[ArrayData].toLongArray()
-    var sxCur = sxVal.asInstanceOf[Long]
-    var sxxCur = sxxVal.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger
+      sxxVal: Any): Any =
+    EsdRoundsKernel.eval(arrVal.asInstanceOf[ArrayData],
+      sxVal.asInstanceOf[Long], sxxVal.asInstanceOf[Decimal], w, k)
+
+  // Codegen emits ONE static kernel call, so the surrounding
+  // projection/window stage stays inside whole-stage codegen (the
+  // previous CodegenFallback cut the fused span at this node); the
+  // O(k·w) loop itself is branchy scalar code the JIT already
+  // compiles well in the kernel object.
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = "graft.functions.EsdRoundsKernel"
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = $kernel.eval($a, $b, $c, $w, $k);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(arr = newFirst, sx = newSecond, sxx = newThird)
+}
+
+/** The ESD round loop as a static kernel shared by interpreted eval and
+  * generated code (top-level object methods get static forwarders, so
+  * codegen calls `EsdRoundsKernel.eval(...)` directly).
+  */
+object EsdRoundsKernel {
+
+  def eval(arrVal: ArrayData, sxVal: Long, sxxVal: Decimal, w: Int,
+      k: Int): InternalRow = {
+    val xs = arrVal.toLongArray()
+    var sxCur = sxVal
+    // toBigIntegerExact: a fractional Σx² is out of contract — fail
+    // loudly rather than truncate (ArithmeticException surfaces as the
+    // query error it is)
+    var sxxCur = sxxVal.toJavaBigDecimal.toBigIntegerExact
     // mutable working copy; rounds shrink the logical length
     val work = java.util.Arrays.copyOf(xs, xs.length)
     var len = work.length
@@ -106,10 +143,6 @@ case class EsdRounds(arr: Expression, sx: Expression, sxx: Expression,
     out(k) = vnz
     InternalRow(out: _*)
   }
-
-  override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): Expression =
-    copy(arr = newFirst, sx = newSecond, sxx = newThird)
 }
 
 object EsdFunctions {

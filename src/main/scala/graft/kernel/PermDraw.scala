@@ -18,17 +18,29 @@ import java.security.MessageDigest
   *    md5 of the series string — the repo's standard
   *    [[graft.functions.HashScheme]] h60 primitive) and `rowKey` is
   *    the row's 1-based position in its series.
-  *  - Permutation `p` of `n` window positions for test family `f`
-  *    sorts positions by a per-position key. Keys come in blocks of
-  *    five: block `b` is `md5("{seriesHash}:{rowKey}:{p}:{f}:{b}")`
-  *    (ASCII decimal renderings), and position `i` takes the 24-bit
-  *    integer at hex chars `[6*(i mod 5), 6*(i mod 5)+6)` of block
-  *    `i div 5`.
-  *  - The sort key is the composite `key24 << 10 | i` — position ties
-  *    are impossible, so both engines sort plain 64-bit integers and
-  *    agree exactly. (24-bit keys collide at ~3e-6 per 10-position
-  *    draw; a collision only flips which of two equally-uniform
-  *    permutations is drawn, identically on both engines.)
+  *  - Randomness comes from a 31-bit integer mix over the 31-bit
+  *    ring — every product of ring values and 31-bit constants stays
+  *    under 2^62, so BOTH engines run plain native 64-bit arithmetic
+  *    (no BigInteger, no DuckDB HUGEINT — a 2^63 ring was bit-exact
+  *    too but ~14x slower to replay through DuckDB's software 128-bit
+  *    path). Shape: linear state + a lowbias32-style multiply-xorshift
+  *    finalizer, restricted to 31 bits; draw index `i`:
+  *    {{{
+  *    z  = (sh mod 2^31 · A + rn·B + p·C + f·D + i·G) mod 2^31
+  *    z ^= z >> 16;  z = z·M1 mod 2^31
+  *    z ^= z >> 15;  z = z·M2 mod 2^31
+  *    z ^= z >> 16
+  *    }}}
+  *  - The diff test permutes the WHOLE window: position `i` sorts by
+  *    the composite `z << 10 | i` — position ties are impossible, so
+  *    both engines sort plain 64-bit integers and agree exactly
+  *    (31-bit keys collide at ~2e-8 per 10-position draw; a collision
+  *    only flips which of two equally-uniform permutations is drawn,
+  *    identically on both engines).
+  *  - The subset tests (rank, ks) draw a uniform `a`-subset by
+  *    FLOYD'S algorithm over the same raw values ([[subsetAt]]) —
+  *    O(a) work per permutation instead of the O(n) full key pass,
+  *    and small enough to unroll as SQL CASE expressions.
   *
   * Families keep the tests' draws independent even when one ensemble
   * evaluation runs several of them: rank (shared by highrank AND
@@ -39,55 +51,64 @@ import java.security.MessageDigest
   * construct their own.
   */
 final class PermDraw(val seriesHash: Long, val rowKey: Long) {
-  private val md = MessageDigest.getInstance("MD5")
-  private val prefix = seriesHash.toString + ":" + rowKey.toString + ":"
+  import PermDraw._
 
-  // Composite-key cache, built per (family) on first use for the
-  // (permCount, n) of this evaluation — highrank and lowrank (and any
-  // repeated family call) reuse it instead of re-hashing.
-  private var cachedP = -1
-  private var cachedN = -1
-  private val fams = new Array[Array[Long]](3)
+  // row-level linear part — all terms reduced mod 2^31 before
+  // multiplying, so every product fits native 64-bit on both engines
+  private val zRow =
+    ((seriesHash & Mask) * A + (rowKey & Mask) * B) & Mask
 
-  private def build(family: Int, permCount: Int, n: Int): Array[Long] = {
-    val blocks = (n + 4) / 5
-    val out = new Array[Long](permCount * n)
-    var p = 0
-    while (p < permCount) {
-      var b = 0
-      while (b < blocks) {
-        val s = prefix + p + ":" + family + ":" + b
-        val d = md.digest(s.getBytes(StandardCharsets.US_ASCII))
-        val hi = math.min(5, n - 5 * b)
-        var j = 0
-        while (j < hi) {
-          val i = 5 * b + j
-          val key = ((d(3 * j) & 0xffL) << 16) |
-            ((d(3 * j + 1) & 0xffL) << 8) | (d(3 * j + 2) & 0xffL)
-          out(p * n + i) = (key << 10) | i
-          j += 1
-        }
-        b += 1
-      }
-      p += 1
-    }
-    out
+  /** Per-permutation linear base; hoist out of position loops. */
+  def permBase(family: Int, perm: Int): Long =
+    (zRow + family.toLong * D + perm.toLong * C) & Mask
+
+  /** The raw 31-bit mixed value at draw index `i` under permutation
+    * base `base` (from [[permBase]]) — ~10 integer ops, no
+    * allocation.
+    */
+  def rawAt(base: Long, i: Int): Long = {
+    var z = (base + i.toLong * G) & Mask
+    z ^= z >>> 16
+    z = (z * M1) & Mask
+    z ^= z >>> 15
+    z = (z * M2) & Mask
+    z ^= z >>> 16
+    z
   }
 
-  /** The composite keys for (`family`, `perm`): returns the family's
-    * full key array plus the offset of this permutation's `n` keys.
-    * Position of a key `k` is `(k & 1023)`; sorting the `n` keys
-    * ascending yields the permutation.
+  /** The composite SORT key of position `i`: raw value with the
+    * position in the low 10 bits. Position of a key `k` is
+    * `(k & 1023)`; sorting a permutation's `n` keys ascending yields
+    * the permutation (used by the diff test, which permutes the whole
+    * vector).
     */
-  def keys(family: Int, perm: Int, permCount: Int, n: Int): (Array[Long], Int) = {
-    require(n <= 1024,
-      s"PermDraw supports windows up to 1024 positions, got $n")
-    if (cachedP != permCount || cachedN != n) {
-      fams(0) = null; fams(1) = null; fams(2) = null
-      cachedP = permCount; cachedN = n
+  def keyAt(base: Long, i: Int): Long = {
+    require(i < 1024,
+      s"PermDraw supports windows up to 1024 positions, got index $i")
+    (rawAt(base, i) << 10) | i
+  }
+
+  /** Floyd's uniform `a`-subset of positions `[0, n)` into
+    * `out(0 until a)` (pick order, unsorted) — O(a) draws, the reason
+    * the subset tests (rank, ks) cost O(a) per permutation instead of
+    * the O(n) full key sort. Draw index j consumes `rawAt(base, j)
+    * mod (j+1)`; a duplicate pick takes j itself (the classic
+    * algorithm), which an SQL CASE replays exactly.
+    */
+  def subsetAt(base: Long, n: Int, a: Int, out: Array[Int]): Unit = {
+    var cnt = 0
+    var j = n - a
+    while (j < n) {
+      val r = (rawAt(base, j) % (j + 1)).toInt
+      var dup = false
+      var t = 0
+      while (t < cnt) {
+        if (out(t) == r) { dup = true; t = cnt } else t += 1
+      }
+      out(cnt) = if (dup) j else r
+      cnt += 1
+      j += 1
     }
-    if (fams(family) == null) fams(family) = build(family, permCount, n)
-    (fams(family), perm * n)
   }
 }
 
@@ -95,6 +116,23 @@ object PermDraw {
   val RankFamily = 0
   val DiffFamily = 1
   val KsFamily = 2
+
+  /** 2^31 − 1: the working ring is the non-negative 31-bit integers
+    * (`x & Mask` == `x mod 2^31` for non-negative x), sized so ring ×
+    * constant products stay under 2^62 — native 64-bit arithmetic in
+    * both the kernel and DuckDB.
+    */
+  val Mask: Long = 0x7fffffffL
+
+  // All constants odd and < 2^31 so they read back identically as
+  // DuckDB BIGINT literals and keep products in 62 bits.
+  val A: Long = 0x2545f491L // series term
+  val B: Long = 0x1e3779b9L // row term (golden, truncated)
+  val C: Long = 0x05ebca6bL // permutation term
+  val D: Long = 0x42b2ae35L // family term
+  val G: Long = 0x27d4eb2fL // position term
+  val M1: Long = 0x7feb352dL // finalizer multiplier 1 (lowbias32)
+  val M2: Long = 0x046ca68bL // finalizer multiplier 2 (lowbias32)
 
   /** Position encoded in a composite key. */
   @inline def pos(key: Long): Int = (key & 1023L).toInt

@@ -9,7 +9,7 @@ package graft.kernel
   * take a [[PermDraw]] instead of the reference's unseeded global RNG
   * (algorithms.go:126,189,300) — a deliberate, documented divergence
   * that makes outputs reproducible AND replayable by an external SQL
-  * oracle (the draw is md5-keyed sorting, see [[PermDraw]]);
+  * oracle (the draw is integer-mix key sorting, see [[PermDraw]]);
   * statistically the tests are identical.
   */
 object Tests {
@@ -93,8 +93,9 @@ object Tests {
       var significant = 0
       var i = 0
       while (i < conf.permCount) {
-        val (ks, off) = draw.keys(PermDraw.DiffFamily, i, conf.permCount, n)
-        System.arraycopy(ks, off, order, 0, n)
+        val base = draw.permBase(PermDraw.DiffFamily, i)
+        var j0 = 0
+        while (j0 < n) { order(j0) = draw.keyAt(base, j0); j0 += 1 }
         java.util.Arrays.sort(order)
         var j = 0
         while (j < n) { perm(j) = v(PermDraw.pos(order(j))); j += 1 }
@@ -127,37 +128,19 @@ object Tests {
       // (algorithms.go:188-201); min-tie ranks depend only on the value
       // multiset, so rank(shuffle(v)) is just a permutation of `ranks`
       // and the permuted active rank-sum is the sum of a uniform random
-      // a-subset: the positions holding the `a` SMALLEST rank-family
-      // keys of the permutation (see [[PermDraw]]). highrank and
-      // lowrank share the same key family — one draw, two comparisons
-      // — which both halves the hashing and lets the SQL oracle score
-      // both directions from one pass.
-      val best = new Array[Long](a)
+      // a-subset — drawn by Floyd's algorithm in O(a) per permutation
+      // (see [[PermDraw.subsetAt]]). highrank and lowrank share the
+      // same key family — one draw, two comparisons — which both
+      // halves the key derivation and lets the SQL oracle score both
+      // directions from one pass.
+      val pick = new Array[Int](a)
       var significant = 0
       var i = 0
       while (i < conf.permCount) {
-        val (ks, off) = draw.keys(PermDraw.RankFamily, i, conf.permCount, n)
-        // keep the a smallest composites (insertion into a tiny sorted
-        // buffer — a is the active size, typically 2)
-        var cnt = 0
-        var j = 0
-        while (j < n) {
-          val k = ks(off + j)
-          if (cnt < a) {
-            var m = cnt
-            while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
-            best(m) = k
-            cnt += 1
-          } else if (k < best(a - 1)) {
-            var m = a - 1
-            while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
-            best(m) = k
-          }
-          j += 1
-        }
+        draw.subsetAt(draw.permBase(PermDraw.RankFamily, i), n, a, pick)
         var s = 0.0
         var m = 0
-        while (m < a) { s += ranks(PermDraw.pos(best(m))); m += 1 }
+        while (m < a) { s += ranks(pick(m)); m += 1 }
         if (comparison(s, activeSum)) significant += 1
         i += 1
       }
@@ -200,9 +183,10 @@ object Tests {
   /** Bootstrap permutation test on the KS statistic.
     * Reference: algorithms.go:290-309. The reference shuffles the whole
     * vector and re-extracts windows each permutation; the statistic
-    * depends only on WHICH elements land in each window, so drawing the
-    * windows from the ks-family key order (active = the n2 smallest
-    * keys, reference = the next n1 — see [[PermDraw]]) is
+    * depends only on WHICH elements land in each window, so drawing
+    * the active window as a uniform Floyd subset (the reference window
+    * = a uniform subset of the remainder; the whole remainder in the
+    * pooled case — see [[PermDraw.subsetAt]]) is
     * distribution-identical and skips the full shuffle.
     */
   def bootstrapKs(v: Array[Double], conf: AnomalyzerConf,
@@ -256,34 +240,18 @@ object Tests {
     }
     val n1d = n1.toDouble
     val n2d = n2.toDouble
-    val best = new Array[Long](n2)
+    val pick = new Array[Int](n2)
     val act = new Array[Double](n2)
     var significant = 0
     var i = 0
     while (i < conf.permCount) {
-      // the permuted ACTIVE window = values at the n2 smallest
-      // ks-family keys — the same subset the general loop's full key
-      // sort puts first, so pooled == general when the pool is exactly
-      // the two windows (pinned by KsParitySpec)
-      val (ks, off) = draw.keys(PermDraw.KsFamily, i, conf.permCount, n)
-      var cnt = 0
-      var j = 0
-      while (j < n) {
-        val k = ks(off + j)
-        if (cnt < n2) {
-          var m = cnt
-          while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
-          best(m) = k
-          cnt += 1
-        } else if (k < best(n2 - 1)) {
-          var m = n2 - 1
-          while (m > 0 && best(m - 1) > k) { best(m) = best(m - 1); m -= 1 }
-          best(m) = k
-        }
-        j += 1
-      }
+      // the permuted ACTIVE window = values at a uniform Floyd
+      // n2-subset; the reference window is the complement — the same
+      // split the general loop produces when the pool is exactly the
+      // two windows (pinned by KsParitySpec)
+      draw.subsetAt(draw.permBase(PermDraw.KsFamily, i), n, n2, pick)
       var m = 0
-      while (m < n2) { act(m) = v(PermDraw.pos(best(m))); m += 1 }
+      while (m < n2) { act(m) = v(pick(m)); m += 1 }
       var d = 0.0
       g = 0
       while (g < grid.length) {
@@ -307,23 +275,34 @@ object Tests {
   private[kernel] def generalKsLoop(v: Array[Double], n1: Int, n2: Int,
       dist: Double, conf: AnomalyzerConf, draw: PermDraw): Int = {
     val n = v.length
-    val order = new Array[Long](n)
+    val actPick = new Array[Int](n2)
+    val refPick = new Array[Int](n1)
+    val inAct = new Array[Boolean](n)
+    val comp = new Array[Int](n - n2)
     val permRef = new Array[Double](n1)
     val permAct = new Array[Double](n2)
     var significant = 0
     var i = 0
     while (i < conf.permCount) {
-      // full ks-family key sort: the n2 smallest keys form the active
-      // window, the next n1 the reference (the rest unused) — agreeing
-      // with the pooled loop's subset when n == n1 + n2
-      val (ks, off) = draw.keys(PermDraw.KsFamily, i, conf.permCount, n)
-      System.arraycopy(ks, off, order, 0, n)
-      java.util.Arrays.sort(order)
+      // active = uniform Floyd n2-subset of [0, n); reference = a
+      // uniform Floyd n1-subset of the complement (drawn on disjoint
+      // raw indices [ (n-n2)-n1, n-n2 ), so the two draws are
+      // independent). When n == n1 + n2 the complement subset is the
+      // whole complement — exactly the pooled loop's split.
+      val base = draw.permBase(PermDraw.KsFamily, i)
+      draw.subsetAt(base, n, n2, actPick)
       var j = 0
-      while (j < n2) { permAct(j) = v(PermDraw.pos(order(j))); j += 1 }
-      while (j < n1 + n2) {
-        permRef(j - n2) = v(PermDraw.pos(order(j))); j += 1
+      while (j < n) { inAct(j) = false; j += 1 }
+      j = 0
+      while (j < n2) {
+        permAct(j) = v(actPick(j)); inAct(actPick(j)) = true; j += 1
       }
+      var c = 0
+      j = 0
+      while (j < n) { if (!inAct(j)) { comp(c) = j; c += 1 }; j += 1 }
+      draw.subsetAt(base, n - n2, n1, refPick)
+      j = 0
+      while (j < n1) { permRef(j) = v(comp(refPick(j))); j += 1 }
       if (ksCore(permRef, permAct) < dist) significant += 1
       i += 1
     }

@@ -131,14 +131,16 @@ object Anomaly {
     permCount = 100, methods = Nil) // methods set per query
 
   /** DuckDB oracle for the bootstrap permutation tests — a full replay
-    * of the kernel's md5-keyed draws (see [[graft.kernel.PermDraw]]).
+    * of the kernel's integer-mix draws (see [[graft.kernel.PermDraw]]).
     *
     * The permutation of `n` window positions for (series, row,
     * permutation p, test family f) sorts positions by the composite
-    * `key24 << 10 | pos`, where position i's 24-bit key is hex chars
-    * `[6*(i mod 5), +6)` of `md5("{sh}:{rn}:{p}:{f}:{b}")`, b = i div
-    * 5, and `sh` is the h60 md5 hash of the series string. Because the
-    * draw is hash-sorting — not sequential RNG consumption — DuckDB
+    * `key31 << 10 | pos`, where key31 is the lowbias32-style finalizer
+    * of `(sh·A + rn·B + p·C + f·D + i·G) mod 2^31` and `sh` is the
+    * h60 md5 hash of the series string. Everything runs in the
+    * non-negative 31-bit ring, where every product fits native BIGINT
+    * on both engines (no HUGEINT — ~14x faster to replay). Because the
+    * draw is key-sorting — not sequential RNG consumption — DuckDB
     * reproduces every subset bit-for-bit, turning the formerly
     * rows-only bootstrap queries (a06/a07/a08/a13) into exact
     * value-checked oracles. Family constants: rank=0 (shared by
@@ -153,19 +155,51 @@ object Anomaly {
     */
   private def bootstrapOracle(p: Int, rank: Boolean, diff: Boolean,
       ks: Boolean): String = {
+    import graft.kernel.{PermDraw => PD}
     val a = spec.activeSize // 2
     val w = spec.windowSize // 10
-    require(w <= 10, "bootstrap oracle SQL unrolls two md5 key blocks " +
-      "(windows up to 10 positions); widen the block CASE for larger w")
-    // composite key list for family `f` of the current (row, perm):
-    // h0/h1 are that family's two md5 key blocks (positions 0-4, 5-9)
-    def keysSql(f: Int): String =
-      s"""list_transform(range(0, m), i ->
-         CAST('0x' || substr(CASE WHEN i < 5 THEN h0 ELSE h1 END,
-           (i % 5) * 6 + 1, 6) AS BIGINT) * 1024 + i)"""
-    def blocks(f: Int): String =
-      s"""md5(sh::VARCHAR || ':' || rn::VARCHAR || ':' || t.p::VARCHAR || ':$f:0') AS h0,
-          md5(sh::VARCHAR || ':' || rn::VARCHAR || ':' || t.p::VARCHAR || ':$f:1') AS h1"""
+    require(a == 2,
+      "bootstrapOracle unrolls Floyd's subset draw for activeSize 2; " +
+        "extend the CASE chain for a larger active window")
+    val P = "2147483648" // 2^31 — ring size; all products fit BIGINT
+    // (f·D) mod 2^31, folded to a literal per family
+    def fD(f: Int): String =
+      (BigInt(f) * BigInt(PD.D)).mod(BigInt(1) << 31).toString
+    // per-(row, perm) linear base for family `f`; `t.p` is the
+    // permutation index column. Operands reduce mod 2^31 BEFORE each
+    // multiply, keeping products under 2^62 (congruent, overflow-free)
+    def zbSql(f: Int): String =
+      s"""((sh % $P) * ${PD.A} % $P
+         + (rn % $P) * ${PD.B} % $P
+         + (t.p % $P) * ${PD.C} % $P
+         + ${fD(f)}) % $P AS zb"""
+    // raw mixed value at draw index `jExpr` as lateral-alias column
+    // chain (suffix `sfx` keeps multiple keys per SELECT distinct)
+    def rawCols(sfx: String, jExpr: String): String =
+      s"""(zb + ($jExpr) * ${PD.G} % $P) % $P AS za$sfx,
+          xor(za$sfx, za$sfx >> 16) * ${PD.M1} % $P AS zc$sfx,
+          xor(zc$sfx, zc$sfx >> 15) * ${PD.M2} % $P AS zd$sfx,
+          xor(zd$sfx, zd$sfx >> 16) AS raw$sfx"""
+    // Floyd a=2 over n=m positions: draw j=m-2 picks r1; draw j=m-1
+    // picks r2 unless it duplicates r1, then m-1 (0-based positions)
+    val floydCols: String =
+      s"""${rawCols("1", "m - 2")},
+          ${rawCols("2", "m - 1")},
+          raw1 % (m - 1) AS p1,
+          CASE WHEN raw2 % m = raw1 % (m - 1) THEN m - 1
+               ELSE raw2 % m END AS p2"""
+    // full composite key list for the diff test (whole-vector
+    // permutation): per position i, finish the mix and append the
+    // position in the low 10 bits — four chained vectorized passes
+    val keysSql: String =
+      s"""list_transform(
+           list_transform(
+             list_transform(
+               list_transform(range(0, m), i ->
+                 (zb + i * ${PD.G} % $P) % $P),
+               z -> xor(z, z >> 16) * ${PD.M1} % $P),
+             z -> xor(z, z >> 15) * ${PD.M2} % $P),
+           (z, i) -> xor(z, z >> 16) * 1024 + (i - 1))"""
     val rankCte = s"""
       rk_rows AS (
         SELECT event_type, event_id, sh, rn, arr, len(arr) AS m,
@@ -174,14 +208,11 @@ object Anomaly {
         FROM base WHERE len(arr) >= ${2 * a}
       ), rk_act AS (
         SELECT *, list_sum(rks[m-${a - 1}:m]) AS active_sum FROM rk_rows
-      ), rk_perm AS (
-        SELECT event_type, event_id, active_sum, m, rks, ${blocks(0)}
-        FROM rk_act, range($p) t(p)
       ), rk_s AS (
-        SELECT event_type, event_id, active_sum,
-               list_sum(list_transform(list_sort(${keysSql(0)})[1:$a],
-                 k -> rks[(k % 1024) + 1])) AS s
-        FROM rk_perm
+        SELECT event_type, event_id, active_sum, ${zbSql(0)},
+               $floydCols,
+               rks[p1 + 1] + rks[p2 + 1] AS s
+        FROM rk_act, range($p) t(p)
       ), rk_sig AS (
         SELECT event_type, event_id,
                sum(CASE WHEN s < active_sum THEN 1 ELSE 0 END) / $p.0 AS ph,
@@ -206,11 +237,11 @@ object Anomaly {
       ), df_act AS (
         SELECT *, ${lastRankSum(rdSql("arr"))} AS active_sum FROM df_rows
       ), df_perm AS (
-        SELECT event_type, event_id, active_sum, m, arr, ${blocks(1)}
+        SELECT event_type, event_id, active_sum, m, arr, ${zbSql(1)}
         FROM df_act, range($p) t(p)
       ), df_vp AS (
         SELECT event_type, event_id, active_sum, m,
-               list_transform(list_sort(${keysSql(1)}),
+               list_transform(list_sort($keysSql),
                  k -> arr[(k % 1024) + 1]) AS vp
         FROM df_perm
       ), df_sig AS (
@@ -243,13 +274,14 @@ object Anomaly {
             abs(ca0[gi] / $a.0 - (tot[gi] - ca0[gi]) / (m - $a)))) AS dist
         FROM ks_tot
       ), ks_perm AS (
-        SELECT event_type, event_id, m, arr, grid, tot, dist, ${blocks(2)}
+        SELECT event_type, event_id, m, grid, tot, dist, ${zbSql(2)},
+               $floydCols,
+               arr[p1 + 1] AS av1, arr[p2 + 1] AS av2
         FROM ks_dist, range($p) t(p)
       ), ks_ca AS (
         SELECT event_type, event_id, m, tot, dist,
-               list_transform(grid, g -> len(list_filter(
-                 list_transform(list_sort(${keysSql(2)})[1:$a],
-                   k -> arr[(k % 1024) + 1]), y -> y <= g))) AS ca
+               list_transform(grid, g ->
+                 (av1 <= g)::BIGINT + (av2 <= g)::BIGINT) AS ca
         FROM ks_perm
       ), ks_sig AS (
         SELECT event_type, event_id,

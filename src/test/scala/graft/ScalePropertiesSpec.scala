@@ -812,6 +812,21 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         (if (name == "a36_esd") 1 else 2),
         s"$name: more shuffles than the series window (+ seasonal " +
           s"dim agg) should need:\n" + p.take(4000))
+      // the native expression generates a static kernel call, so the
+      // operator it sits in must stay fused: in the FINAL adaptive
+      // plan (AQE prints codegen stages only after execution) its plan
+      // line carries the whole-stage marker `*(n)` — a CodegenFallback
+      // node here would evict its operator from the fused span
+      val df = queries.Catalog.queries(name)(spark, sfDir)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString
+      assert(full.contains("isFinalPlan=true"), "expected executed AQE plan")
+      val fp = full.split("== Initial Plan ==").head
+      val esdLines = fp.linesIterator
+        .filter(_.contains("graft_esd_rounds(")).toSeq
+      assert(esdLines.nonEmpty && esdLines.forall(_.trim.startsWith("*(")),
+        s"$name: ESD operator fell out of whole-stage codegen:\n" +
+          esdLines.mkString("\n"))
     }
   }
 }
