@@ -65,7 +65,7 @@ object Pipeline {
     * dropping out-of-domain vectors is the NA-drop rule the kernel
     * already applies to observations.
     */
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def embs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .filter(col("embedding").isNotNull &&
         expr("forall(embedding, x -> NOT isnan(x) AND abs(x) < 100.0)"))

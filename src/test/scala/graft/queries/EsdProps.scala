@@ -58,9 +58,17 @@ class EsdProps extends AnyFunSuite with SparkTestBase {
         val (gotRs, gotOk) = got(id)
         assert(gotOk === ok, s"window $id vnz [$tag]")
         rs.zip(gotRs).zipWithIndex.foreach { case ((e, g), j) =>
-          if (ok) // degenerate rounds emit NULL (NaN here) by design
+          // compare every round whose reference value is defined —
+          // including non-degenerate rounds of a window whose LATER
+          // round went constant (only the degenerate round itself
+          // emits NULL/NaN by design)
+          if (!e.isNaN)
             assert(java.lang.Double.compare(e, g) === 0,
               s"window $id round ${j + 1} [$tag]: expected $e got $g")
+          else
+            assert(g.isNaN,
+              s"window $id round ${j + 1} [$tag]: degenerate round " +
+                s"must be NULL, got $g")
         }
       }
     }
