@@ -61,5 +61,17 @@ class CatalogCostSpec extends AnyFunSuite with SparkTestBase {
       outliers.map { case (n, t) => f"$n ($t%.1f s)" }.mkString(
         f"catalog entries over $limit%.1f s at sf0.001 — the round-6 " +
           "gate-killer class: ", ", ", ""))
+    // TOTAL-wall budget: the driver's Verify runs this catalog at
+    // sf0.01 under a bounded gate; per-query guards don't stop slow
+    // CREEP as the catalog grows (171 entries x a quietly-regressed
+    // mean). sf0.001 total correlates ~1:2 with the sf0.01 Verify wall
+    // on 32 cores (~90 s here ≈ ~170 s there); 240 s keeps headroom
+    // for sbt suite co-scheduling while still tripping well before the
+    // driver budget does. Measured total this round: ~80-110 s.
+    val total = sorted.sum
+    assert(total < 240.0,
+      f"catalog total at sf0.001 is $total%.1f s (budget 240 s) — the " +
+        "catalog-wide cost crept up; find the regressed entries before " +
+        "the driver's Verify gate times out")
   }
 }
