@@ -64,14 +64,16 @@ class CatalogCostSpec extends AnyFunSuite with SparkTestBase {
     // TOTAL-wall budget: the driver's Verify runs this catalog at
     // sf0.01 under a bounded gate; per-query guards don't stop slow
     // CREEP as the catalog grows (171 entries x a quietly-regressed
-    // mean). sf0.001 total correlates ~1:2 with the sf0.01 Verify wall
-    // on 32 cores (~90 s here ≈ ~170 s there); 240 s keeps headroom
-    // for sbt suite co-scheduling while still tripping well before the
-    // driver budget does. Measured total this round: ~80-110 s.
+    // mean). Round-8 measured totals: ~190 s here (sf0.001, one
+    // measurement per query, sbt suites co-scheduled on the shared
+    // session) vs 171 s for the real sf0.01 Verify on 32 dedicated
+    // CPUs — per-query fixed overhead dominates at this SF, so treat
+    // this as a creep tripwire, not a precise Verify predictor.
     val total = sorted.sum
-    assert(total < 240.0,
-      f"catalog total at sf0.001 is $total%.1f s (budget 240 s) — the " +
-        "catalog-wide cost crept up; find the regressed entries before " +
-        "the driver's Verify gate times out")
+    assert(total < 300.0,
+      f"catalog total at sf0.001 is $total%.1f s (budget 300 s; " +
+        "round-8 measured ~190 s) — the catalog-wide cost crept up; " +
+        "find the regressed entries before the driver's Verify gate " +
+        "times out")
   }
 }

@@ -824,7 +824,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       val fp = full.split("== Initial Plan ==").head
       val esdLines = fp.linesIterator
         .filter(_.contains("graft_esd_rounds(")).toSeq
-      assert(esdLines.nonEmpty && esdLines.forall(_.trim.startsWith("*(")),
+      // fused operators print with the `*(n)` whole-stage marker
+      // (after any `+-`/`:-` tree-drawing prefix)
+      assert(esdLines.nonEmpty && esdLines.forall(_.contains("*(")),
         s"$name: ESD operator fell out of whole-stage codegen:\n" +
           esdLines.mkString("\n"))
     }
