@@ -324,17 +324,23 @@ object Anomaly {
     FROM base b $joins"""
   }
 
-  // Plain per-series window: at permCount=100/window=10 the kernel is
-  // ~µs/row, so the extra shuffle of withAnomalyProbsChunked costs more
-  // than its series×chunk parallelism returns (measured at sf0.1:
-  // 1.0s plain vs 1.6s chunked). At the reference default permCount=500
-  // or on hot/few-series data the chunked variant wins — it's
-  // bit-identical (AnomalyOpsSpec) so swapping is free.
+  // Chunked evaluation: the plain per-series window caps parallelism
+  // at the series count (5 here), which was fine while the draw was
+  // O(a) RNG calls but leaves cores idle now that eval carries the
+  // oracle-replayable key derivation (~3x the arithmetic). At
+  // sf0.1/permCount=100 the two paths measure within noise of each
+  // other (~1.0-1.3 s) — the chunked shape is kept because its
+  // parallelism is series x chunks, not series: on a hot/few-series
+  // corpus (the regime the path exists for) plain degrades with the
+  // series count while chunked holds. Bit-identical to plain
+  // (AnomalyOpsSpec pins it; the draw identity depends only on
+  // (series, original row position)).
   private def permQuery(methods: Seq[String]) =
     (s: org.apache.spark.sql.SparkSession, dir: String) =>
-      AnomalyOps.withAnomalyProbs(Tables.events(s, dir), col("event_type"),
-          col("ts"), col("value"), permConf.copy(methods = methods),
-          tieBreak = Seq(col("event_id")))
+      AnomalyOps.withAnomalyProbsChunked(Tables.events(s, dir),
+          col("event_type"), col("ts"), col("value"),
+          permConf.copy(methods = methods),
+          tieBreak = Seq(col("event_id")), chunkSize = 2048)
         .select(col("event_type"), col("event_id"),
           round(col("anomaly_prob"), 6).as("prob"))
 
