@@ -20,7 +20,11 @@ import graft.kernel.AnomalyzerConf
   *
   * After installation the functions resolve in plain SQL, e.g.
   * `SELECT graft_simhash64(split(text, ' ')) FROM documents` or
-  * `SELECT graft_anomaly_prob(w, xxhash64(series), rn, 2, 4, 100, 'magnitude,ks')`.
+  * `SELECT graft_anomaly_prob(w, conv(substr(md5(series),1,15),16,10),
+  * rn, 2, 4, 100, 'magnitude,ks')` — the series hash is the md5-60
+  * identity every other evaluation path (and the DuckDB draw-replay
+  * oracle) derives; an ad-hoc hash would yield valid but
+  * path-inconsistent bootstrap p-values.
   * Config-like arguments (window sizes, method list) must be literals —
   * they parameterize the expression at analysis time, mirroring the
   * reference's config-time validation (anomalyze.go:106-118: errors

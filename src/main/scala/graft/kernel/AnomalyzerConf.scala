@@ -77,6 +77,14 @@ object AnomalyzerConf {
     }
     if (c.methods.exists(PermutationMethods.contains) && c.permCount == 0)
       c = c.copy(permCount = 500)
+    // the oracle-replayable draw packs window positions into 20 bits
+    // (PermDraw.MaxPositions); reject absurd windows HERE instead of
+    // throwing per-row deep inside a Spark task
+    if (c.methods.exists(PermutationMethods.contains) &&
+      c.windowSize > PermDraw.MaxPositions)
+      return Left(
+        s"Permutation tests support windows up to ${PermDraw.MaxPositions} " +
+          s"points; referenceSize+activeSize = ${c.windowSize}")
     if (c.methods.contains("magnitude") && c.sensitivity == 0.0)
       c = c.copy(sensitivity = 0.1)
     Right(c)

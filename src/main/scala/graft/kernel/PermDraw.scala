@@ -32,7 +32,7 @@ import java.security.MessageDigest
   *    z ^= z >> 16
   *    }}}
   *  - The diff test permutes the WHOLE window: position `i` sorts by
-  *    the composite `z << 10 | i` — position ties are impossible, so
+  *    the composite `z << 20 | i` — position ties are impossible, so
   *    both engines sort plain 64-bit integers and agree exactly
   *    (31-bit keys collide at ~2e-8 per 10-position draw; a collision
   *    only flips which of two equally-uniform permutations is drawn,
@@ -77,15 +77,17 @@ final class PermDraw(val seriesHash: Long, val rowKey: Long) {
   }
 
   /** The composite SORT key of position `i`: raw value with the
-    * position in the low 10 bits. Position of a key `k` is
-    * `(k & 1023)`; sorting a permutation's `n` keys ascending yields
-    * the permutation (used by the diff test, which permutes the whole
-    * vector).
+    * position in the low 20 bits. Position of a key `k` is
+    * `(k & 0xfffff)`; sorting a permutation's `n` keys ascending
+    * yields the permutation (used by the diff test, which permutes
+    * the whole vector).
     */
   def keyAt(base: Long, i: Int): Long = {
-    require(i < 1024,
-      s"PermDraw supports windows up to 1024 positions, got index $i")
-    (rawAt(base, i) << 10) | i
+    require(i < MaxPositions,
+      s"PermDraw supports windows up to $MaxPositions positions, " +
+        s"got index $i (AnomalyzerConf.validate rejects such windows " +
+        "at configuration time)")
+    (rawAt(base, i) << 20) | i
   }
 
   /** Floyd's uniform `a`-subset of positions `[0, n)` into
@@ -134,8 +136,14 @@ object PermDraw {
   val M1: Long = 0x7feb352dL // finalizer multiplier 1 (lowbias32)
   val M2: Long = 0x046ca68bL // finalizer multiplier 2 (lowbias32)
 
+  /** Positions pack into the composite key's low 20 bits (composite =
+    * 31-bit mixed value << 20 | pos, 51 bits total) — windows beyond
+    * this are rejected by AnomalyzerConf.validate.
+    */
+  val MaxPositions: Int = 1 << 20
+
   /** Position encoded in a composite key. */
-  @inline def pos(key: Long): Int = (key & 1023L).toInt
+  @inline def pos(key: Long): Int = (key & 0xfffffL).toInt
 
   /** Leading 60 bits of md5 of the UTF-8 series string — identical to
     * Spark `conv(substr(md5(s),1,15),16,10)` and DuckDB

@@ -117,9 +117,12 @@ object HeaderCodec {
         // (truncated tail uploads are common in crawls)
         data = Some(math.min(size, (p.length - body).toLong))
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      i = body + size.toInt + (size.toInt & 1)
-      if (size > Int.MaxValue - 8) return None
+      // chunks are word-aligned: odd sizes carry one pad byte. Advance
+      // in LONG arithmetic — a corrupt/adversarial declared size near
+      // 2^31 must end the walk (falling back to the opaque decoder),
+      // never wrap the cursor negative and throw out of the task
+      val next = body.toLong + size + (size & 1L)
+      if (next > p.length.toLong) i = p.length else i = next.toInt
     }
     for ((ch, rate, bits) <- fmt; d <- data)
       yield WavMeta(ch, rate, bits, d)

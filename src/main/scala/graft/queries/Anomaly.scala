@@ -135,7 +135,7 @@ object Anomaly {
     *
     * The permutation of `n` window positions for (series, row,
     * permutation p, test family f) sorts positions by the composite
-    * `key31 << 10 | pos`, where key31 is the lowbias32-style finalizer
+    * `key31 << 20 | pos`, where key31 is the lowbias32-style finalizer
     * of `(sh·A + rn·B + p·C + f·D + i·G) mod 2^31` and `sh` is the
     * h60 md5 hash of the series string. Everything runs in the
     * non-negative 31-bit ring, where every product fits native BIGINT
@@ -199,7 +199,7 @@ object Anomaly {
                  (zb + i * ${PD.G} % $P) % $P),
                z -> xor(z, z >> 16) * ${PD.M1} % $P),
              z -> xor(z, z >> 15) * ${PD.M2} % $P),
-           (z, i) -> xor(z, z >> 16) * 1024 + (i - 1))"""
+           (z, i) -> xor(z, z >> 16) * 1048576 + (i - 1))"""
     val rankCte = s"""
       rk_rows AS (
         SELECT event_type, event_id, sh, rn, arr, len(arr) AS m,
@@ -242,7 +242,7 @@ object Anomaly {
       ), df_vp AS (
         SELECT event_type, event_id, active_sum, m,
                list_transform(list_sort($keysSql),
-                 k -> arr[(k % 1024) + 1]) AS vp
+                 k -> arr[(k % 1048576) + 1]) AS vp
         FROM df_perm
       ), df_sig AS (
         SELECT event_type, event_id,

@@ -1430,11 +1430,18 @@ object Pipeline {
         .toDF("doc_id", "lang", "pos", "bh")
         // witness packed into ONE long (codegen'd min; a struct min
         // falls back to interpreted ordering): doc_id << 20 | pos.
-        // Bounds: pos < 2^20 tokens/doc, doc_id < 2^43 — 8.8e12 docs,
-        // comfortably above a 100 TB corpus's id space.
+        // Bounds: pos < 2^20 bigrams/doc (~5 MB of text), doc_id <
+        // 2^43 — 8.8e12 docs, comfortably above a 100 TB corpus's id
+        // space. ENFORCED loudly: an out-of-bounds row raises instead
+        // of silently corrupting the packed witness (wrong wdoc ->
+        // survivor dropped or joined to the wrong doc).
         .groupBy("lang", "bh")
         .agg(count(lit(1)).as("cnt"),
-          min(shiftleft(col("doc_id"), 20) + col("pos")).as("w"))
+          min(expr(
+            "case when pos < 1048576 and doc_id < 8796093022208 " +
+              "then doc_id * 1048576 + cast(pos as bigint) " +
+              "else raise_error('p32 witness packing bounds exceeded " +
+              "(pos < 2^20, doc_id < 2^43)') end")).as("w"))
       val cand = counted
         .withColumn("cr", rank().over(Window.partitionBy("lang")
           .orderBy(col("cnt").desc)))

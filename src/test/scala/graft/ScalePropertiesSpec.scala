@@ -755,7 +755,13 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   test("p68: every redistribution round reads the PERSISTED source " +
     "rollup (uncached, Catalyst re-derives it 16x — 16 corpus scans " +
     "at scale); no shuffle beyond the rollup itself") {
-    val pl = plan("p68_mixture_budget")
+    // one retry: sbt runs suites in parallel on the shared session, and
+    // a co-scheduled suite's clearCache between this query's persist
+    // and the plan snapshot evicts the cache entry mid-look (observed
+    // once); a genuine lost-persist regression reproduces on rebuild
+    val pl = Iterator.continually(plan("p68_mixture_budget"))
+      .take(2).find(p => countOf(p, "InMemoryTableScan") >= 2)
+      .getOrElse(plan("p68_mixture_budget"))
     val cached = countOf(pl, "InMemoryTableScan")
     assert(cached >= 2, s"the rollup must be cache-reused:\n$pl")
     // cached subtrees re-print their build plan: equality means zero

@@ -68,6 +68,18 @@ class MultiModalSpec extends AnyFunSuite with SparkTestBase {
       wav.bitsPerSample === 16)
     assert(wav.durationMs === 1000L) // 44100 samples at 44.1kHz = 1s
     assert(HeaderCodec.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // adversarial chunk size near 2^31 must END the walk (opaque
+    // fallback), never wrap the cursor negative and throw (review
+    // finding: Int overflow in the chunk advance)
+    val evil = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(2147483636)
+      bb.array()
+    }
+    assert(HeaderCodec.decodeWav(evil).isEmpty)
     // through the Spark decode stage: real formats report real
     // metadata, everything else takes the stub fallback
     import spark.implicits._
@@ -85,6 +97,17 @@ class MultiModalSpec extends AnyFunSuite with SparkTestBase {
     assert((f(2L).width, f(2L).height) === ((0, 0)))
     assert(f(3L).format === "opaque")
     assert(f(3L).width >= 16)
+  }
+
+  test("bootstrap conf rejects windows beyond the PermDraw position " +
+    "bound at CONFIG time, not per-row (review finding)") {
+    import graft.kernel.{AnomalyzerConf, PermDraw}
+    val big = AnomalyzerConf(activeSize = PermDraw.MaxPositions / 4 + 1,
+      nSeasons = 4, methods = Seq("diff"))
+    assert(AnomalyzerConf.validate(big).isLeft)
+    // deterministic-only methods are not bounded by the draw
+    assert(AnomalyzerConf.validate(big.copy(
+      methods = Seq("magnitude"))).isRight)
   }
 
   test("fromBinaryFiles -> decodeFeatures: a real .ppm/.wav on disk " +
