@@ -3396,7 +3396,8 @@ object Pipeline {
       FROM red"""))
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
     mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
-    splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry)
+    splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry,
+    decontamExciseEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -4030,6 +4031,94 @@ object Pipeline {
                AS BIGINT) AS len_hi
       FROM hit"""))
   }
+
+  /** p74: contamination span EXCISION — p24/p34 flag contaminated
+    * documents; this op produces the CLEANED corpus, the step real
+    * decontamination pipelines actually ship: every token covered by a
+    * benchmark 3-gram is cut from the training document, and the
+    * output reports what was removed (hit grams, removed tokens,
+    * contiguous excised spans) plus the md5 of the cleaned text so the
+    * surgery itself is oracle-checkable.
+    *
+    * 100 TB shape: the benchmark shingle set broadcasts (bench docs
+    * are a fixed tiny fraction); the training side is ONE scan whose
+    * gram stream is hash longs (xxhash64 internal join identity,
+    * p03/p24's discipline — the oracle joins on the gram STRINGS);
+    * covered-position sets aggregate map-side to one small array per
+    * CONTAMINATED doc only, and the excision itself is a per-row array
+    * lambda after an equi-join back to the doc table — untouched
+    * documents never materialize a token array copy. One-pass
+    * semantics, documented: excision can create a new adjacency
+    * across a cut; re-screening is a second application of the same
+    * operator.
+    */
+  private[queries] def decontamExciseEntry: Entry =
+    Entry("p74_decontam_excise", (s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 100 === 0)
+        .select(explode(array_distinct(
+          TextHashFunctions.ngram_hashes(toks, 3))).as("shingle"))
+        .distinct()
+      val train = d.filter(col("doc_id") % 100 =!= 0)
+      val hits = train
+        .select(col("doc_id"),
+          posexplode(TextHashFunctions.ngram_hashes(toks, 3)))
+        .toDF("doc_id", "gpos", "shingle")
+        .join(broadcast(bench), "shingle")
+      // gram at 0-based gpos covers 1-based token positions
+      // gpos+1 .. gpos+3; a doc's covered set is tiny (hits x 3)
+      val cov = hits
+        .select(col("doc_id"), col("gpos"),
+          explode(expr("sequence(gpos + 1, gpos + 3)")).as("tpos"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gpos")).as("n_hits"),
+          array_sort(collect_set(col("tpos"))).as("cov"))
+      train.select(col("doc_id"), norm.as("nt"), toks.as("tk"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(size(col("cov")).cast("long"), lit(0L))
+            .as("n_removed"),
+          // maximal contiguous runs: a covered position opens a span
+          // iff its predecessor position is not covered (element_at is
+          // 1-based, so at 0-based lambda index i it IS the previous)
+          coalesce(expr("size(filter(cov, (t, i) -> i = 0 OR " +
+            "element_at(cov, i) != t - 1))").cast("long"), lit(0L))
+            .as("n_spans"),
+          md5(when(col("cov").isNull, col("nt"))
+            .otherwise(expr("concat_ws(' ', filter(tk, (t, i) -> " +
+              "NOT array_contains(cov, i + 1)))")).cast("binary"))
+            .as("cleaned_md5"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, $normSql AS nt, $toksSql AS toks
+                    FROM documents),
+      bench AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS shingle
+                FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                  THEN range(1, len(toks)-1) ELSE [] END) t(i)
+                WHERE doc_id % 100 = 0),
+      g AS (SELECT d.doc_id, i AS gpos1,
+                   array_to_string(d.toks[i:i+2], ' ') AS shingle
+            FROM docs d, UNNEST(CASE WHEN len(d.toks) >= 3
+              THEN range(1, len(d.toks)-1) ELSE [] END) t(i)
+            WHERE d.doc_id % 100 != 0),
+      hits AS (SELECT g.doc_id, g.gpos1,
+                      range(g.gpos1, g.gpos1 + 3) AS covered
+               FROM g JOIN bench USING (shingle)),
+      cov AS (SELECT doc_id, count(*) AS n_hits,
+                     list_sort(list_distinct(flatten(list(covered)))) AS cov
+              FROM hits GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(c.n_hits, 0) AS n_hits,
+             CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+             CAST(CASE WHEN c.cov IS NULL THEN 0
+                  ELSE len(list_filter(c.cov, (t, i) ->
+                    i = 1 OR c.cov[i-1] != t - 1)) END AS BIGINT)
+               AS n_spans,
+             md5(CASE WHEN c.cov IS NULL THEN d.nt
+                 ELSE array_to_string(list_filter(d.toks, (t, i) ->
+                   NOT list_contains(c.cov, i)), ' ') END) AS cleaned_md5
+      FROM docs d LEFT JOIN cov c USING (doc_id)
+      WHERE d.doc_id % 100 != 0"""))
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with

@@ -771,6 +771,19 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(pl, "SortMergeJoin") === 0, s"no SMJ:\n$pl")
   }
 
+  test("p74: excision never cross-joins — bench shingles broadcast, " +
+    "gram stream and covered-set rollup stay key shuffles") {
+    val p = plan("p74_decontam_excise")
+    assert(p.contains("BroadcastExchange"),
+      s"bench shingle set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no all-pairs shapes:\n$p")
+    // cov aggregate + the doc_id join sides; at sf the cov side may
+    // also broadcast (fine) — never more exchanges than the key plan
+    assert(countOf(p, "Exchange hashpartitioning") <= 4,
+      s"p74 grew unexpected shuffles:\n$p")
+  }
+
   test("events domain filter reaches the parquet scan as a pushed " +
     "range predicate (and still excludes NaN via NaN-greatest ordering)") {
     val p = plan("a04_anomaly_ensemble")

@@ -1497,4 +1497,51 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"$src q$q: exact $exact outside [$lo, $hi]")
     }
   }
+  test("p74 excision == sequential recompute: covered tokens cut " +
+    "exactly, untouched docs hash to their normalized text") {
+    val got = run("p74_decontam_excise").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def normText(t: String): String =
+      t.replaceAll("^ +| +$", "").replaceAll("\\s+", " ").toLowerCase
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val benchGrams = raw.collect { case (id, t) if id % 100 == 0 => t }
+      .flatMap { t =>
+        val tk = seqToks(normText(t))
+        if (tk.length < 3) Seq.empty
+        else (0 to tk.length - 3).map(i => tk.slice(i, i + 3).mkString(" "))
+      }.toSet
+    val train = raw.filter { case (id, _) => id % 100 != 0 }
+    assert(got.keySet === train.keySet)
+    var contaminatedSeen = 0
+    train.foreach { case (id, t) =>
+      val nt = normText(t)
+      val tk = seqToks(nt)
+      val hitStarts =
+        if (tk.length < 3) Seq.empty[Int]
+        else (0 to tk.length - 3).filter(i =>
+          benchGrams.contains(tk.slice(i, i + 3).mkString(" ")))
+      val covered = hitStarts.flatMap(i => i until i + 3).toSet
+      val spans = covered.toSeq.sorted.count(p => !covered.contains(p - 1))
+      val cleaned =
+        if (covered.isEmpty) nt
+        else tk.zipWithIndex.collect {
+          case (tok, i) if !covered.contains(i) => tok }.mkString(" ")
+      val (nHits, nRemoved, nSpans, md) = got(id)
+      assert(nHits === hitStarts.size.toLong, s"doc $id n_hits")
+      assert(nRemoved === covered.size.toLong, s"doc $id n_removed")
+      assert(nSpans === spans.toLong, s"doc $id n_spans")
+      assert(md === md5hex(cleaned), s"doc $id cleaned_md5")
+      if (hitStarts.nonEmpty) contaminatedSeen += 1
+    }
+    assert(contaminatedSeen > 0,
+      "corpus must contain at least one contaminated training doc " +
+        "for this pin to bite")
+  }
 }
+
