@@ -3397,7 +3397,7 @@ object Pipeline {
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
     mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
     splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry,
-    decontamExciseEntry)
+    decontamExciseEntry, neardupFirstClaimEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -4119,6 +4119,46 @@ object Pipeline {
                    NOT list_contains(c.cov, i)), ' ') END) AS cleaned_md5
       FROM docs d LEFT JOIN cov c USING (doc_id)
       WHERE d.doc_id % 100 != 0"""))
+
+  /** p75: LSH band-bucket FIRST-CLAIM — the batch twin of
+    * [[graft.streaming.StreamingNearDup]]: per (band, bucket) of the
+    * p04 signature pipeline, the minimum doc_id claims the bucket and
+    * every other occupant is a near-dup hit against it. This is the
+    * band-granular primitive the online dedup stream emits (a
+    * doc-level flag is any-of over a doc's 16 rows); batch == stream
+    * under id-ordered ingest is pinned in StreamingNearDupSpec.
+    * 100 TB shape: signature build is one scan; the claim is a window
+    * min over the banded table keyed by (band, bucket) — exactly the
+    * p04 candidate join's shuffle, minus the pair blow-up.
+    */
+  private[queries] def neardupFirstClaimEntry: Entry = {
+    import org.apache.spark.sql.expressions.Window
+    Entry("p75_neardup_firstclaim", (s, dir) => {
+      val sigs = docs(s, dir).repartition(col("doc_id"))
+        .withColumn("sh", TextHashFunctions.word_ngrams(toks, 5))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", TextHashFunctions.md5_minhash(col("sh")))
+        .select(col("doc_id"), col("sig"))
+      val banded = sigs.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 15), b -> " +
+          "struct(b as band, slice(sig, b * 4 + 1, 4) as bucket))"))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+      val w = Window.partitionBy("band", "bucket")
+      banded
+        .withColumn("first_doc", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          col("first_doc"),
+          (col("doc_id") === col("first_doc")).as("is_first"))
+    }, Some(s"""
+      WITH $lshPairsOracleCtes
+      SELECT doc_id, CAST(band AS BIGINT) AS band,
+             min(doc_id) OVER (PARTITION BY band, bucket) AS first_doc,
+             doc_id = min(doc_id) OVER (PARTITION BY band, bucket)
+               AS is_first
+      FROM banded"""))
+  }
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so
     * the spec can pin the cross_lingual flag on a synthetic frame with
