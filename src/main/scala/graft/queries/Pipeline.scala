@@ -3397,7 +3397,8 @@ object Pipeline {
   ) ++ Seq(dedupSavingsEntry, splitLeakfreeEntry, leakageAuditEntry,
     mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
     splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry,
-    decontamExciseEntry, neardupFirstClaimEntry)
+    decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
+    sourceOverlapEntry, hardNegativesEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -4221,5 +4222,273 @@ object Pipeline {
         ((col("start_tok") % PackBudget) + col("n_toks") > PackBudget)
           .as("spans_boundary"))
   }
+
+  /** p76: greedy k-center CORESET selection over the embedding table —
+    * Gonzalez's farthest-point traversal, the data-SELECTION primitive
+    * a curation pipeline uses to pick a small diverse subset (seed
+    * pool for labeling, prototype set for dedup thresholds, probe set
+    * for eval). Seed = min vec_id; each later round picks the vector
+    * farthest (max min-L2²-distance, tie → min id) from the chosen
+    * set, which carries the classic 2-approximation guarantee for the
+    * k-center objective [Gonzalez 1985]. All distances are fixed-point
+    * integer micro² (|x|<100 domain → per-dim square ≤ 4e16, 64-dim
+    * sum ≤ 2.6e18, inside int64), so every selection and tie is exact
+    * on both engines — the 8 rounds unroll into DuckDB CTEs the same
+    * way p52's PageRank iterations do.
+    *
+    * 100 TB shape: each round is one broadcast (the single new center)
+    * against the distance spine + one global top-1 (TakeOrdered — a
+    * per-partition top-1 then a driver-side merge of 1-row partials,
+    * not a sort), so R centers cost R linear scans of a slim
+    * (id, vec, d2min) projection. The spine is re-materialized through
+    * an eager `localCheckpoint` EVERY round — the [[graft.operators.Components]] rule:
+    * `state(r)` references `state(r-1)` twice (once through the picked
+    * center, once directly), so without per-round lineage truncation
+    * the logical plan doubles every iteration (2^R subtrees; the plain
+    * `persist` variant OOMed the optimizer before the first action
+    * fired). On a cluster, swap `checkpoint(eager)` in for
+    * fault-tolerant truncation exactly as [[graft.operators.Components]]'s cut does.
+    * A duplicate of an already-chosen center can never be selected
+    * (d2min > 0 guard), so degenerate all-identical corpora terminate
+    * with fewer than R centers on both engines identically.
+    */
+  private[queries] def coresetKcenterEntry: Entry = {
+    val R = 8
+    def d2c(ei: Column, ci: Column): Column =
+      aggregate(zip_with(ei, ci, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    def d2duck(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a)+1), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    Entry("p76_coreset_kcenter", (s, dir) => {
+      // per-round lineage cut — see scaladoc; local mode has no
+      // checkpoint dir, so the ephemeral variant
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      // materialized once: R selection rounds + the final assignment
+      // all re-read this fixed-point projection
+      val e = cut(embs(s, dir)
+        .withColumn("ei",
+          expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
+        .select(col("vec_id"), col("ei")))
+      val seed = e.orderBy("vec_id").limit(1)
+      var centers = cut(seed.select(col("vec_id").as("cid"),
+        col("ei").as("ci"), lit(1L).as("sel_round"), lit(0L).as("sel_d2")))
+      var state = cut(e.crossJoin(broadcast(seed.select(col("ei").as("ci"))))
+        .select(col("vec_id"), col("ei"),
+          d2c(col("ei"), col("ci")).as("d2min")))
+      for (r <- 2 to R) {
+        // 1 row: the farthest-from-the-chosen-set vector
+        val next = cut(state.filter(col("d2min") > 0)
+          .orderBy(col("d2min").desc, col("vec_id")).limit(1))
+        centers = cut(centers.union(next.select(col("vec_id").as("cid"),
+          col("ei").as("ci"), lit(r.toLong).as("sel_round"),
+          col("d2min").as("sel_d2"))))
+        state = cut(state
+          .crossJoin(broadcast(next.select(col("ei").as("ci"))))
+          .select(col("vec_id"), col("ei"),
+            least(col("d2min"), d2c(col("ei"), col("ci"))).as("d2min")))
+      }
+      val cents = centers
+      // final assignment: nearest center (tie → min cid), exact ints
+      val asg = e.crossJoin(broadcast(cents.select(col("cid"), col("ci"))))
+        .select(col("vec_id"),
+          struct(d2c(col("ei"), col("ci")).as("d2"), col("cid")).as("dc"))
+        .groupBy("vec_id").agg(min(col("dc")).as("m"))
+        .select(col("m.cid").as("cid"), col("m.d2").as("d2"))
+      val cells = asg.groupBy("cid")
+        .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("radius"))
+      cents.join(cells, "cid")
+        .select(col("sel_round"), col("cid").as("vec_id"), col("sel_d2"),
+          col("n_assigned"), col("radius"),
+          round(sqrt(col("radius").cast("double")) / lit(1e6), 6)
+            .as("radius_l2"))
+    }, Some {
+      val rounds = (2 to R).map { r =>
+        s"""c$r AS (SELECT vec_id AS cid, ei AS ci,
+             CAST($r AS BIGINT) AS sel_round,
+             CAST(d2min AS BIGINT) AS sel_d2
+           FROM m${r - 1} WHERE d2min > 0
+           ORDER BY d2min DESC, vec_id LIMIT 1),
+      m$r AS (SELECT v.vec_id, v.ei,
+             CAST(least(v.d2min, ${d2duck("v.ei", "c.ci")}) AS BIGINT)
+               AS d2min
+           FROM m${r - 1} v, c$r c)"""
+      }.mkString(",\n      ")
+      val centerUnion = (1 to R)
+        .map(r => s"SELECT cid, ci, sel_round, sel_d2 FROM c$r")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x*1000000) AS BIGINT)) AS ei
+                 FROM embeddings),
+      c1 AS (SELECT vec_id AS cid, ei AS ci, CAST(1 AS BIGINT) AS sel_round,
+               CAST(0 AS BIGINT) AS sel_d2
+             FROM e ORDER BY vec_id LIMIT 1),
+      m1 AS (SELECT v.vec_id, v.ei,
+               CAST(${d2duck("v.ei", "c.ci")} AS BIGINT) AS d2min
+             FROM e v, c1 c),
+      $rounds,
+      centers AS ($centerUnion),
+      dists AS (SELECT v.vec_id, c.cid, c.sel_round, c.sel_d2,
+                  CAST(${d2duck("v.ei", "c.ci")} AS BIGINT) AS d2
+                FROM e v, centers c),
+      asg AS (SELECT cid, d2 FROM (SELECT cid, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+                  AS rk FROM dists) WHERE rk = 1),
+      cells AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+                  CAST(max(d2) AS BIGINT) AS radius
+                FROM asg GROUP BY cid)
+      SELECT c.sel_round, c.cid AS vec_id, c.sel_d2, l.n_assigned,
+             l.radius,
+             round(sqrt(CAST(l.radius AS DOUBLE)) / 1e6, 6) AS radius_l2
+      FROM centers c JOIN cells l USING (cid)"""
+    })
+  }
+
+  /** p77: cross-SOURCE corpus overlap matrix from bottom-k (KMV)
+    * shingle sketches — the snapshot-overlap planner a curator runs
+    * BEFORE any pairwise dedup: "how much of src_a's 5-gram content
+    * does src_b already carry?" (the CommonCrawl-snapshot-overlap
+    * question). Per source the [[graft.functions.KmvSketch]] bounded
+    * aggregate keeps the K=128 smallest distinct 32-bit shingle
+    * hashes; for a pair (A,B) the bottom-K of the sketch UNION is an
+    * unbiased sample of A∪B, so Broder's estimator
+    * `|bottom-K(A∪B) ∩ A ∩ B| / |bottom-K(A∪B)|` estimates Jaccard
+    * with ~1/√K error — without ever co-shuffling the corpora.
+    *
+    * 100 TB shape: the ONLY corpus-sized work is one map-side-combined
+    * groupBy(source) with constant 128-long state per partition (the
+    * p25 sketch); everything after runs on S×K ≤ a few thousand rows
+    * (S sources), so the S² pair stage is a declared small-dims cross
+    * — the p59 PQ-codebook argument. The DuckDB oracle replays the
+    * sketch rule exactly (bottom-k of distinct hashes = row_number ≤ K
+    * over the distinct (source, hash) set, the p25 equivalence).
+    */
+  private[queries] def sourceOverlapEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    val K = 128
+    Entry("p77_source_overlap_kmv", (s, dir) => {
+      // persisted: the pair-union stage reads the sketch rows twice
+      val sk = docs(s, dir)
+        .select(col("source"),
+          explode(TextHashFunctions.word_ngrams(toks, 5)).as("shingle"))
+        .select(col("source"), expr(H.h32Spark("shingle")).as("h"))
+        .groupBy("source")
+        .agg(SketchFunctions.kmv_sketch(col("h"), K).as("sk"))
+        .select(col("source"), explode(col("sk")).as("h"))
+        .persist()
+      val srcs = sk.select("source").distinct()
+      val sp = srcs.toDF("src_a")
+        .join(srcs.toDF("src_b"), col("src_a") < col("src_b"))
+      val ua = sp.join(sk.toDF("src_a", "h"), Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(1).as("in_a"), lit(0).as("in_b"))
+      val ub = sp.join(sk.toDF("src_b", "h"), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b"))
+      val u = ua.union(ub).groupBy("src_a", "src_b", "h")
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      val wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+      u.withColumn("rk", row_number().over(wu)).filter(col("rk") <= K)
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("k_used"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("n_both"))
+        .select(col("src_a"), col("src_b"), col("k_used"), col("n_both"),
+          round(col("n_both").cast("double") /
+            col("k_used").cast("double"), 6).as("est_jaccard"))
+    }, Some(s"""
+      WITH docs AS (SELECT source, $toksSql AS toks FROM documents),
+      sh AS (SELECT DISTINCT source,
+               ${H.h32Duck("array_to_string(toks[i:i+4], ' ')")} AS h
+             FROM docs, UNNEST(CASE WHEN len(toks) >= 5
+               THEN range(1, len(toks)-3) ELSE [] END) AS t(i)),
+      sk AS (SELECT source, h FROM (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM sh) WHERE rn <= $K),
+      srcs AS (SELECT DISTINCT source FROM sk),
+      sp AS (SELECT a.source AS src_a, b.source AS src_b
+             FROM srcs a JOIN srcs b ON a.source < b.source),
+      u AS (SELECT src_a, src_b, h,
+              max(in_a) AS in_a, max(in_b) AS in_b FROM (
+              SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+              FROM sp p JOIN sk s ON s.source = p.src_a
+              UNION ALL
+              SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+              FROM sp p JOIN sk s ON s.source = p.src_b)
+            GROUP BY src_a, src_b, h),
+      t AS (SELECT * FROM (SELECT *,
+              row_number() OVER (PARTITION BY src_a, src_b ORDER BY h)
+                AS rk FROM u) WHERE rk <= $K)
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both,
+             round(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                 THEN 1 ELSE 0 END) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE), 6) AS est_jaccard
+      FROM t GROUP BY src_a, src_b"""))
+  }
+
+  /** p78: hard-NEGATIVE mining for contrastive training — for each
+    * query vector (the p07 sample, vec_id % 50 = 0) the 3 most-similar
+    * vectors carrying a DIFFERENT label (the negatives an embedding
+    * model trains hardest against), each with the query's best
+    * same-label similarity (`pos_sim`) and the triplet margin
+    * `pos_sim − neg_sim` — the quantity a curriculum thresholds on
+    * (margin < 0 ⇒ the negative currently outranks every positive).
+    * A query whose label has no other member gets the sentinel
+    * pos_sim = −2 (outside cosine's [−1, 1]), never NULL.
+    *
+    * Scale: the sim stage is p07's declared brute-force exact baseline
+    * (the mining-quality audit anchor); a production run swaps it for
+    * the p15 IVF candidate generator and audits recall p69-style —
+    * the downstream margin/rank logic is unchanged. The pair table is
+    * persisted because negatives and positives both read it.
+    */
+  private[queries] def hardNegativesEntry: Entry =
+    Entry("p78_hard_negatives", (s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .toDF("query_id", "qlabel", "qemb")
+      val sims = q.join(e.toDF("neighbor_id", "nlabel", "nemb"),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("qlabel"), col("neighbor_id"),
+          col("nlabel"),
+          round(VectorOps.cosine(col("qemb"), col("nemb")), 6)
+            .as("cos_sim"))
+        .persist()
+      val pos = sims.filter(col("nlabel") === col("qlabel"))
+        .groupBy("query_id").agg(max(col("cos_sim")).as("pos_sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      sims.filter(col("nlabel") =!= col("qlabel"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .join(pos, Seq("query_id"), "left")
+        .select(col("query_id"), col("neighbor_id").as("neg_id"),
+          col("rk"), col("cos_sim").as("neg_sim"),
+          coalesce(col("pos_sim"), lit(-2.0)).as("pos_sim"),
+          round(coalesce(col("pos_sim"), lit(-2.0)) - col("cos_sim"), 6)
+            .as("margin"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                 FROM embeddings),
+      sims AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+                 n.vec_id AS neighbor_id, n.label AS nlabel,
+                 round(list_cosine_similarity(q.emb, n.emb), 6) AS cos_sim
+               FROM e q JOIN e n ON q.vec_id != n.vec_id
+               WHERE q.vec_id % 50 = 0),
+      pos AS (SELECT query_id, max(cos_sim) AS pos_sim FROM sims
+              WHERE nlabel = qlabel GROUP BY query_id),
+      neg AS (SELECT query_id, neighbor_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+              FROM sims WHERE nlabel != qlabel)
+      SELECT n.query_id, n.neighbor_id AS neg_id, n.rk,
+             n.cos_sim AS neg_sim,
+             coalesce(p.pos_sim, -2.0) AS pos_sim,
+             round(coalesce(p.pos_sim, -2.0) - n.cos_sim, 6) AS margin
+      FROM neg n LEFT JOIN pos p USING (query_id) WHERE n.rk <= 3"""))
 
 }
