@@ -1543,5 +1543,148 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "corpus must contain at least one contaminated training doc " +
         "for this pin to bite")
   }
+
+  // Spark's round(x) / round(x, s): BigDecimal.valueOf + HALF_UP —
+  // the exact rule the p76/p78 mirrors must share
+  private def sparkRound(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+  private def micro(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private def loadEmbs(): Array[(Long, Long, Array[Double])] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+
+  test("p76 k-center == sequential Gonzalez recompute; selection " +
+    "distance non-increasing over rounds") {
+    val vecs = loadEmbs().map { case (id, _, emb) =>
+      id -> emb.map(micro) }
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = vecs.toMap
+    // round 1: min vec_id; rounds 2..8: farthest (max d2min, tie min id)
+    val seedId = vecs.head._1
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (1L, seedId, 0L))
+    val d2min = scala.collection.mutable.Map(
+      vecs.map { case (id, ei) => id -> d2(ei, byId(seedId)) }: _*)
+    for (r <- 2 to 8) {
+      val cands = vecs.filter { case (id, _) => d2min(id) > 0 }
+      val (nid, _) = cands.maxBy { case (id, _) => (d2min(id), -id) }
+      chosen += ((r.toLong, nid, d2min(nid)))
+      vecs.foreach { case (id, ei) =>
+        d2min(id) = math.min(d2min(id), d2(ei, byId(nid))) }
+    }
+    // assignment: nearest center, tie -> min center id
+    val centers = chosen.map { case (_, id, _) => id -> byId(id) }
+    val asg = vecs.map { case (id, ei) =>
+      centers.map { case (cid, ci) => (d2(ei, ci), cid) }.min }
+    val cells = asg.groupBy(_._2)
+      .map { case (cid, xs) => cid -> ((xs.length.toLong, xs.map(_._1).max)) }
+    val want = chosen.map { case (r, cid, seld2) =>
+      val (n, rad) = cells(cid)
+      (r, cid, seld2, n, rad,
+        sparkRound(math.sqrt(rad.toDouble) / 1e6, 6))
+    }.sortBy(_._1)
+    val got = run("p76_coreset_kcenter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(got === want.toSeq)
+    // Gonzalez invariant: the farthest-point distance shrinks (weakly)
+    val selD2 = got.drop(1).map(_._3)
+    assert(selD2.zip(selD2.drop(1)).forall { case (a, b) => b <= a },
+      s"selection distances must be non-increasing: $selD2")
+    assert(selD2.forall(_ > 0))
+  }
+
+  test("p77 source-overlap == sequential bottom-k recompute; " +
+    "estimator within sketch tolerance of true 5-gram Jaccard") {
+    val K = 128
+    def h32(sh: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sh.getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString, 16)
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    def grams(t: String): Seq[String] = {
+      val tk = seqToks(t)
+      if (tk.length < 5) Seq.empty
+      else (0 to tk.length - 5).map(i => tk.slice(i, i + 5).mkString(" "))
+    }
+    val bySrc = rows.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap(x => grams(x._2)).toSet }
+    val sketches = bySrc.collect {
+      case (s, g) if g.nonEmpty =>
+        s -> g.map(h32).toSeq.sorted.take(K).toSet
+    }
+    val want = (for {
+      (sa, ska) <- sketches; (sb, skb) <- sketches if sa < sb
+    } yield {
+      val union = (ska ++ skb).toSeq.sorted.take(K)
+      val kUsed = union.size.toLong
+      val nBoth = union.count(h => ska(h) && skb(h)).toLong
+      (sa, sb, kUsed, nBoth,
+        sparkRound(nBoth.toDouble / kUsed.toDouble, 6))
+    }).toSeq.sorted
+    val got = run("p77_source_overlap_kmv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq.sorted
+    assert(got === want)
+    // sketch estimate vs TRUE Jaccard: within the ~1/sqrt(K) band
+    got.foreach { case (sa, sb, _, _, est) =>
+      val (ga, gb) = (bySrc(sa), bySrc(sb))
+      val truth = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(math.abs(est - truth) <= 3.0 / math.sqrt(K.toDouble) + 1e-9,
+        s"($sa,$sb) est=$est true=$truth")
+    }
+  }
+
+  test("p78 hard negatives == sequential recompute; negatives differ " +
+    "in label; sentinel only for singleton labels") {
+    val vecs = loadEmbs()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      var nb = 0.0; i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = vecs.filter(_._1 % 50 == 0).flatMap {
+      case (qid, qlab, qemb) =>
+        val sims = vecs.filter(_._1 != qid).map { case (nid, nlab, ne) =>
+          (nid, nlab, sparkRound(cos(qemb, ne), 6)) }
+        val posSim = sims.filter(_._2 == qlab).map(_._3)
+          .reduceOption(_ max _).getOrElse(-2.0)
+        sims.filter(_._2 != qlab)
+          .sortBy { case (nid, _, c) => (-c, nid) }.take(3).zipWithIndex
+          .map { case ((nid, _, c), i) =>
+            (qid, nid, (i + 1).toLong, c, posSim,
+              sparkRound(posSim - c, 6)) }
+    }.toSeq.sorted
+    val got = run("p78_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq.sorted
+    assert(got === want)
+    val labels = vecs.map(v => v._1 -> v._2).toMap
+    val labelCounts = vecs.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    got.foreach { case (qid, nid, rk, _, pos, _) =>
+      assert(labels(nid) !== labels(qid), s"negative $nid shares label")
+      assert(rk >= 1 && rk <= 3)
+      assert((pos == -2.0) === (labelCounts(labels(qid)) == 1),
+        s"query $qid sentinel mismatch")
+    }
+  }
 }
 
