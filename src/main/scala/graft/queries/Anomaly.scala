@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.kernel.AnomalyzerConf
 import graft.operators.{AnomalyOps, Detectors}
@@ -2177,7 +2178,9 @@ object Anomaly {
     sloBurnEntry,
     ksTwoSeriesEntry,
     stlDecomposeEntry,
-    forecastBandEntry
+    forecastBandEntry,
+    discordEntry,
+    motifEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -3624,4 +3627,166 @@ object Anomaly {
     def gcd(x: Int, y: Int): Int = if (y == 0) x else gcd(y, x % y)
     def lcm(x: Int, y: Int): Int = x / gcd(x, y) * y
   }
+
+  // ---- a52/a53: bounded-horizon matrix profile (discords + motifs).
+  // Subsequence length, window stride, and the neighbor horizon (in
+  // row positions) of the profile. |Δpos| ≤ MpHorizon keeps the pair
+  // volume LINEAR in series length — windows × ≤2·(horizon/stride)
+  // neighbors — instead of the full profile's quadratic blowup; the
+  // trivial-match exclusion |Δpos| ≥ MpW is the standard one.
+  private[graft] lazy val MpW = 16
+  private[graft] lazy val MpStride = 8
+  private[graft] lazy val MpHorizon = 512
+
+  /** Stride-sampled subsequence windows of the event series: one row
+    * per (series, start position ≡ 0 mod [[MpStride]]) holding the
+    * [[MpW]] micro-fixed values and their sum — the shared base of the
+    * a52/a53 profile. One ordered window pass per series, no explode.
+    */
+  private def mpWindows(s: SparkSession, dir: String): DataFrame = {
+    val wRn = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val frame = wRn.rowsBetween(-(MpW - 1), 0)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1e6) as bigint)").as("v6"))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("arr", collect_list(col("v6")).over(frame))
+      .withColumn("sa", sum(col("v6")).over(frame))
+      .filter(col("rn") >= MpW &&
+        ((col("rn") - MpW) % MpStride) === 0)
+      .select(col("event_type"),
+        (col("rn") - MpW).cast("long").as("pos"), col("arr"), col("sa"))
+  }
+
+  /** Directed window pairs within the horizon, with the exact integer
+    * profile distance. Distance = Σ_i |w·(a_i − b_i) − (Sa − Sb)| —
+    * the w-scaled MEAN-CENTERED Manhattan distance: multiplying the
+    * centered values (x − mean) by w clears the /w of the mean, so
+    * every term is int64-exact on both engines (|w·Δx − ΔS| ≤ 2·w·1e15
+    * < 2^63/w under the events domain contract; an L2 profile would
+    * square micro values past int64 and force DECIMAL into the hot
+    * lambda). Centering makes the profile level-invariant — a
+    * subsequence is a discord for its SHAPE, not its offset (level
+    * shifts are a17 CUSUM's job).
+    *
+    * The horizon predicate is a BANDED equi-join (q28's range-join
+    * shape): left windows explode to bands {b−1, b, b+1} of width
+    * [[MpHorizon]], right windows sit at their own band, the range
+    * check is a residual filter. Since band width = horizon, a
+    * qualifying pair meets in EXACTLY one band row — no dedup — and
+    * the shuffle key (series, band) restores series × length/horizon
+    * parallelism where a plain per-series join would cap at the series
+    * count.
+    */
+  private def mpPairs(s: SparkSession, dir: String): DataFrame = {
+    val win = mpWindows(s, dir)
+    val lhs = win.withColumn("band", explode(array(
+      (-1 to 1).map(d => expr(s"pos div $MpHorizon") + d): _*)))
+    val rhs = win.select(col("event_type"),
+      expr(s"pos div $MpHorizon").as("band"), col("pos").as("npos"),
+      col("arr").as("narr"), col("sa").as("nsa"))
+    lhs.join(rhs, Seq("event_type", "band"))
+      .filter(abs(col("npos") - col("pos"))
+        .between(MpW.toLong, MpHorizon.toLong))
+      .select(col("event_type"), col("pos"), col("npos"),
+        aggregate(
+          zip_with(col("arr"), col("narr"), (x, y) =>
+            abs(lit(MpW.toLong) * (x - y) - (col("sa") - col("nsa")))),
+          lit(0L), (acc, x) => acc + x).as("d1"))
+  }
+
+  /** Shared DuckDB CTE chain: windows + in-horizon directed pairs with
+    * the same exact integer distance (native BIGINT lambda — no
+    * HUGEINT in the hot path). The oracle states the range join
+    * directly; banding is the engine's scale concern, not the
+    * semantics'.
+    */
+  private lazy val mpPairsCte: String = s"""
+      WITH base AS (
+        SELECT event_type,
+               row_number() OVER win AS rn,
+               array_agg(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN ${MpW - 1} PRECEDING AND CURRENT ROW)
+                 AS arr,
+               sum(CAST(round(value * 1e6) AS BIGINT)) OVER (
+                 win ROWS BETWEEN ${MpW - 1} PRECEDING AND CURRENT ROW)
+                 AS sa
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      w AS (SELECT event_type, CAST(rn - $MpW AS BIGINT) AS pos, arr, sa
+            FROM base WHERE rn >= $MpW AND (rn - $MpW) % $MpStride = 0),
+      pr AS (SELECT a.event_type, a.pos, b.pos AS npos,
+               list_sum(list_transform(range(1, ${MpW + 1}),
+                 i -> abs($MpW * (a.arr[i] - b.arr[i]) - (a.sa - b.sa))))
+                 AS d1
+             FROM w a JOIN w b ON a.event_type = b.event_type
+              AND abs(a.pos - b.pos) BETWEEN $MpW AND $MpHorizon)"""
+
+  /** a52: top-3 DISCORDS per series — the subsequences farthest from
+    * their nearest in-horizon neighbor (matrix-profile maxima; Yeh et
+    * al. 2016's profile, Keogh et al. 2005's discord notion), the
+    * "which stretch of this metric looks like nothing else around it"
+    * detector complementing the point-wise tests a01-a13: a discord
+    * window can contain no individually-outlying point at all.
+    * Nearest neighbor ties break toward the smaller position on both
+    * engines; dev_unit restates the profile as mean per-point absolute
+    * deviation in original units (exact integer ÷ exact double
+    * constant, rounded at the boundary only).
+    */
+  private[queries] def discordEntry: Entry =
+    Entry("a52_discord_profile", (s, dir) => {
+      val prof = mpPairs(s, dir).groupBy("event_type", "pos")
+        .agg(min(struct(col("d1"), col("npos"))).as("m"))
+        .select(col("event_type"), col("pos"),
+          col("m.d1").as("profile"), col("m.npos").as("nn_pos"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("profile").desc, col("pos"))
+      prof.withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("pos").as("w_pos"),
+          col("nn_pos"), col("profile"),
+          round(col("profile").cast("double") /
+            lit(MpW.toDouble * MpW * 1e6), 6).as("dev_unit"))
+    }, Some(s"""$mpPairsCte,
+      nn AS (SELECT event_type, pos, npos, d1 FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY event_type, pos ORDER BY d1, npos) AS r
+               FROM pr) WHERE r = 1)
+      SELECT event_type, CAST(rk AS BIGINT) AS rk, pos AS w_pos,
+             npos AS nn_pos, CAST(d1 AS BIGINT) AS profile,
+             round(CAST(d1 AS DOUBLE) / ${MpW * MpW}e6, 6) AS dev_unit
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_type ORDER BY d1 DESC, pos) AS rk
+            FROM nn)
+      WHERE rk <= 3"""))
+
+  /** a53: top-3 MOTIFS per series — the closest non-trivial in-horizon
+    * window pairs (matrix-profile minima): recurring shapes whose
+    * existence calibrates how repetitive a series is, the baseline a
+    * discord is judged against. Same pair base as a52; each unordered
+    * pair counted once (pos < npos), rank ties toward the earlier
+    * pair.
+    */
+  private[queries] def motifEntry: Entry =
+    Entry("a53_motif_pairs", (s, dir) => {
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("d1"), col("pos"), col("npos"))
+      mpPairs(s, dir).filter(col("pos") < col("npos"))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("pos").as("pos_a"),
+          col("npos").as("pos_b"), col("d1").as("dist"),
+          round(col("d1").cast("double") /
+            lit(MpW.toDouble * MpW * 1e6), 6).as("dist_unit"))
+    }, Some(s"""$mpPairsCte
+      SELECT event_type, CAST(rk AS BIGINT) AS rk, pos AS pos_a,
+             npos AS pos_b, CAST(d1 AS BIGINT) AS dist,
+             round(CAST(d1 AS DOUBLE) / ${MpW * MpW}e6, 6) AS dist_unit
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_type ORDER BY d1, pos, npos) AS rk
+            FROM pr WHERE pos < npos)
+      WHERE rk <= 3"""))
 }

@@ -108,6 +108,18 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         "a theta join is O(|intervals|*|points|) at scale")
   }
 
+  test("a52/a53: matrix-profile horizon match is a banded equi-join, " +
+    "not a nested loop") {
+    Seq("a52_discord_profile", "a53_motif_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q: the |Δpos| ≤ horizon window match must ride the " +
+          "(series, band) equi-join — a theta join is O(windows²) " +
+          "per series at scale:\n" + p)
+    }
+  }
+
   test("p24: benchmark side pre-aggregated and broadcast; " +
     "per-doc agg partial before the shuffle") {
     val p = plan("p24_contamination")

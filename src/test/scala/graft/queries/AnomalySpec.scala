@@ -1308,4 +1308,64 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     assert(flagFrac > 0.04 && flagFrac < 0.16,
       s"a [q05, q95] band should flag ~10% of hours, got $flagFrac")
   }
+
+  test("a52/a53 matrix profile == exact int64 sequential recompute; " +
+    "discord maximizes, motif minimizes the same pair distances") {
+    val (w, stride, hor) = (Anomaly.MpW, Anomaly.MpStride, Anomaly.MpHorizon)
+    def fix6(v: Double): Long =
+      JBigDecimal.valueOf(v * 1e6)
+        .setScale(0, RoundingMode.HALF_UP).longValueExact()
+    // series order (ts, event_id) comes from the engine's sort; the
+    // profile math below is all sequential Scala
+    val wo = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val series = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wo))
+      .select("event_type", "rn", "value").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> xs.sortBy(_._2).map(x => fix6(x._3)) }
+    case class Win(pos: Long, arr: Array[Long], sa: Long)
+    val discords = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Double)]
+    val motifs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Double)]
+    series.foreach { case (t, v6) =>
+      val wins = (0 to v6.length - w by stride).map { p =>
+        val a = v6.slice(p, p + w)
+        Win(p.toLong, a, a.sum) }
+      def d1(a: Win, b: Win): Long =
+        (0 until w).map(i =>
+          math.abs(w * (a.arr(i) - b.arr(i)) - (a.sa - b.sa))).sum
+      val pairs = for {
+        a <- wins; b <- wins
+        if math.abs(a.pos - b.pos) >= w && math.abs(a.pos - b.pos) <= hor
+      } yield (a, b, d1(a, b))
+      val prof = pairs.groupBy(_._1.pos).map { case (pos, ps) =>
+        val (_, nb, d) = ps.minBy { case (_, b, d) => (d, b.pos) }
+        (pos, nb.pos, d) }.toSeq
+      prof.sortBy { case (pos, _, d) => (-d, pos) }.take(3).zipWithIndex
+        .foreach { case ((pos, npos, d), i) =>
+          discords += ((t, (i + 1).toLong, pos, npos, d,
+            rnd6(d.toDouble / (w.toDouble * w * 1e6)))) }
+      pairs.filter { case (a, b, _) => a.pos < b.pos }
+        .sortBy { case (a, b, d) => (d, a.pos, b.pos) }.take(3).zipWithIndex
+        .foreach { case ((a, b, d), i) =>
+          motifs += ((t, (i + 1).toLong, a.pos, b.pos, d,
+            rnd6(d.toDouble / (w.toDouble * w * 1e6)))) }
+    }
+    val gotD = Catalog.queries("a52_discord_profile")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq.sorted
+    val gotM = Catalog.queries("a53_motif_pairs")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(gotD === discords.toSeq.sorted)
+    assert(gotM === motifs.toSeq.sorted)
+    // a discord's profile dominates every motif distance in its series
+    val motifMax = motifs.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._5).max }
+    discords.foreach { case (t, _, _, _, prof, _) =>
+      assert(prof >= motifMax(t),
+        s"$t: discord profile $prof below a motif distance") }
+  }
 }
