@@ -3398,7 +3398,7 @@ object Pipeline {
     mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
     splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry,
     decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
-    sourceOverlapEntry, hardNegativesEntry)
+    sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -4491,4 +4491,158 @@ object Pipeline {
              round(coalesce(p.pos_sim, -2.0) - n.cos_sim, 6) AS margin
       FROM neg n LEFT JOIN pos p USING (query_id) WHERE n.rk <= 3"""))
 
+  // p79 knobs: number of BPE merge rounds learned, and the
+  // word-frequency vocabulary cap the learner trains on (classic BPE
+  // trains on the (word -> count) vocab, not the raw corpus — the one
+  // corpus-sized step is the token count; everything after is
+  // vocab-sized)
+  // lazy: referenced while `entries` (declared above) constructs
+  private[queries] lazy val BpeRounds = 6
+  private[queries] lazy val BpeVocabCap = 2000
+
+  /** p79: byte-pair-encoding MERGE LEARNING — the first
+    * [[BpeRounds]] merges of the tokenizer-training algorithm
+    * (Sennrich et al. 2016), the canonical "train the tokenizer on the
+    * corpus" step of an LLM data pipeline. Per round: count adjacent
+    * symbol pairs over the (word, count) vocab (overlaps counted, the
+    * classic ranking statistic), pick the most frequent pair
+    * (ties → lexicographic), and rewrite every word by GREEDY
+    * LEFTMOST non-overlapping merge; emitted per round: the pair, its
+    * ranking count, the weighted number of merges actually performed,
+    * and the remaining weighted symbol mass.
+    *
+    * Engine-exactness: each merge shrinks a word by exactly one
+    * symbol, so merged_n = Σ cnt·(len_before − len_after) and
+    * symbols_after need no separate match bookkeeping; all counts are
+    * int64. The Spark rewrite is a per-row `aggregate()` fold (greedy
+    * semantics are row-local — no shuffle); the DuckDB oracle states
+    * the same greedy rule relationally: overlapping matches can only
+    * chain when left = right, so merge starts are the EVEN offsets
+    * within each maximal run of consecutive match positions — a
+    * row_number over (word, pos − rank) groups the runs.
+    *
+    * 100 TB shape: ONE corpus scan (the token count); the
+    * [[BpeVocabCap]]-row vocab is re-partitioned by word after the
+    * top-k and every round is vocab-sized — a pair-count aggregate, a
+    * 1-row TakeOrdered broadcast back (null-safe left join so a
+    * pair-less degenerate vocab rewrites as a no-op on both engines),
+    * and the per-row fold. Round state is eagerly localCheckpoint-ed
+    * (the p76/Components iterative-lineage rule: state(r) references
+    * state(r−1) twice).
+    */
+  private[queries] def bpeMergesEntry: Entry = {
+    val R = BpeRounds
+    Entry("p79_bpe_merges", (s, dir) => {
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      var state = cut(docs(s, dir)
+        .select(explode(toks).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(BpeVocabCap)
+        .repartition(col("word"))
+        .select(col("word"), col("cnt"), expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms")))
+      var out: Option[DataFrame] = None
+      for (round <- 1 to R) {
+        // adjacent pairs via two shifted slices — NOT
+        // sequence(1, size-1), which descends ([1, 0]) on 1-symbol
+        // words and trips ANSI element_at. Not checkpointed: the agg
+        // is vocab-sized over the already-checkpointed state, cheaper
+        // to recompute for its two consumers than to eager-materialize
+        val top = (state
+          .select(col("cnt"), explode(expr(
+            """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+                        slice(syms, 2, greatest(size(syms) - 1, 0)),
+                        (x, y) -> named_struct('l', x, 'r', y))"""))
+            .as("p"))
+          .groupBy(col("p.l").as("ml"), col("p.r").as("mr"))
+          .agg(sum(col("cnt")).as("pair_n"))
+          .orderBy(col("pair_n").desc, col("ml"), col("mr")).limit(1))
+        val next = cut(state.withColumn("k", lit(1))
+          .join(broadcast(top.withColumn("k", lit(1))), Seq("k"), "left")
+          .select(col("word"), col("cnt"), col("ml"), col("mr"),
+            col("pair_n"), size(col("syms")).cast("long").as("n0"), expr(
+            """CASE WHEN size(syms) < 2 THEN syms ELSE
+               aggregate(sequence(0, size(syms) - 1),
+                 named_struct('acc', cast(array() as array<string>),
+                              'skip', false),
+                 (st, i) -> CASE
+                   WHEN st.skip THEN named_struct('acc', st.acc,
+                     'skip', false)
+                   WHEN i < size(syms) - 1
+                        AND element_at(syms, i + 1) = ml
+                        AND element_at(syms, i + 2) = mr
+                     THEN named_struct('acc',
+                       concat(st.acc, array(concat(ml, mr))), 'skip', true)
+                   ELSE named_struct('acc',
+                     concat(st.acc, array(element_at(syms, i + 1))),
+                     'skip', false) END,
+                 st -> st.acc) END""").as("syms")))
+        // merge metadata rides the checkpointed rows (constant per
+        // round; null ⇔ no pair existed ⇒ no output row), so the
+        // round report is one agg over cached data — no re-shuffle
+        val row = next.filter(col("ml").isNotNull)
+          .groupBy("ml", "mr", "pair_n")
+          .agg(sum(col("cnt") * (col("n0") - size(col("syms")).cast("long")))
+              .as("merged_n"),
+            sum(col("cnt") * size(col("syms")).cast("long"))
+              .as("symbols_after"))
+          .select(lit(round.toLong).as("merge_round"),
+            col("ml").as("left_sym"), col("mr").as("right_sym"),
+            concat(col("ml"), col("mr")).as("merged_sym"),
+            col("pair_n"), col("merged_n"), col("symbols_after"))
+        out = Some(out.map(_.union(row)).getOrElse(row))
+        state = next.select("word", "cnt", "syms")
+      }
+      out.get
+    }, Some {
+      def roundCte(r: Int): String = s"""
+      p$r AS MATERIALIZED (SELECT syms[i] AS ml, syms[i+1] AS mr, sum(cnt) AS pair_n
+              FROM w${r - 1}, UNNEST(range(1, len(syms))) AS t(i)
+              GROUP BY 1, 2),
+      b$r AS MATERIALIZED (SELECT ml, mr, CAST(pair_n AS BIGINT) AS pair_n FROM p$r
+              ORDER BY pair_n DESC, ml, mr LIMIT 1),
+      e$r AS MATERIALIZED (SELECT word, cnt, t.i AS pos, syms[t.i] AS sym
+              FROM w${r - 1}, UNNEST(range(1, len(syms)+1)) AS t(i)),
+      mm$r AS MATERIALIZED (SELECT w.word, t.i AS pos
+               FROM w${r - 1} w, b$r b, UNNEST(range(1, len(w.syms)))
+                 AS t(i)
+               WHERE w.syms[t.i] = b.ml AND w.syms[t.i+1] = b.mr),
+      s$r AS MATERIALIZED (SELECT word, pos FROM (
+                SELECT word, pos, row_number() OVER (
+                  PARTITION BY word, pos - rn ORDER BY pos) AS o
+                FROM (SELECT word, pos, row_number() OVER (
+                        PARTITION BY word ORDER BY pos) AS rn FROM mm$r))
+              WHERE o % 2 = 1),
+      g$r AS MATERIALIZED (SELECT e.word,
+                list(CASE WHEN s.pos IS NOT NULL
+                       THEN (SELECT ml || mr FROM b$r)
+                       ELSE e.sym END ORDER BY e.pos)
+                  FILTER (WHERE d.pos IS NULL) AS syms
+              FROM e$r e
+              LEFT JOIN s$r s ON s.word = e.word AND s.pos = e.pos
+              LEFT JOIN s$r d ON d.word = e.word AND d.pos = e.pos - 1
+              GROUP BY e.word),
+      w$r AS MATERIALIZED (SELECT w.word, w.cnt, coalesce(g.syms, w.syms) AS syms
+              FROM w${r - 1} w LEFT JOIN g$r g USING (word)),
+      o$r AS (SELECT CAST($r AS BIGINT) AS merge_round, b.ml AS left_sym,
+                b.mr AS right_sym, b.ml || b.mr AS merged_sym, b.pair_n,
+                (SELECT CAST(coalesce(sum(a.cnt*(len(a.syms)-len(c.syms))),
+                   0) AS BIGINT)
+                 FROM w${r - 1} a JOIN w$r c USING (word)) AS merged_n,
+                (SELECT CAST(coalesce(sum(cnt*len(syms)), 0) AS BIGINT)
+                 FROM w$r) AS symbols_after
+              FROM b$r b)"""
+      s"""
+      WITH v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT unnest($toksSql) AS word FROM documents)
+                 GROUP BY word ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
+      w0 AS MATERIALIZED (SELECT word, cnt,
+               list_transform(range(1, length(word)+1),
+                 i -> substring(word, i, 1)) AS syms
+             FROM v),
+      ${(1 to R).map(roundCte).mkString(",")}
+      ${(1 to R).map(r => s"SELECT * FROM o$r").mkString(" UNION ALL ")}"""
+    })
+  }
 }

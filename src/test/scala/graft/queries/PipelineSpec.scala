@@ -1686,5 +1686,57 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"query $qid sentinel mismatch")
     }
   }
+
+  test("p79 BPE merges == sequential Sennrich recompute; merge " +
+    "frequency non-increasing across rounds") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().foreach { r =>
+        seqToks(r.getString(0)).foreach { w =>
+          counts(w) = counts.getOrElse(w, 0L) + 1L } }
+    var state: Map[String, (Long, Vector[String])] =
+      counts.toSeq.sortBy { case (w, c) => (-c, w) }
+        .take(Pipeline.BpeVocabCap)
+        .map { case (w, c) => w -> ((c, w.map(_.toString).toVector)) }
+        .toMap
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long, Long)]
+    for (round <- 1 to Pipeline.BpeRounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (_, (c, syms)) =>
+        (0 until syms.length - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c } }
+      if (pc.nonEmpty) {
+        val ((l, rr), n) = pc.toSeq
+          .minBy { case ((a, b), m) => (-m, a, b) }
+        var mergedN = 0L
+        var symsAfter = 0L
+        state = state.map { case (w, (c, syms)) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          mergedN += c * (syms.length - out.length)
+          symsAfter += c * out.length
+          w -> ((c, out.toVector))
+        }
+        want += ((round.toLong, l, rr, l + rr, n, mergedN, symsAfter))
+      }
+    }
+    val got = run("p79_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(got === want.toSeq)
+    assert(got.nonEmpty, "corpus must learn at least one merge")
+    // a merged pair's count can never beat an earlier round's winner
+    val ns = got.map(_._5)
+    assert(ns.zip(ns.drop(1)).forall { case (a, b) => b <= a },
+      s"top-pair counts must be non-increasing: $ns")
+  }
 }
 
