@@ -3398,7 +3398,8 @@ object Pipeline {
     mixtureBudgetEntry, annRecallEntry, chunkDupCensusEntry,
     splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry,
     decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
-    sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry)
+    sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
+    bpeApplyEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -4500,6 +4501,93 @@ object Pipeline {
   private[queries] lazy val BpeRounds = 6
   private[queries] lazy val BpeVocabCap = 2000
 
+  // char split guarded for the empty word: sequence(1, 0) DESCENDS in
+  // Spark ([1, 0]) and substring('', i, 1) = '' would fabricate
+  // two empty symbols where DuckDB's range(1, 1) yields none
+  private lazy val bpeCharsSql: String =
+    """CASE WHEN length(word) = 0 THEN cast(array() as array<string>)
+       ELSE transform(sequence(1, length(word)),
+              i -> substring(word, i, 1)) END"""
+
+  /** Greedy leftmost non-overlapping merge of the (ml, mr) pair over
+    * `syms`, as a per-row fold; null ml/mr (no pair this round) makes
+    * every match condition false, so the word passes through
+    * unchanged.
+    */
+  private lazy val bpeRewriteSql: String =
+    """CASE WHEN size(syms) < 2 THEN syms ELSE
+       aggregate(sequence(0, size(syms) - 1),
+         named_struct('acc', cast(array() as array<string>),
+                      'skip', false),
+         (st, i) -> CASE
+           WHEN st.skip THEN named_struct('acc', st.acc, 'skip', false)
+           WHEN i < size(syms) - 1
+                AND element_at(syms, i + 1) = ml
+                AND element_at(syms, i + 2) = mr
+             THEN named_struct('acc',
+               concat(st.acc, array(concat(ml, mr))), 'skip', true)
+           ELSE named_struct('acc',
+             concat(st.acc, array(element_at(syms, i + 1))),
+             'skip', false) END,
+         st -> st.acc) END"""
+
+  /** DuckDB twin of [[bpeRewriteSql]]: one round of greedy leftmost
+    * merge of relation `in` (word, [carry,] syms) by the 0-or-1-row
+    * pair relation `b` (ml, mr), stated relationally — overlapping
+    * matches only chain when ml = mr, so merge starts are the EVEN
+    * offsets within each maximal run of consecutive match positions.
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, which re-scans the whole chain ~5^rounds times.
+    */
+  private def bpeRewriteCtes(in: String, out: String, b: String,
+      tag: String, carry: String): String = s"""
+      e$tag AS MATERIALIZED (SELECT word, t.i AS pos, syms[t.i] AS sym
+              FROM $in, UNNEST(range(1, len(syms)+1)) AS t(i)),
+      mm$tag AS MATERIALIZED (SELECT w.word, t.i AS pos
+               FROM $in w, $b b, UNNEST(range(1, len(w.syms))) AS t(i)
+               WHERE w.syms[t.i] = b.ml AND w.syms[t.i+1] = b.mr),
+      s$tag AS MATERIALIZED (SELECT word, pos FROM (
+                SELECT word, pos, row_number() OVER (
+                  PARTITION BY word, pos - rn ORDER BY pos) AS o
+                FROM (SELECT word, pos, row_number() OVER (
+                        PARTITION BY word ORDER BY pos) AS rn FROM mm$tag))
+              WHERE o % 2 = 1),
+      g$tag AS MATERIALIZED (SELECT e.word,
+                list(CASE WHEN s.pos IS NOT NULL
+                       THEN (SELECT ml || mr FROM $b)
+                       ELSE e.sym END ORDER BY e.pos)
+                  FILTER (WHERE d.pos IS NULL) AS syms
+              FROM e$tag e
+              LEFT JOIN s$tag s ON s.word = e.word AND s.pos = e.pos
+              LEFT JOIN s$tag d ON d.word = e.word AND d.pos = e.pos - 1
+              GROUP BY e.word),
+      $out AS MATERIALIZED (SELECT w.word, ${carry}coalesce(g.syms, w.syms)
+                AS syms
+              FROM $in w LEFT JOIN g$tag g USING (word))"""
+
+  /** Learning chain shared by the p79/p80 oracles: capped vocab w0 and
+    * rounds (p_r pair counts, b_r winner, w_r rewritten state).
+    */
+  private def bpeLearnCtes: String = {
+    def roundCte(r: Int): String = s"""
+      p$r AS MATERIALIZED (SELECT syms[i] AS ml, syms[i+1] AS mr,
+                sum(cnt) AS pair_n
+              FROM w${r - 1}, UNNEST(range(1, len(syms))) AS t(i)
+              GROUP BY 1, 2),
+      b$r AS MATERIALIZED (SELECT ml, mr, CAST(pair_n AS BIGINT) AS pair_n
+              FROM p$r ORDER BY pair_n DESC, ml, mr LIMIT 1),
+      ${bpeRewriteCtes(s"w${r - 1}", s"w$r", s"b$r", s"$r", "w.cnt, ")}"""
+    s"""
+      WITH v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT unnest($toksSql) AS word FROM documents)
+                 GROUP BY word ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
+      w0 AS MATERIALIZED (SELECT word, cnt,
+               list_transform(range(1, length(word)+1),
+                 i -> substring(word, i, 1)) AS syms
+             FROM v),
+      ${(1 to BpeRounds).map(roundCte).mkString(",")}"""
+  }
+
   /** p79: byte-pair-encoding MERGE LEARNING — the first
     * [[BpeRounds]] merges of the tokenizer-training algorithm
     * (Sennrich et al. 2016), the canonical "train the tokenizer on the
@@ -4539,9 +4627,7 @@ object Pipeline {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(BpeVocabCap)
         .repartition(col("word"))
-        .select(col("word"), col("cnt"), expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-          .as("syms")))
+        .select(col("word"), col("cnt"), expr(bpeCharsSql).as("syms")))
       var out: Option[DataFrame] = None
       for (round <- 1 to R) {
         // adjacent pairs via two shifted slices — NOT
@@ -4561,23 +4647,8 @@ object Pipeline {
         val next = cut(state.withColumn("k", lit(1))
           .join(broadcast(top.withColumn("k", lit(1))), Seq("k"), "left")
           .select(col("word"), col("cnt"), col("ml"), col("mr"),
-            col("pair_n"), size(col("syms")).cast("long").as("n0"), expr(
-            """CASE WHEN size(syms) < 2 THEN syms ELSE
-               aggregate(sequence(0, size(syms) - 1),
-                 named_struct('acc', cast(array() as array<string>),
-                              'skip', false),
-                 (st, i) -> CASE
-                   WHEN st.skip THEN named_struct('acc', st.acc,
-                     'skip', false)
-                   WHEN i < size(syms) - 1
-                        AND element_at(syms, i + 1) = ml
-                        AND element_at(syms, i + 2) = mr
-                     THEN named_struct('acc',
-                       concat(st.acc, array(concat(ml, mr))), 'skip', true)
-                   ELSE named_struct('acc',
-                     concat(st.acc, array(element_at(syms, i + 1))),
-                     'skip', false) END,
-                 st -> st.acc) END""").as("syms")))
+            col("pair_n"), size(col("syms")).cast("long").as("n0"),
+            expr(bpeRewriteSql).as("syms")))
         // merge metadata rides the checkpointed rows (constant per
         // round; null ⇔ no pair existed ⇒ no output row), so the
         // round report is one agg over cached data — no re-shuffle
@@ -4596,35 +4667,7 @@ object Pipeline {
       }
       out.get
     }, Some {
-      def roundCte(r: Int): String = s"""
-      p$r AS MATERIALIZED (SELECT syms[i] AS ml, syms[i+1] AS mr, sum(cnt) AS pair_n
-              FROM w${r - 1}, UNNEST(range(1, len(syms))) AS t(i)
-              GROUP BY 1, 2),
-      b$r AS MATERIALIZED (SELECT ml, mr, CAST(pair_n AS BIGINT) AS pair_n FROM p$r
-              ORDER BY pair_n DESC, ml, mr LIMIT 1),
-      e$r AS MATERIALIZED (SELECT word, cnt, t.i AS pos, syms[t.i] AS sym
-              FROM w${r - 1}, UNNEST(range(1, len(syms)+1)) AS t(i)),
-      mm$r AS MATERIALIZED (SELECT w.word, t.i AS pos
-               FROM w${r - 1} w, b$r b, UNNEST(range(1, len(w.syms)))
-                 AS t(i)
-               WHERE w.syms[t.i] = b.ml AND w.syms[t.i+1] = b.mr),
-      s$r AS MATERIALIZED (SELECT word, pos FROM (
-                SELECT word, pos, row_number() OVER (
-                  PARTITION BY word, pos - rn ORDER BY pos) AS o
-                FROM (SELECT word, pos, row_number() OVER (
-                        PARTITION BY word ORDER BY pos) AS rn FROM mm$r))
-              WHERE o % 2 = 1),
-      g$r AS MATERIALIZED (SELECT e.word,
-                list(CASE WHEN s.pos IS NOT NULL
-                       THEN (SELECT ml || mr FROM b$r)
-                       ELSE e.sym END ORDER BY e.pos)
-                  FILTER (WHERE d.pos IS NULL) AS syms
-              FROM e$r e
-              LEFT JOIN s$r s ON s.word = e.word AND s.pos = e.pos
-              LEFT JOIN s$r d ON d.word = e.word AND d.pos = e.pos - 1
-              GROUP BY e.word),
-      w$r AS MATERIALIZED (SELECT w.word, w.cnt, coalesce(g.syms, w.syms) AS syms
-              FROM w${r - 1} w LEFT JOIN g$r g USING (word)),
+      def roundOut(r: Int): String = s"""
       o$r AS (SELECT CAST($r AS BIGINT) AS merge_round, b.ml AS left_sym,
                 b.mr AS right_sym, b.ml || b.mr AS merged_sym, b.pair_n,
                 (SELECT CAST(coalesce(sum(a.cnt*(len(a.syms)-len(c.syms))),
@@ -4633,16 +4676,80 @@ object Pipeline {
                 (SELECT CAST(coalesce(sum(cnt*len(syms)), 0) AS BIGINT)
                  FROM w$r) AS symbols_after
               FROM b$r b)"""
-      s"""
-      WITH v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
-                 FROM (SELECT unnest($toksSql) AS word FROM documents)
-                 GROUP BY word ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
-      w0 AS MATERIALIZED (SELECT word, cnt,
-               list_transform(range(1, length(word)+1),
-                 i -> substring(word, i, 1)) AS syms
-             FROM v),
-      ${(1 to R).map(roundCte).mkString(",")}
+      s"""$bpeLearnCtes,
+      ${(1 to R).map(roundOut).mkString(",")}
       ${(1 to R).map(r => s"SELECT * FROM o$r").mkString(" UNION ALL ")}"""
     })
   }
+
+  /** p80: BPE tokenizer APPLICATION — run the p79-learned merge
+    * sequence over EVERY distinct word in the corpus (not just the
+    * learning vocab cap) and report, per source, the whitespace-token
+    * count, the post-BPE symbol count, and the compression ratio —
+    * the "how many training tokens is this corpus under the tokenizer
+    * we just trained" number a data pipeline budgets with (p20's pack
+    * budget and p68's token quotas consume exactly this statistic).
+    * Merges come FROM THE p79 CATALOG ENTRY at run time (the p69
+    * pattern: the report audits the exact artifact the driver
+    * oracles); each of the 6 merges is a 1-row broadcast applied by
+    * the shared greedy fold, null-safe for rounds that learned
+    * nothing.
+    *
+    * 100 TB shape: two corpus scans (the p79 token count inside the
+    * merge learning, and the final explode-join-rollup), plus the
+    * DISTINCT-word dim — the rewrite rounds run on that dim, never the
+    * corpus; the per-word symbol-length dim joins back on the word
+    * shuffle key. Round state eager-localCheckpoint-ed as in p79.
+    */
+  private[queries] def bpeApplyEntry: Entry =
+    Entry("p80_bpe_apply", (s, dir) => {
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      val merges = cut(Catalog.queries("p79_bpe_merges")(s, dir)
+        .select(col("merge_round"), col("left_sym"), col("right_sym")))
+      var words = cut(docs(s, dir)
+        .select(explode(toks).as("word")).distinct()
+        .repartition(col("word"))
+        .select(col("word"), expr(bpeCharsSql).as("syms")))
+      for (r <- 1 to BpeRounds) {
+        val m = merges.filter(col("merge_round") === r)
+          .select(col("left_sym").as("ml"), col("right_sym").as("mr"))
+        words = cut(words.withColumn("k", lit(1))
+          .join(broadcast(m.withColumn("k", lit(1))), Seq("k"), "left")
+          .select(col("word"), expr(bpeRewriteSql).as("syms")))
+      }
+      val wl = words.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), explode(toks).as("word"))
+        .join(wl, "word")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          sum(col("n_syms")).as("n_symbols"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_symbols"),
+          round(col("n_symbols").cast("double") /
+            col("n_tokens").cast("double"), 6).as("compression"))
+    }, Some {
+      val apply = (1 to BpeRounds).map(r =>
+        bpeRewriteCtes(s"u${r - 1}", s"u$r", s"b$r", s"u$r", ""))
+        .mkString(",")
+      s"""$bpeLearnCtes,
+      u0 AS MATERIALIZED (SELECT word,
+               list_transform(range(1, length(word)+1),
+                 i -> substring(word, i, 1)) AS syms
+             FROM (SELECT DISTINCT unnest($toksSql) AS word
+                   FROM documents)),
+      $apply,
+      wl AS (SELECT word, len(syms) AS n_syms FROM u$BpeRounds),
+      t AS (SELECT d.source, d.doc_id, w.n_syms
+            FROM (SELECT source, doc_id, unnest($toksSql) AS word
+                  FROM documents) d JOIN wl w USING (word))
+      SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+             round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6)
+               AS compression
+      FROM t GROUP BY source"""
+    })
 }

@@ -1738,5 +1738,44 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(ns.zip(ns.drop(1)).forall { case (a, b) => b <= a },
       s"top-pair counts must be non-increasing: $ns")
   }
+
+  test("p80 BPE apply == sequential application of the p79 merges " +
+    "over every distinct word; symbols-per-token inside (1, max-len)") {
+    val merges = run("p79_bpe_merges").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    def bpe(word: String): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (l, rr) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+            out += l + rr; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        seqToks(r.getString(2)).toSeq))
+    val want = rows.groupBy(_._1).map { case (src, xs) =>
+      val toks = xs.flatMap(_._3)
+      val nSym = toks.map(w => bpe(w).length.toLong).sum
+      (src, xs.map(_._2).distinct.length.toLong, toks.length.toLong, nSym,
+        sparkRound(nSym.toDouble / toks.length, 6))
+    }.toSeq.sorted
+    val got = run("p80_bpe_apply").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    assert(got === want)
+    // 6 merges on this corpus must actually compress every source
+    got.foreach { case (src, _, nt, nsym, c) =>
+      assert(nsym < nt * 8 && c < 8.0, s"$src compression $c")
+      assert(nsym > nt, s"$src: symbols can't undercut one per token")
+    }
+  }
 }
 
