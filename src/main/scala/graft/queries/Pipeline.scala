@@ -3399,7 +3399,7 @@ object Pipeline {
     splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry,
     decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
-    bpeApplyEntry)
+    bpeApplyEntry, contamSemanticEntry, distinctHllEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -4752,4 +4752,186 @@ object Pipeline {
                AS compression
       FROM t GROUP BY source"""
     })
+
+  /** p81: SEMANTIC decontamination — the embedding-space twin of the
+    * p24/p34 shingle decontaminators (the Llama-3 / GPT-4 eval-hygiene
+    * step: a paraphrased benchmark answer shares no 3-grams with the
+    * benchmark but sits next to it in embedding space). Held-out set =
+    * the `vec_id % 50 = 0` query convention p07/p69 established; a
+    * corpus vector is flagged when its cosine to a held-out vector
+    * reaches 0.2. Candidate generation is IVF-bucketed exactly like
+    * p35: corpus vectors meet held-out vectors only inside a shared
+    * nearest-centroid cell, with the HELD-OUT side probing nprobe=2
+    * cells (the recall knob rides on the tiny side — ~2% of vectors —
+    * so candidate volume stays Σ cell·test_cell, never n·m). The
+    * nearest-cell ranking reuses p15's deterministic (d2, cid) integer
+    * ordering; each corpus vector carries exactly one cell, so a
+    * (corpus, test) pair can meet at most once — no dedup pass needed.
+    * At 100 TB the corpus side never self-joins and never leaves its
+    * cell partitioning; the held-out probes are the small broadcastable
+    * side, exactly how a production semantic-decontam pass shards.
+    */
+  private[queries] def contamSemanticEntry: Entry =
+    Entry("p81_contam_semantic", (s, dir) => {
+      val e = embs(s, dir)
+        .withColumn("ei",
+          expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
+      val cents = e.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("cid"), col("ei").as("ci"))
+      val d2 = expr(
+        "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      // persisted: the cell join reads the centroid assignment from both
+      // sides (held-out probes and corpus vectors)
+      val probed = e.join(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("emb"), col("cid").as("cell"), col("rk"))
+        .persist()
+      val tests = probed.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("test_id"), col("emb").as("temb"),
+          col("cell"))
+      val corpus = probed.filter(col("vec_id") % 50 =!= 0 && col("rk") === 1)
+        .select(col("vec_id"), col("emb"), col("cell"))
+      corpus.join(tests, "cell")
+        .select(col("cell"), col("vec_id"), col("test_id"),
+          round(VectorOps.cosine(col("emb"), col("temb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.2)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x*1000000) AS BIGINT)) AS ei
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      dists AS (SELECT e.vec_id, e.emb, c.cid,
+                  list_sum(list_transform(range(1, len(e.ei)+1),
+                    i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2
+                FROM e, cents c),
+      ranked AS (SELECT vec_id, emb, cid AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cid) AS rk FROM dists),
+      tests AS (SELECT vec_id AS test_id, emb AS temb, cell
+                FROM ranked WHERE vec_id % 50 = 0 AND rk <= 2),
+      corpus AS (SELECT vec_id, emb, cell
+                 FROM ranked WHERE vec_id % 50 <> 0 AND rk = 1)
+      SELECT c.cell, c.vec_id, t.test_id,
+             round(list_cosine_similarity(c.emb, t.temb), 6) AS cos_sim
+      FROM corpus c JOIN tests t USING (cell)
+      WHERE round(list_cosine_similarity(c.emb, t.temb), 6) >= 0.2"""))
+
+  /** p82: HyperLogLog distinct-token cardinality per source — the
+    * constant-memory answer to "how many unique tokens does each slice
+    * contribute", completing the sketch family (KMV/p25 estimates via
+    * bottom-k order statistics, CMS/p47 point frequencies, JL/p48
+    * distances; HLL is the industry default for cardinality at 100 TB:
+    * 64 registers per source vs a corpus-sized DISTINCT shuffle).
+    * Deterministic by construction, so the DuckDB oracle replays it
+    * bit-for-bit: the 60-bit md5 hash splits into a 6-bit register
+    * index (top bits) and a 54-bit suffix w whose leading-zero rank is
+    * rho = 55 - len(bin(w)) (both engines' `bin` renders without
+    * leading zeros; w = 0 => rho = 55). Registers are max-aggregates —
+    * duplicates are absorbed map-side, the shuffle carries <= 64 rows
+    * per source, and the register fold stays INTEGER: with
+    * S = sum_j 2^(55 - M_j) (absent registers contribute 2^55, total
+    * <= 2^61, no overflow), the raw estimate alpha_64 * 64^2 / Z with
+    * Z = S / 2^55 becomes one double division of exact integers —
+    * 0.709 * 4096 * 2^55 / S — every factor a power-of-two scaling of
+    * the same 0.709 literal, so Spark and DuckDB produce the identical
+    * IEEE double with no libm (the a27 no-log10 rule). The canonical
+    * small-range correction (raw <= 2.5m with empty registers ->
+    * linear counting m*ln(m/V)) needs a log, which the same rule
+    * forbids per-engine; V only takes 64 values, so the LC estimates
+    * are evaluated ONCE into [[HllLcTable]] and interpolated as the
+    * same literal array into both engines' plans (the minhashALiteral
+    * pattern). The exact DISTINCT count rides along as the calibration
+    * column (at 100 TB one would ship only the 64-register sketch and
+    * merge downstream — the same mergeability argument as p25/p47).
+    */
+  /** Linear-counting estimates 64*ln(64/V) for V = 1..64 empty
+    * registers, 6-dp fixed — evaluated once here and embedded as the
+    * SAME literal array in the Spark plan and the DuckDB oracle, so no
+    * engine evaluates ln itself.
+    */
+  // lazy: `entries` (declared above) constructs this entry during
+  // object init, before a forward-declared plain val would be assigned
+  private[queries] lazy val HllLcTable: Array[Double] = Array.tabulate(64)(v =>
+    java.math.BigDecimal.valueOf(64.0 * math.log(64.0 / (v + 1)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+
+  private[queries] def distinctHllEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    val lcLit = HllLcTable.mkString("array(", ",", ")")
+    val lcLitDuck = HllLcTable.mkString("[", ",", "]")
+    Entry("p82_distinct_hll", (s, dir) => {
+      // one corpus scan, persisted: the register fold and the exact
+      // calibration count both read the hashed postings (at 100 TB one
+      // would drop the exact branch and this becomes a single pass
+      // with map-side-combined 64-row-per-source partials)
+      val posts = docs(s, dir)
+        .select(col("source"), explode(toks).as("tok"))
+        .select(col("source"), expr(H.h60Spark("tok")).as("h"))
+        .persist()
+      val rhos = posts
+        .select(col("source"),
+          expr("h div 18014398509481984").as("bucket"),
+          expr("h % 18014398509481984").as("w"))
+        .select(col("source"), col("bucket"),
+          when(col("w") === 0L, lit(55L))
+            .otherwise(lit(55L) - length(bin(col("w"))).cast("long"))
+            .as("rho"))
+      val regs = rhos.groupBy("source", "bucket")
+        .agg(max(col("rho")).as("m"))
+      val nExact = posts.groupBy("source")
+        .agg(countDistinct(col("h")).as("n_exact"))
+      regs.groupBy("source")
+        .agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+            .as("s_present"),
+          count(lit(1)).as("present"))
+        .select(col("source"),
+          (col("s_present") +
+            (lit(64L) - col("present")) * lit(36028797018963968L))
+            .as("s_reg"),
+          (lit(64L) - col("present")).as("zero_regs"))
+        .join(nExact, "source")
+        .withColumn("raw",
+          lit(0.709) * lit(4096) * lit(3.6028797018963968e16) /
+            col("s_reg").cast("double"))
+        .select(col("source"), col("n_exact"), col("s_reg"),
+          col("zero_regs"),
+          when(col("zero_regs") > 0 && col("raw") <= 160.0,
+            expr(s"element_at($lcLit, cast(zero_regs as int))"))
+            .otherwise(round(col("raw"), 6)).as("hll_est"))
+    }, Some(s"""
+      WITH posts AS (
+        SELECT source, ${H.h60Duck("tok")} AS h
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+      rhos AS (SELECT source, h // 18014398509481984 AS bucket,
+                 CASE WHEN h % 18014398509481984 = 0 THEN 55
+                      ELSE 55 - length(bin(h % 18014398509481984)) END
+                   AS rho
+               FROM posts),
+      regs AS (SELECT source, bucket, max(rho) AS m
+               FROM rhos GROUP BY source, bucket),
+      folds AS (SELECT source,
+                  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INTEGER))
+                    AS BIGINT) AS s_present,
+                  count(*) AS present
+                FROM regs GROUP BY source),
+      ex AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+             FROM posts GROUP BY source),
+      est AS (SELECT f.source, ex.n_exact,
+                CAST(f.s_present + (64 - f.present) * 36028797018963968
+                  AS BIGINT) AS s_reg,
+                CAST(64 - f.present AS BIGINT) AS zero_regs,
+                CAST(0.709 AS DOUBLE) * 4096 * 3.6028797018963968e16 /
+                  CAST(f.s_present + (64 - f.present) * 36028797018963968
+                    AS DOUBLE) AS raw
+              FROM folds f JOIN ex USING (source))
+      SELECT source, n_exact, s_reg, zero_regs,
+             CASE WHEN zero_regs > 0 AND raw <= 160.0
+                  THEN ($lcLitDuck)[CAST(zero_regs AS INTEGER)]
+                  ELSE round(raw, 6) END AS hll_est
+      FROM est"""))
+  }
 }

@@ -1777,5 +1777,101 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(nsym > nt, s"$src: symbols can't undercut one per token")
     }
   }
+
+  test("p81 semantic decontamination == sequential IVF recompute; " +
+    "every hit is a true tau-pair and cell recall is sane") {
+    val vecs = loadEmbs()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val micros = vecs.map { case (id, _, e) => id -> e.map(micro) }.toMap
+    val cents = vecs.collect { case (id, _, _) if id % 100 == 7 =>
+      id -> micros(id) }
+    assert(cents.nonEmpty, "corpus must provide centroids")
+    // nearest cells by exact integer d2, deterministic (d2, cid) order
+    def cells(id: Long, n: Int): Seq[Long] = {
+      val ei = micros(id)
+      cents.map { case (cid, ci) =>
+        var d2 = 0L; var i = 0
+        while (i < ei.length) {
+          val d = ei(i) - ci(i); d2 += d * d; i += 1
+        }
+        (d2, cid)
+      }.sorted.take(n).map(_._2).toSeq
+    }
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val tests = vecs.collect { case (id, _, _) if id % 50 == 0 =>
+      id -> cells(id, 2) }
+    val want = (for {
+      (cid, _, _) <- vecs if cid % 50 != 0
+      corpusCell = cells(cid, 1).head
+      (tid, tcells) <- tests if tcells.contains(corpusCell)
+      c6 = sparkRound(cos(byId(cid), byId(tid)), 6) if c6 >= 0.2
+    } yield (corpusCell, cid, tid, c6)).toSeq.sorted
+    val got = run("p81_contam_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got === want)
+    // soundness: every reported hit really clears the threshold against
+    // the raw embeddings (no approximation on the similarity itself)
+    got.foreach { case (_, cid, tid, c6) =>
+      assert(c6 >= 0.2 && cid % 50 != 0 && tid % 50 == 0)
+      assert(math.abs(c6 - cos(byId(cid), byId(tid))) < 1e-6)
+    }
+    // the cell restriction is the only approximation: hits must be a
+    // subset of the brute-force tau-pairs, and if any tau-pair shares
+    // a cell it must be reported
+    val brute = (for {
+      (cid, _, _) <- vecs if cid % 50 != 0
+      (tid, _) <- tests
+      c6 = sparkRound(cos(byId(cid), byId(tid)), 6) if c6 >= 0.2
+    } yield (cid, tid)).toSet
+    assert(got.map(h => (h._2, h._3)).toSet.subsetOf(brute))
+  }
+
+  test("p82 HLL == sequential register recompute; estimate within the " +
+    "canonical 1.04/sqrt(m) band of the exact count on every source") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), seqToks(r.getString(1))))
+    val want = rows.groupBy(_._1).map { case (src, xs) =>
+      val hs = xs.flatMap(_._2).map(h60)
+      val regs = new Array[Int](64)
+      hs.foreach { h =>
+        val bucket = (h >> 54).toInt
+        val w = h & ((1L << 54) - 1)
+        val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val s = regs.map(m => 1L << (55 - m)).sum
+      val zeros = regs.count(_ == 0)
+      val raw = 0.709 * 4096 * 3.6028797018963968e16 / s.toDouble
+      val est =
+        if (zeros > 0 && raw <= 160.0) Pipeline.HllLcTable(zeros - 1)
+        else sparkRound(raw, 6)
+      (src, hs.distinct.length.toLong, s, zeros.toLong, est)
+    }.toSeq.sorted
+    val got = run("p82_distinct_hll").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    assert(got === want)
+    // estimator quality: the classic HLL error bound is 1.04/sqrt(64)
+    // = 13%; allow 3 sigma. Also: zero registers only when the source
+    // carries fewer distinct tokens than could touch all 64 buckets.
+    got.foreach { case (src, exact, _, _, est) =>
+      assert(exact > 0, s"$src has no tokens")
+      assert(math.abs(est - exact) <= 3 * 0.13 * exact + 3.0,
+        s"$src exact=$exact est=$est outside 3-sigma HLL band")
+    }
+  }
 }
 
