@@ -2180,7 +2180,8 @@ object Anomaly {
     stlDecomposeEntry,
     forecastBandEntry,
     discordEntry,
-    motifEntry
+    motifEntry,
+    scorecardEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -3789,4 +3790,168 @@ object Anomaly {
               PARTITION BY event_type ORDER BY d1, pos, npos) AS rk
             FROM pr WHERE pos < npos)
       WHERE rk <= 3"""))
+
+  /** a54: detector scorecard — precision/recall/F1 of three detector
+    * families against a DECLARED deterministic spike ground truth,
+    * answering the operator's question the individual detectors can't:
+    * "which test should I trust on MY data". Truth convention: within
+    * the scoreable universe (rows with a full 25-window, so every
+    * detector sees the same rows), the top-20 rows per series by
+    * |value − series lower median|, deviation ties broken (ts,
+    * event_id). Detectors scored: rolling IQR fence (a21's rule),
+    * rolling MAD robust-z at the Iglewicz–Hoaglin 3.5 gate (a20's
+    * statistic; a zero MAD degenerates to value ≠ window median,
+    * avoiding cross-engine NaN-ordering semantics), and a global
+    * 3-sigma z-score whose mean/variance come from exact integer
+    * micro-sums (the a23 discipline: |n·v6 − s1| > 3·sqrt(n·s2 − s1²),
+    * multiplied through so ONE sqrt and ONE comparison of exact
+    * integers decide the flag — no mean/std doubles cross the plan).
+    * Counts are integers; precision/recall/F1 are single double
+    * divisions of exact integers (F1 = 2tp/(2tp+fp+fn), never derived
+    * from the rounded P and R). A detector that flags nothing reports
+    * NULL precision rather than 0/0. Shape at 100 TB: ONE series-key
+    * shuffle carries the rolling windows, the series-median rank, the
+    * truth rank, and the global sums as stacked window functions over
+    * the same partitioning; the 3-way detector stack is a projection
+    * (explode of a 3-element literal array), and the final aggregate
+    * is series × 3 rows.
+    */
+  private[queries] def scorecardEntry: Entry =
+    Entry("a54_detector_scorecard", (s, dir) => {
+      val w = 25
+      val mid = 13
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val frame = wRn.rowsBetween(-(w - 1), 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val wVal = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("value"), col("ts"), col("event_id"))
+      val wDev = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("dev").desc, col("ts"), col("event_id"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("arr", collect_list(col("value")).over(frame))
+        .filter(col("rn") >= w)
+        .withColumn("sarr", array_sort(col("arr")))
+        .withColumn("med25", expr(s"element_at(sarr, $mid)"))
+        .withColumn("mad25", expr(
+          s"element_at(array_sort(transform(arr, x -> abs(x - med25))), $mid)"))
+        .withColumn("q1_v", expr("element_at(sarr, 7)"))
+        .withColumn("q3_v", expr("element_at(sarr, 19)"))
+        .withColumn("v6", expr("cast(round(value * 1e6) as bigint)"))
+        .withColumn("wv", row_number().over(wVal).cast("long"))
+        .withColumn("n_u", count(lit(1)).over(wAll))
+        .withColumn("gmed", max(when(
+          col("wv") === expr("(n_u + 1) div 2"), col("value"))).over(wAll))
+        .withColumn("s1", sum(col("v6")).over(wAll))
+        .withColumn("s2", sum(dec(col("v6")) * col("v6")).over(wAll))
+        .withColumn("dev", abs(col("value") - col("gmed")))
+        .withColumn("tr", row_number().over(wDev))
+        .withColumn("is_true", col("tr") <= 20)
+        .withColumn("iqr_flag",
+          col("value") < col("q1_v") - lit(1.5) * (col("q3_v") - col("q1_v")) ||
+          col("value") > col("q3_v") + lit(1.5) * (col("q3_v") - col("q1_v")))
+        .withColumn("mad_flag",
+          when(col("mad25") === 0.0, col("value") =!= col("med25"))
+            .otherwise(abs(lit(0.6745) * (col("value") - col("med25")) /
+              col("mad25")) > 3.5))
+        .withColumn("z_flag",
+          abs(col("n_u") * col("v6") - col("s1")).cast("double") >
+            lit(3.0) * sqrt((dec(col("n_u")) * col("s2") -
+              dec(col("s1")) * col("s1")).cast("double")))
+        .select(col("event_type"), col("is_true"), explode(expr(
+          "array(named_struct('detector', 'iqr', 'flag', iqr_flag)," +
+          "      named_struct('detector', 'mad', 'flag', mad_flag)," +
+          "      named_struct('detector', 'zscore', 'flag', z_flag))"))
+          .as("d"))
+        .select(col("event_type"), col("d.detector").as("detector"),
+          col("d.flag").as("flag"), col("is_true"))
+        .groupBy("event_type", "detector")
+        .agg(
+          sum(when(col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("flag") && !col("is_true"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("fn"))
+        .select(col("event_type"), col("detector"), col("tp"), col("fp"),
+          col("fn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 6)).as("precision6"),
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6).as("recall6"),
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+            .as("f16"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type, event_id, ts, value,
+               row_number() OVER win AS rn,
+               array_agg(value) OVER (win ROWS BETWEEN 24 PRECEDING
+                 AND CURRENT ROW) AS arr
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      u AS (SELECT event_type, event_id, ts, value,
+              list_sort(arr) AS sarr, arr,
+              CAST(round(value * 1e6) AS BIGINT) AS v6
+            FROM base WHERE rn >= 25),
+      roll AS (SELECT *, sarr[13] AS med25,
+                 list_sort(list_transform(arr, x -> abs(x - sarr[13])))[13]
+                   AS mad25,
+                 sarr[7] AS q1_v, sarr[19] AS q3_v
+               FROM u),
+      gstat AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, ts, event_id) AS wv,
+                  count(*) OVER wall AS n_u,
+                  CAST(sum(v6) OVER wall AS BIGINT) AS s1,
+                  sum(CAST(v6 AS HUGEINT) * v6) OVER wall AS s2
+                FROM roll WINDOW wall AS (PARTITION BY event_type)),
+      gmed AS (SELECT *, max(CASE WHEN wv = (n_u + 1) // 2
+                   THEN value END) OVER (PARTITION BY event_type) AS gm
+               FROM gstat),
+      truth AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY abs(value - gm) DESC, ts, event_id) <= 20
+                  AS is_true
+                FROM gmed),
+      flags AS (SELECT event_type, is_true,
+                  (value < q1_v - 1.5 * (q3_v - q1_v) OR
+                   value > q3_v + 1.5 * (q3_v - q1_v)) AS iqr_flag,
+                  CASE WHEN mad25 = 0 THEN value <> med25
+                       ELSE abs(0.6745 * (value - med25) / mad25) > 3.5
+                  END AS mad_flag,
+                  abs(CAST(n_u * v6 - s1 AS DOUBLE)) >
+                    3.0 * sqrt(CAST(CAST(n_u AS HUGEINT) * s2 -
+                      CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z_flag
+                FROM truth),
+      stacked AS (
+        SELECT event_type, 'iqr' AS detector, iqr_flag AS flag, is_true
+        FROM flags
+        UNION ALL
+        SELECT event_type, 'mad', mad_flag, is_true FROM flags
+        UNION ALL
+        SELECT event_type, 'zscore', z_flag, is_true FROM flags),
+      agg AS (SELECT event_type, detector,
+                CAST(sum(CASE WHEN flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN flag AND NOT is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN NOT flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+              FROM stacked GROUP BY 1, 2)
+      SELECT event_type, detector, tp, fp, fn,
+             CASE WHEN tp + fp > 0 THEN
+               round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             END AS precision6,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+               AS recall6,
+             round(CAST(2 * tp AS DOUBLE) /
+               CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f16
+      FROM agg"""))
 }

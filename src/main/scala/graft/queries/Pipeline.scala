@@ -3399,7 +3399,8 @@ object Pipeline {
     splitContaminationEntry, datasetCardEntry, docLenQuantilesEntry,
     decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
-    bpeApplyEntry, contamSemanticEntry, distinctHllEntry)
+    bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
+    sourceDivergenceEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -4848,21 +4849,10 @@ object Pipeline {
     * column (at 100 TB one would ship only the 64-register sketch and
     * merge downstream — the same mergeability argument as p25/p47).
     */
-  /** Linear-counting estimates 64*ln(64/V) for V = 1..64 empty
-    * registers, 6-dp fixed — evaluated once here and embedded as the
-    * SAME literal array in the Spark plan and the DuckDB oracle, so no
-    * engine evaluates ln itself.
-    */
-  // lazy: `entries` (declared above) constructs this entry during
-  // object init, before a forward-declared plain val would be assigned
-  private[queries] lazy val HllLcTable: Array[Double] = Array.tabulate(64)(v =>
-    java.math.BigDecimal.valueOf(64.0 * math.log(64.0 / (v + 1)))
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
-
   private[queries] def distinctHllEntry: Entry = {
-    import graft.functions.{HashScheme => H}
-    val lcLit = HllLcTable.mkString("array(", ",", ")")
-    val lcLitDuck = HllLcTable.mkString("[", ",", "]")
+    import graft.functions.{HashScheme => H, HllSketch => Hll}
+    val lcLit = Hll.LcTable.mkString("array(", ",", ")")
+    val lcLitDuck = Hll.LcTable.mkString("[", ",", "]")
     Entry("p82_distinct_hll", (s, dir) => {
       // one corpus scan, persisted: the register fold and the exact
       // calibration count both read the hashed postings (at 100 TB one
@@ -4934,4 +4924,83 @@ object Pipeline {
                   ELSE round(raw, 6) END AS hll_est
       FROM est"""))
   }
+
+  /** p83: source distributional-redundancy matrix — total-variation
+    * distance between per-source unigram TOKEN-FREQUENCY distributions,
+    * the data-mixing diagnostic complementing p77's KMV SET overlap
+    * (two sources can share 100% of their vocabulary yet weight it
+    * completely differently — TV sees that, Jaccard can't). TV is the
+    * one f-divergence expressible in exact rational arithmetic (KL and
+    * JS need ln, the cross-engine no-libm rule): with shared-token
+    * identity TV(a,b) = 1 − Σ_tok min(p_a, p_b), and over the common
+    * denominator n_a·n_b the whole fold is
+    * (n_a·n_b − Σ min(c_a·n_b, c_b·n_a)) / (n_a·n_b) — integer sums,
+    * ONE double division, identical IEEE result on both engines.
+    * Shape at 100 TB: one (source, tok) count shuffle (map-side
+    * combined), then a token-keyed join whose per-token fanout is
+    * bounded by S² (S = #sources, the declared small dim — 20 here);
+    * totals are an S-row broadcast; the full S² pair grid comes from a
+    * broadcast cross of the totals so never-overlapping pairs still
+    * report TV = 1. Products c·n stay int64 up to ~3e9 tokens/source;
+    * past that the fold's `least` operands move to decimal(38,0) with
+    * the SAME final double division (the a37 discipline).
+    */
+  private[queries] def sourceDivergenceEntry: Entry =
+    Entry("p83_source_divergence", (s, dir) => {
+      // totals from an INDEPENDENT cheap scan (size per doc, summed),
+      // not from `counts`: the eager broadcast jobs planning ta/tb
+      // would otherwise recompute the full token census before its
+      // cache is populated (3x the heavy scan, measured 5.7 s -> 1.5 s
+      // at sf0.01)
+      val totals = docs(s, dir)
+        .select(col("source"), size(toks).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n"))
+      val ta = totals.select(col("source").as("src_a"), col("n").as("n_a"))
+      val tb = totals.select(col("source").as("src_b"), col("n").as("n_b"))
+      val counts = docs(s, dir)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .join(broadcast(totals), "source")
+        .persist() // read twice: the two sides of the pair join
+      val shared = counts.select(col("source").as("src_a"), col("tok"),
+          col("c").as("c_a"), col("n").as("n_a"))
+        .join(counts.select(col("source").as("src_b"), col("tok"),
+          col("c").as("c_b"), col("n").as("n_b")), "tok")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(least(col("c_a") * col("n_b"), col("c_b") * col("n_a")))
+            .as("s_min"),
+          count(lit(1)).as("shared_tokens"))
+      // S x S grid of broadcast totals — the declared S² dim
+      broadcast(ta).crossJoin(broadcast(tb))
+        .filter(col("src_a") < col("src_b"))
+        .join(shared, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("shared_tokens"), lit(0L)).as("shared_tokens"),
+          round((col("n_a") * col("n_b") -
+              coalesce(col("s_min"), lit(0L))).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("tv6"))
+    }, Some(s"""
+      WITH d AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+      counts AS (SELECT source, tok, count(*) AS c
+                 FROM d GROUP BY source, tok),
+      totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                 FROM counts GROUP BY source),
+      shared AS (SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(sum(least(a.c * tb.n, b.c * ta.n)) AS BIGINT)
+                     AS s_min,
+                   count(*) AS shared_tokens
+                 FROM counts a JOIN counts b USING (tok)
+                 JOIN totals ta ON ta.source = a.source
+                 JOIN totals tb ON tb.source = b.source
+                 WHERE a.source < b.source
+                 GROUP BY 1, 2),
+      grid AS (SELECT ta.source AS src_a, tb.source AS src_b,
+                 ta.n AS n_a, tb.n AS n_b
+               FROM totals ta, totals tb WHERE ta.source < tb.source)
+      SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+             CAST(coalesce(s.shared_tokens, 0) AS BIGINT) AS shared_tokens,
+             round(CAST(g.n_a * g.n_b - coalesce(s.s_min, 0) AS DOUBLE) /
+                   CAST(g.n_a * g.n_b AS DOUBLE), 6) AS tv6
+      FROM grid g LEFT JOIN shared s USING (src_a, src_b)"""))
 }

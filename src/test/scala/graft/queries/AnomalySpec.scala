@@ -1368,4 +1368,71 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(prof >= motifMax(t),
         s"$t: discord profile $prof below a motif distance") }
   }
+
+  test("a54 detector scorecard == sequential recompute; truth budget " +
+    "and metric identities hold") {
+    def micro(x: Double): Long =
+      JBigDecimal.valueOf(x * 1000000.0)
+        .setScale(0, RoundingMode.HALF_UP).longValue
+    val raw = Tables.events(spark, sfDir)
+      .select("event_type", "event_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getDouble(3)))
+    val want = raw.groupBy(_._1).toSeq.flatMap { case (et, xs0) =>
+      val xs = xs0.sortBy(x => (x._3, x._2))
+      // scoreable universe: full 25-windows
+      case class U(eid: Long, ts: Long, v: Double, med25: Double,
+        mad25: Double, q1: Double, q3: Double)
+      val universe = (24 until xs.length).map { i =>
+        val arr = (i - 24 to i).map(xs(_)._4).toArray
+        val sarr = arr.sorted
+        val med = sarr(12)
+        U(xs(i)._2, xs(i)._3, xs(i)._4, med,
+          arr.map(x => math.abs(x - med)).sorted.apply(12), sarr(6),
+          sarr(18))
+      }
+      val nu = universe.length
+      val gm = universe.sortBy(u => (u.v, u.ts, u.eid))
+        .apply((nu + 1) / 2 - 1).v
+      val truth = universe
+        .sortBy(u => (-math.abs(u.v - gm), u.ts, u.eid)).take(20)
+        .map(_.eid).toSet
+      val s1 = universe.map(u => micro(u.v)).sum
+      val s2 = universe.map(u => BigInt(micro(u.v)) * micro(u.v)).sum
+      val gate = 3.0 * math.sqrt((BigInt(nu) * s2 - BigInt(s1) * s1)
+        .toDouble)
+      def score(det: String, flag: U => Boolean) = {
+        val tp = universe.count(u => flag(u) && truth(u.eid)).toLong
+        val fp = universe.count(u => flag(u) && !truth(u.eid)).toLong
+        val fn = universe.count(u => !flag(u) && truth(u.eid)).toLong
+        (et, det, tp, fp, fn,
+          if (tp + fp > 0) Some(rnd6(tp.toDouble / (tp + fp))) else None,
+          rnd6(tp.toDouble / (tp + fn)),
+          rnd6(2.0 * tp / (2 * tp + fp + fn)))
+      }
+      Seq(
+        score("iqr", u => u.v < u.q1 - 1.5 * (u.q3 - u.q1) ||
+          u.v > u.q3 + 1.5 * (u.q3 - u.q1)),
+        score("mad", u => if (u.mad25 == 0.0) u.v != u.med25
+          else math.abs(0.6745 * (u.v - u.med25) / u.mad25) > 3.5),
+        score("zscore",
+          u => math.abs((nu * micro(u.v) - s1).toDouble) > gate))
+    }.sorted
+    val got = Catalog.queries("a54_detector_scorecard")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getDouble(6), r.getDouble(7))).toSeq.sorted
+    assert(got === want)
+    // every (series, detector) row spends exactly the 20-row truth
+    // budget, and F1 sits between min(P, R) and max(P, R)
+    got.foreach { case (et, det, tp, _, fn, p, rec, f1) =>
+      assert(tp + fn === 20L, s"$et/$det truth budget violated")
+      p.foreach { pv =>
+        assert(f1 >= math.min(pv, rec) - 1e-6 &&
+          f1 <= math.max(pv, rec) + 1e-6, s"$et/$det F1 outside [P,R]")
+      }
+    }
+    assert(got.map(_._2).distinct.sorted === Seq("iqr", "mad", "zscore"))
+  }
 }

@@ -1856,7 +1856,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       val zeros = regs.count(_ == 0)
       val raw = 0.709 * 4096 * 3.6028797018963968e16 / s.toDouble
       val est =
-        if (zeros > 0 && raw <= 160.0) Pipeline.HllLcTable(zeros - 1)
+        if (zeros > 0 && raw <= 160.0)
+          graft.functions.HllSketch.LcTable(zeros - 1)
         else sparkRound(raw, 6)
       (src, hs.distinct.length.toLong, s, zeros.toLong, est)
     }.toSeq.sorted
@@ -1872,6 +1873,47 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(est - exact) <= 3 * 0.13 * exact + 3.0,
         s"$src exact=$exact est=$est outside 3-sigma HLL band")
     }
+  }
+
+  test("p83 source TV-divergence matrix == sequential recompute; " +
+    "metric bounds and empty-overlap convention hold") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), seqToks(r.getString(1))))
+    val counts: Map[String, Map[String, Long]] =
+      rows.groupBy(_._1).map { case (src, xs) =>
+        val m = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        xs.foreach(_._2.foreach(t => m(t) += 1L))
+        src -> m.toMap
+      }
+    val totals = counts.map { case (s, m) => s -> m.values.sum }
+    val srcs = counts.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = srcs(i); b = srcs(j)
+      na = totals(a); nb = totals(b)
+      shared = counts(a).keySet.intersect(counts(b).keySet)
+      sMin = shared.toSeq
+        .map(t => math.min(counts(a)(t) * nb, counts(b)(t) * na)).sum
+    } yield (a, b, na, nb, shared.size.toLong,
+      sparkRound((na * nb - sMin).toDouble / (na * nb).toDouble, 6)))
+      .toSeq.sorted
+    val got = run("p83_source_divergence").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(got === want)
+    // metric sanity: strict upper-triangle pair grid, TV in [0, 1],
+    // zero shared vocabulary forces the TV = 1 convention, and a
+    // corpus of distinct sources shows SOME distributional distance
+    assert(got.size === srcs.size * (srcs.size - 1) / 2)
+    got.foreach { case (a, b, _, _, sh, tv) =>
+      assert(a < b)
+      assert(tv >= 0.0 && tv <= 1.0, s"($a,$b) tv=$tv out of range")
+      if (sh == 0) assert(tv === 1.0)
+    }
+    assert(got.exists(_._6 > 0.0),
+      "all-zero TV would mean every source has the identical distribution")
   }
 }
 
