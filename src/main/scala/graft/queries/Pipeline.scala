@@ -3400,7 +3400,7 @@ object Pipeline {
     decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
-    sourceDivergenceEntry)
+    sourceDivergenceEntry, splitParityEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5003,4 +5003,112 @@ object Pipeline {
              round(CAST(g.n_a * g.n_b - coalesce(s.s_min, 0) AS DOUBLE) /
                    CAST(g.n_a * g.n_b AS DOUBLE), 6) AS tv6
       FROM grid g LEFT JOIN shared s USING (src_a, src_b)"""))
+
+  /** p84: split parity audit — the exchangeability check a split
+    * pipeline runs AFTER p31 assigns and p66/p67 prove leak-freedom:
+    * a leak-free split can still be a BAD split if val/test aren't
+    * distributionally representative of train (a lang or source or
+    * length stratum landing lopsidedly in one split silently skews
+    * every eval number). Per split pair and per feature (lang, source,
+    * n_chars-div-100 length bucket), the total-variation distance
+    * between the splits' feature histograms — p83's exact
+    * common-denominator integer fold, so the whole audit is integer
+    * sums + ONE double division per output row. A parity audit is a
+    * THRESHOLD consumer (TV above ~2-3x the sampling noise floor
+    * sqrt(|V|/n) flags the feature); this entry reports the raw
+    * distances and leaves the gate to the caller. Shape at 100 TB:
+    * one row per doc per feature (explode of a 3-struct literal), one
+    * (split, feature, value) count shuffle; totals are a 3-row
+    * broadcast (per-split doc counts — identical across features since
+    * every doc carries every feature exactly once); the value join's
+    * fanout is bounded by splits² = 9 per (feature, value).
+    */
+  private[queries] def splitParityEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    Entry("p84_split_parity", (s, dir) => {
+      val sp = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          expr(H.h32Spark("concat(cast(doc_id as string), ':split')") +
+            " % 100").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+      val totals = sp.groupBy("split").agg(count(lit(1)).as("n"))
+      val ta = totals.select(col("split").as("split_a"), col("n").as("n_a"))
+      val tb = totals.select(col("split").as("split_b"), col("n").as("n_b"))
+      val counts = sp
+        .select(col("split"), explode(expr(
+          "array(named_struct('feature', 'lang', 'val', lang)," +
+          "      named_struct('feature', 'source', 'val', source)," +
+          "      named_struct('feature', 'len_bucket'," +
+          "                   'val', cast(n_chars div 100 as string)))"))
+          .as("f"))
+        .groupBy(col("split"), col("f.feature").as("feature"),
+          col("f.val").as("val"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(totals), "split")
+        .persist() // read twice: the two sides of the pair join
+      val shared = counts.select(col("split").as("split_a"), col("feature"),
+          col("val"), col("c").as("c_a"), col("n").as("n_a"))
+        .join(counts.select(col("split").as("split_b"), col("feature"),
+          col("val"), col("c").as("c_b"), col("n").as("n_b")),
+          Seq("feature", "val"))
+        .filter(col("split_a") < col("split_b"))
+        .groupBy("split_a", "split_b", "feature")
+        .agg(sum(least(col("c_a") * col("n_b"), col("c_b") * col("n_a")))
+            .as("s_min"),
+          count(lit(1)).as("shared_values"))
+      broadcast(ta).crossJoin(broadcast(tb))
+        .filter(col("split_a") < col("split_b"))
+        .select(col("split_a"), col("split_b"),
+          explode(expr("array('lang', 'source', 'len_bucket')"))
+            .as("feature"),
+          col("n_a"), col("n_b"))
+        .join(shared, Seq("split_a", "split_b", "feature"), "left")
+        .select(col("split_a"), col("split_b"), col("feature"),
+          col("n_a"), col("n_b"),
+          coalesce(col("shared_values"), lit(0L)).as("shared_values"),
+          round((col("n_a") * col("n_b") -
+              coalesce(col("s_min"), lit(0L))).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("tv6"))
+    }, Some(s"""
+      WITH sp AS (SELECT doc_id, lang, source, n_chars,
+                    CASE WHEN b < 90 THEN 'train'
+                         WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+                  FROM (SELECT *, ${H.h32Duck(
+                    "CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS b
+                        FROM documents)),
+      totals AS (SELECT split, CAST(count(*) AS BIGINT) AS n
+                 FROM sp GROUP BY split),
+      feats AS (SELECT split, 'lang' AS feature, lang AS val FROM sp
+                UNION ALL SELECT split, 'source', source FROM sp
+                UNION ALL SELECT split, 'len_bucket',
+                  CAST(n_chars // 100 AS VARCHAR) FROM sp),
+      counts AS (SELECT split, feature, val, count(*) AS c
+                 FROM feats GROUP BY 1, 2, 3),
+      shared AS (SELECT a.split AS split_a, b.split AS split_b, a.feature,
+                   CAST(sum(least(a.c * tb.n, b.c * ta.n)) AS BIGINT)
+                     AS s_min,
+                   count(*) AS shared_values
+                 FROM counts a
+                 JOIN counts b ON a.feature = b.feature AND a.val = b.val
+                 JOIN totals ta ON ta.split = a.split
+                 JOIN totals tb ON tb.split = b.split
+                 WHERE a.split < b.split
+                 GROUP BY 1, 2, 3),
+      grid AS (SELECT ta.split AS split_a, tb.split AS split_b, f.feature,
+                 ta.n AS n_a, tb.n AS n_b
+               FROM totals ta, totals tb,
+                 (VALUES ('lang'), ('source'), ('len_bucket'))
+                   f(feature)
+               WHERE ta.split < tb.split)
+      SELECT g.split_a, g.split_b, g.feature, g.n_a, g.n_b,
+             CAST(coalesce(s.shared_values, 0) AS BIGINT)
+               AS shared_values,
+             round(CAST(g.n_a * g.n_b - coalesce(s.s_min, 0) AS DOUBLE) /
+                   CAST(g.n_a * g.n_b AS DOUBLE), 6) AS tv6
+      FROM grid g LEFT JOIN shared s
+        ON s.split_a = g.split_a AND s.split_b = g.split_b
+        AND s.feature = g.feature"""))
+  }
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Data-contract ingest for the text formats a corpus actually arrives
+  * in (JSON-lines and CSV): every row either parses against the
+  * DECLARED schema and passes its required-field contract, or lands in
+  * a quarantine frame with a reason code — never silently dropped,
+  * never silently null-padded. This is the ingest seam in front of the
+  * p-series pipeline: the parquet tables the catalog reads are what
+  * the GOOD side of this boundary produces.
+  *
+  * Shape at scale: both readers are Spark's native PERMISSIVE-mode
+  * sources — schema applied at scan time (no schema inference pass
+  * over 100 TB), malformed rows captured per-partition into the
+  * corrupt-record column, and the good/quarantine split is ONE
+  * predicate over the scanned frame (the two consumers share the scan
+  * under cache, or re-scan cheaply — no shuffle either way). Reason
+  * codes are computed with coalesce over the declared required
+  * columns, so the quarantine report names the FIRST violated field
+  * deterministically.
+  */
+object TextIngest {
+
+  /** Spark reserves this column name for the raw text of rows that
+    * fail to parse in PERMISSIVE mode.
+    */
+  val CorruptCol = "_corrupt_record"
+
+  /** An ingest result: contract-passing rows (schema columns only) and
+    * the quarantine (raw record + reason).
+    */
+  final case class Ingest(good: DataFrame, quarantine: DataFrame)
+
+  private def reasonCol(required: Seq[String]): Column =
+    coalesce(
+      (when(col(CorruptCol).isNotNull, lit("malformed_record")) +:
+        required.map(f =>
+          when(col(f).isNull, lit(s"missing_required:$f")))): _*)
+
+  private def split(
+      parsed: DataFrame,
+      schema: StructType,
+      required: Seq[String],
+      raw: Column): Ingest = {
+    val withReason = parsed.withColumn("reason", reasonCol(required))
+    val good = withReason.filter(col("reason").isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val quarantine = withReason.filter(col("reason").isNotNull)
+      .select(raw.as("raw"), col("reason"))
+    Ingest(good, quarantine)
+  }
+
+  /** JSON-lines ingest: `schema` declares the contract, `required`
+    * names the fields that must be present AND non-null. A row is
+    * quarantined as `malformed_record` (unparseable JSON / type
+    * mismatch) or `missing_required:<field>` (first violated field in
+    * declaration order).
+    */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      required: Seq[String]): Ingest = {
+    val parsed = spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+    split(parsed, schema, required,
+      coalesce(col(CorruptCol),
+        to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*))))
+  }
+
+  /** CSV ingest with the same contract semantics (header expected;
+    * a row with the wrong column count or an uncastable cell is
+    * `malformed_record`).
+    */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      required: Seq[String]): Ingest = {
+    val parsed = spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+    split(parsed, schema, required,
+      coalesce(col(CorruptCol),
+        concat_ws(",", schema.fieldNames.map(f =>
+          col(f).cast("string")).toIndexedSeq: _*)))
+  }
+}

@@ -1915,5 +1915,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._6 > 0.0),
       "all-zero TV would mean every source has the identical distribution")
   }
+
+  test("p84 split parity == sequential recompute over p31's split rule; " +
+    "pair grid complete and TV bounded") {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map { r =>
+        val split = h32(s"${r.getLong(0)}:split") % 100 match {
+          case b if b < 90 => "train"
+          case b if b < 95 => "val"
+          case _ => "test"
+        }
+        (split, r.getString(1), r.getString(2), r.getLong(3) / 100)
+      }
+    val totals = rows.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val feats: Map[String, String => Map[String, Long]] = Map(
+      "lang" -> (sp => rows.filter(_._1 == sp).groupBy(_._2)
+        .map { case (v, xs) => v -> xs.length.toLong }),
+      "source" -> (sp => rows.filter(_._1 == sp).groupBy(_._3)
+        .map { case (v, xs) => v -> xs.length.toLong }),
+      "len_bucket" -> (sp => rows.filter(_._1 == sp).groupBy(_._4.toString)
+        .map { case (v, xs) => v -> xs.length.toLong }))
+    val splits = totals.keys.toSeq.sorted
+    val want = (for {
+      i <- splits.indices; j <- (i + 1) until splits.length
+      a = splits(i); b = splits(j)
+      f <- Seq("lang", "source", "len_bucket")
+      ca = feats(f)(a); cb = feats(f)(b)
+      na = totals(a); nb = totals(b)
+      sharedVals = ca.keySet.intersect(cb.keySet)
+      sMin = sharedVals.toSeq.map(v => math.min(ca(v) * nb, cb(v) * na)).sum
+    } yield (a, b, f, na, nb, sharedVals.size.toLong,
+      sparkRound((na * nb - sMin).toDouble / (na * nb).toDouble, 6)))
+      .toSeq.sorted
+    val got = run("p84_split_parity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toSeq.sorted
+    assert(got === want)
+    assert(got.size === 9, "3 split pairs x 3 features")
+    got.foreach { case (a, b, _, _, _, _, tv) =>
+      assert(a < b)
+      assert(tv >= 0.0 && tv <= 1.0)
+    }
+  }
 }
 

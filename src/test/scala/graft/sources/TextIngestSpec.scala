@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TextIngestSpec extends AnyFunSuite with SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  private def write(name: String, lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-ingest")
+    val p = dir.resolve(name)
+    Files.write(p, String.join("\n", lines: _*).getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("jsonl ingest: contract rows pass, malformed and " +
+    "missing-required rows quarantine with reason codes; " +
+    "no row is silently dropped") {
+    val path = write("docs.jsonl", Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr"}""",
+      """{"doc_id": 3, "lang": "en"}""",
+      """{"doc_id": null, "text": "orphan", "lang": "en"}""",
+      """{"doc_id": "not-a-number", "text": "bad type", "lang": "en"}""",
+      """{broken json""",
+      """{"doc_id": 4, "text": "extra is fine", "lang": "de", "x": 9}"""))
+    val ing = TextIngest.jsonl(spark, path, schema,
+      required = Seq("doc_id", "text"))
+
+    val good = ing.good.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(good === Array((1L, "hello world", "en"), (2L, "bonjour", "fr"),
+      (4L, "extra is fine", "de")))
+    assert(ing.good.columns.toSeq === Seq("doc_id", "text", "lang"),
+      "good side must carry exactly the declared schema")
+
+    val quar = ing.quarantine.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(quar.length === 4)
+    val reasons = quar.map(_._2).sorted
+    assert(reasons === Array("malformed_record", "malformed_record",
+      "missing_required:doc_id", "missing_required:text"))
+    // conservation: every input line is accounted for exactly once
+    assert(good.length + quar.length === 7)
+    // the raw record survives quarantine for replay/debugging
+    assert(quar.exists(_._1.contains("broken json")))
+    assert(quar.exists(_._1.contains("orphan")))
+  }
+
+  test("csv ingest: header honored, type-mismatch and short rows " +
+    "quarantine, required-null reasons name the first violated field") {
+    val path = write("docs.csv", Seq(
+      "doc_id,text,lang",
+      "1,hello,en",
+      "2,bonjour,fr",
+      "oops,bad id,en",
+      "3,,en",
+      "4,ok,"))
+    val ing = TextIngest.csv(spark, path, schema,
+      required = Seq("doc_id", "text"))
+    val good = ing.good.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).sorted
+    // lang is NOT required: row 4's empty lang stays good with null
+    assert(good === Array((1L, "hello", Some("en")),
+      (2L, "bonjour", Some("fr")), (4L, "ok", None)))
+    val quar = ing.quarantine.collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    assert(quar.map(_._2).toSeq ===
+      Seq("malformed_record", "missing_required:text"))
+    assert(good.length + quar.length === 5)
+  }
+}
