@@ -3400,7 +3400,7 @@ object Pipeline {
     decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
-    sourceDivergenceEntry, splitParityEntry)
+    sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5110,5 +5110,63 @@ object Pipeline {
       FROM grid g LEFT JOIN shared s
         ON s.split_a = g.split_a AND s.split_b = g.split_b
         AND s.feature = g.feature"""))
+  }
+
+  /** p85: vocabulary coverage curve — cumulative token mass captured
+    * by the top-r vocabulary entries at doubling ranks, the
+    * "how big a vocab do I need" planner view behind p27's fixed-vocab
+    * OOV rate and p79/p80's BPE sizing (a tokenizer team reads this
+    * curve before choosing 32k vs 64k vs 128k). Ranking is (count
+    * desc, token) so ties are deterministic; coverage is cum/total —
+    * two exact integers, ONE double division per output row. Probe
+    * ranks past the actual vocabulary clamp to the full mass
+    * (coverage 1.0) instead of dropping, so the curve always has the
+    * same 6 rows. Shape at 100 TB: ONE map-side-combined corpus count
+    * shuffle; the rank window runs over the VOCAB-sized table (p32's
+    * argument — bounded by distinct tokens, not corpus tokens), and
+    * the probe join is 6 literal rows against the ranked vocab.
+    */
+  private[queries] def vocabCoverageEntry: Entry = {
+    val probeRanks = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+    val ranksLit = probeRanks.mkString("array(", ",", ")")
+    val ranksDuck = probeRanks.mkString("[", ",", "]")
+    Entry("p85_vocab_coverage", (s, dir) => {
+      val wRank = Window.orderBy(col("c").desc, col("tok"))
+      val ranked = docs(s, dir)
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("cum",
+          sum("c").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = ranked.agg(max(col("cum")).as("total_tokens"),
+        max(col("rn")).as("vocab_size"))
+      broadcast(tot)
+        .select(explode(expr(s"cast($ranksLit as array<bigint>)")).as("r"),
+          col("total_tokens"), col("vocab_size"))
+        .withColumn("rq", least(col("r"), col("vocab_size")))
+        .join(ranked.select(col("rn"), col("cum")), col("rq") === col("rn"))
+        .select(col("r"), col("vocab_size"), col("cum").as("cum_tokens"),
+          col("total_tokens"),
+          round(col("cum").cast("double") /
+            col("total_tokens").cast("double"), 6).as("coverage6"))
+    }, Some(s"""
+      WITH counts AS (SELECT tok, count(*) AS c
+                      FROM (SELECT unnest($toksSql) AS tok
+                            FROM documents)
+                      GROUP BY tok),
+      ranked AS (SELECT tok, c,
+                   CAST(row_number() OVER ord AS BIGINT) AS rn,
+                   CAST(sum(c) OVER (ord ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum
+                 FROM counts WINDOW ord AS (ORDER BY c DESC, tok)),
+      tot AS (SELECT max(cum) AS total_tokens, max(rn) AS vocab_size
+              FROM ranked),
+      probes AS (SELECT unnest($ranksDuck::BIGINT[]) AS r,
+                   total_tokens, vocab_size FROM tot)
+      SELECT p.r, p.vocab_size, k.cum AS cum_tokens, p.total_tokens,
+             round(CAST(k.cum AS DOUBLE) /
+                   CAST(p.total_tokens AS DOUBLE), 6) AS coverage6
+      FROM probes p JOIN ranked k
+        ON k.rn = least(p.r, p.vocab_size)"""))
   }
 }

@@ -1964,5 +1964,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(tv >= 0.0 && tv <= 1.0)
     }
   }
+
+  test("p85 vocab coverage curve == sequential recompute; monotone, " +
+    "clamped past the vocabulary, ends at full mass") {
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().flatMap(r => seqToks(r.getString(0)))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val cums = ranked.scanLeft(0L)(_ + _._2).drop(1)
+    val total = cums.last
+    val vocab = ranked.size.toLong
+    val want = Seq(1L, 2L, 4L, 8L, 16L, 32L).map { r =>
+      val cum = cums(math.min(r, vocab).toInt - 1)
+      (r, vocab, cum, total, sparkRound(cum.toDouble / total.toDouble, 6))
+    }.sorted
+    val got = run("p85_vocab_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    assert(got === want)
+    // curve shape: coverage non-decreasing in r, positive from rank 1,
+    // and any probe at or past the vocab size captures ALL the mass
+    val byR = got.sortBy(_._1)
+    assert(byR.map(_._5) === byR.map(_._5).sorted)
+    assert(byR.head._5 > 0.0)
+    byR.filter(t => t._1 >= t._2).foreach { t =>
+      assert(t._3 === t._4 && t._5 === 1.0,
+        s"rank ${t._1} >= vocab ${t._2} must cover everything")
+    }
+  }
 }
 
