@@ -3400,7 +3400,8 @@ object Pipeline {
     decontamExciseEntry, neardupFirstClaimEntry, coresetKcenterEntry,
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
-    sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry)
+    sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
+    vocabGrowthEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5168,5 +5169,132 @@ object Pipeline {
                    CAST(p.total_tokens AS DOUBLE), 6) AS coverage6
       FROM probes p JOIN ranked k
         ON k.rn = least(p.r, p.vocab_size)"""))
+  }
+
+  /** p86: vocabulary union-growth curve via MERGED HLL sketches — the
+    * source-acquisition planner view ("which source actually adds new
+    * vocabulary, which is redundant with what we already have"): per
+    * source in lexicographic order, the cumulative distinct-token
+    * count over all sources so far, exact AND estimated by merging the
+    * per-source p82 register sketches. This entry is the sketch
+    * family's MERGEABILITY demonstration made useful: at 100 TB the
+    * per-source sketches are 64 rows each, and the whole growth curve
+    * folds from the S×64 sketch table with ZERO additional corpus
+    * reads — merge = element-wise register max, expressed as a
+    * window running-max per bucket over the source order (a dense
+    * S×B grid so absent registers participate as 0). The exact twin
+    * rides the SAME one corpus scan: a token's first-appearance source
+    * (min source per hash) turns cumulative-distinct into a running
+    * sum of first-appearance counts — no re-scan per prefix, no S
+    * passes. Estimate fold identical to p82 (one double division +
+    * the shared LC literal table).
+    */
+  private[queries] def vocabGrowthEntry: Entry = {
+    import graft.functions.{HashScheme => H, HllSketch => Hll}
+    val lcLit = Hll.LcTable.mkString("array(", ",", ")")
+    val lcLitDuck = Hll.LcTable.mkString("[", ",", "]")
+    Entry("p86_vocab_growth", (s, dir) => {
+      val posts = docs(s, dir)
+        .select(col("source"), explode(toks).as("tok"))
+        .select(col("source"), expr(H.h60Spark("tok")).as("h"))
+        .persist() // read twice: register build + first-appearance twin
+      val regs = posts
+        .select(col("source"),
+          expr(s"h div ${Hll.SuffixMod}").as("bucket"),
+          expr(s"h % ${Hll.SuffixMod}").as("w"))
+        .select(col("source"), col("bucket"),
+          when(col("w") === 0L, lit(55L))
+            .otherwise(lit(55L) - length(bin(col("w"))).cast("long"))
+            .as("rho"))
+        .groupBy("source", "bucket").agg(max(col("rho")).as("m"))
+        .persist() // tiny (S x <=64); read for grid dims + the merge
+      val srcs = regs.select("source").distinct()
+      val bks = regs.select("bucket").distinct()
+      val nBuckets = bks.agg(count(lit(1)).as("n_b"))
+      val wCum = Window.partitionBy("bucket").orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val folds = broadcast(srcs).crossJoin(broadcast(bks))
+        .join(regs, Seq("source", "bucket"), "left")
+        .withColumn("m0", coalesce(col("m"), lit(0L)))
+        .withColumn("mc", max(col("m0")).over(wCum))
+        .groupBy("source")
+        .agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - mc as int))"))
+            .as("s_grid"),
+          sum(when(col("mc") === 0L, 1L).otherwise(0L)).as("zero_grid"))
+        .crossJoin(broadcast(nBuckets))
+        .select(col("source"),
+          (col("s_grid") +
+            (lit(Hll.M.toLong) - col("n_b")) * lit(Hll.AbsentTerm))
+            .as("s_reg"),
+          (col("zero_grid") + lit(Hll.M.toLong) - col("n_b"))
+            .as("zero_regs"))
+        .withColumn("raw",
+          lit(Hll.Alpha) * lit(Hll.M * Hll.M) *
+            lit(Hll.AbsentTerm.toDouble) / col("s_reg").cast("double"))
+        .select(col("source"),
+          when(col("zero_regs") > 0 && col("raw") <= Hll.LcThreshold,
+            expr(s"element_at($lcLit, cast(zero_regs as int))"))
+            .otherwise(round(col("raw"), 6)).as("hll_cum_est"))
+      val wSrc = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val exact = posts.groupBy("h").agg(min(col("source")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("new_tokens"))
+      broadcast(srcs).join(exact, Seq("source"), "left")
+        .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+        .withColumn("exact_cum", sum(col("new_tokens")).over(wSrc))
+        .join(folds, "source")
+        .select(col("source"), col("new_tokens"), col("exact_cum"),
+          col("hll_cum_est"))
+    }, Some(s"""
+      WITH posts AS (
+        SELECT source, ${H.h60Duck("tok")} AS h
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+      regs AS (SELECT source, h // ${Hll.SuffixMod} AS bucket,
+                 max(CASE WHEN h % ${Hll.SuffixMod} = 0 THEN 55
+                      ELSE 55 - length(bin(h % ${Hll.SuffixMod})) END)
+                   AS m
+               FROM posts GROUP BY 1, 2),
+      srcs AS (SELECT DISTINCT source FROM regs),
+      bks AS (SELECT DISTINCT bucket FROM regs),
+      nb AS (SELECT count(*) AS n_b FROM bks),
+      grid AS (SELECT s.source, b.bucket,
+                 coalesce(r.m, 0) AS m0
+               FROM srcs s CROSS JOIN bks b
+               LEFT JOIN regs r
+                 ON r.source = s.source AND r.bucket = b.bucket),
+      cum AS (SELECT source, bucket,
+                max(m0) OVER (PARTITION BY bucket ORDER BY source
+                  ROWS UNBOUNDED PRECEDING) AS mc
+              FROM grid),
+      folds AS (SELECT source,
+                  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mc AS INTEGER))
+                    AS BIGINT) AS s_grid,
+                  sum(CASE WHEN mc = 0 THEN 1 ELSE 0 END) AS zero_grid
+                FROM cum GROUP BY source),
+      est AS (SELECT f.source,
+                CAST(f.s_grid + (${Hll.M} - nb.n_b) * ${Hll.AbsentTerm}
+                  AS BIGINT) AS s_reg,
+                CAST(f.zero_grid + ${Hll.M} - nb.n_b AS BIGINT)
+                  AS zero_regs,
+                CAST(${Hll.Alpha} AS DOUBLE) * ${Hll.M * Hll.M} *
+                  ${Hll.AbsentTerm.toDouble} /
+                  CAST(f.s_grid + (${Hll.M} - nb.n_b) * ${Hll.AbsentTerm}
+                    AS DOUBLE) AS raw
+              FROM folds f CROSS JOIN nb),
+      firsts AS (SELECT min(source) AS source, h
+                 FROM posts GROUP BY h),
+      newc AS (SELECT source, CAST(count(*) AS BIGINT) AS new_tokens
+               FROM firsts GROUP BY source),
+      run AS (SELECT s.source, coalesce(n.new_tokens, 0) AS new_tokens,
+                CAST(sum(coalesce(n.new_tokens, 0)) OVER (ORDER BY
+                  s.source ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS exact_cum
+              FROM srcs s LEFT JOIN newc n ON n.source = s.source)
+      SELECT r.source, CAST(r.new_tokens AS BIGINT) AS new_tokens,
+             r.exact_cum,
+             CASE WHEN e.zero_regs > 0 AND e.raw <= ${Hll.LcThreshold}
+                  THEN ($lcLitDuck)[CAST(e.zero_regs AS INTEGER)]
+                  ELSE round(e.raw, 6) END AS hll_cum_est
+      FROM run r JOIN est e ON e.source = r.source"""))
   }
 }

@@ -1992,5 +1992,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"rank ${t._1} >= vocab ${t._2} must cover everything")
     }
   }
+
+  test("p86 HLL union-growth curve == sequential merged-register " +
+    "recompute; exact cumulative monotone and conserved") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), seqToks(r.getString(1)).map(h60)))
+    val bySrc = rows.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap(_._2)
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val regs = new Array[Int](64)
+    val seen = scala.collection.mutable.Set[Long]()
+    var prevCum = 0L
+    val want = srcs.map { src =>
+      bySrc(src).foreach { h =>
+        val bucket = (h >> 54).toInt
+        val w = h & ((1L << 54) - 1)
+        val rho = if (w == 0) 55
+          else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val newToks = bySrc(src).filterNot(seen).distinct.length.toLong
+      seen ++= bySrc(src)
+      val sReg = regs.map(m => 1L << (55 - m)).sum
+      val zeros = regs.count(_ == 0).toLong
+      val raw = 0.709 * 4096 * 3.6028797018963968e16 / sReg.toDouble
+      val est =
+        if (zeros > 0 && raw <= 160.0)
+          graft.functions.HllSketch.LcTable(zeros.toInt - 1)
+        else sparkRound(raw, 6)
+      (src, newToks, seen.size.toLong, est)
+    }
+    val got = run("p86_vocab_growth").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(got === want)
+    // conservation: cumulative counts are the running sum of new
+    // tokens and end at the corpus-wide distinct count
+    got.foreach { case (_, nt, cum, _) =>
+      assert(cum === prevCum + nt); prevCum = cum
+    }
+    assert(got.last._3 ===
+      rows.flatMap(_._2).distinct.length.toLong)
+  }
 }
 
