@@ -4923,7 +4923,7 @@ object Pipeline {
              CASE WHEN zero_regs > 0 AND raw <= 160.0
                   THEN ($lcLitDuck)[CAST(zero_regs AS INTEGER)]
                   ELSE round(raw, 6) END AS hll_est
-      FROM est"""))
+      FROM est"""), bench = true)
   }
 
   /** p83: source distributional-redundancy matrix — total-variation
@@ -5003,7 +5003,8 @@ object Pipeline {
              CAST(coalesce(s.shared_tokens, 0) AS BIGINT) AS shared_tokens,
              round(CAST(g.n_a * g.n_b - coalesce(s.s_min, 0) AS DOUBLE) /
                    CAST(g.n_a * g.n_b AS DOUBLE), 6) AS tv6
-      FROM grid g LEFT JOIN shared s USING (src_a, src_b)"""))
+      FROM grid g LEFT JOIN shared s USING (src_a, src_b)"""),
+      bench = true)
 
   /** p84: split parity audit — the exchangeability check a split
     * pipeline runs AFTER p31 assigns and p66/p67 prove leak-freedom:
