@@ -3401,7 +3401,7 @@ object Pipeline {
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
-    vocabGrowthEntry)
+    vocabGrowthEntry, longestRunEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5297,5 +5297,91 @@ object Pipeline {
                   THEN ($lcLitDuck)[CAST(e.zero_regs AS INTEGER)]
                   ELSE round(e.raw, 6) END AS hll_cum_est
       FROM run r JOIN est e ON e.source = r.source"""))
+  }
+
+  /** p87: longest common token RUN per near-dup pair — the
+    * plagiarism-style evidence behind an LSH hit: p04's est_jaccard
+    * says two docs overlap; this says whether the overlap is one long
+    * verbatim passage (quotation / mirrored section → excise the span,
+    * p74) or many short scattered repeats (template / boilerplate →
+    * drop a doc, p02). Suffix-array-lite: matched 8-gram positions
+    * between the pair land on diagonals (pos_a − pos_b); a run of L
+    * consecutive matched starts on one diagonal certifies a common
+    * substring of L+7 tokens (exact, not estimated — every token in
+    * the span is covered by a matched 8-gram). Runs are the q35
+    * gaps-and-islands grouping (pos − row_number per diagonal). Pairs
+    * with overlap below the 8-token resolution report lcs_tokens = 0.
+    * Shape at 100 TB: gram postings are built ONLY for docs appearing
+    * in the LSH pair list (semi-join prune — the corpus never explodes
+    * 8-grams globally), match volume is per-pair positions of SHARED
+    * grams (near-dup pairs by construction), and the xxhash64 gram
+    * identity keeps the join key 8 bytes (p03's collision rationale;
+    * the oracle matches the gram STRINGS).
+    */
+  private[queries] def longestRunEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    Entry("p87_longest_common_run", (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = minhashLshPairs(d).select("doc_a", "doc_b").persist()
+      val inPairs = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val g8 = d.join(inPairs, "doc_id")
+        .withColumn("sh", TextHashFunctions.ngram_hashes(toks, 8))
+        .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "h")))
+      val m = pairs
+        .join(g8.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+          col("h")), "doc_a")
+        .join(g8.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+          col("h")), Seq("doc_b", "h"))
+        .persist() // read twice: island runs + matched-gram count
+      val wRun = Window.partitionBy("doc_a", "doc_b", "diag")
+        .orderBy("pos_a")
+      val best = m
+        .withColumn("diag", col("pos_a") - col("pos_b"))
+        .withColumn("grp",
+          col("pos_a") - row_number().over(wRun))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(count(lit(1)).as("runlen"))
+        .groupBy("doc_a", "doc_b").agg(max(col("runlen")).as("maxrun"))
+      val mg = m.groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("matched_grams"))
+      pairs
+        .join(best, Seq("doc_a", "doc_b"), "left")
+        .join(mg, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("maxrun") + 7L, lit(0L)).as("lcs_tokens"),
+          coalesce(col("matched_grams"), lit(0L)).as("matched_grams"))
+    }, Some(s"""
+      WITH $lshPairsOracleCtes,
+      pdocs AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs)),
+      g8 AS (SELECT d.doc_id, j AS pos,
+               array_to_string(toks[j:j+7], ' ') AS g
+             FROM docs d JOIN pdocs USING (doc_id),
+               UNNEST(CASE WHEN len(toks) >= 8
+                           THEN range(1, len(toks) - 6)
+                           ELSE [] END) t(j)),
+      m AS MATERIALIZED (SELECT p.doc_a, p.doc_b, a.pos AS pos_a,
+               b.pos AS pos_b
+             FROM pairs p
+             JOIN g8 a ON a.doc_id = p.doc_a
+             JOIN g8 b ON b.doc_id = p.doc_b AND b.g = a.g),
+      runs AS (SELECT doc_a, doc_b, diag, grp, count(*) AS runlen
+               FROM (SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+                       pos_a - row_number() OVER (
+                         PARTITION BY doc_a, doc_b, pos_a - pos_b
+                         ORDER BY pos_a) AS grp
+                     FROM m)
+               GROUP BY 1, 2, 3, 4),
+      best AS (SELECT doc_a, doc_b, max(runlen) AS maxrun
+               FROM runs GROUP BY 1, 2),
+      mg AS (SELECT doc_a, doc_b, count(*) AS n FROM m GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b,
+             CAST(coalesce(b.maxrun + 7, 0) AS BIGINT) AS lcs_tokens,
+             CAST(coalesce(mg.n, 0) AS BIGINT) AS matched_grams
+      FROM pairs p
+      LEFT JOIN best b ON b.doc_a = p.doc_a AND b.doc_b = p.doc_b
+      LEFT JOIN mg ON mg.doc_a = p.doc_a AND mg.doc_b = p.doc_b"""))
   }
 }

@@ -2041,5 +2041,49 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.last._3 ===
       rows.flatMap(_._2).distinct.length.toLong)
   }
+
+  test("p87 longest common run == true DP longest-common-substring on " +
+    "every LSH pair (exact at >= 8 tokens, 0 below resolution)") {
+    val toksById = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> seqToks(r.getString(1))).toMap
+    val pairs = run("p04_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must surface LSH pairs")
+    def lcsSub(a: Array[String], b: Array[String]): Int = {
+      // classic O(|a||b|) suffix table for longest common SUBSTRING
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    def grams(a: Array[String]): Seq[String] =
+      if (a.length < 8) Seq.empty
+      else (0 to a.length - 8).map(i => a.slice(i, i + 8).mkString(" "))
+    val want = pairs.map { case (da, db) =>
+      val (ta, tb) = (toksById(da), toksById(db))
+      val l = lcsSub(ta, tb)
+      val ga = grams(ta)
+      val gbSet = grams(tb).groupBy(identity).view.mapValues(_.size).toMap
+      val matched = ga.map(g => gbSet.getOrElse(g, 0).toLong).sum
+      (da, db, if (l >= 8) l.toLong else 0L, matched)
+    }.toSeq.sorted
+    val got = run("p87_longest_common_run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === want)
+    // evidence sanity: a certified run implies at least one matched
+    // gram, and lcs below the 8-gram resolution reports 0, never 1..7
+    got.foreach { case (_, _, lcs, mg) =>
+      assert(lcs == 0L || lcs >= 8L)
+      assert((lcs >= 8L) == (mg > 0L))
+    }
+    assert(got.exists(_._3 >= 8L),
+      "near-dup corpus should certify at least one verbatim span")
+  }
 }
 
