@@ -862,4 +862,47 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
           esdLines.mkString("\n"))
     }
   }
+
+  test("p83/p84: the only loop joins are the declared S^2 broadcast " +
+    "grids; the census partial-aggregates before its shuffle") {
+    for (name <- Seq("p83_source_divergence", "p84_split_parity")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: unpartitioned cartesian:\n" + p)
+      assert(countOf(p, "BroadcastNestedLoopJoin") <= 1,
+        s"$name: only the S x S totals grid may nested-loop:\n" + p)
+      // the corpus-sized count shuffle must combine map-side
+      assert(p.contains("partial_count"),
+        s"$name: census must partially aggregate before the exchange:\n" + p)
+    }
+  }
+
+  test("p86: growth curve folds from the sketch grid — loop joins " +
+    "bounded by the declared S x B dims") {
+    val p = plan("p86_vocab_growth")
+    assert(!p.contains("CartesianProduct"), "unpartitioned cartesian:\n" + p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 2,
+      "only the S x B grid and the 1-row bucket-count cross may " +
+        "nested-loop:\n" + p)
+  }
+
+  test("p87: gram postings are pruned to pair-listed docs BEFORE the " +
+    "position explode — the corpus never explodes 8-grams globally") {
+    val p = plan("p87_longest_common_run")
+    val lines = p.linesIterator.toIndexedSeq
+    val gens = lines.zipWithIndex.filter(_._1.contains("Generate posexplode"))
+    assert(gens.nonEmpty, "position explode missing:\n" + p)
+    gens.foreach { case (_, i) =>
+      // executedPlan prints top-down: the Generate's input subtree
+      // (which must contain the pair-doc semi-join) prints after it,
+      // before the documents scan it feeds on
+      val below = lines.drop(i + 1)
+      val scanAt = below.indexWhere(l =>
+        l.contains("Scan parquet") || l.contains("FileScan"))
+      assert(scanAt >= 0, "documents scan missing under the explode:\n" + p)
+      assert(below.take(scanAt).exists(_.contains("Join")),
+        "explode must sit above the pair-doc prune join:\n" + p)
+    }
+    assert(!p.contains("CartesianProduct"), "unpartitioned cartesian:\n" + p)
+  }
 }
