@@ -1,5 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Shared constants and the estimate fold for the 64-register
   * HyperLogLog sketch (Flajolet et al. 2007) used by the p82 batch
   * census and its streaming twin [[graft.streaming.StreamingDistinctHll]].
@@ -44,4 +47,32 @@ object HllSketch {
   lazy val LcTable: Array[Double] = Array.tabulate(M)(v =>
     java.math.BigDecimal.valueOf(M * math.log(M.toDouble / (v + 1)))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+
+  /** Cardinality estimates from a register table carrying `bucket` /
+    * `m` columns plus arbitrary grouping keys — the exact-integer fold
+    * shared by the per-source census (p82), its streaming twin, and
+    * the windowed variant: S stays int64, the raw estimate is one
+    * double division, small-range linear counting comes from the
+    * precomputed [[LcTable]] (no libm at query time). Output: the key
+    * columns + `hll_est`.
+    */
+  def estimate(registers: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val lcLit = LcTable.mkString("array(", ",", ")")
+    registers
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+          .as("s_present"),
+        count(lit(1)).as("present"))
+      .withColumn("s_reg",
+        col("s_present") + (lit(M.toLong) - col("present")) * lit(AbsentTerm))
+      .withColumn("zero_regs", lit(M.toLong) - col("present"))
+      .withColumn("raw",
+        lit(Alpha) * lit(M * M) * lit(AbsentTerm.toDouble) /
+          col("s_reg").cast("double"))
+      .select(keyCols.map(col) :+
+        when(col("zero_regs") > 0 && col("raw") <= LcThreshold,
+          expr(s"element_at($lcLit, cast(zero_regs as int))"))
+          .otherwise(round(col("raw"), 6)).as("hll_est"): _*)
+  }
 }

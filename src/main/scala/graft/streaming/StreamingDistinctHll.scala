@@ -68,25 +68,6 @@ object StreamingDistinctHll {
     * counting comes from the shared precomputed [[HllSketch.LcTable]]
     * (no libm at query time).
     */
-  def estimate(registers: DataFrame): DataFrame = {
-    val lcLit = Hll.LcTable.mkString("array(", ",", ")")
-    registers
-      .groupBy("source")
-      .agg(
-        sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
-          .as("s_present"),
-        count(lit(1)).as("present"))
-      .select(col("source"),
-        (col("s_present") +
-          (lit(Hll.M.toLong) - col("present")) * lit(Hll.AbsentTerm))
-          .as("s_reg"),
-        (lit(Hll.M.toLong) - col("present")).as("zero_regs"))
-      .withColumn("raw",
-        lit(Hll.Alpha) * lit(Hll.M * Hll.M) * lit(Hll.AbsentTerm.toDouble) /
-          col("s_reg").cast("double"))
-      .select(col("source"),
-        when(col("zero_regs") > 0 && col("raw") <= Hll.LcThreshold,
-          expr(s"element_at($lcLit, cast(zero_regs as int))"))
-          .otherwise(round(col("raw"), 6)).as("hll_est"))
-  }
+  def estimate(registers: DataFrame): DataFrame =
+    Hll.estimate(registers, Seq("source"))
 }
