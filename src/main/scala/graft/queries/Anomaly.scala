@@ -2181,7 +2181,8 @@ object Anomaly {
     forecastBandEntry,
     discordEntry,
     motifEntry,
-    scorecardEntry
+    scorecardEntry,
+    detectorOverlapEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -3816,81 +3817,12 @@ object Anomaly {
     * (explode of a 3-element literal array), and the final aggregate
     * is series × 3 rows.
     */
-  private[queries] def scorecardEntry: Entry =
-    Entry("a54_detector_scorecard", (s, dir) => {
-      val w = 25
-      val mid = 13
-      val wRn = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      val frame = wRn.rowsBetween(-(w - 1), 0)
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type")
-      val wVal = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type")
-        .orderBy(col("value"), col("ts"), col("event_id"))
-      val wDev = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type")
-        .orderBy(col("dev").desc, col("ts"), col("event_id"))
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), col("ts"), col("value"))
-        .withColumn("rn", row_number().over(wRn))
-        .withColumn("arr", collect_list(col("value")).over(frame))
-        .filter(col("rn") >= w)
-        .withColumn("sarr", array_sort(col("arr")))
-        .withColumn("med25", expr(s"element_at(sarr, $mid)"))
-        .withColumn("mad25", expr(
-          s"element_at(array_sort(transform(arr, x -> abs(x - med25))), $mid)"))
-        .withColumn("q1_v", expr("element_at(sarr, 7)"))
-        .withColumn("q3_v", expr("element_at(sarr, 19)"))
-        .withColumn("v6", expr("cast(round(value * 1e6) as bigint)"))
-        .withColumn("wv", row_number().over(wVal).cast("long"))
-        .withColumn("n_u", count(lit(1)).over(wAll))
-        .withColumn("gmed", max(when(
-          col("wv") === expr("(n_u + 1) div 2"), col("value"))).over(wAll))
-        .withColumn("s1", sum(col("v6")).over(wAll))
-        .withColumn("s2", sum(dec(col("v6")) * col("v6")).over(wAll))
-        .withColumn("dev", abs(col("value") - col("gmed")))
-        .withColumn("tr", row_number().over(wDev))
-        .withColumn("is_true", col("tr") <= 20)
-        .withColumn("iqr_flag",
-          col("value") < col("q1_v") - lit(1.5) * (col("q3_v") - col("q1_v")) ||
-          col("value") > col("q3_v") + lit(1.5) * (col("q3_v") - col("q1_v")))
-        .withColumn("mad_flag",
-          when(col("mad25") === 0.0, col("value") =!= col("med25"))
-            .otherwise(abs(lit(0.6745) * (col("value") - col("med25")) /
-              col("mad25")) > 3.5))
-        .withColumn("z_flag",
-          abs(col("n_u") * col("v6") - col("s1")).cast("double") >
-            lit(3.0) * sqrt((dec(col("n_u")) * col("s2") -
-              dec(col("s1")) * col("s1")).cast("double")))
-        .select(col("event_type"), col("is_true"), explode(expr(
-          "array(named_struct('detector', 'iqr', 'flag', iqr_flag)," +
-          "      named_struct('detector', 'mad', 'flag', mad_flag)," +
-          "      named_struct('detector', 'zscore', 'flag', z_flag))"))
-          .as("d"))
-        .select(col("event_type"), col("d.detector").as("detector"),
-          col("d.flag").as("flag"), col("is_true"))
-        .groupBy("event_type", "detector")
-        .agg(
-          sum(when(col("flag") && col("is_true"), 1L).otherwise(0L))
-            .as("tp"),
-          sum(when(col("flag") && !col("is_true"), 1L).otherwise(0L))
-            .as("fp"),
-          sum(when(!col("flag") && col("is_true"), 1L).otherwise(0L))
-            .as("fn"))
-        .select(col("event_type"), col("detector"), col("tp"), col("fp"),
-          col("fn"),
-          when(col("tp") + col("fp") > 0,
-            round(col("tp").cast("double") /
-              (col("tp") + col("fp")).cast("double"), 6)).as("precision6"),
-          round(col("tp").cast("double") /
-            (col("tp") + col("fn")).cast("double"), 6).as("recall6"),
-          round((lit(2L) * col("tp")).cast("double") /
-            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
-            .as("f16"))
-    }, Some("""
-      WITH base AS (
+  /** DuckDB CTE chain ending in `flags(event_type, is_true, iqr_flag,
+    * mad_flag, z_flag)` — the oracle twin of [[scorecardFlags]],
+    * shared by a54 and a55 so both score definitionally identical
+    * flags. lazy: referenced while `entries` constructs.
+    */
+  private lazy val scorecardFlagsCtes: String = """base AS (
         SELECT event_type, event_id, ts, value,
                row_number() OVER win AS rn,
                array_agg(value) OVER (win ROWS BETWEEN 24 PRECEDING
@@ -3929,7 +3861,94 @@ object Anomaly {
                   abs(CAST(n_u * v6 - s1 AS DOUBLE)) >
                     3.0 * sqrt(CAST(CAST(n_u AS HUGEINT) * s2 -
                       CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z_flag
-                FROM truth),
+                FROM truth)"""
+
+  /** The a54/a55 shared flag frame: per scoreable row (full 25-window
+    * universe), the declared spike truth and the three detector flags.
+    * One series-key shuffle carrying all five stacked window passes.
+    */
+  private[queries] def scorecardFlags(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = 25
+    val mid = 13
+    val wRn = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val frame = wRn.rowsBetween(-(w - 1), 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("value"), col("ts"), col("event_id"))
+    val wDev = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("dev").desc, col("ts"), col("event_id"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .filter(col("rn") >= w)
+      .withColumn("sarr", array_sort(col("arr")))
+      .withColumn("med25", expr(s"element_at(sarr, $mid)"))
+      .withColumn("mad25", expr(
+        s"element_at(array_sort(transform(arr, x -> abs(x - med25))), $mid)"))
+      .withColumn("q1_v", expr("element_at(sarr, 7)"))
+      .withColumn("q3_v", expr("element_at(sarr, 19)"))
+      .withColumn("v6", expr("cast(round(value * 1e6) as bigint)"))
+      .withColumn("wv", row_number().over(wVal).cast("long"))
+      .withColumn("n_u", count(lit(1)).over(wAll))
+      .withColumn("gmed", max(when(
+        col("wv") === expr("(n_u + 1) div 2"), col("value"))).over(wAll))
+      .withColumn("s1", sum(col("v6")).over(wAll))
+      .withColumn("s2", sum(dec(col("v6")) * col("v6")).over(wAll))
+      .withColumn("dev", abs(col("value") - col("gmed")))
+      .withColumn("tr", row_number().over(wDev))
+      .withColumn("is_true", col("tr") <= 20)
+      .withColumn("iqr_flag",
+        col("value") < col("q1_v") - lit(1.5) * (col("q3_v") - col("q1_v")) ||
+        col("value") > col("q3_v") + lit(1.5) * (col("q3_v") - col("q1_v")))
+      .withColumn("mad_flag",
+        when(col("mad25") === 0.0, col("value") =!= col("med25"))
+          .otherwise(abs(lit(0.6745) * (col("value") - col("med25")) /
+            col("mad25")) > 3.5))
+      .withColumn("z_flag",
+        abs(col("n_u") * col("v6") - col("s1")).cast("double") >
+          lit(3.0) * sqrt((dec(col("n_u")) * col("s2") -
+            dec(col("s1")) * col("s1")).cast("double")))
+      .select(col("event_type"), col("is_true"), col("iqr_flag"),
+        col("mad_flag"), col("z_flag"))
+  }
+
+  private[queries] def scorecardEntry: Entry =
+    Entry("a54_detector_scorecard", (s, dir) => {
+      scorecardFlags(s, dir)
+        .select(col("event_type"), col("is_true"), explode(expr(
+          "array(named_struct('detector', 'iqr', 'flag', iqr_flag)," +
+          "      named_struct('detector', 'mad', 'flag', mad_flag)," +
+          "      named_struct('detector', 'zscore', 'flag', z_flag))"))
+          .as("d"))
+        .select(col("event_type"), col("d.detector").as("detector"),
+          col("d.flag").as("flag"), col("is_true"))
+        .groupBy("event_type", "detector")
+        .agg(
+          sum(when(col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("flag") && !col("is_true"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("fn"))
+        .select(col("event_type"), col("detector"), col("tp"), col("fp"),
+          col("fn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 6)).as("precision6"),
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6).as("recall6"),
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+            .as("f16"))
+    }, Some(s"""
+      WITH $scorecardFlagsCtes,
       stacked AS (
         SELECT event_type, 'iqr' AS detector, iqr_flag AS flag, is_true
         FROM flags
@@ -3953,5 +3972,66 @@ object Anomaly {
                AS recall6,
              round(CAST(2 * tp AS DOUBLE) /
                CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f16
+      FROM agg"""))
+
+  /** a55: detector OVERLAP matrix — the ensemble-design complement of
+    * a54: a54 says how good each detector is alone; this says how
+    * REDUNDANT each pair is (Jaccard of their flag sets per series).
+    * Two detectors with high individual F1 and near-total overlap add
+    * nothing to each other in the rank-max ensemble fold
+    * (anomalyze.go:156-166) — the operator keeps the cheaper one; low
+    * overlap with comparable F1 is exactly when ensembling pays.
+    * Flags come from the SAME shared frame as a54 (one definition,
+    * both engines), so the two reports are always consistent. Counts
+    * exact; Jaccard = both/either is ONE double division; a pair with
+    * no flags at all reports NULL rather than 0/0. Same single
+    * series-key shuffle as a54; the pair stack is a 3-element literal
+    * explode and the aggregate is series x 3 rows.
+    */
+  private[queries] def detectorOverlapEntry: Entry =
+    Entry("a55_detector_overlap", (s, dir) => {
+      scorecardFlags(s, dir)
+        .select(col("event_type"), explode(expr(
+          "array(named_struct('det_a', 'iqr', 'det_b', 'mad'," +
+          "                   'a', iqr_flag, 'b', mad_flag)," +
+          "      named_struct('det_a', 'iqr', 'det_b', 'zscore'," +
+          "                   'a', iqr_flag, 'b', z_flag)," +
+          "      named_struct('det_a', 'mad', 'det_b', 'zscore'," +
+          "                   'a', mad_flag, 'b', z_flag))")).as("p"))
+        .select(col("event_type"), col("p.det_a").as("det_a"),
+          col("p.det_b").as("det_b"), col("p.a").as("a"),
+          col("p.b").as("b"))
+        .groupBy("event_type", "det_a", "det_b")
+        .agg(
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("a") || col("b"), 1L).otherwise(0L)).as("n_either"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
+        .select(col("event_type"), col("det_a"), col("det_b"),
+          col("n_a"), col("n_b"), col("n_both"),
+          when(col("n_either") > 0,
+            round(col("n_both").cast("double") /
+              col("n_either").cast("double"), 6)).as("jaccard6"))
+    }, Some(s"""
+      WITH $scorecardFlagsCtes,
+      stacked AS (
+        SELECT event_type, 'iqr' AS det_a, 'mad' AS det_b,
+               iqr_flag AS a, mad_flag AS b FROM flags
+        UNION ALL
+        SELECT event_type, 'iqr', 'zscore', iqr_flag, z_flag FROM flags
+        UNION ALL
+        SELECT event_type, 'mad', 'zscore', mad_flag, z_flag FROM flags),
+      agg AS (SELECT event_type, det_a, det_b,
+                CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_both,
+                CAST(sum(CASE WHEN a OR b THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_either,
+                CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM stacked GROUP BY 1, 2, 3)
+      SELECT event_type, det_a, det_b, n_a, n_b, n_both,
+             CASE WHEN n_either > 0 THEN
+               round(CAST(n_both AS DOUBLE) / CAST(n_either AS DOUBLE), 6)
+             END AS jaccard6
       FROM agg"""))
 }

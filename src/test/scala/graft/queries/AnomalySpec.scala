@@ -1435,4 +1435,41 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got.map(_._2).distinct.sorted === Seq("iqr", "mad", "zscore"))
   }
+
+  test("a55 detector overlap == recompute from the shared flag frame; " +
+    "Jaccard bounds and flag-count consistency with a54 hold") {
+    val flags = Anomaly.scorecardFlags(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4)))
+    val want = flags.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      def pair(da: String, db: String, fa: ((String, Boolean, Boolean,
+        Boolean)) => Boolean, fb: ((String, Boolean, Boolean,
+        Boolean)) => Boolean) = {
+        val na = xs.count(fa).toLong
+        val nb = xs.count(fb).toLong
+        val both = xs.count(x => fa(x) && fb(x)).toLong
+        val either = xs.count(x => fa(x) || fb(x)).toLong
+        (et, da, db, na, nb, both,
+          if (either > 0) Some(rnd6(both.toDouble / either)) else None)
+      }
+      Seq(pair("iqr", "mad", _._2, _._3), pair("iqr", "zscore", _._2, _._4),
+        pair("mad", "zscore", _._3, _._4))
+    }.sorted
+    val got = Catalog.queries("a55_detector_overlap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq.sorted
+    assert(got === want)
+    // overlap can never exceed either flag set; Jaccard in [0, 1];
+    // per-detector flag totals agree with a54's tp+fp
+    val a54 = Catalog.queries("a54_detector_scorecard")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2) + r.getLong(3))).toMap
+    got.foreach { case (et, da, db, na, nb, both, j) =>
+      assert(both <= math.min(na, nb))
+      j.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      assert(na === a54((et, da)), s"$et/$da flag count drifted from a54")
+      assert(nb === a54((et, db)), s"$et/$db flag count drifted from a54")
+    }
+  }
 }
