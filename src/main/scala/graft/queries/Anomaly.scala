@@ -2182,7 +2182,8 @@ object Anomaly {
     discordEntry,
     motifEntry,
     scorecardEntry,
-    detectorOverlapEntry
+    detectorOverlapEntry,
+    thresholdSweepEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -3860,7 +3861,10 @@ object Anomaly {
                   END AS mad_flag,
                   abs(CAST(n_u * v6 - s1 AS DOUBLE)) >
                     3.0 * sqrt(CAST(CAST(n_u AS HUGEINT) * s2 -
-                      CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z_flag
+                      CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z_flag,
+                  abs(CAST(n_u * v6 - s1 AS DOUBLE)) AS z_abs,
+                  sqrt(CAST(CAST(n_u AS HUGEINT) * s2 -
+                    CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z_sig
                 FROM truth)"""
 
   /** The a54/a55 shared flag frame: per scoreable row (full 25-window
@@ -3911,12 +3915,18 @@ object Anomaly {
         when(col("mad25") === 0.0, col("value") =!= col("med25"))
           .otherwise(abs(lit(0.6745) * (col("value") - col("med25")) /
             col("mad25")) > 3.5))
-      .withColumn("z_flag",
-        abs(col("n_u") * col("v6") - col("s1")).cast("double") >
-          lit(3.0) * sqrt((dec(col("n_u")) * col("s2") -
-            dec(col("s1")) * col("s1")).cast("double")))
+      // the raw z pieces ride along for a56's threshold sweep:
+      // z_abs is the exact integer |n·v6 − s1|, z_sig the one sqrt of
+      // the exact variance numerator — a gate t flags when
+      // z_abs > t·z_sig (multiplied-through, no mean/std doubles)
+      .withColumn("z_abs",
+        abs(col("n_u") * col("v6") - col("s1")).cast("double"))
+      .withColumn("z_sig",
+        sqrt((dec(col("n_u")) * col("s2") -
+          dec(col("s1")) * col("s1")).cast("double")))
+      .withColumn("z_flag", col("z_abs") > lit(3.0) * col("z_sig"))
       .select(col("event_type"), col("is_true"), col("iqr_flag"),
-        col("mad_flag"), col("z_flag"))
+        col("mad_flag"), col("z_flag"), col("z_abs"), col("z_sig"))
   }
 
   private[queries] def scorecardEntry: Entry =
@@ -4034,4 +4044,72 @@ object Anomaly {
                round(CAST(n_both AS DOUBLE) / CAST(n_either AS DOUBLE), 6)
              END AS jaccard6
       FROM agg"""))
+
+  /** a56: z-gate threshold sweep — the tuning curve a54's fixed-gate
+    * scorecard can't show: P/R/F1 of the global z-score detector at
+    * gates t ∈ {2, 2.5, 3, 3.5, 4}, against the same declared truth
+    * ("where do I set the gate for MY tolerance for pages"). The flag
+    * at gate t is the multiplied-through exact comparison
+    * z_abs > t·z_sig from the SAME shared flag frame (z_abs the exact
+    * integer |n·v6 − s1| as double, z_sig ONE sqrt of the exact
+    * variance numerator; t exactly representable, so both engines
+    * compare identical doubles). Recall is non-increasing and flag
+    * count non-increasing in t by construction — pinned. Cost: the
+    * gate stack is a 5-element literal explode on top of a54's one
+    * series shuffle; the aggregate is series × 5 rows.
+    */
+  private[queries] def thresholdSweepEntry: Entry = {
+    val gates = Seq(2.0, 2.5, 3.0, 3.5, 4.0)
+    val gatesLit = gates.mkString("array(", ",", ")")
+    Entry("a56_zgate_sweep", (s, dir) => {
+      scorecardFlags(s, dir)
+        .select(col("event_type"), col("is_true"), col("z_abs"),
+          col("z_sig"),
+          explode(expr(s"cast($gatesLit as array<double>)")).as("gate"))
+        .withColumn("flag", col("z_abs") > col("gate") * col("z_sig"))
+        .groupBy("event_type", "gate")
+        .agg(
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("flag") && !col("is_true"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("fn"))
+        .select(col("event_type"), col("gate"), col("n_flagged"),
+          col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 6)).as("precision6"),
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6).as("recall6"),
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+            .as("f16"))
+    }, Some(s"""
+      WITH $scorecardFlagsCtes,
+      swept AS (SELECT event_type, is_true,
+                  z_abs > gate * z_sig AS flag, gate
+                FROM flags, UNNEST([${gates.map(g =>
+                  s"CAST($g AS DOUBLE)").mkString(",")}]) t(gate)),
+      agg AS (SELECT event_type, gate,
+                CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged,
+                CAST(sum(CASE WHEN flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN flag AND NOT is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN NOT flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+              FROM swept GROUP BY 1, 2)
+      SELECT event_type, gate, n_flagged, tp, fp, fn,
+             CASE WHEN tp + fp > 0 THEN
+               round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             END AS precision6,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+               AS recall6,
+             round(CAST(2 * tp AS DOUBLE) /
+               CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f16
+      FROM agg"""))
+  }
 }

@@ -1472,4 +1472,48 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert(nb === a54((et, db)), s"$et/$db flag count drifted from a54")
     }
   }
+
+  test("a56 z-gate sweep == recompute from the shared flag frame; " +
+    "flags/recall non-increasing in the gate; t=3 row == a54 zscore") {
+    val gates = Seq(2.0, 2.5, 3.0, 3.5, 4.0)
+    val frame = Anomaly.scorecardFlags(spark, sfDir)
+      .select("event_type", "is_true", "z_abs", "z_sig").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getDouble(2),
+        r.getDouble(3)))
+    val want = frame.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      gates.map { g =>
+        val fl = xs.map(x => (x._3 > g * x._4, x._2))
+        val tp = fl.count(x => x._1 && x._2).toLong
+        val fp = fl.count(x => x._1 && !x._2).toLong
+        val fn = fl.count(x => !x._1 && x._2).toLong
+        (et, g, (tp + fp), tp, fp, fn,
+          if (tp + fp > 0) Some(rnd6(tp.toDouble / (tp + fp))) else None,
+          rnd6(tp.toDouble / (tp + fn)),
+          rnd6(2.0 * tp / (2 * tp + fp + fn)))
+      }
+    }.sorted
+    val got = Catalog.queries("a56_zgate_sweep")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        r.getDouble(7), r.getDouble(8))).toSeq.sorted
+    assert(got === want)
+    // the sweep is a proper tuning curve: raising the gate can only
+    // drop flags and recall, never add them
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val byGate = rows.sortBy(_._2)
+      assert(byGate.map(_._3) === byGate.map(_._3).sorted.reverse,
+        s"$et: n_flagged must be non-increasing in the gate")
+      assert(byGate.map(_._8) === byGate.map(_._8).sorted.reverse,
+        s"$et: recall must be non-increasing in the gate")
+    }
+    // internal consistency: the t=3 row is exactly a54's zscore row
+    val a54z = Catalog.queries("a54_detector_scorecard")(spark, sfDir)
+      .filter(col("detector") === "zscore").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    got.filter(_._2 == 3.0).foreach { case (et, _, _, tp, fp, fn, _, _, _) =>
+      assert((tp, fp, fn) === a54z(et), s"$et: t=3 drifted from a54")
+    }
+  }
 }
