@@ -3401,7 +3401,7 @@ object Pipeline {
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
-    vocabGrowthEntry, longestRunEntry)
+    vocabGrowthEntry, longestRunEntry, sampleExactKEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5383,5 +5383,45 @@ object Pipeline {
       FROM pairs p
       LEFT JOIN best b ON b.doc_a = p.doc_a AND b.doc_b = p.doc_b
       LEFT JOIN mg ON mg.doc_a = p.doc_a AND mg.doc_b = p.doc_b"""))
+  }
+
+  /** p88: exact-k per-stratum sample — the eval-set constructor p21's
+    * RATE sampler can't be ("exactly 20 docs per source", not "~2% of
+    * each"): bottom-k by a keyed hash per stratum, which is
+    * simultaneously (a) uniform without replacement within the
+    * stratum, (b) exactly k (or the whole stratum when smaller),
+    * (c) deterministic/reproducible across runs, engines, and
+    * partitionings, and (d) STABLE under corpus growth — a doc already
+    * sampled stays sampled unless a new doc hashes below it (bottom-k
+    * is a KMV-style order statistic, so incremental re-runs churn
+    * minimally; a random_split re-run would reshuffle everything).
+    * Distinct doc_ids make hash ties impossible; (hash, doc_id)
+    * ordering pins the impossible case anyway. Shape at 100 TB: ONE
+    * stratum-key shuffle carrying the rank window; no global sort, no
+    * sort at all beyond the per-stratum top-k heap.
+    */
+  private[queries] def sampleExactKEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    val k = 20
+    Entry("p88_sample_exact_k", (s, dir) => {
+      val wRank = Window.partitionBy("source")
+        .orderBy(col("hk"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr(H.h60Spark("concat(cast(doc_id as string), ':sample')"))
+            .as("hk"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("rk"), col("doc_id"), col("lang"))
+    }, Some(s"""
+      WITH h AS (SELECT doc_id, source, lang,
+                   ${H.h60Duck("CAST(doc_id AS VARCHAR) || ':sample'")}
+                     AS hk
+                 FROM documents),
+      ranked AS (SELECT source, doc_id, lang,
+                   CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY hk, doc_id) AS BIGINT) AS rk
+                 FROM h)
+      SELECT source, rk, doc_id, lang FROM ranked WHERE rk <= $k"""))
   }
 }

@@ -2085,5 +2085,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._3 >= 8L),
       "near-dup corpus should certify at least one verbatim span")
   }
+
+  test("p88 exact-k sample == sequential bottom-k recompute; exactly " +
+    "min(k, stratum) per source; growth-stable membership") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val k = 20
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (src, xs) =>
+      xs.sortBy(x => (h60(s"${x._1}:sample"), x._1)).take(k)
+        .zipWithIndex.map { case ((id, _, lang), i) =>
+          (src, (i + 1).toLong, id, lang)
+        }
+    }.sorted
+    val got = run("p88_sample_exact_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sorted
+    assert(got === want)
+    got.groupBy(_._1).foreach { case (src, xs) =>
+      val stratum = rows.count(_._2 == src)
+      assert(xs.size === math.min(k, stratum),
+        s"$src must yield exactly min(k, stratum) rows")
+    }
+    // growth stability (the bottom-k property p21's rate filter lacks
+    // in the exact-k setting): dropping any doc NOT in the sample
+    // leaves the sample identical
+    val sampled = got.map(_._3).toSet
+    val victim = rows.map(_._1).filterNot(sampled).head
+    val shrunk = rows.filterNot(_._1 == victim).groupBy(_._2).toSeq
+      .flatMap { case (src, xs) =>
+        xs.sortBy(x => (h60(s"${x._1}:sample"), x._1)).take(k)
+          .zipWithIndex.map { case ((id, _, lang), i) =>
+            (src, (i + 1).toLong, id, lang)
+          }
+      }.sorted
+    assert(shrunk === want)
+  }
 }
 
