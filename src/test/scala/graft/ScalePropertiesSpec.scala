@@ -886,6 +886,42 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         "nested-loop:\n" + p)
   }
 
+  // every entry whose plan legitimately carries BroadcastNestedLoopJoin,
+  // with the number of such joins it is ALLOWED: all are broadcast
+  // crosses against declared small dims (centroid sets, S^2 pair grids,
+  // per-round water-filling / k-means / k-center state, single-row
+  // bitmap or budget rows). A new BNLJ anywhere else — or growth in an
+  // allowed entry — is an accidental cartesian and fails here before it
+  // becomes a 100 TB outage.
+  private val allowedLoopJoins: Map[String, Int] = Map(
+    "a49_ks_two_series" -> 2, "p06_embed_neardup" -> 1,
+    "p07_sim_topk" -> 1, "p15_sim_ivf" -> 2, "p17_tfidf" -> 1,
+    "p26_sim_topk_int8" -> 1, "p34_contam_bloom" -> 1,
+    "p35_semdedup" -> 2, "p39_domain_mix" -> 2, "p45_dsir_weight" -> 1,
+    "p55_kmeans_refine" -> 8, "p58_bm25_topk" -> 2,
+    "p60_hybrid_rrf" -> 3, "p63_sim_ivfpq" -> 4, "p65_dedup_savings" -> 1,
+    "p68_mixture_budget" -> 15, "p69_ann_recall" -> 3,
+    "p72_dataset_card" -> 1, "p76_coreset_kcenter" -> 1,
+    "p77_source_overlap_kmv" -> 2, "p78_hard_negatives" -> 2,
+    "p81_contam_semantic" -> 2, "p83_source_divergence" -> 1,
+    "p84_split_parity" -> 1, "p86_vocab_growth" -> 2)
+
+  test("catalog-wide: no entry plans a CartesianProduct, and " +
+    "nested-loop joins appear only in the declared small-dim crosses") {
+    val offenders = queries.Catalog.all.flatMap { e =>
+      val p = e.run(spark, sfDir).queryExecution.executedPlan.toString
+      val bnlj = countOf(p, "BroadcastNestedLoopJoin")
+      val cart = p.contains("CartesianProduct")
+      val cap = allowedLoopJoins.getOrElse(e.name, 0)
+      if (cart) Some(s"${e.name}: CartesianProduct")
+      else if (bnlj > cap) Some(s"${e.name}: $bnlj loop joins (cap $cap)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "undeclared loop joins (every one is a potential 100 TB " +
+        "cartesian):\n" + offenders.mkString("\n"))
+  }
+
   test("p87: gram postings are pruned to pair-listed docs BEFORE the " +
     "position explode — the corpus never explodes 8-grams globally") {
     val p = plan("p87_longest_common_run")
