@@ -3401,7 +3401,8 @@ object Pipeline {
     sourceOverlapEntry, hardNegativesEntry, bpeMergesEntry,
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
-    vocabGrowthEntry, longestRunEntry, sampleExactKEntry)
+    vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
+    dupFlowEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5424,4 +5425,60 @@ object Pipeline {
                  FROM h)
       SELECT source, rk, doc_id, lang FROM ranked WHERE rk <= $k"""))
   }
+
+  /** p89: near-dup FLOW matrix — p04's pair list aggregated to the
+    * (source, source) level: which sources mirror which (the
+    * mirror-site / syndication detector), and how much of each
+    * source's duplication is INTERNAL (template reuse within a feed)
+    * vs CROSS-SOURCE (scraping / republication). The distinction
+    * drives different fixes: internal dup → fix the feed's templating;
+    * cross-source dup → pick a canonical source and drop the mirror
+    * (p56's fair-survivor policy needs exactly this view to be fair).
+    * Pairs are direction-free, so the matrix is the (min, max)-keyed
+    * upper triangle plus the diagonal (within-source). Shape: the
+    * heavy work IS p04's generator (shared); this adds two broadcast
+    * doc→source lookups bounded by docs-in-pairs ≪ corpus and one
+    * S²-bounded aggregate.
+    */
+  private[queries] def dupFlowEntry: Entry =
+    Entry("p89_dup_flow", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      minhashLshPairs(docs(s, dir))
+        .select("doc_a", "doc_b", "est_jaccard")
+        .join(d.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), "doc_b")
+        .select(
+          least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"),
+          (col("src_a") === col("src_b")).as("internal"),
+          col("est_jaccard"))
+        // est_jaccard = k/64 (6 dp): round(est*64) recovers the exact
+        // signature-match count k (the p54 trick), so the mean is an
+        // integer sum + ONE double division — never an FP sum across
+        // the shuffle
+        .withColumn("k", expr("cast(round(est_jaccard * 64) as bigint)"))
+        .groupBy("source_x", "source_y", "internal")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("k")).as("sk"))
+        .select(col("source_x"), col("source_y"), col("internal"),
+          col("n_pairs"),
+          round(col("sk").cast("double") /
+            (lit(64.0) * col("n_pairs").cast("double")), 6)
+            .as("avg_est_jaccard"))
+    }, Some(s"""
+      WITH $lshPairsOracleCtes,
+      srcs AS (SELECT doc_id, source FROM documents),
+      flow AS (SELECT least(a.source, b.source) AS source_x,
+                 greatest(a.source, b.source) AS source_y,
+                 a.source = b.source AS internal,
+                 CAST(round(p.est_jaccard * 64) AS BIGINT) AS k
+               FROM pairs p
+               JOIN srcs a ON a.doc_id = p.doc_a
+               JOIN srcs b ON b.doc_id = p.doc_b)
+      SELECT source_x, source_y, internal,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(CAST(sum(k) AS DOUBLE) /
+                   (CAST(64 AS DOUBLE) * count(*)), 6) AS avg_est_jaccard
+      FROM flow GROUP BY 1, 2, 3"""))
 }

@@ -2126,5 +2126,36 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       }.sorted
     assert(shrunk === want)
   }
+
+  test("p89 dup flow == recompute from the p04 pair list; pair mass " +
+    "conserved and matrix keys oriented") {
+    val srcById = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = run("p04_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    val want = pairs.map { case (a, b, est) =>
+      val (sa, sb) = (srcById(a), srcById(b))
+      ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa, sa == sb),
+        math.round(est * 64))
+    }.groupBy(_._1).toSeq.map { case ((sx, sy, in), xs) =>
+      val n = xs.length.toLong
+      val sk = xs.map(_._2).sum
+      (sx, sy, in, n, sparkRound(sk.toDouble / (64.0 * n), 6))
+    }.sorted
+    val got = run("p89_dup_flow").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getDouble(4))).toSeq.sorted
+    assert(got === want)
+    // conservation: the matrix accounts for every pair exactly once
+    assert(got.map(_._4).sum === pairs.length.toLong)
+    got.foreach { case (sx, sy, internal, _, avg) =>
+      assert(sx <= sy)
+      assert(internal == (sx == sy))
+      // every surfaced pair cleared the generator's 0.5 gate
+      assert(avg >= 0.5 && avg <= 1.0)
+    }
+  }
 }
 
