@@ -3402,7 +3402,7 @@ object Pipeline {
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
     vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
-    dupFlowEntry)
+    dupFlowEntry, curationDecisionEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5481,4 +5481,76 @@ object Pipeline {
              round(CAST(sum(k) AS DOUBLE) /
                    (CAST(64 AS DOUBLE) * count(*)), 6) AS avg_est_jaccard
       FROM flow GROUP BY 1, 2, 3"""))
+
+  /** p90: the CURATION DECISION table — the one artifact the whole
+    * p-series exists to produce: per document, keep or drop, with the
+    * reason flags a data-governance review audits. Composes three
+    * oracled catalog entries AT RUN TIME (the p69/p70/p71 pattern, so
+    * this table describes exactly the artifacts the driver verifies):
+    * flag_dup = not the p02 keep-first survivor of its exact-dup
+    * group; flag_quality = fails p30's declared quality rules;
+    * flag_contaminated = shares ≥1 benchmark 3-gram (appears in p24's
+    * output); flag_benchmark = IS a held-out benchmark doc (trains on
+    * nothing, whatever its other flags). keep = no flag raised.
+    * Flags are INDEPENDENT facts, not an if-else ladder — a doc can be
+    * simultaneously a dup and contaminated, and the audit needs both.
+    * Shape: three doc-keyed left joins on top of the component
+    * queries' own (already scale-audited) plans; the join spine is
+    * one corpus-keyed shuffle.
+    */
+  private[queries] def curationDecisionEntry: Entry =
+    Entry("p90_curation_decision", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val surv = Catalog.queries("p02_dedup_keep_first")(s, dir)
+        .select(col("doc_id"), lit(true).as("surv"))
+      val qual = Catalog.queries("p30_quality_filter")(s, dir)
+        .select(col("doc_id"), col("keep").as("q_keep"))
+      val contam = Catalog.queries("p24_contamination")(s, dir)
+        .select(col("doc_id"), lit(true).as("ct"))
+      d.join(surv, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          (!coalesce(col("surv"), lit(false))).as("flag_dup"),
+          (!coalesce(col("q_keep"), lit(false))).as("flag_quality"),
+          coalesce(col("ct"), lit(false)).as("flag_contaminated"),
+          (col("doc_id") % 100 === 0).as("flag_benchmark"))
+        .withColumn("keep",
+          !col("flag_dup") && !col("flag_quality") &&
+          !col("flag_contaminated") && !col("flag_benchmark"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, source, $toksSql AS toks
+                    FROM documents),
+      surv AS (SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY md5($normSql)
+            ORDER BY doc_id) AS rk FROM documents) WHERE rk = 1),
+      sig AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                CAST(list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
+                  AS max_tok
+              FROM docs),
+      qualbad AS (SELECT doc_id FROM sig
+                  WHERE n_toks < 30 OR (n_types / n_toks) < 0.35
+                     OR (max_tok / n_toks) > 0.15),
+      sh3 AS (SELECT DISTINCT doc_id,
+                array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(CASE WHEN len(toks) >= 3
+                THEN range(1, len(toks)-1) ELSE [] END) AS t(i)),
+      bench AS (SELECT DISTINCT shingle FROM sh3 WHERE doc_id % 100 = 0),
+      contam AS (SELECT DISTINCT s.doc_id
+                 FROM sh3 s JOIN bench USING (shingle)
+                 WHERE s.doc_id % 100 != 0)
+      SELECT d.doc_id, d.source,
+             (sv.doc_id IS NULL) AS flag_dup,
+             (qb.doc_id IS NOT NULL) AS flag_quality,
+             (ct.doc_id IS NOT NULL) AS flag_contaminated,
+             (d.doc_id % 100 = 0) AS flag_benchmark,
+             (sv.doc_id IS NOT NULL AND qb.doc_id IS NULL
+              AND ct.doc_id IS NULL AND d.doc_id % 100 != 0) AS keep
+      FROM docs d
+      LEFT JOIN surv sv ON sv.doc_id = d.doc_id
+      LEFT JOIN qualbad qb ON qb.doc_id = d.doc_id
+      LEFT JOIN contam ct ON ct.doc_id = d.doc_id"""))
 }

@@ -2157,5 +2157,41 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(avg >= 0.5 && avg <= 1.0)
     }
   }
+
+  test("p90 curation decision == composition of its three oracled " +
+    "components; keep iff no flag; benchmark docs never kept") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val surv = run("p02_dedup_keep_first").collect()
+      .map(_.getLong(0)).toSet
+    val qualKeep = run("p30_quality_filter").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val contam = run("p24_contamination").collect()
+      .map(_.getLong(0)).toSet
+    val want = corpus.map { case (id, src) =>
+      val fd = !surv(id)
+      val fq = !qualKeep(id)
+      val fc = contam(id)
+      val fb = id % 100 == 0
+      (id, src, fd, fq, fc, fb, !fd && !fq && !fc && !fb)
+    }.toSeq.sorted
+    val got = run("p90_curation_decision").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6))).toSeq.sorted
+    assert(got === want)
+    assert(got.size === corpus.length, "every doc gets a decision")
+    got.foreach { case (id, _, fd, fq, fc, fb, keep) =>
+      assert(keep == !(fd || fq || fc || fb),
+        s"doc $id: keep must mean zero flags")
+      if (fb) assert(!keep, s"benchmark doc $id must never train")
+    }
+    // the decision is non-trivial on this corpus: some kept, some
+    // dropped, and more than one flag type fires
+    assert(got.exists(_._7) && got.exists(!_._7))
+    assert(Seq(got.exists(_._3), got.exists(_._4), got.exists(_._5))
+      .count(identity) >= 2, "at least two flag families should fire")
+  }
 }
 
