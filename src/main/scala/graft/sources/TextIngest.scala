@@ -74,6 +74,31 @@ object TextIngest {
         to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*))))
   }
 
+  /** STREAMING JSON-lines ingest with the same contract semantics —
+    * the production shape of the seam: files land in `path`
+    * continuously, each micro-batch splits into the same good /
+    * quarantine frames (write each with its own sink). The declared
+    * schema is what makes this possible at all: a streaming source
+    * cannot infer, and the PERMISSIVE corrupt-record capture is
+    * per-partition — no coordination, no state, so the gate adds
+    * nothing to the stream's shuffle plan. Parity with the batch
+    * reader over the same files is pinned by TextIngestSpec.
+    */
+  def jsonlStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      required: Seq[String]): Ingest = {
+    val parsed = spark.readStream
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+    split(parsed, schema, required,
+      coalesce(col(CorruptCol),
+        to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*))))
+  }
+
   /** CSV ingest with the same contract semantics (header expected;
     * a row with the wrong column count or an uncastable cell is
     * `malformed_record`).

@@ -55,6 +55,43 @@ class TextIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(quar.exists(_._1.contains("orphan")))
   }
 
+  test("streaming jsonl ingest == batch ingest over the same files; " +
+    "quarantine rides the stream with the same reason codes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-ingest-stream")
+    Files.write(dir.resolve("a.jsonl"), Seq(
+      """{"doc_id": 1, "text": "hello", "lang": "en"}""",
+      """{"doc_id": 2, "lang": "en"}""",
+      """{not json""").mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("b.jsonl"), Seq(
+      """{"doc_id": 3, "text": "welt", "lang": "de"}""",
+      """{"doc_id": null, "text": "orphan", "lang": "en"}""")
+      .mkString("\n").getBytes("UTF-8"))
+
+    val ing = TextIngest.jsonlStream(spark, dir.toString, schema,
+      required = Seq("doc_id", "text"))
+    val qGood = ing.good.writeStream.format("memory")
+      .queryName("ing_good").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val qQuar = ing.quarantine.writeStream.format("memory")
+      .queryName("ing_quar").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    qGood.awaitTermination()
+    qQuar.awaitTermination()
+
+    val batch = TextIngest.jsonl(spark, dir.toString, schema,
+      required = Seq("doc_id", "text"))
+    def goodRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    def quarRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(goodRows(spark.table("ing_good")) === goodRows(batch.good))
+    assert(quarRows(spark.table("ing_quar")) ===
+      quarRows(batch.quarantine))
+    assert(spark.table("ing_good").count() +
+      spark.table("ing_quar").count() === 5, "conservation across files")
+  }
+
   test("csv ingest: header honored, type-mismatch and short rows " +
     "quarantine, required-null reasons name the first violated field") {
     val path = write("docs.csv", Seq(
