@@ -3402,7 +3402,7 @@ object Pipeline {
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
     vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
-    dupFlowEntry, curationDecisionEntry)
+    dupFlowEntry, curationDecisionEntry, curationWaterfallEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5498,28 +5498,13 @@ object Pipeline {
     * queries' own (already scale-audited) plans; the join spine is
     * one corpus-keyed shuffle.
     */
-  private[queries] def curationDecisionEntry: Entry =
-    Entry("p90_curation_decision", (s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("source"))
-      val surv = Catalog.queries("p02_dedup_keep_first")(s, dir)
-        .select(col("doc_id"), lit(true).as("surv"))
-      val qual = Catalog.queries("p30_quality_filter")(s, dir)
-        .select(col("doc_id"), col("keep").as("q_keep"))
-      val contam = Catalog.queries("p24_contamination")(s, dir)
-        .select(col("doc_id"), lit(true).as("ct"))
-      d.join(surv, Seq("doc_id"), "left")
-        .join(qual, Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          (!coalesce(col("surv"), lit(false))).as("flag_dup"),
-          (!coalesce(col("q_keep"), lit(false))).as("flag_quality"),
-          coalesce(col("ct"), lit(false)).as("flag_contaminated"),
-          (col("doc_id") % 100 === 0).as("flag_benchmark"))
-        .withColumn("keep",
-          !col("flag_dup") && !col("flag_quality") &&
-          !col("flag_contaminated") && !col("flag_benchmark"))
-    }, Some(s"""
-      WITH docs AS (SELECT doc_id, source, $toksSql AS toks
+  /** The p90 oracle's CTE chain ending in `decision(doc_id, source,
+    * flag_dup, flag_quality, flag_contaminated, flag_benchmark, keep)`
+    * — shared with p91's waterfall so the rollup audits definitionally
+    * the same decisions. lazy: referenced during `entries` init.
+    */
+  private lazy val curationCtes: String = s"""
+      docs AS (SELECT doc_id, source, $toksSql AS toks
                     FROM documents),
       surv AS (SELECT doc_id FROM (
           SELECT doc_id, row_number() OVER (PARTITION BY md5($normSql)
@@ -5541,8 +5526,8 @@ object Pipeline {
       bench AS (SELECT DISTINCT shingle FROM sh3 WHERE doc_id % 100 = 0),
       contam AS (SELECT DISTINCT s.doc_id
                  FROM sh3 s JOIN bench USING (shingle)
-                 WHERE s.doc_id % 100 != 0)
-      SELECT d.doc_id, d.source,
+                 WHERE s.doc_id % 100 != 0),
+      decision AS (SELECT d.doc_id, d.source,
              (sv.doc_id IS NULL) AS flag_dup,
              (qb.doc_id IS NOT NULL) AS flag_quality,
              (ct.doc_id IS NOT NULL) AS flag_contaminated,
@@ -5552,5 +5537,71 @@ object Pipeline {
       FROM docs d
       LEFT JOIN surv sv ON sv.doc_id = d.doc_id
       LEFT JOIN qualbad qb ON qb.doc_id = d.doc_id
-      LEFT JOIN contam ct ON ct.doc_id = d.doc_id"""))
+      LEFT JOIN contam ct ON ct.doc_id = d.doc_id)"""
+
+  private[queries] def curationDecisionEntry: Entry =
+    Entry("p90_curation_decision", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val surv = Catalog.queries("p02_dedup_keep_first")(s, dir)
+        .select(col("doc_id"), lit(true).as("surv"))
+      val qual = Catalog.queries("p30_quality_filter")(s, dir)
+        .select(col("doc_id"), col("keep").as("q_keep"))
+      val contam = Catalog.queries("p24_contamination")(s, dir)
+        .select(col("doc_id"), lit(true).as("ct"))
+      d.join(surv, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          (!coalesce(col("surv"), lit(false))).as("flag_dup"),
+          (!coalesce(col("q_keep"), lit(false))).as("flag_quality"),
+          coalesce(col("ct"), lit(false)).as("flag_contaminated"),
+          (col("doc_id") % 100 === 0).as("flag_benchmark"))
+        .withColumn("keep",
+          !col("flag_dup") && !col("flag_quality") &&
+          !col("flag_contaminated") && !col("flag_benchmark"))
+    }, Some(s"""
+      WITH $curationCtes
+      SELECT doc_id, source, flag_dup, flag_quality, flag_contaminated,
+             flag_benchmark, keep
+      FROM decision"""))
+
+  /** p91: curation WATERFALL — p90's loss accounting: per source, how
+    * many documents (and how much character mass) each gate removes,
+    * under SEQUENTIAL attribution in the declared stage order
+    * benchmark → duplicate → quality → contaminated → kept (a doc
+    * raising several flags is charged to the FIRST stage — the funnel
+    * convention, so stages sum exactly to the corpus and the report
+    * answers "which gate is costing me data"). Independent-flag truth
+    * stays in p90; this is the presentation rollup, composed from the
+    * p90 entry at run time so the two can never disagree. Shape: one
+    * doc-keyed join (decision × n_chars) + a (source, stage) aggregate.
+    */
+  private[queries] def curationWaterfallEntry: Entry =
+    Entry("p91_curation_waterfall", (s, dir) => {
+      val d = Catalog.queries("p90_curation_decision")(s, dir)
+      val mass = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      d.join(mass, "doc_id")
+        .withColumn("stage",
+          when(col("flag_benchmark"), "1_benchmark")
+            .when(col("flag_dup"), "2_duplicate")
+            .when(col("flag_quality"), "3_quality")
+            .when(col("flag_contaminated"), "4_contaminated")
+            .otherwise("5_kept"))
+        .groupBy("source", "stage")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+    }, Some(s"""
+      WITH $curationCtes,
+      staged AS (SELECT d.source,
+                   CASE WHEN d.flag_benchmark THEN '1_benchmark'
+                        WHEN d.flag_dup THEN '2_duplicate'
+                        WHEN d.flag_quality THEN '3_quality'
+                        WHEN d.flag_contaminated THEN '4_contaminated'
+                        ELSE '5_kept' END AS stage,
+                   m.n_chars
+                 FROM decision d
+                 JOIN documents m ON m.doc_id = d.doc_id)
+      SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      FROM staged GROUP BY 1, 2"""))
 }

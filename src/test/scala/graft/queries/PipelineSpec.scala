@@ -2193,5 +2193,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq(got.exists(_._3), got.exists(_._4), got.exists(_._5))
       .count(identity) >= 2, "at least two flag families should fire")
   }
+
+  test("p91 waterfall == first-flag attribution over p90; stages " +
+    "partition the corpus in docs AND mass") {
+    val charsById = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decisions = run("p90_curation_decision").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    val want = decisions.map { case (id, src, fd, fq, fc, fb) =>
+      val stage =
+        if (fb) "1_benchmark" else if (fd) "2_duplicate"
+        else if (fq) "3_quality" else if (fc) "4_contaminated"
+        else "5_kept"
+      (src, stage, id)
+    }.groupBy(t => (t._1, t._2)).toSeq.map { case ((src, st), xs) =>
+      (src, st, xs.length.toLong, xs.map(x => charsById(x._3)).sum)
+    }.sorted
+    val got = run("p91_curation_waterfall").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(got === want)
+    // the funnel partitions the corpus exactly, in both units
+    assert(got.map(_._3).sum === decisions.length.toLong)
+    assert(got.map(_._4).sum === decisions.map(d => charsById(d._1)).sum)
+    assert(got.exists(_._2 == "5_kept"))
+  }
 }
 
