@@ -3402,7 +3402,8 @@ object Pipeline {
     bpeApplyEntry, contamSemanticEntry, distinctHllEntry,
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
     vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
-    dupFlowEntry, curationDecisionEntry, curationWaterfallEntry)
+    dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
+    splitEmbParityEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5604,4 +5605,80 @@ object Pipeline {
       SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS n_chars_total
       FROM staged GROUP BY 1, 2"""))
+
+  /** p92: EMBEDDING-space split parity — p84's metadata audit can pass
+    * while the split still skews the representation a model actually
+    * sees (a lang-balanced split can put all the hard examples of one
+    * label in val). Per (split pair, label): L2 distance between the
+    * splits' label centroids, exact until the final sqrt — with
+    * per-dim micro sums s and counts n, the squared distance is
+    * Σ_d (s_a·n_b − s_b·n_a)² / (n_a·n_b)², every numerator an exact
+    * 128-bit integer (decimal(38,0)/HUGEINT — the diff ~1e12 and its
+    * square ~1e24 overflow int64), ONE sqrt + ONE division at the
+    * boundary. Split rule = the p31 convention hashed on vec_id with
+    * its own salt. Shape at 100 TB: one (split, label, dim) map-side
+    * combined sum shuffle (the p22 centroid shape), then everything on
+    * the splits × labels × dims small dim; the pair stage is a
+    * broadcast self-join of that table.
+    */
+  private[queries] def splitEmbParityEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    Entry("p92_split_emb_parity", (s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val sums = embs(s, dir)
+        .withColumn("split", expr(
+          H.h32Spark("concat(cast(vec_id as string), ':esplit')") +
+            " % 100"))
+        .withColumn("split",
+          when(col("split") < 90, "train")
+            .when(col("split") < 95, "val").otherwise("test"))
+        .select(col("split"), col("label"),
+          posexplode(col("emb")).as(Seq("dim", "x")))
+        .withColumn("x6", expr("cast(round(x * 1e6) as bigint)"))
+        .groupBy("split", "label", "dim")
+        .agg(sum(col("x6")).as("s6"), count(lit(1)).as("n"))
+      val a = sums.select(col("split").as("split_a"), col("label"),
+        col("dim"), col("s6").as("sa"), col("n").as("n_a"))
+      val b = sums.select(col("split").as("split_b"), col("label"),
+        col("dim"), col("s6").as("sb"), col("n").as("n_b"))
+      a.join(b, Seq("label", "dim"))
+        .filter(col("split_a") < col("split_b"))
+        .withColumn("num",
+          dec(col("sa") * col("n_b") - col("sb") * col("n_a")) *
+            (col("sa") * col("n_b") - col("sb") * col("n_a")))
+        .groupBy("split_a", "split_b", "label")
+        .agg(sum(col("num")).as("ss"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .select(col("split_a"), col("split_b"),
+          col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+          round(sqrt(col("ss").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double") * 1e6),
+            6).as("centroid_dist6"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x * 1e6) AS BIGINT)) AS x6,
+                   CASE WHEN h < 90 THEN 'train'
+                        WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+                 FROM (SELECT *, ${H.h32Duck(
+                   "CAST(vec_id AS VARCHAR) || ':esplit'")} % 100 AS h
+                       FROM embeddings)),
+      sums AS (SELECT split, label, dim,
+                 CAST(sum(x6[dim]) AS BIGINT) AS s6,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM e, UNNEST(range(1, len(x6) + 1)) t(dim)
+               GROUP BY 1, 2, 3),
+      prs AS (SELECT a.split AS split_a, b.split AS split_b, a.label,
+                a.dim, a.s6 AS sa, a.n AS n_a, b.s6 AS sb, b.n AS n_b,
+                CAST(a.s6 * b.n - b.s6 * a.n AS HUGEINT) AS d
+              FROM sums a JOIN sums b
+                ON a.label = b.label AND a.dim = b.dim
+                AND a.split < b.split)
+      SELECT split_a, split_b, CAST(label AS BIGINT) AS label,
+             max(n_a) AS n_a, max(n_b) AS n_b,
+             round(sqrt(CAST(sum(d * d) AS DOUBLE)) /
+                   (CAST(max(n_a) AS DOUBLE) * max(n_b) * 1e6), 6)
+               AS centroid_dist6
+      FROM prs GROUP BY 1, 2, 3"""))
+  }
 }

@@ -2220,5 +2220,49 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._4).sum === decisions.map(d => charsById(d._1)).sum)
     assert(got.exists(_._2 == "5_kept"))
   }
+
+  test("p92 embedding split parity == sequential centroid recompute; " +
+    "distances symmetric-free, nonneg, and small vs the label spread") {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val vecs = loadEmbs()
+    val tagged = vecs.map { case (id, label, e) =>
+      val b = h32(s"$id:esplit") % 100
+      val split = if (b < 90) "train" else if (b < 95) "val" else "test"
+      (split, label, e.map(micro))
+    }
+    val groups = tagged.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      val dims = xs.head._3.length
+      val sums = Array.tabulate(dims)(d => xs.map(_._3(d)).sum)
+      k -> (sums, xs.length.toLong)
+    }
+    val splits = tagged.map(_._1).distinct.sorted
+    val labels = tagged.map(_._2).distinct.sorted
+    val want = (for {
+      i <- splits.indices; j <- (i + 1) until splits.length
+      l <- labels
+      ka = (splits(i), l); kb = (splits(j), l)
+      if groups.contains(ka) && groups.contains(kb)
+    } yield {
+      val (sa, na) = groups(ka); val (sb, nb) = groups(kb)
+      val ss = sa.indices.map { d =>
+        val diff = BigInt(sa(d) * nb - sb(d) * na)
+        diff * diff
+      }.sum
+      (splits(i), splits(j), l, na, nb,
+        sparkRound(math.sqrt(ss.toDouble) / (na.toDouble * nb * 1e6), 6))
+    }).toSeq.sorted
+    val got = run("p92_split_emb_parity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, _, na, nb, d) =>
+      assert(a < b && na > 0 && nb > 0 && d >= 0.0)
+    }
+  }
 }
 
