@@ -4121,8 +4121,13 @@ object Pipeline {
                     i = 1 OR c.cov[i-1] != t - 1)) END AS BIGINT)
                AS n_spans,
              md5(CASE WHEN c.cov IS NULL THEN d.nt
-                 ELSE array_to_string(list_filter(d.toks, (t, i) ->
-                   NOT list_contains(c.cov, i)), ' ') END) AS cleaned_md5
+                 -- coalesce: DuckDB's array_to_string([]) is NULL where
+                 -- Spark's concat_ws is '' — a FULLY-excised doc's
+                 -- cleaned text is the empty string (found by the
+                 -- sf0.1 sweep; sf0.01 has no fully-covered doc)
+                 ELSE coalesce(array_to_string(list_filter(d.toks,
+                   (t, i) -> NOT list_contains(c.cov, i)), ' '), '')
+                 END) AS cleaned_md5
       FROM docs d LEFT JOIN cov c USING (doc_id)
       WHERE d.doc_id % 100 != 0"""))
 
