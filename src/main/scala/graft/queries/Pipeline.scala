@@ -1930,21 +1930,21 @@ object Pipeline {
     // corpus itself, and each document is scored by the mean
     // log-likelihood of its bigrams — low scores mark gibberish /
     // boilerplate relative to the corpus distribution. Determinism
-    // discipline: every per-bigram log term is fixed to integer
-    // micro-units (round(ln(p)*1e6) → BIGINT) inside the LM table, so
-    // the per-doc sum is an order-independent exact integer sum — no
-    // FP addition ever crosses a shuffle. Scale shape: two
-    // corpus-keyed count aggregates build the LM (map-side combined),
-    // the O(langs) vocab-size table broadcasts into it, and scoring is
-    // one postings ⋈ LM equi-join on (lang, w1, w2) + one per-doc
-    // integer aggregate. The model is self-trained on the corpus, so
-    // every scored bigram exists in the LM — the join is inner by
-    // construction. Known residual: round(1e6·ln(x)) can land on
-    // opposite sides of a .5 boundary when JVM and DuckDB libm ln()
-    // differ by ulps — measured ONCE across the sf0.1 vocab (≈1 in
-    // 10^5 terms, 1 micro-unit in one doc's avg_logp); sf0.01 (the
-    // driver gate) is collision-free. Inherent to any libm-in-SQL
-    // fixing discipline; term-level, so it cannot compound.
+    // discipline: the per-bigram term is iln6(c2+1) − iln6(c1+v) in
+    // integer micro-units through the LIBM-FREE fixed-point ln
+    // (kernel.IntLn: bit-length + atanh series, pure int64/128
+    // arithmetic — identical algorithm spelled out in both engines),
+    // so the per-doc sum is an order-independent exact integer sum AND
+    // the term itself cannot diverge: the previous round(1e6·ln(p))
+    // formulation hit a .5-boundary libm-ulp collision once across the
+    // sf0.1 vocab. Floor divisions only ever see nonnegative operands,
+    // where Spark's truncating `div` and DuckDB's flooring `//` agree.
+    // Scale shape: two corpus-keyed count aggregates build the LM
+    // (map-side combined), the O(langs) vocab-size table broadcasts
+    // into it, and scoring is one postings ⋈ LM equi-join on
+    // (lang, w1, w2) + one per-doc integer aggregate. The model is
+    // self-trained on the corpus, so every scored bigram exists in the
+    // LM — the join is inner by construction.
     Entry("p41_lm_quality", (s, dir) => {
       val posts = docs(s, dir)
         .select(col("doc_id"), col("lang"), toks.as("tk"))
@@ -1961,19 +1961,44 @@ object Pipeline {
       val vocab = posts.select(col("lang"), col("w1"))
         .union(posts.select(col("lang"), col("w2")))
         .distinct().groupBy("lang").agg(count(lit(1)).as("v"))
-      val lm = c2.join(c1, Seq("lang", "w1"))
+      val S = graft.kernel.IntLn.S
+      val L2 = graft.kernel.IntLn.Ln2S
+      // the kernel.IntLn algorithm, staged as columns per argument
+      def iln6Col(df: DataFrame, x: String, out: String): DataFrame = df
+        .withColumn(s"${x}_b", (length(bin(col(x))) - 1).cast("long"))
+        .withColumn(s"${x}_p",
+          expr(s"shiftleft(cast(1 as bigint), cast(${x}_b as int))"))
+        .withColumn(s"${x}_u", expr(
+          s"cast((cast($x - ${x}_p as decimal(38,0)) * $S) " +
+            s"div ($x + ${x}_p) as bigint)"))
+        .withColumn(s"${x}_u2", expr(s"(${x}_u * ${x}_u) div $S"))
+        .withColumn(s"${x}_u3", expr(s"(${x}_u2 * ${x}_u) div $S"))
+        .withColumn(s"${x}_u5", expr(s"(${x}_u3 * ${x}_u2) div $S"))
+        .withColumn(s"${x}_u7", expr(s"(${x}_u5 * ${x}_u2) div $S"))
+        .withColumn(s"${x}_u9", expr(s"(${x}_u7 * ${x}_u2) div $S"))
+        .withColumn(s"${x}_u11", expr(s"(${x}_u9 * ${x}_u2) div $S"))
+        .withColumn(out, expr(
+          s"((${x}_b * $L2 + 2 * (${x}_u + (${x}_u3 div 3) + " +
+            s"(${x}_u5 div 5) + (${x}_u7 div 7) + (${x}_u9 div 9) + " +
+            s"(${x}_u11 div 11))) * 1000000 + ${S / 2}) div $S"))
+      val lm0 = c2.join(c1, Seq("lang", "w1"))
         .join(broadcast(vocab), "lang")
-        // 1.0D not 1.0: a bare decimal literal drags the ratio through
-        // Spark decimal division (scale-17 after the precision cap)
-        // instead of the pure-double path DuckDB takes — see p45
-        .withColumn("li",
-          expr("cast(round(ln((c2 + 1.0D) / (c1 + v)) * 1e6) as bigint)"))
+        .withColumn("xn", col("c2") + 1)
+        .withColumn("xd", col("c1") + col("v"))
+      val lm = iln6Col(iln6Col(lm0, "xn", "iln_n"), "xd", "iln_d")
+        .withColumn("li", col("iln_n") - col("iln_d"))
         .select("lang", "w1", "w2", "li")
+      // avg in micro-units by EXACT HALF_UP integer division (li <= 0
+      // always: c2+1 <= c1+v and iln6 is monotone), then ONE exact
+      // small-int/1e6 double — round(double, 6) here was the LAST
+      // cross-engine boundary (Spark rounds the quotient's exact
+      // decimal, DuckDB rounds in double arithmetic; diverged once at
+      // sf0.1 within an ulp of a .5 micro boundary)
       posts.join(lm, Seq("lang", "w1", "w2"))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_bigrams"), sum("li").as("sli"))
         .select(col("doc_id"), col("lang"), col("n_bigrams"),
-          round(col("sli").cast("double") / 1e6 / col("n_bigrams"), 6)
+          (-expr("(((-sli) + (n_bigrams div 2)) div n_bigrams)") / 1e6)
             .as("avg_logp"))
     }, Some(s"""
       WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -1988,13 +2013,44 @@ object Pipeline {
                     SELECT lang, w1 FROM p
                     UNION ALL SELECT lang, w2 FROM p))
                 GROUP BY lang),
-      lm AS (SELECT c2.lang, c2.w1, c2.w2,
-               CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT)
-                 AS li
-             FROM c2 JOIN c1 USING (lang, w1) JOIN vocab USING (lang))
+      lm0 AS (SELECT c2.lang, c2.w1, c2.w2,
+                c2 + 1 AS xn, c1 + v AS xd
+              FROM c2 JOIN c1 USING (lang, w1) JOIN vocab USING (lang)),
+      lm1 AS (SELECT *, length(bin(xn)) - 1 AS nb,
+                length(bin(xd)) - 1 AS db FROM lm0),
+      lm2 AS (SELECT *, (1::BIGINT << CAST(nb AS INTEGER)) AS np,
+                (1::BIGINT << CAST(db AS INTEGER)) AS dp FROM lm1),
+      lm3 AS (SELECT *,
+                CAST((CAST(xn - np AS HUGEINT) * 2147483648)
+                  // (xn + np) AS BIGINT) AS nu,
+                CAST((CAST(xd - dp AS HUGEINT) * 2147483648)
+                  // (xd + dp) AS BIGINT) AS du
+              FROM lm2),
+      lm4 AS (SELECT *, (nu*nu)//2147483648 AS nu2,
+                (du*du)//2147483648 AS du2 FROM lm3),
+      lm5 AS (SELECT *, (nu2*nu)//2147483648 AS nu3,
+                (du2*du)//2147483648 AS du3 FROM lm4),
+      lm6 AS (SELECT *, (nu3*nu2)//2147483648 AS nu5,
+                (du3*du2)//2147483648 AS du5 FROM lm5),
+      lm7 AS (SELECT *, (nu5*nu2)//2147483648 AS nu7,
+                (du5*du2)//2147483648 AS du7 FROM lm6),
+      lm8 AS (SELECT *, (nu7*nu2)//2147483648 AS nu9,
+                (du7*du2)//2147483648 AS du9 FROM lm7),
+      lm9 AS (SELECT *, (nu9*nu2)//2147483648 AS nu11,
+                (du9*du2)//2147483648 AS du11 FROM lm8),
+      lm AS (SELECT lang, w1, w2,
+               CAST(((nb*1488522236 + 2*(nu + nu3//3 + nu5//5
+                      + nu7//7 + nu9//9 + nu11//11)) * 1000000
+                      + 1073741824)
+                 // 2147483648
+               - ((db*1488522236 + 2*(du + du3//3 + du5//5
+                      + du7//7 + du9//9 + du11//11)) * 1000000
+                      + 1073741824)
+                 // 2147483648 AS BIGINT) AS li
+             FROM lm9)
       SELECT doc_id, p.lang, count(*) AS n_bigrams,
-             round(CAST(sum(li) AS DOUBLE) / 1e6 / count(*), 6)
-               AS avg_logp
+             -(((-CAST(sum(li) AS BIGINT)) + count(*) // 2) // count(*))
+               / 1e6 AS avg_logp
       FROM p JOIN lm USING (lang, w1, w2)
       GROUP BY doc_id, p.lang""")),
 

@@ -366,12 +366,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val c1 = posts.groupBy(p => (p._2, p._3)).view.mapValues(_.length)
     val vocab = posts.flatMap(p => Seq((p._2, p._3), (p._2, p._4)))
       .distinct.groupBy(_._1).view.mapValues(_.length)
+    // the libm-free term: iln6(c2+1) - iln6(c1+v) through the shared
+    // kernel mirror of the in-plan integer algorithm
     val li = c2.toMap.map { case (k @ (lang, w1, _), n2) =>
-      k -> micro(math.log((n2 + 1.0) / (c1((lang, w1)) + vocab(lang))))
+      k -> (graft.kernel.IntLn.iln6(n2 + 1L) -
+        graft.kernel.IntLn.iln6(c1((lang, w1)).toLong + vocab(lang)))
     }
     val exp = posts.groupBy(p => (p._1, p._2)).map { case ((id, lang), ps) =>
       val s = ps.map(p => li((lang, p._3, p._4))).sum
-      (id, lang) -> ((ps.length.toLong, rnd6(s.toDouble / 1e6 / ps.length)))
+      val n = ps.length.toLong
+      // exact HALF_UP micro average, mirroring the in-plan fold
+      (id, lang) -> ((n, -(((-s) + n / 2) / n).toDouble / 1e6))
     }
     val got = run("p41_lm_quality").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
