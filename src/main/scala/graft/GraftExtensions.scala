@@ -134,6 +134,13 @@ object GraftExtensions {
         litInt(args(2), "graft_cosine_lsh_bucket", "seed").toLong)
     },
 
+    fn("graft_iln6",
+      "graft_iln6(n) - round-to-micro natural log of BIGINT n >= 1 in " +
+        "pure integer arithmetic (no libm): reproducible across " +
+        "engines, partitionings, and platforms; NULL for n < 1") {
+      args => Iln6(args.head)
+    },
+
     fn("graft_md5_minhash",
       "graft_md5_minhash(shingles) - cross-engine md5 MinHash " +
         "signature (64 perms) of a shingle array; empty signature for " +

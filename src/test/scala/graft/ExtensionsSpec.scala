@@ -106,4 +106,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql.getSeq[Long](2) === viaCol.getSeq[Long](2))
     assert(viaSql.getSeq[Long](2).length === 64)
   }
+
+  test("graft_iln6 resolves in SQL, matches the kernel, stays in " +
+    "whole-stage codegen, and nulls out-of-domain input") {
+    registered
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 127L, 1000000L, 0L, -5L).toDF("n")
+    df.createOrReplaceTempView("iln_t")
+    val rows = spark
+      .sql("SELECT n, graft_iln6(n) AS l FROM iln_t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    Seq(1L, 2L, 3L, 127L, 1000000L).foreach { n =>
+      assert(rows(n) === Some(graft.kernel.IntLn.iln6(n)),
+        s"graft_iln6($n) must equal the kernel")
+    }
+    assert(rows(0L).isEmpty && rows(-5L).isEmpty,
+      "out-of-domain input must be NULL, not an error")
+    // the static-call codegen keeps the projection fused
+    val plan = spark
+      .sql("SELECT graft_iln6(n) FROM iln_t WHERE n > 0")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
 }
