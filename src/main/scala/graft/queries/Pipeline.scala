@@ -3459,7 +3459,7 @@ object Pipeline {
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
     vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
     dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
-    splitEmbParityEntry)
+    splitEmbParityEntry, mmNearDupEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5742,4 +5742,72 @@ object Pipeline {
                AS centroid_dist6
       FROM prs GROUP BY 1, 2, 3"""))
   }
+
+  /** p93: multimodal BYTE-level near-dup — frame-fingerprint Jaccard
+    * over the p16 frame decomposition: two media objects whose 64-byte
+    * frame-hash SETS overlap are byte-near-duplicates (the video-dedup
+    * standard: per-frame fingerprints, set overlap — catches re-muxed
+    * or partially-overwritten copies that exact content hashes miss,
+    * with no decode required). Frames are fixed-offset, so the
+    * detector models fixed-block formats (raw frames, PCM blocks);
+    * for byte-shift robustness the p42 CDC chunking is the drop-in
+    * alternative frame rule — stated, not hidden. Shape: p03's
+    * candidate discipline applied to binary frames — a per-frame df
+    * cap defuses hot boilerplate blocks, candidate volume is bounded
+    * by df-capped posting pairs, never |media|². Jaccard denominators
+    * use the FULL per-object frame-set sizes; candidate generation
+    * AND intersection counting run over the df-capped postings
+    * (p03's rule) — identically in the oracle.
+    */
+  private[queries] def mmNearDupEntry: Entry =
+    Entry("p93_mm_neardup", (s, dir) => {
+      val fr = docs(s, dir)
+        .withColumn("hx", hex(encode(col("text"), "UTF-8")))
+        .filter(length(col("hx")) > 0)
+        .withColumn("frame_idx", expr(
+          "explode(sequence(0, cast(ceil(length(hx)/128.0) as int) - 1))"))
+        .select(col("doc_id"),
+          md5(expr("substr(hx, frame_idx*128 + 1, 128)").cast("binary"))
+            .as("fh"))
+        .distinct()
+        .persist() // read three times: set sizes, df cap, pair join
+      val counts = fr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val keepFh = fr.groupBy("fh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 40).select("fh")
+      val cp = fr.join(keepFh, "fh").select("doc_id", "fh")
+      cp.toDF("doc_a", "fh")
+        .join(cp.toDF("doc_b", "fh"), "fh")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .join(counts.toDF("doc_a", "n_a"), "doc_a")
+        .join(counts.toDF("doc_b", "n_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),
+          col("n_b"),
+          round(col("common") /
+            (col("n_a") + col("n_b") - col("common")), 6)
+            .as("frame_jaccard"))
+        .filter(col("frame_jaccard") >= 0.25)
+    }, Some("""
+      WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      fr AS (SELECT DISTINCT doc_id,
+               md5(substr(hx, CAST(i*128 + 1 AS INT), 128)) AS fh
+             FROM h, UNNEST(range(0,
+               CAST(ceil(length(hx)/128.0) AS BIGINT))) t(i)
+             WHERE length(hx) > 0),
+      counts AS (SELECT doc_id, count(*) AS n FROM fr GROUP BY doc_id),
+      keepfh AS (SELECT fh FROM (
+                   SELECT fh, count(*) AS df FROM fr GROUP BY fh)
+                 WHERE df <= 40),
+      cp AS (SELECT f.doc_id, f.fh FROM fr f JOIN keepfh USING (fh)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS common
+                FROM cp a JOIN cp b USING (fh)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b, p.common, ca.n AS n_a, cb.n AS n_b,
+             round(p.common / (ca.n + cb.n - p.common), 6)
+               AS frame_jaccard
+      FROM pairs p
+      JOIN counts ca ON ca.doc_id = p.doc_a
+      JOIN counts cb ON cb.doc_id = p.doc_b
+      WHERE round(p.common / (ca.n + cb.n - p.common), 6) >= 0.25"""))
 }

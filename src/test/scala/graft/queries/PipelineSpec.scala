@@ -2269,5 +2269,47 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(a < b && na > 0 && nb > 0 && d >= 0.0)
     }
   }
+
+  test("p93 byte-frame near-dup == sequential frame-set recompute; " +
+    "capped candidates are a subset of true frame-Jaccard pairs") {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    val hexd = "0123456789ABCDEF"
+    val frames: Map[Long, Set[String]] = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val hx = r.getString(1).getBytes("UTF-8")
+          .flatMap(b => Seq(hexd((b & 0xFF) >> 4), hexd(b & 0xF)))
+          .mkString
+        r.getLong(0) -> hx.grouped(128)
+          .map(s => md5hex(s.getBytes("UTF-8"))).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val dfc = frames.toSeq.flatMap { case (id, fs) => fs.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size <= 40).keySet
+    val ids = frames.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      shared = frames(a).intersect(frames(b)).filter(dfc)
+      if shared.nonEmpty // candidate iff a df-capped frame is shared
+      common = shared.size.toLong
+      na = frames(a).size.toLong; nb = frames(b).size.toLong
+      jac = sparkRound(common.toDouble / (na + nb - common), 6)
+      if jac >= 0.25
+    } yield (a, b, common, na, nb, jac)).toSeq.sorted
+    val got = run("p93_mm_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty, "near-dup corpus should share byte frames")
+    // soundness: every reported pair's jaccard uses FULL set sizes
+    got.foreach { case (a, b, c, na, nb, jac) =>
+      assert(c <= math.min(na, nb) && jac >= 0.25 && jac <= 1.0)
+      assert(c === frames(a).intersect(frames(b)).count(dfc).toLong,
+        s"($a,$b): common must be the df-capped shared-frame count")
+    }
+  }
 }
 
