@@ -2183,7 +2183,8 @@ object Anomaly {
     motifEntry,
     scorecardEntry,
     detectorOverlapEntry,
-    thresholdSweepEntry
+    thresholdSweepEntry,
+    ensembleAblationEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -4112,4 +4113,77 @@ object Anomaly {
                CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f16
       FROM agg"""))
   }
+
+  /** a57: ensemble ABLATION — the last scorecard the a54/a55/a56
+    * family needs: the OR-ensemble's P/R/F1 with the full detector set
+    * and with each detector LEFT OUT ("can I stop paying for the MAD
+    * windows?"). Leave-one-out against the same truth isolates each
+    * detector's marginal contribution the way a55's pairwise overlap
+    * only hints at: a detector whose removal leaves F1 unchanged is
+    * fully shadowed. Variants are a 4-struct literal explode over the
+    * shared flag frame — same single series shuffle, series × 4 output
+    * rows; counts exact, each metric ONE double division.
+    */
+  private[queries] def ensembleAblationEntry: Entry =
+    Entry("a57_ensemble_ablation", (s, dir) => {
+      scorecardFlags(s, dir)
+        .select(col("event_type"), col("is_true"), explode(expr(
+          "array(" +
+          "named_struct('variant', '0_all'," +
+          "  'flag', iqr_flag or mad_flag or z_flag)," +
+          "named_struct('variant', '1_no_iqr'," +
+          "  'flag', mad_flag or z_flag)," +
+          "named_struct('variant', '2_no_mad'," +
+          "  'flag', iqr_flag or z_flag)," +
+          "named_struct('variant', '3_no_zscore'," +
+          "  'flag', iqr_flag or mad_flag))")).as("v"))
+        .select(col("event_type"), col("v.variant").as("variant"),
+          col("v.flag").as("flag"), col("is_true"))
+        .groupBy("event_type", "variant")
+        .agg(
+          sum(when(col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("flag") && !col("is_true"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("flag") && col("is_true"), 1L).otherwise(0L))
+            .as("fn"))
+        .select(col("event_type"), col("variant"), col("tp"), col("fp"),
+          col("fn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 6)).as("precision6"),
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6).as("recall6"),
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+            .as("f16"))
+    }, Some(s"""
+      WITH $scorecardFlagsCtes,
+      stacked AS (
+        SELECT event_type, '0_all' AS variant,
+               (iqr_flag OR mad_flag OR z_flag) AS flag, is_true
+        FROM flags
+        UNION ALL SELECT event_type, '1_no_iqr',
+               (mad_flag OR z_flag), is_true FROM flags
+        UNION ALL SELECT event_type, '2_no_mad',
+               (iqr_flag OR z_flag), is_true FROM flags
+        UNION ALL SELECT event_type, '3_no_zscore',
+               (iqr_flag OR mad_flag), is_true FROM flags),
+      agg AS (SELECT event_type, variant,
+                CAST(sum(CASE WHEN flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN flag AND NOT is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN NOT flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+              FROM stacked GROUP BY 1, 2)
+      SELECT event_type, variant, tp, fp, fn,
+             CASE WHEN tp + fp > 0 THEN
+               round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             END AS precision6,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+               AS recall6,
+             round(CAST(2 * tp AS DOUBLE) /
+               CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f16
+      FROM agg"""))
 }

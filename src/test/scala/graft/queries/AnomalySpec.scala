@@ -1516,4 +1516,45 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       assert((tp, fp, fn) === a54z(et), s"$et: t=3 drifted from a54")
     }
   }
+
+  test("a57 ensemble ablation == recompute from the shared flag frame; " +
+    "removing a detector never increases ensemble recall") {
+    val frame = Anomaly.scorecardFlags(spark, sfDir)
+      .select("event_type", "is_true", "iqr_flag", "mad_flag", "z_flag")
+      .collect().map(r => (r.getString(0), r.getBoolean(1),
+        r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    val variants: Seq[(String, ((Boolean, Boolean, Boolean)) => Boolean)] =
+      Seq(
+        "0_all" -> (f => f._1 || f._2 || f._3),
+        "1_no_iqr" -> (f => f._2 || f._3),
+        "2_no_mad" -> (f => f._1 || f._3),
+        "3_no_zscore" -> (f => f._1 || f._2))
+    val want = frame.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      variants.map { case (v, fn0) =>
+        val fl = xs.map(x => (fn0((x._3, x._4, x._5)), x._2))
+        val tp = fl.count(x => x._1 && x._2).toLong
+        val fp = fl.count(x => x._1 && !x._2).toLong
+        val fnn = fl.count(x => !x._1 && x._2).toLong
+        (et, v, tp, fp, fnn,
+          if (tp + fp > 0) Some(rnd6(tp.toDouble / (tp + fp))) else None,
+          rnd6(tp.toDouble / (tp + fnn)),
+          rnd6(2.0 * tp / (2 * tp + fp + fnn)))
+      }
+    }.sorted
+    val got = Catalog.queries("a57_ensemble_ablation")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getDouble(6), r.getDouble(7))).toSeq.sorted
+    assert(got === want)
+    // OR-monotonicity: the full ensemble flags a superset of every
+    // leave-one-out variant, so its tp (recall) dominates
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val full = rows.find(_._2 == "0_all").get
+      rows.filter(_._2 != "0_all").foreach { r =>
+        assert(r._3 <= full._3, s"$et/${r._2}: ablation cannot raise tp")
+        assert(r._4 <= full._4, s"$et/${r._2}: ablation cannot raise fp")
+      }
+    }
+  }
 }
