@@ -108,8 +108,45 @@ object Pipeline {
     * production run scales m with the bench-set size (the bitmap stays
     * a broadcast-friendly m/8 bytes either way).
     */
-  private[graft] val BloomBits = 131072L
-  private[graft] val BloomK = 4
+  private[graft] val BloomBits = graft.functions.BloomParams.Bits
+  private[graft] val BloomK = graft.functions.BloomParams.K
+
+  /** Single-row dense bloom bitmap of the benchmark 3-gram set —
+    * p34's build, extracted so the batch gate and the streaming
+    * curation gate ([[graft.streaming.StreamingCuration]]) probe the
+    * definitionally same filter. Returns one row with `bits`
+    * (array<bigint>[m/32], ~32 KB — broadcast it).
+    */
+  private[graft] def benchBloomBitmap(d: DataFrame): DataFrame = {
+    import graft.functions.{HashScheme => H}
+    val m = BloomBits
+    val k = BloomK
+    d.filter(col("doc_id") % 100 === 0)
+      .select(explode(array_distinct(
+        TextHashFunctions.word_ngrams(toks, 3))).as("shingle"))
+      .withColumn("h1", expr(H.h32Spark("shingle")))
+      .withColumn("h2", expr(H.h32bSpark("shingle")))
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("h1"), col("h2"))
+      .select(((col("h1") + col("i") * col("h2")) % m).as("pos"))
+      .select(expr("pos div 32").as("word_idx"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+          .as("msk"))
+      .groupBy("word_idx").agg(expr("bit_or(msk)").as("word"))
+      .agg(array_sort(collect_list(struct(col("word_idx"), col("word"))))
+        .as("es"))
+      .select(expr(s"""
+        concat(
+          flatten(transform(es, (e, j) ->
+            concat(array_repeat(0L, cast(e.word_idx -
+                (case when j = 0 then 0L
+                      else element_at(es, j).word_idx + 1L end) as int)),
+              array(e.word)))),
+          array_repeat(0L, cast(${m / 32}L -
+            (case when size(es) = 0 then 0L
+                  else element_at(es, size(es)).word_idx + 1L end)
+            as int)))""").as("bits"))
+  }
 
   /** p58/p60's shared BM25 scorer: (query_id, doc_id, score6, n_terms)
     * for every sample query (doc_id % 100 = 0) against every corpus doc
@@ -1557,16 +1594,8 @@ object Pipeline {
             .as("shingle"))
         .withColumn("h1", expr(H.h32Spark("shingle")))
         .withColumn("h2", expr(H.h32bSpark("shingle")))
-      val bench = h.filter(col("doc_id") % 100 === 0)
-      val words = bench
-        .select(explode(sequence(lit(0), lit(k - 1))).as("i"),
-          col("h1"), col("h2"))
-        .select(((col("h1") + col("i") * col("h2")) % m).as("pos"))
-        .select(expr("pos div 32").as("word_idx"),
-          expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
-            .as("msk"))
-        .groupBy("word_idx").agg(expr("bit_or(msk)").as("word"))
-      val benchSet = bench.select("shingle").distinct()
+      val benchSet = h.filter(col("doc_id") % 100 === 0)
+        .select("shingle").distinct()
         .withColumn("exact", lit(true))
       // The whole m-bit bitmap densifies into ONE row holding an
       // array<bigint>[m/32] (32 KB), broadcast once; every probe is
@@ -1580,20 +1609,7 @@ object Pipeline {
       // Spark's array-backed map is a linear scan. Never an explode +
       // re-group: that would shuffle the posting list at k times its
       // size — the volume the bloom exists to avoid.
-      val bitmap = words
-        .agg(array_sort(collect_list(struct(col("word_idx"), col("word"))))
-          .as("es"))
-        .select(expr(s"""
-          concat(
-            flatten(transform(es, (e, j) ->
-              concat(array_repeat(0L, cast(e.word_idx -
-                  (case when j = 0 then 0L
-                        else element_at(es, j).word_idx + 1L end) as int)),
-                array(e.word)))),
-            array_repeat(0L, cast(${m / 32}L -
-              (case when size(es) = 0 then 0L
-                    else element_at(es, size(es)).word_idx + 1L end)
-              as int)))""").as("bits"))
+      val bitmap = benchBloomBitmap(docs(s, dir))
       val probes = h.filter(col("doc_id") % 100 =!= 0)
         .crossJoin(broadcast(bitmap))
         .withColumn("bloom_hit",
