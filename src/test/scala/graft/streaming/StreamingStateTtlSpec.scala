@@ -197,4 +197,42 @@ class StreamingStateTtlSpec extends AnyFunSuite with SparkTestBase {
           "scratch (n=1), never carry the evicted counts (n=3)")
     } finally { qAgg.stop(); qSk.stop() }
   }
+
+  test("curation gate shares the contract: a duplicate arriving after " +
+    "the claim's TTL re-claims fresh (re-ingest, not duplicate); " +
+    "inside the TTL it is flagged") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val s = sparkSession
+    import java.sql.Timestamp
+    // a tiny clean doc (passes quality: >= 30 tokens, high variety)
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val bitmap = graft.queries.Pipeline
+      .benchBloomBitmap(Seq((0L, text)).toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, Timestamp, String, String)](sparkSession)
+    val query = StreamingCuration
+      .decisions(input.toDF().toDF("doc_id", "ts", "source", "text"),
+        bitmap, java.time.Duration.ofSeconds(30))
+      .writeStream.format("memory").queryName("cur_ttl_sink")
+      .outputMode("update").start()
+    try {
+      def t(ms: Long) = new Timestamp(ms)
+      val base = 1000000L // clear of the initial zero watermark
+      input.addData((1L, t(base), "s", text))          // claims
+      query.processAllAvailable()
+      input.addData((2L, t(base + 1000L), "s", text))  // inside TTL: dup
+      query.processAllAvailable()
+      // advance the watermark far past the claim's TTL horizon
+      input.addData((99L, t(base + 500000L), "s", "short"))
+      query.processAllAvailable()
+      input.addData((3L, t(base + 600000L), "s", text)) // expired: fresh
+      query.processAllAvailable()
+      val dupById = spark.table("cur_ttl_sink").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(!dupById(1L), "first arrival claims")
+      assert(dupById(2L), "in-TTL duplicate must be flagged")
+      assert(!dupById(3L),
+        "post-TTL arrival is a re-ingest and must claim fresh")
+    } finally query.stop()
+  }
 }
