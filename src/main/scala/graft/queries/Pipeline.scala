@@ -3475,7 +3475,7 @@ object Pipeline {
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
     vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
     dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
-    splitEmbParityEntry, mmNearDupEntry)
+    splitEmbParityEntry, mmNearDupEntry, epochScheduleEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5826,4 +5826,58 @@ object Pipeline {
       JOIN counts ca ON ca.doc_id = p.doc_a
       JOIN counts cb ON cb.doc_id = p.doc_b
       WHERE round(p.common / (ca.n + cb.n - p.common), 6) >= 0.25"""))
+
+  /** p94: EPOCH SCHEDULE — the training-order manifest, the artifact
+    * that actually feeds the trainer: p90's kept docs in a
+    * deterministic weighted-fair interleave (stride scheduling / WFQ
+    * virtual time: the k-th doc of source s runs at vt = k/w_s, global
+    * order = sort by vt) so every prefix of the epoch carries each
+    * source in proportion to its weight — no "first 10B tokens are all
+    * one crawl" pathology, and the order is a pure function of the
+    * corpus (restartable, resumable, auditable — what a shuffle-seed
+    * order is not). Weights = kept-doc mass per source; within-source
+    * order is a keyed-hash shuffle (the p88 bottom-k determinism).
+    * vt = k/w is ONE double division of exact ints (identical both
+    * engines); vt ties (k proportional to w) break on (source,
+    * doc_id). Shape at 100 TB: the interleave is ONE global sort by
+    * (vt, source, doc) — a range-partitioned total order, written
+    * once per epoch; everything before it is the p90 plan + a
+    * source-keyed rank window. Prefix fairness |count_s(L) −
+    * L·w_s/W| ≤ 2 is pinned in the spec.
+    */
+  private[queries] def epochScheduleEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    Entry("p94_epoch_schedule", (s, dir) => {
+      val kept = Catalog.queries("p90_curation_decision")(s, dir)
+        .filter(col("keep")).select("doc_id", "source")
+      val w = kept.groupBy("source").agg(count(lit(1)).as("w"))
+      val wIn = Window.partitionBy("source").orderBy(
+        expr(H.h60Spark("concat(cast(doc_id as string), ':epoch')")),
+        col("doc_id"))
+      val wGlob = Window.orderBy(col("vt"), col("source"), col("doc_id"))
+      kept
+        .withColumn("k", row_number().over(wIn).cast("long"))
+        .join(broadcast(w), "source")
+        .withColumn("vt", col("k").cast("double") / col("w").cast("double"))
+        .withColumn("epoch_pos", row_number().over(wGlob).cast("long"))
+        .select("epoch_pos", "doc_id", "source", "k")
+    }, Some(s"""
+      WITH $curationCtes,
+      kept AS (SELECT doc_id, source FROM decision WHERE keep),
+      w AS (SELECT source, CAST(count(*) AS BIGINT) AS w
+            FROM kept GROUP BY source),
+      ranked AS (SELECT k.doc_id, k.source,
+                   CAST(row_number() OVER (PARTITION BY k.source
+                     ORDER BY ${H.h60Duck(
+                       "CAST(k.doc_id AS VARCHAR) || ':epoch'")},
+                       k.doc_id) AS BIGINT) AS k
+                 FROM kept k),
+      vts AS (SELECT r.doc_id, r.source, r.k,
+                CAST(r.k AS DOUBLE) / w.w AS vt
+              FROM ranked r JOIN w USING (source))
+      SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id)
+               AS BIGINT) AS epoch_pos,
+             doc_id, source, k
+      FROM vts"""))
+  }
 }

@@ -2311,5 +2311,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"($a,$b): common must be the df-capped shared-frame count")
     }
   }
+
+  test("p94 epoch schedule == sequential WFQ recompute; partitions the " +
+    "kept set; every prefix is weight-fair within 2 docs") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val kept = run("p90_curation_decision").collect()
+      .filter(_.getBoolean(6)).map(r => (r.getLong(0), r.getString(1)))
+    val w = kept.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val ranked = kept.groupBy(_._2).toSeq.flatMap { case (src, xs) =>
+      xs.sortBy(x => (h60(s"${x._1}:epoch"), x._1)).zipWithIndex
+        .map { case ((id, _), i) => (id, src, (i + 1).toLong) }
+    }
+    val want = ranked
+      .sortBy { case (id, src, k) => (k.toDouble / w(src), src, id) }
+      .zipWithIndex
+      .map { case ((id, src, k), i) => ((i + 1).toLong, id, src, k) }
+    val got = run("p94_epoch_schedule").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got === want)
+    // the schedule is a permutation of exactly the kept set
+    assert(got.map(_._2).toSet === kept.map(_._1).toSet)
+    assert(got.map(_._1) === (1L to kept.length.toLong))
+    // prefix fairness: at every position L, each source has been
+    // served within 2 of its ideal share L*w/W
+    val total = kept.length.toDouble
+    val counts = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    got.foreach { case (pos, _, src, _) =>
+      counts(src) += 1
+      w.keys.foreach { s0 =>
+        val ideal = pos * w(s0) / total
+        assert(math.abs(counts(s0) - ideal) <= 2.0,
+          s"prefix $pos: source $s0 served ${counts(s0)}, ideal $ideal")
+      }
+    }
+  }
 }
 
