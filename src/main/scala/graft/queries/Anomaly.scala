@@ -2184,7 +2184,8 @@ object Anomaly {
     scorecardEntry,
     detectorOverlapEntry,
     thresholdSweepEntry,
-    ensembleAblationEntry
+    ensembleAblationEntry,
+    gateTunerEntry
   )
 
   /** a36's generalized-ESD window, round count, and per-round critical
@@ -4186,4 +4187,71 @@ object Anomaly {
              round(CAST(2 * tp AS DOUBLE) /
                CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f16
       FROM agg"""))
+
+  /** a58: gate auto-tuner — the DECISION a56's sweep exists to feed:
+    * per series, the LOOSEST z gate whose precision clears the
+    * declared alert budget (precision ≥ 0.8 — "at most 1 in 5 pages
+    * is noise"), so recall is maximal subject to the noise bar. A
+    * series where no swept gate qualifies reports a NULL gate (page
+    * the operator about the SERIES, not with it). Composed from the
+    * a56 catalog entry at run time (p69/p90 pattern — the tuner
+    * recommends over exactly the rows the driver oracles); comparisons
+    * use the exact integer tp/fp counts, never the rounded precision6
+    * (10·tp ≥ 8·(tp+fp) — no double crosses the decision). Cost: a56's
+    * plan + a series-keyed argmin window over series × 5 rows.
+    */
+  private[queries] def gateTunerEntry: Entry =
+    Entry("a58_gate_tuner", (s, dir) => {
+      val sweep = Catalog.queries("a56_zgate_sweep")(s, dir)
+        .select(col("event_type"), col("gate"), col("tp"), col("fp"),
+          col("fn"))
+        // exact-integer budget test: precision >= 0.8
+        .withColumn("ok", lit(10L) * col("tp") >=
+          lit(8L) * (col("tp") + col("fp")))
+      sweep
+        .withColumn("chosen",
+          min(when(col("ok"), col("gate"))).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("event_type")))
+        .filter(col("gate") === col("chosen") ||
+          (col("chosen").isNull && col("gate") === 2.0))
+        .select(col("event_type"),
+          when(col("chosen").isNotNull, col("gate")).as("chosen_gate"),
+          col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 6)).as("precision6"),
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6).as("recall6"),
+          col("chosen").isNotNull.as("budget_met"))
+    }, Some(s"""
+      WITH $scorecardFlagsCtes,
+      swept AS (SELECT event_type, is_true,
+                  z_abs > gate * z_sig AS flag, gate
+                FROM flags, UNNEST([CAST(2.0 AS DOUBLE),
+                  CAST(2.5 AS DOUBLE), CAST(3.0 AS DOUBLE),
+                  CAST(3.5 AS DOUBLE), CAST(4.0 AS DOUBLE)]) t(gate)),
+      agg AS (SELECT event_type, gate,
+                CAST(sum(CASE WHEN flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN flag AND NOT is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN NOT flag AND is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+              FROM swept GROUP BY 1, 2),
+      ok AS (SELECT *, (10 * tp >= 8 * (tp + fp)) AS ok FROM agg),
+      chosen AS (SELECT *, min(CASE WHEN ok THEN gate END)
+                   OVER (PARTITION BY event_type) AS chosen
+                 FROM ok)
+      SELECT event_type,
+             CASE WHEN chosen IS NOT NULL THEN gate END AS chosen_gate,
+             tp, fp, fn,
+             CASE WHEN tp + fp > 0 THEN
+               round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             END AS precision6,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+               AS recall6,
+             (chosen IS NOT NULL) AS budget_met
+      FROM chosen
+      WHERE gate = chosen OR (chosen IS NULL AND gate = 2.0)"""))
 }

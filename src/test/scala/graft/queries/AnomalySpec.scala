@@ -1557,4 +1557,33 @@ class AnomalySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("a58 gate tuner picks per series the loosest swept gate meeting " +
+    "the precision budget, from exact integer counts") {
+    val sweep = Catalog.queries("a56_zgate_sweep")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val want = sweep.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val ok = rows.filter(r => 10 * r._3 >= 8 * (r._3 + r._4))
+      if (ok.nonEmpty) {
+        val pick = ok.minBy(_._2)
+        (et, Some(pick._2), pick._3, pick._4, pick._5, true)
+      } else {
+        val base = rows.minBy(_._2)
+        (et, None, base._3, base._4, base._5, false)
+      }
+    }.sorted
+    val got = Catalog.queries("a58_gate_tuner")(spark, sfDir)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(7)))
+      .toSeq.sorted
+    assert(got === want)
+    assert(got.size === sweep.map(_._1).distinct.length,
+      "exactly one recommendation per series")
+    got.filter(_._6).foreach { case (et, g, tp, fp, _, _) =>
+      assert(g.nonEmpty && 10 * tp >= 8 * (tp + fp),
+        s"$et: recommended gate must itself meet the budget")
+    }
+  }
 }
