@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Window
+
+/** Catalog-wide unpartitioned-window census: prints every logical
+  * `Window` node with an EMPTY partitionSpec per catalog entry — each
+  * one is a single-task global sort at execution time ("No Partition
+  * Defined for Window operation"), the p94-class scale killer. Pair
+  * with ScalePropertiesSpec's allowlist pin; this main is the fast way
+  * to audit a new entry while iterating.
+  */
+object DbgWindows {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create("local[8]", 8, "dbg-windows")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    queries.Catalog.all.foreach { e =>
+      try {
+        val wins = e.run(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }
+        if (wins.nonEmpty) {
+          println(s"${e.name}: ${wins.size} unpartitioned window(s)")
+          wins.foreach(w => println(
+            s"  orderBy=${w.orderSpec.map(_.sql).mkString(", ")}"))
+        }
+        spark.catalog.clearCache()
+      } catch {
+        case ex: Throwable => println(s"${e.name}: ERROR ${ex.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

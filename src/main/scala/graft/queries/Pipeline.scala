@@ -2592,9 +2592,14 @@ object Pipeline {
     // identical in the oracle's 5 unrolled CTEs. Scale shape: degree
     // join computed once; each iteration is one edge-keyed broadcast-or
     // -shuffle join + one dst-keyed partial-combined aggregate — the
-    // standard distributed PageRank round; at 100 TB each round's
-    // lineage would be checkpointed like p23's pointer jumping.
+    // standard distributed PageRank round — and ends in an eager
+    // localCheckpoint (p23/p76/p79's rule: iterative DataFrame state
+    // MUST cut lineage per round or the plan doubles every iteration).
+    // The cut also lets the two persisted inputs release immediately
+    // after the loop: the final ranks frame is checkpointed data, not
+    // lineage over e/nodes.
     Entry("p52_pagerank", (s, dir) => {
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
       val d = docs(s, dir)
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -2613,12 +2618,14 @@ object Pipeline {
           .select(col("dst"),
             expr("(rank * 85) div (100 * deg)").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("cin"))
-        ranks = nodes
+        ranks = cut(nodes
           .join(contribs.withColumnRenamed("dst", "doc_id"),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
-            (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank"))
+            (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank")))
       }
+      e.unpersist()
+      nodes.unpersist()
       ranks.select(col("doc_id"), col("rank").as("rank_micro"),
         (col("rank") / lit(1e6)).as("rank"))
     }, Some {
@@ -5203,24 +5210,35 @@ object Pipeline {
     * ranks past the actual vocabulary clamp to the full mass
     * (coverage 1.0) instead of dropping, so the curve always has the
     * same 6 rows. Shape at 100 TB: ONE map-side-combined corpus count
-    * shuffle; the rank window runs over the VOCAB-sized table (p32's
-    * argument — bounded by distinct tokens, not corpus tokens), and
-    * the probe join is 6 literal rows against the ranked vocab.
+    * shuffle feeding (a) a plain two-column aggregate for the totals
+    * and (b) a global top-32 via sort+limit — Spark plans that as
+    * TakeOrderedAndProject (per-partition top-32 heaps, driver merge of
+    * 32-row partials), so NO window ever sees the vocab-sized table
+    * (100 TB web text has 10⁸–10⁹ distinct tokens; a rank window over
+    * it would be a one-task sort). The rank/cumsum window runs over the
+    * 32-row top frame only — the one allowlisted unpartitioned window
+    * here — and the probe join is 6 literal rows against it.
     */
   private[queries] def vocabCoverageEntry: Entry = {
     val probeRanks = Seq(1L, 2L, 4L, 8L, 16L, 32L)
     val ranksLit = probeRanks.mkString("array(", ",", ")")
     val ranksDuck = probeRanks.mkString("[", ",", "]")
     Entry("p85_vocab_coverage", (s, dir) => {
-      val wRank = Window.orderBy(col("c").desc, col("tok"))
-      val ranked = docs(s, dir)
+      // persisted: the totals aggregate and the top-32 both fold the
+      // same token-count shuffle; uncached the corpus tokenizes twice
+      val counts = docs(s, dir)
         .select(explode(toks).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist()
+      val maxProbe = probeRanks.max.toInt
+      val wRank = Window.orderBy(col("c").desc, col("tok"))
+      val ranked = counts
+        .orderBy(col("c").desc, col("tok")).limit(maxProbe)
         .withColumn("rn", row_number().over(wRank).cast("long"))
         .withColumn("cum",
           sum("c").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
-      val tot = ranked.agg(max(col("cum")).as("total_tokens"),
-        max(col("rn")).as("vocab_size"))
+      val tot = counts.agg(sum(col("c")).cast("long").as("total_tokens"),
+        count(lit(1)).cast("long").as("vocab_size"))
       broadcast(tot)
         .select(explode(expr(s"cast($ranksLit as array<bigint>)")).as("r"),
           col("total_tokens"), col("vocab_size"))
@@ -5839,12 +5857,25 @@ object Pipeline {
     * order is a keyed-hash shuffle (the p88 bottom-k determinism).
     * vt = k/w is ONE double division of exact ints (identical both
     * engines); vt ties (k proportional to w) break on (source,
-    * doc_id). Shape at 100 TB: the interleave is ONE global sort by
-    * (vt, source, doc) — a range-partitioned total order, written
-    * once per epoch; everything before it is the p90 plan + a
-    * source-keyed rank window. Prefix fairness |count_s(L) −
-    * L·w_s/W| ≤ 2 is pinned in the spec.
+    * doc_id). Shape at 100 TB: the interleave numbering is TWO-PHASE
+    * (p20's distributed prefix-sum trick), never a single-partition
+    * global window: vt ∈ (0,1] buckets into 1024 ranges aligned with
+    * the (vt, source, doc) sort order, phase 1 prefix-sums the tiny
+    * bucket-count table (≤ 1024 rows — the ONE allowlisted
+    * unpartitioned window), phase 2 adds a per-bucket rank
+    * window to the broadcast bucket base. Output is bit-identical to
+    * the global row_number (bucket is a monotone function of the
+    * leading sort key), so the oracle keeps the one-window SQL. Prefix
+    * fairness |count_s(L) − L·w_s/W| ≤ 2 is pinned in the spec.
     */
+  /** p94's virtual-time bucket count: vt ∈ (0,1] splits into this many
+    * range buckets for the two-phase global numbering. Any value works
+    * (output is invariant); 1024 keeps every bucket ≈ corpus/1024 rows
+    * (vt is near-uniform under the stride interleave) and the phase-1
+    * bucket table trivially driver-small.
+    */
+  private[queries] val EpochBuckets = 1024L
+
   private[queries] def epochScheduleEntry: Entry = {
     import graft.functions.{HashScheme => H}
     Entry("p94_epoch_schedule", (s, dir) => {
@@ -5854,12 +5885,26 @@ object Pipeline {
       val wIn = Window.partitionBy("source").orderBy(
         expr(H.h60Spark("concat(cast(doc_id as string), ':epoch')")),
         col("doc_id"))
-      val wGlob = Window.orderBy(col("vt"), col("source"), col("doc_id"))
-      kept
+      // persisted: phases 1 and 2 both read the vt frame; uncached the
+      // whole p90 decision plan would run twice
+      val vts = kept
         .withColumn("k", row_number().over(wIn).cast("long"))
         .join(broadcast(w), "source")
         .withColumn("vt", col("k").cast("double") / col("w").cast("double"))
-        .withColumn("epoch_pos", row_number().over(wGlob).cast("long"))
+        .withColumn("vb", least(
+          floor(col("vt") * EpochBuckets).cast("long"),
+          lit(EpochBuckets - 1L)))
+        .persist()
+      val bases = vts.groupBy("vb").agg(count(lit(1)).as("bn"))
+        .withColumn("base", coalesce(sum(col("bn")).over(
+          Window.orderBy("vb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("vb", "base")
+      val wB = Window.partitionBy("vb")
+        .orderBy(col("vt"), col("source"), col("doc_id"))
+      vts.join(broadcast(bases), "vb")
+        .withColumn("epoch_pos",
+          col("base") + row_number().over(wB).cast("long"))
         .select("epoch_pos", "doc_id", "source", "k")
     }, Some(s"""
       WITH $curationCtes,

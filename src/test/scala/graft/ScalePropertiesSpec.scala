@@ -906,6 +906,73 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "p81_contam_semantic" -> 2, "p83_source_divergence" -> 1,
     "p84_split_parity" -> 1, "p86_vocab_growth" -> 2)
 
+  // every entry ALLOWED to plan a Window with no partitionSpec, with
+  // the number of such windows: each one executes as a single-task
+  // global sort ("No Partition Defined for Window operation"), so the
+  // only legitimate frames are provably SMALL — bounded by a constant
+  // or by a slowly-growing axis (buckets, sources, wall-clock hours),
+  // NEVER by corpus rows. A new unpartitioned window anywhere else —
+  // or growth in an allowed entry — is the p94-class scale killer and
+  // fails here before it becomes a one-task sort of 100 TB.
+  private val allowedGlobalWindows: Map[String, Int] = Map(
+    // hourly click~view pair frame: rows bounded by wall-clock hours
+    // (~4e4 over 5 years); the pair partition key is a literal single
+    // pair in this entry, so the optimizer folds it away
+    "a18_rolling_corr" -> 6,
+    // bucket-base prefix sum over the docs/PackBucket bucket table
+    "p20_pack_sequences" -> 1,
+    // rank/cumsum over the 32-row top-k frame (TakeOrdered feeds it)
+    "p85_vocab_coverage" -> 1,
+    // running register-max along the S-row source axis of the sketch grid
+    "p86_vocab_growth" -> 1,
+    // bucket-base prefix sum over the ≤1024-row vt-bucket table
+    "p94_epoch_schedule" -> 1)
+
+  test("p85: the vocab rank rides a TakeOrderedAndProject top-32, " +
+    "never a sort of the vocab-sized count table") {
+    val p = plan("p85_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-32 must plan as per-partition heaps + driver merge:\n" + p)
+  }
+
+  test("p94: the epoch numbering is two-phase — the only unpartitioned " +
+    "window is the vt-bucket prefix sum, and the corpus rank window " +
+    "partitions by bucket") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = queries.Catalog.queries("p94_epoch_schedule")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size === 1 &&
+      global.head.orderSpec.map(_.sql).mkString.contains("vb"),
+      "exactly one unpartitioned window allowed: the bucket-base " +
+        "prefix sum over ≤1024 rows; got " + wins.map(w =>
+        w.partitionSpec.map(_.sql).mkString("[", ",", "]") + " orderBy " +
+          w.orderSpec.map(_.sql).mkString("[", ",", "]")).mkString("; "))
+    assert(wins.exists(w => w.partitionSpec.nonEmpty &&
+      w.partitionSpec.map(_.sql).mkString.contains("vb")),
+      "the epoch_pos rank window must partition by the vt bucket")
+  }
+
+  test("catalog-wide: every unpartitioned window is a declared " +
+    "small-frame prefix/rank — no one-task sort of corpus-sized data") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = queries.Catalog.all.flatMap { e =>
+      val wins = e.run(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      spark.catalog.clearCache()
+      val cap = allowedGlobalWindows.getOrElse(e.name, 0)
+      if (wins.size > cap)
+        Some(s"${e.name}: ${wins.size} unpartitioned windows (cap $cap): " +
+          wins.map(_.orderSpec.map(_.sql).mkString("[", ", ", "]"))
+            .mkString("; "))
+      else None
+    }
+    assert(offenders.isEmpty,
+      "undeclared unpartitioned windows (every one is a single-task " +
+        "global sort at 100 TB):\n" + offenders.mkString("\n"))
+  }
+
   test("catalog-wide: no entry plans a CartesianProduct, and " +
     "nested-loop joins appear only in the declared small-dim crosses") {
     val offenders = queries.Catalog.all.flatMap { e =>
