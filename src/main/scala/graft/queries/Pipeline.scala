@@ -261,6 +261,22 @@ object Pipeline {
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     )"""
 
+  /** Band-bucket occupancy cap for [[minhashLshPairs]]: a bucket with B
+    * co-banded docs emits B² candidate pairs, and real web corpora have
+    * degenerate buckets (boilerplate, templates, near-empty docs) where
+    * B is unbounded — the one quadratic escape hatch in the LSH plan.
+    * Buckets above the cap are SKIPPED for candidate generation (p03/
+    * p37's df-cap discipline): members of a >cap bucket are mutually
+    * near-identical boilerplate that still meets through its other 15
+    * bands wherever those are below cap, and a cluster hot enough to
+    * blow all 16 bands is exactly the pathological mass p01's exact
+    * dedup should collapse first. The oracle carries the SAME cap
+    * (QUALIFY on the banded CTE); PipelineSpec pins that the cap is a
+    * no-op at the test SFs, so this bounds the candidate volume without
+    * changing any oracle row.
+    */
+  private[graft] val LshBucketCap = 64L
+
   /** p04's MinHash-LSH pair generator over a documents DataFrame.
     * Documents with NO shingles (fewer than 5 tokens) are excluded from
     * signature computation / banding entirely — their Md5MinHash output
@@ -270,7 +286,8 @@ object Pipeline {
     * oracle applies the same `len(hs) > 0` exclusion; PipelineSpec pins
     * that <5-token docs generate zero pairs.
     */
-  private[queries] def minhashLshPairs(d: DataFrame): DataFrame = {
+  private[queries] def minhashLshPairs(d: DataFrame,
+      bucketCap: Long = LshBucketCap): DataFrame = {
     import graft.functions.{HashScheme => H}
     val k = H.MinHashK
     val bands = 16
@@ -285,13 +302,19 @@ object Pipeline {
       .persist()
     // candidate generation joins on the raw 4-row band slice (array
     // equality — no engine-specific bucket hash), ids-only + distinct;
-    // signatures rejoin once per surviving pair
+    // signatures rejoin once per surviving pair. The occupancy window
+    // rides the same (band, bucket) partitioning the self-join needs,
+    // so the cap costs no extra exchange.
+    val wOcc = Window.partitionBy("band", "bucket")
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+      .withColumn("occ", count(lit(1)).over(wOcc))
+      .filter(col("occ") <= bucketCap)
+      .drop("occ")
     val cand = banded.toDF("doc_a", "band", "bucket")
       .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -306,6 +329,49 @@ object Pipeline {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** FIXED coarse-centroid count for the IVF family (p15/p35/p55 seed/
+    * p63/p81): production IVF fixes k — the codebook must NOT scale
+    * with the corpus, or coarse assignment degenerates to O(n·k) =
+    * O(n²/const) (measured super-linear in the 10× smoke when the old
+    * `vec_id % 100` convention let k grow with n). 20 cells ≈ the cell
+    * count the old convention produced at the bench SF, so probe
+    * ratios/recall stay comparable.
+    */
+  private[graft] val IvfK = 20
+
+  /** Fixed-K coarse-centroid seed shared by the IVF family: the [[IvfK]]
+    * vectors with the smallest salted 60-bit hash of vec_id (p88's
+    * bottom-k determinism — an unbiased pseudo-random sample that is a
+    * pure function of the ids, reproducible on any engine/partitioning).
+    * Spark plans orderBy+limit as TakeOrderedAndProject (per-partition
+    * top-K heaps + driver merge of K-row partials), so seeding is one
+    * linear scan — never a global sort, never corpus-proportional.
+    *
+    * @param vec  name of the fixed-point vector column in `e`
+    * @param cid/ci  output column names (entries differ: cid/ci vs ccid/c6)
+    */
+  private[queries] def ivfSeedCents(e: DataFrame, vec: String,
+      cid: String = "cid", ci: String = "ci"): DataFrame = {
+    import graft.functions.{HashScheme => H}
+    e.select(col("vec_id"), col(vec),
+      expr(H.h60Spark("concat(cast(vec_id as string), ':ivfseed')"))
+        .as("hseed"))
+      .orderBy(col("hseed"), col("vec_id"))
+      .limit(IvfK)
+      .select(col("vec_id").as(cid), col(vec).as(ci))
+  }
+
+  /** DuckDB twin of [[ivfSeedCents]]: a CTE body selecting the same
+    * fixed-K bottom-hash sample from relation `src` (whose fixed-point
+    * vector column is `vec`), emitting (cid, ci).
+    */
+  private[queries] def ivfSeedDuck(src: String, vec: String): String = {
+    import graft.functions.{HashScheme => H}
+    s"""SELECT vec_id AS cid, $vec AS ci FROM $src
+        ORDER BY ${H.h60Duck("CAST(vec_id AS VARCHAR) || ':ivfseed'")},
+          vec_id LIMIT $IvfK"""
+  }
+
   /** p15's IVF search with the probe width as a parameter, so the spec
     * can measure recall at nprobe=1 vs 2 against p07's exact top-k.
     */
@@ -313,8 +379,7 @@ object Pipeline {
       nprobe: Int): DataFrame = {
     val e = embs(s, dir)
       .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
-    val cents = e.filter(col("vec_id") % 100 === 7)
-      .select(col("vec_id").as("cid"), col("ei").as("ci"))
+    val cents = ivfSeedCents(e, "ei")
     val d2 = expr(
       "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
     val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
@@ -348,7 +413,7 @@ object Pipeline {
                    list_transform(embedding::DOUBLE[],
                      x -> CAST(round(x*1000000) AS BIGINT)) AS ei
                  FROM embeddings),
-      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      cents AS (${ivfSeedDuck("e", "ei")}),
       dists AS (SELECT e.vec_id, e.emb, c.cid,
                   list_sum(list_transform(range(1, len(e.ei)+1),
                     i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2
@@ -419,7 +484,9 @@ object Pipeline {
       sigs AS MATERIALIZED (SELECT doc_id, list(m ORDER BY i) AS sig
         FROM mins GROUP BY doc_id),
       banded AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket, sig
-                 FROM sigs, UNNEST(range(0, 16)) t(b)),
+                 FROM sigs, UNNEST(range(0, 16)) t(b)
+                 QUALIFY count(*) OVER (PARTITION BY band, bucket)
+                   <= $LshBucketCap),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                FROM banded x JOIN banded y
                  ON x.band = y.band AND x.bucket = y.bucket
@@ -1681,8 +1748,7 @@ object Pipeline {
       val e = embs(s, dir)
         .withColumn("ei",
           expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
-      val cents = e.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("cid"), col("ei").as("ci"))
+      val cents = ivfSeedCents(e, "ei")
       val d2 = expr(
         "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
       val assigned = e.join(broadcast(cents))
@@ -1699,12 +1765,12 @@ object Pipeline {
           round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
-    }, Some("""
+    }, Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
                    list_transform(embedding::DOUBLE[],
                      x -> CAST(round(x*1000000) AS BIGINT)) AS ei
                  FROM embeddings),
-      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      cents AS (${ivfSeedDuck("e", "ei")}),
       dists AS (SELECT e.vec_id, e.emb, c.cid,
                   list_sum(list_transform(range(1, len(e.ei)+1),
                     i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2
@@ -2804,8 +2870,7 @@ object Pipeline {
           .withColumn("rk", row_number().over(wA))
           .filter(col("rk") === 1)
           .select(col("vec_id"), col("ei"), col("cid"), col("d2"))
-      var cents = e.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("cid"), col("ei").as("ci"))
+      var cents = ivfSeedCents(e, "ei")
       for (_ <- 1 to iters) {
         val upd = assign(cents)
           .select(col("cid"), posexplode(col("ei")).as(Seq("dim", "x")))
@@ -2848,7 +2913,7 @@ object Pipeline {
                    list_transform(embedding::DOUBLE[],
                      x -> CAST(round(x*1000000) AS BIGINT)) AS ei
                  FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      c0 AS (${ivfSeedDuck("e", "ei")}),
       $iter,
       fin AS (SELECT vec_id, cid, d2 FROM (
         SELECT e.vec_id, c.cid,
@@ -3267,8 +3332,7 @@ object Pipeline {
       val e6 = embs(s, dir).select(col("vec_id"),
         expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
           .as("v6"))
-      val coarse = e6.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("ccid"), col("v6").as("c6"))
+      val coarse = ivfSeedCents(e6, "v6", cid = "ccid", ci = "c6")
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("d2"), col("ccid"))
       // persisted: read 3× (corpus residual subs, PQ seed codebook,
@@ -3333,8 +3397,8 @@ object Pipeline {
                    list_transform(embedding::DOUBLE[],
                      x -> CAST(round(x * 1e6) AS BIGINT)) AS v6
                  FROM embeddings),
-      coarse AS (SELECT vec_id AS ccid, v6 AS c6 FROM e
-                 WHERE vec_id % 100 = 7),
+      coarse AS (SELECT cid AS ccid, ci AS c6
+                 FROM (${ivfSeedDuck("e", "v6")})),
       asg AS (SELECT e.vec_id, c.ccid, e.v6, c.c6,
                 CAST(list_sum(list_transform(range(1, len(e.v6) + 1),
                   i -> (e.v6[i] - c.c6[i]) * (e.v6[i] - c.c6[i])))
@@ -4864,8 +4928,7 @@ object Pipeline {
       val e = embs(s, dir)
         .withColumn("ei",
           expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
-      val cents = e.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("cid"), col("ei").as("ci"))
+      val cents = ivfSeedCents(e, "ei")
       val d2 = expr(
         "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
       val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
@@ -4886,12 +4949,12 @@ object Pipeline {
         .select(col("cell"), col("vec_id"), col("test_id"),
           round(VectorOps.cosine(col("emb"), col("temb")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.2)
-    }, Some("""
+    }, Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
                    list_transform(embedding::DOUBLE[],
                      x -> CAST(round(x*1000000) AS BIGINT)) AS ei
                  FROM embeddings),
-      cents AS (SELECT vec_id AS cid, ei AS ci FROM e WHERE vec_id % 100 = 7),
+      cents AS (${ivfSeedDuck("e", "ei")}),
       dists AS (SELECT e.vec_id, e.emb, c.cid,
                   list_sum(list_transform(range(1, len(e.ei)+1),
                     i -> (e.ei[i] - c.ci[i]) * (e.ei[i] - c.ci[i]))) AS d2

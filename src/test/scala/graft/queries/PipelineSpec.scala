@@ -144,6 +144,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"expected only the identical long-doc pair, got ${pairs.toSeq}")
   }
 
+  test("p04 bucket cap: no-op at the test SF, and a degenerate " +
+    "replicated bucket is skipped (bounded candidate volume)") {
+    import spark.implicits._
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+    // no-op pin: the cap removes zero pairs on the real corpus, so
+    // every oracle row is unchanged by the candidate-volume bound
+    val capped = Pipeline.minhashLshPairs(d).count()
+    val uncapped = Pipeline.minhashLshPairs(d, bucketCap = Long.MaxValue)
+      .count()
+    assert(capped === uncapped,
+      "bucket cap changed candidate pairs at test SF — raise LshBucketCap")
+    // degenerate corpus: one boilerplate string replicated past the cap
+    // bands identically in ALL 16 bands -> every bucket is over cap ->
+    // zero candidates (vs n^2/2 = 4950 uncapped); under the cap the
+    // full clique must still be found
+    val boiler = (1L to (Pipeline.LshBucketCap + 36L))
+      .map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    assert(Pipeline.minhashLshPairs(boiler).count() === 0L,
+      "over-cap boilerplate bucket must be skipped, not exploded")
+    val small = (1L to 10L)
+      .map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    assert(Pipeline.minhashLshPairs(small).count() === 45L,
+      "under-cap clique must still pair completely")
+  }
+
   test("p20 two-phase prefix sum == naive single-window cumsum") {
     import org.apache.spark.sql.expressions.Window
     val d = graft.sources.Tables.table(spark, sfDir, "documents")
@@ -596,6 +621,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         .digest(s.getBytes("UTF-8")).take(4)
         .map(b => f"$b%02x").mkString, 16)
 
+  /** Sequential mirror of Pipeline.ivfSeedCents' id choice: the IvfK
+    * ids with the smallest salted h60 — shared by the p15/p35/p55/p63/
+    * p81 recomputes so the fixed-k convention is pinned in ONE place.
+    */
+  private def ivfSeedIds(ids: Iterable[Long]): Set[Long] = {
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    ids.toSeq.sortBy(id => (h60(s"$id:ivfseed"), id))
+      .take(Pipeline.IvfK).toSet
+  }
+
   test("p48 JL projection == exact integer sequential recompute; " +
     "projected cosine tracks exact cosine on sample pairs") {
     val got = run("p48_jl_project").collect()
@@ -794,7 +832,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
           .map { case (c, ci) => (c, d2(ei, ci)) }
           .minBy { case (c, dd) => (dd, c) }
     }
-    var cents = vecs.collect { case (id, ei) if id % 100 == 7 => id -> ei }
+    val seedIds = ivfSeedIds(vecs.keys)
+    var cents = vecs.collect { case (id, ei) if seedIds(id) => id -> ei }
       .toMap
     val initialObjective = assignAll(cents).values.map(_._2).sum
     (1 to 3).foreach { _ =>
@@ -1152,7 +1191,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       a.zip(b).map { case (x, y) => BigInt(x - y) * (x - y) }.sum
     def dot(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
-    val coarse = vecs.keys.filter(_ % 100 == 7).toSeq.sorted
+    val coarse = ivfSeedIds(vecs.keys).toSeq.sorted
     assert(coarse.nonEmpty)
     // (d2, ccid)-ranked cells: head = assignment, take(2) = probes
     val probes: Map[Long, Seq[Long]] = vecs.map { case (id, v) =>
@@ -1794,7 +1833,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val micros = vecs.map { case (id, _, e) => id -> e.map(micro) }.toMap
-    val cents = vecs.collect { case (id, _, _) if id % 100 == 7 =>
+    val seedIds = ivfSeedIds(micros.keys)
+    val cents = vecs.collect { case (id, _, _) if seedIds(id) =>
       id -> micros(id) }
     assert(cents.nonEmpty, "corpus must provide centroids")
     // nearest cells by exact integer d2, deterministic (d2, cid) order
