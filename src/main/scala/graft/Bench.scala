@@ -74,6 +74,7 @@ object Bench {
       // eviction churn / GC pauses mid-measurement (observed as median
       // ~4x min on later queries). The query's own warmup rebuilds its
       // intermediates, so the timed runs measure warm steady state.
+      graft.operators.EntryCaches.releaseAll()
       spark.catalog.clearCache()
       System.gc()
       materialize(n)

@@ -43,8 +43,11 @@ object Verify {
       }
       System.err.println(
         f"[verify] $name%-28s ${(System.nanoTime() - tq) / 1e9}%8.2f s")
-      // the catalog's persist()ed intermediates are per-query scoped;
-      // dropping them here keeps a 171-query run's storage memory flat
+      // the catalog's persisted intermediates are per-query scoped;
+      // dropping them here keeps a 199-query run's storage memory flat.
+      // releaseAll drops the entry-tracked caches surgically; the
+      // clearCache sweep behind it catches anything untracked
+      graft.operators.EntryCaches.releaseAll()
       spark.catalog.clearCache()
     }
     System.err.println(

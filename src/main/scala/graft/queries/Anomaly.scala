@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.kernel.AnomalyzerConf
 import graft.operators.{AnomalyOps, Detectors}
+import graft.operators.EntryCaches.TrackedPersist
 import graft.sources.Tables
 
 /** Anomaly-detection queries over the `events` table (series key =
@@ -2747,7 +2748,7 @@ object Anomaly {
         // persisted: the pair self-join reads both sides from this
         // frame — uncached, Catalyst re-derives the whole rollup +
         // detector twice
-        .persist()
+        .persistTracked()
       val x = flags.toDF("type_a", "hour_id", "fa")
       val y = flags.toDF("type_b", "hour_id", "fb")
       x.join(y, Seq("hour_id"))
@@ -3165,7 +3166,7 @@ object Anomaly {
           .otherwise(length(bin(col("micro")))))
         .groupBy(col("event_type"), col("day_id"), col("bkt"))
         .agg(count(lit(1)).as("cnt"))
-        .persist() // read twice: the daily path and the merge join
+        .persistTracked() // read twice: the daily path and the merge join
       def pick(sketch: org.apache.spark.sql.DataFrame, dayCol: String)
           : org.apache.spark.sql.DataFrame = {
         val wCum = Window.partitionBy("event_type", dayCol).orderBy("bkt")
@@ -3273,7 +3274,7 @@ object Anomaly {
         .agg(count(lit(1)).as("h"),
           sum((col("prob_ensemble") > IncidentThreshold).cast("long"))
             .as("f"))
-        .persist() // spine + two trailing joins read it
+        .persistTracked() // spine + two trailing joins read it
       val spine = daily.select(col("event_type"), col("day_id")).distinct()
       def trailing(days: Long, fc: String, hc: String) = spine
         .toDF("event_type", "d")
@@ -3464,7 +3465,7 @@ object Anomaly {
         .withColumn("d", col("w") - col("trend_micro"))
         .select(col("event_type"), col("hour_id"), col("w"), col("d"),
           col("trend_micro"))
-        .persist() // seasonal dim + final join both read it
+        .persistTracked() // seasonal dim + final join both read it
       val seasonal = trended
         .withColumn("hod", expr("(hour_id div 3600) % 24"))
         .groupBy(col("event_type"), col("hod"))
@@ -3550,7 +3551,7 @@ object Anomaly {
         .withColumn("fc", lag(col("w"), 24).over(wSer))
         .filter(col("fc").isNotNull)
         .withColumn("r", col("w") - col("fc"))
-        .persist() // band dim + final scoring both read it
+        .persistTracked() // band dim + final scoring both read it
       val band = resid.groupBy(col("event_type"))
         .agg(expr("array_sort(collect_list(r))").as("rs"),
           count(lit(1)).as("n"))
@@ -3861,10 +3862,11 @@ object Anomaly {
                   CASE WHEN mad25 = 0 THEN value <> med25
                        ELSE abs(0.6745 * (value - med25) / mad25) > 3.5
                   END AS mad_flag,
-                  abs(CAST(n_u * v6 - s1 AS DOUBLE)) >
+                  abs(CAST(CAST(n_u AS HUGEINT) * v6 - s1 AS DOUBLE)) >
                     3.0 * sqrt(CAST(CAST(n_u AS HUGEINT) * s2 -
                       CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z_flag,
-                  abs(CAST(n_u * v6 - s1 AS DOUBLE)) AS z_abs,
+                  abs(CAST(CAST(n_u AS HUGEINT) * v6 - s1 AS DOUBLE))
+                    AS z_abs,
                   sqrt(CAST(CAST(n_u AS HUGEINT) * s2 -
                     CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z_sig
                 FROM truth)"""
@@ -3920,9 +3922,12 @@ object Anomaly {
       // the raw z pieces ride along for a56's threshold sweep:
       // z_abs is the exact integer |n·v6 − s1|, z_sig the one sqrt of
       // the exact variance numerator — a gate t flags when
-      // z_abs > t·z_sig (multiplied-through, no mean/std doubles)
+      // z_abs > t·z_sig (multiplied-through, no mean/std doubles).
+      // n·v6 is 128-bit like the s2 terms: at ~1e7 rows with |v6|~1e12
+      // the plain int64 product wraps silently in Spark while DuckDB
+      // raises — same discipline as the variance numerator below
       .withColumn("z_abs",
-        abs(col("n_u") * col("v6") - col("s1")).cast("double"))
+        abs(dec(col("n_u")) * col("v6") - col("s1")).cast("double"))
       .withColumn("z_sig",
         sqrt((dec(col("n_u")) * col("s2") -
           dec(col("s1")) * col("s1")).cast("double")))

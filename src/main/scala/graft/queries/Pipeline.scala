@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{SketchFunctions, TextHashFunctions, VectorOps}
 import graft.operators.Components
+import graft.operators.EntryCaches.TrackedPersist
 import graft.sources.Tables
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
@@ -170,7 +171,7 @@ object Pipeline {
       .groupBy("doc_id", "dl", "tok")
       .agg(count(lit(1)).as("tf"))
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
-      .persist() // read 3×: df dim, query terms, candidate probe
+      .persistTracked() // read 3×: df dim, query terms, candidate probe
     val scal = docs(s, dir)
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks)).cast("long").as("a_toks"))
@@ -237,7 +238,7 @@ object Pipeline {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= dfCap)
       .drop("df")
-      .persist()
+      .persistTracked()
     sh.toDF("doc_a", "na", "shingle")
       .join(sh.toDF("doc_b", "nb", "shingle"), "shingle")
       .filter(col("doc_a") < col("doc_b"))
@@ -299,7 +300,7 @@ object Pipeline {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextHashFunctions.md5_minhash(col("sh")))
       .select(col("doc_id"), col("sig"))
-      .persist()
+      .persistTracked()
     // candidate generation joins on the raw 4-row band slice (array
     // equality — no engine-specific bucket hash), ids-only + distinct;
     // signatures rejoin once per surviving pair. The occupancy window
@@ -390,7 +391,7 @@ object Pipeline {
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id"), col("emb"), col("cid").as("cell"), col("rk"))
-      .persist()
+      .persistTracked()
     val assigned = probed.filter(col("rk") === 1).drop("rk")
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -1595,7 +1596,7 @@ object Pipeline {
         .withColumn("norm6",
           expr("cast(round(sqrt(cast(s2 as double))) as bigint)"))
         .drop("s2")
-        .persist()
+        .persistTracked()
       val stats = e.groupBy("label").agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("norm6").cast("decimal(38,0)")).cast("double").as("sn"),
@@ -1894,7 +1895,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("pa",
           expr("cast(round(pow(n_docs, 0.7d), 12) as decimal(28,12))"))
-        .persist()
+        .persistTracked()
       val rates = w.crossJoin(broadcast(w.agg(sum(col("pa")).as("S"))))
         .withColumn("w_alpha",
           round(col("pa").cast("double") / col("S").cast("double"), 6))
@@ -2330,7 +2331,7 @@ object Pipeline {
       val agg = tok.groupBy("b").agg(
         count(lit(1)).as("cr"),
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
-        .persist()
+        .persistTracked()
       val tot = agg.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
       // 1.0D double literals, NOT 1.0: a bare decimal literal would keep
       // the whole ratio in Spark decimal arithmetic, whose division
@@ -2460,7 +2461,7 @@ object Pipeline {
         .select(col("t"), col("cnt"), col("h1"), col("h2"),
           explode(sequence(lit(0), lit(3))).as("r"))
         .withColumn("b", expr(s"(h1 + r * h2) % $w"))
-        .select("t", "cnt", "r", "b").persist()
+        .select("t", "cnt", "r", "b").persistTracked()
       val sketch = probes.groupBy("r", "b").agg(sum(col("cnt")).as("bsum"))
       probes.join(broadcast(sketch), Seq("r", "b"))
         .groupBy("t", "cnt").agg(min(col("bsum")).as("est_cnt"))
@@ -2672,11 +2673,11 @@ object Pipeline {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // persisted: 5 iterations re-read the degree-annotated edges
-      val e = edges.join(deg, "src").persist()
+      val e = edges.join(deg, "src").persistTracked()
       // persisted: every iteration's left join re-derives the node
       // spine; uncached that is 5 extra corpus scans for one slim
       // column (at 100 TB, 5 redundant passes over the whole table)
-      val nodes = d.select(col("doc_id")).persist()
+      val nodes = d.select(col("doc_id")).persistTracked()
       var ranks = nodes.withColumn("rank", lit(1000000L))
       for (_ <- 1 to 5) {
         val contribs = e
@@ -2776,7 +2777,7 @@ object Pipeline {
         .withColumn("est64", expr("cast(round(est_jaccard * 64) as bigint)"))
       // persisted: postings feed the pair-restricted intersection join
       // twice (doc_a side, doc_b side) and the counts dim once
-      val sh = shingleSets(d).persist()
+      val sh = shingleSets(d).persistTracked()
       val cnts = sh.select(col("doc_id"), col("n")).distinct()
       val posts = sh.select(col("doc_id"), col("shingle"))
       // zero-common pairs (possible in principle at est >= 0.5) keep
@@ -2860,7 +2861,7 @@ object Pipeline {
         .select(col("vec_id"),
           expr("transform(emb, x -> cast(round(x*1000000) as bigint))")
             .as("ei"))
-        .persist()
+        .persistTracked()
       val d2 = expr("aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), " +
         "0L, (a, x) -> a + x)")
       val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
@@ -3092,7 +3093,7 @@ object Pipeline {
             s"m -> slice(v6, m * $PqSub + 1, $PqSub))"))
             .as(Seq("m", "sub")))
         .select(col("vec_id"), col("m").cast("long").as("m"), col("sub"))
-        .persist() // read 3×: centroid dim, encode probe, query LUT
+        .persistTracked() // read 3×: centroid dim, encode probe, query LUT
       val cents = subs
         .filter(col("vec_id") % 31 === 0 && col("vec_id") < PqSeedBound)
         .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
@@ -3347,7 +3348,7 @@ object Pipeline {
         .withColumn("res", expr("zip_with(v6, c6, (x, y) -> x - y)"))
         .select(col("vec_id"), col("ccid").as("cell"), col("crk"),
           col("qcdot12"), col("res"))
-        .persist()
+        .persistTracked()
       val rsubs = probed.filter(col("crk") === 1)
         .select(col("vec_id"), col("cell"),
           posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
@@ -3797,7 +3798,7 @@ object Pipeline {
         // crossJoin side — uncached, Catalyst re-derives it 16 times
         // (16 corpus scans at scale; the ScalePropertiesSpec pin
         // counts them)
-        .persist()
+        .persistTracked()
       val tot = tk.agg(sum(col("t")).as("tt"), count(lit(1)).as("ns"))
         .select(col("tt"), col("ns"), expr("(tt * 9L) div 10L").as("b1"))
       val r1 = tk.crossJoin(broadcast(tot))
@@ -4355,7 +4356,7 @@ object Pipeline {
     val base = d
       .select(col("doc_id"), size(toks).cast("long").as("n_toks"))
       .withColumn("bucket", expr(s"doc_id div $PackBucket"))
-      .persist()
+      .persistTracked()
     // phase 1: per-bucket totals, exclusive prefix over the tiny bucket
     // table (the only unpartitioned window — docs/bucketWidth rows)
     val bases = base.groupBy("bucket").agg(sum(col("n_toks")).as("btot"))
@@ -4530,7 +4531,7 @@ object Pipeline {
         .groupBy("source")
         .agg(SketchFunctions.kmv_sketch(col("h"), K).as("sk"))
         .select(col("source"), explode(col("sk")).as("h"))
-        .persist()
+        .persistTracked()
       val srcs = sk.select("source").distinct()
       val sp = srcs.toDF("src_a")
         .join(srcs.toDF("src_b"), col("src_a") < col("src_b"))
@@ -4610,7 +4611,7 @@ object Pipeline {
           col("nlabel"),
           round(VectorOps.cosine(col("qemb"), col("nemb")), 6)
             .as("cos_sim"))
-        .persist()
+        .persistTracked()
       val pos = sims.filter(col("nlabel") === col("qlabel"))
         .groupBy("query_id").agg(max(col("cos_sim")).as("pos_sim"))
       val w = Window.partitionBy("query_id")
@@ -4939,7 +4940,7 @@ object Pipeline {
         .withColumn("rk", row_number().over(wAssign))
         .filter(col("rk") <= 2)
         .select(col("vec_id"), col("emb"), col("cid").as("cell"), col("rk"))
-        .persist()
+        .persistTracked()
       val tests = probed.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("test_id"), col("emb").as("temb"),
           col("cell"))
@@ -5011,7 +5012,7 @@ object Pipeline {
       val posts = docs(s, dir)
         .select(col("source"), explode(toks).as("tok"))
         .select(col("source"), expr(H.h60Spark("tok")).as("h"))
-        .persist()
+        .persistTracked()
       val rhos = posts
         .select(col("source"),
           expr("h div 18014398509481984").as("bucket"),
@@ -5111,7 +5112,7 @@ object Pipeline {
         .select(col("source"), explode(toks).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
         .join(broadcast(totals), "source")
-        .persist() // read twice: the two sides of the pair join
+        .persistTracked() // read twice: the two sides of the pair join
       val shared = counts.select(col("source").as("src_a"), col("tok"),
           col("c").as("c_a"), col("n").as("n_a"))
         .join(counts.select(col("source").as("src_b"), col("tok"),
@@ -5198,7 +5199,7 @@ object Pipeline {
           col("f.val").as("val"))
         .agg(count(lit(1)).as("c"))
         .join(broadcast(totals), "split")
-        .persist() // read twice: the two sides of the pair join
+        .persistTracked() // read twice: the two sides of the pair join
       val shared = counts.select(col("split").as("split_a"), col("feature"),
           col("val"), col("c").as("c_a"), col("n").as("n_a"))
         .join(counts.select(col("split").as("split_b"), col("feature"),
@@ -5292,7 +5293,7 @@ object Pipeline {
       val counts = docs(s, dir)
         .select(explode(toks).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-        .persist()
+        .persistTracked()
       val maxProbe = probeRanks.max.toInt
       val wRank = Window.orderBy(col("c").desc, col("tok"))
       val ranked = counts
@@ -5358,7 +5359,7 @@ object Pipeline {
       val posts = docs(s, dir)
         .select(col("source"), explode(toks).as("tok"))
         .select(col("source"), expr(H.h60Spark("tok")).as("h"))
-        .persist() // read twice: register build + first-appearance twin
+        .persistTracked() // read twice: register build + first-appearance twin
       val regs = posts
         .select(col("source"),
           expr(s"h div ${Hll.SuffixMod}").as("bucket"),
@@ -5368,7 +5369,7 @@ object Pipeline {
             .otherwise(lit(55L) - length(bin(col("w"))).cast("long"))
             .as("rho"))
         .groupBy("source", "bucket").agg(max(col("rho")).as("m"))
-        .persist() // tiny (S x <=64); read for grid dims + the merge
+        .persistTracked() // tiny (S x <=64); read for grid dims + the merge
       val srcs = regs.select("source").distinct()
       val bks = regs.select("bucket").distinct()
       val nBuckets = bks.agg(count(lit(1)).as("n_b"))
@@ -5482,7 +5483,7 @@ object Pipeline {
     import graft.functions.{HashScheme => H}
     Entry("p87_longest_common_run", (s, dir) => {
       val d = docs(s, dir)
-      val pairs = minhashLshPairs(d).select("doc_a", "doc_b").persist()
+      val pairs = minhashLshPairs(d).select("doc_a", "doc_b").persistTracked()
       val inPairs = pairs.select(col("doc_a").as("doc_id"))
         .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
       val g8 = d.join(inPairs, "doc_id")
@@ -5493,7 +5494,7 @@ object Pipeline {
           col("h")), "doc_a")
         .join(g8.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
           col("h")), Seq("doc_b", "h"))
-        .persist() // read twice: island runs + matched-gram count
+        .persistTracked() // read twice: island runs + matched-gram count
       val wRun = Window.partitionBy("doc_a", "doc_b", "diag")
         .orderBy("pos_a")
       val best = m
@@ -5801,9 +5802,12 @@ object Pipeline {
         col("dim"), col("s6").as("sb"), col("n").as("n_b"))
       a.join(b, Seq("label", "dim"))
         .filter(col("split_a") < col("split_b"))
-        .withColumn("num",
-          dec(col("sa") * col("n_b") - col("sb") * col("n_a")) *
-            (col("sa") * col("n_b") - col("sb") * col("n_a")))
+        // the cross-products are 128-bit BEFORE multiplying: sa ~ n·1e8
+        // micro-sums times n_b exceeds int64 at the 100 TB shape, so a
+        // plain sa*n_b would wrap silently here while DuckDB raises
+        .withColumn("d",
+          dec(col("sa")) * col("n_b") - dec(col("sb")) * col("n_a"))
+        .withColumn("num", col("d") * col("d"))
         .groupBy("split_a", "split_b", "label")
         .agg(sum(col("num")).as("ss"),
           max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
@@ -5828,7 +5832,8 @@ object Pipeline {
                GROUP BY 1, 2, 3),
       prs AS (SELECT a.split AS split_a, b.split AS split_b, a.label,
                 a.dim, a.s6 AS sa, a.n AS n_a, b.s6 AS sb, b.n AS n_b,
-                CAST(a.s6 * b.n - b.s6 * a.n AS HUGEINT) AS d
+                CAST(a.s6 AS HUGEINT) * b.n
+                  - CAST(b.s6 AS HUGEINT) * a.n AS d
               FROM sums a JOIN sums b
                 ON a.label = b.label AND a.dim = b.dim
                 AND a.split < b.split)
@@ -5867,7 +5872,7 @@ object Pipeline {
           md5(expr("substr(hx, frame_idx*128 + 1, 128)").cast("binary"))
             .as("fh"))
         .distinct()
-        .persist() // read three times: set sizes, df cap, pair join
+        .persistTracked() // read three times: set sizes, df cap, pair join
       val counts = fr.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val keepFh = fr.groupBy("fh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 40).select("fh")
@@ -5957,7 +5962,7 @@ object Pipeline {
         .withColumn("vb", least(
           floor(col("vt") * EpochBuckets).cast("long"),
           lit(EpochBuckets - 1L)))
-        .persist()
+        .persistTracked()
       val bases = vts.groupBy("vb").agg(count(lit(1)).as("bn"))
         .withColumn("base", coalesce(sum(col("bn")).over(
           Window.orderBy("vb")

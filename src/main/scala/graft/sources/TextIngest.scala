@@ -69,9 +69,7 @@ object TextIngest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
-    split(parsed, schema, required,
-      coalesce(col(CorruptCol),
-        to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*))))
+    split(parsed, schema, required, jsonRaw(schema))
   }
 
   /** STREAMING JSON-lines ingest with the same contract semantics —
@@ -94,9 +92,7 @@ object TextIngest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
-    split(parsed, schema, required,
-      coalesce(col(CorruptCol),
-        to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*))))
+    split(parsed, schema, required, jsonRaw(schema))
   }
 
   /** CSV ingest with the same contract semantics (header expected;
@@ -116,7 +112,23 @@ object TextIngest {
       .csv(path)
     split(parsed, schema, required,
       coalesce(col(CorruptCol),
+        // nulls render as explicit empty cells: concat_ws SKIPS null
+        // args, so a row quarantined precisely because a required field
+        // is missing would otherwise re-render with FEWER columns than
+        // the input ('a,,c' -> 'a,c'), corrupting quarantine review and
+        // replay
         concat_ws(",", schema.fieldNames.map(f =>
-          col(f).cast("string")).toIndexedSeq: _*)))
+          coalesce(col(f).cast("string"), lit(""))).toIndexedSeq: _*)))
   }
+
+  /** Raw reconstruction for JSON quarantine rows: the corrupt capture
+    * when parsing failed, otherwise a re-render that KEEPS null fields
+    * (`"f":null`) — to_json's default drops them, which would make a
+    * missing-required quarantine row look like it never had the key at
+    * all versus carrying an explicit null.
+    */
+  private def jsonRaw(schema: StructType): Column =
+    coalesce(col(CorruptCol),
+      to_json(struct(schema.fieldNames.map(col).toIndexedSeq: _*),
+        Map("ignoreNullFields" -> "false")))
 }

@@ -114,5 +114,23 @@ class TextIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(quar.map(_._2).toSeq ===
       Seq("malformed_record", "missing_required:text"))
     assert(good.length + quar.length === 5)
+    // faithful raw: the missing-text row renders its null as an EMPTY
+    // CELL, keeping the original column count (concat_ws alone would
+    // collapse '3,,en' to '3,en' and mislead quarantine replay)
+    val missingText = quar.find(_._2 == "missing_required:text").get._1
+    assert(missingText === "3,,en",
+      s"quarantine raw must preserve column positions, got '$missingText'")
+  }
+
+  test("quarantine raw keeps explicit nulls: a required-null json row " +
+    "re-renders with the null field present, not silently dropped") {
+    val path = write("nulls.jsonl", Seq(
+      """{"doc_id": 1, "text": "ok", "lang": "en"}""",
+      """{"doc_id": null, "text": "orphan", "lang": "en"}"""))
+    val ing = TextIngest.jsonl(spark, path, schema,
+      required = Seq("doc_id", "text"))
+    val raw = ing.quarantine.collect().map(r => r.getString(0))
+    assert(raw.length === 1 && raw.head.contains("\"doc_id\":null"),
+      s"null required field must survive re-render, got ${raw.toSeq}")
   }
 }
