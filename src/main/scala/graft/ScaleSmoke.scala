@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke: replicates the sf0.1 corpus N times with offset
+  * keys into a temp dir, then times named catalog entries against both
+  * the base and replicated corpora — the fast falsifier for "this plan
+  * is linear in the corpus" claims (the IVF-k, p94-window, and p52-cut
+  * fixes were all motivated by THIS check, not the oracle gate, which
+  * cannot see super-linearity).
+  *
+  * `runMain graft.ScaleSmoke [factor] [name ...]` — defaults: factor
+  * 10, the scale-suspect set. Prints per-entry base/replicated seconds
+  * (best of 2 warmed runs each). Caveat from SURVEY §8: exact
+  * replication gives every doc N−1 identical twins, so near-dup pair
+  * volume inflates ~N² for dedup-family entries — interpret those
+  * against the dedup-specific expectations, not raw linearity.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("p94_epoch_schedule", "p85_vocab_coverage", "p52_pagerank",
+        "p81_contam_semantic", "p63_sim_ivfpq", "p15_sim_ivf",
+        "p35_semdedup", "p04_dedup_minhash_lsh")
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$factor"
+    val cpus = Runtime.getRuntime.availableProcessors.min(32)
+    val spark = GraftSession.create(s"local[$cpus]", cpus, "scale-smoke")
+
+    if (!new java.io.File(s"$out/_SMOKE_READY").exists()) {
+      replicate(spark, base, out, factor)
+      new java.io.File(s"$out/_SMOKE_READY").createNewFile()
+    }
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        queries.Catalog.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      val t = math.min(once(), once())
+      operators.EntryCaches.releaseAll()
+      spark.catalog.clearCache()
+      t
+    }
+    for (n <- names) {
+      try {
+        val tb = time(n, base)
+        val tx = time(n, out)
+        println(f"[scale] $n%-28s base $tb%6.2f s  x$factor $tx%6.2f s  " +
+          f"ratio ${tx / tb}%5.2f (linear = $factor.0)")
+      } catch {
+        case e: Throwable => println(s"[scale] $n FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Writes factor-replicated copies of the key-bearing tables with
+    * disjoint id ranges; dimension tables copy through unchanged.
+    */
+  private def replicate(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val Off = 100000000L
+    def rep(name: String, key: String): Unit = {
+      val d = sources.Tables.table(spark, base, name)
+      val copies = (0 until factor).map(i =>
+        d.withColumn(key, col(key) + lit(i * Off)))
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    rep("documents", "doc_id")
+    rep("embeddings", "vec_id")
+    rep("events", "event_id")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+}

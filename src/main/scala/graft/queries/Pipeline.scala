@@ -5330,7 +5330,7 @@ object Pipeline {
              round(CAST(k.cum AS DOUBLE) /
                    CAST(p.total_tokens AS DOUBLE), 6) AS coverage6
       FROM probes p JOIN ranked k
-        ON k.rn = least(p.r, p.vocab_size)"""))
+        ON k.rn = least(p.r, p.vocab_size)"""), bench = true)
   }
 
   /** p86: vocabulary union-growth curve via MERGED HLL sketches — the
@@ -5991,6 +5991,6 @@ object Pipeline {
       SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id)
                AS BIGINT) AS epoch_pos,
              doc_id, source, k
-      FROM vts"""))
+      FROM vts"""), bench = true)
   }
 }
