@@ -3547,7 +3547,8 @@ object Pipeline {
     sourceDivergenceEntry, splitParityEntry, vocabCoverageEntry,
     vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
     dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
-    splitEmbParityEntry, mmNearDupEntry, epochScheduleEntry)
+    splitEmbParityEntry, mmNearDupEntry, epochScheduleEntry,
+    dupLossMaskEntry, packEfficiencyEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -5993,4 +5994,150 @@ object Pipeline {
              doc_id, source, k
       FROM vts"""), bench = true)
   }
+
+  /** p95: DUPLICATE-SPAN LOSS MASK — the per-document mask manifest
+    * for "train on everything, learn duplicates once": instead of
+    * DROPPING span-duplicated documents, mask the duplicated token
+    * RANGES out of the training loss — the recommended treatment for
+    * PARTIAL overlap in Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), where whole-doc removal loses the
+    * novel remainder. A token position is masked iff ANY
+    * corpus-duplicated 8-token span (p44's df ≥ 2 rule, same gram
+    * identity) covers it; the output is what a data loader turns into
+    * a loss mask: per doc, token count, masked token count, masked
+    * fraction, and the count of contiguous masked islands.
+    *
+    * Exactness: island folding is pure integer interval algebra inside
+    * a doc-partitioned window — an interval opens a new island iff its
+    * start exceeds running-max(end)+1 (adjacency merges; 8-long spans
+    * guarantee an island covers [min start, max end] with no gaps), so
+    * masked_toks = Σ islands (max end − min start + 1), exact on both
+    * engines; mask_frac is ONE int/int double division.
+    *
+    * Shape at 100 TB: identical bounds to p44 — the positional span
+    * stream collapses to distinct (doc, span) rows map-side, doc
+    * frequency rides one span-partitioned window (a hot boilerplate
+    * span costs df rows, never df²), the dup-start join is (doc,
+    * span)-keyed, and ALL island work happens inside doc-partitioned
+    * windows. No global ordering anywhere.
+    */
+  private[queries] def dupLossMaskEntry: Entry =
+    Entry("p95_dup_loss_mask", (s, dir) => {
+      val d = docs(s, dir)
+      val pos = d.select(col("doc_id"),
+        posexplode(TextHashFunctions.ngram_hashes(toks, 8)))
+        .toDF("doc_id", "gpos", "g")
+        .select(col("doc_id"), (col("gpos") + 1L).as("st"),
+          (col("gpos") + 8L).as("en"), col("g"))
+      val pd = pos.select("doc_id", "g").distinct()
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      val dup = pos
+        .join(pd.filter(col("df") >= 2).select("doc_id", "g"),
+          Seq("doc_id", "g"))
+        .select("doc_id", "st", "en")
+      val wRun = Window.partitionBy("doc_id").orderBy(col("st"), col("en"))
+      val isl = dup
+        .withColumn("pmax", max(col("en")).over(
+          wRun.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni", when(col("pmax").isNull ||
+          col("st") > col("pmax") + 1L, 1L).otherwise(0L))
+        .withColumn("iid", sum(col("ni")).over(
+          wRun.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "iid")
+        .agg((max(col("en")) - min(col("st")) + lit(1L)).as("ilen"))
+        .groupBy("doc_id")
+        .agg(sum(col("ilen")).as("masked_toks"),
+          count(lit(1)).as("n_islands"))
+      d.select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+        .join(isl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("masked_toks"), lit(0L)).as("masked_toks"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          (coalesce(col("masked_toks"), lit(0L)).cast("double") /
+            col("n_toks")).as("mask_frac"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) AS st,
+                   CAST(i + 7 AS BIGINT) AS en,
+                   array_to_string(toks[i:i+7], ' ') AS g
+            FROM d, UNNEST(CASE WHEN len(toks) >= 8
+                                THEN range(1, len(toks)-6)
+                                ELSE [] END) t(i)),
+      pd AS (SELECT DISTINCT doc_id, g FROM g),
+      dfq AS (SELECT g, count(*) AS df FROM pd GROUP BY g),
+      dup AS (SELECT gg.doc_id, gg.st, gg.en
+              FROM g gg JOIN dfq USING (g) WHERE dfq.df >= 2),
+      run AS (SELECT doc_id, st, en,
+                max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS pmax
+              FROM dup),
+      isl AS (SELECT doc_id, st, en,
+                CAST(sum(CASE WHEN pmax IS NULL OR st > pmax + 1
+                              THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS iid
+              FROM run),
+      agg1 AS (SELECT doc_id, iid, max(en) - min(st) + 1 AS ilen
+               FROM isl GROUP BY doc_id, iid),
+      agg AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS masked_toks,
+                     CAST(count(*) AS BIGINT) AS n_islands
+              FROM agg1 GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_toks,
+             coalesce(a.masked_toks, 0) AS masked_toks,
+             coalesce(a.n_islands, 0) AS n_islands,
+             CAST(coalesce(a.masked_toks, 0) AS DOUBLE) / len(d.toks)
+               AS mask_frac
+      FROM d LEFT JOIN agg a USING (doc_id)"""))
+
+  /** p96: PACKING-EFFICIENCY report — the economics view over p20's
+    * sequence-packing manifest (the p65-savings-report pattern applied
+    * to packing): per pack, how many docs start there, how many span
+    * the boundary, and what the TRUNCATE-at-boundary policy would cost
+    * in lost tokens (overflow = tokens past the pack end; under the
+    * span policy those tokens continue into the next pack, under the
+    * truncate policy they are the training data thrown away). This is
+    * the table a pipeline owner reads to pick budget/policy: a high
+    * trunc-loss fraction says "span or re-order", a low one says
+    * "truncate and keep the loader simple". All integer-exact from
+    * p20's coordinates; the loss fraction is ONE int/int double
+    * division per pack. Shape at 100 TB: one map-side-combined groupBy
+    * over p20's already-two-phase output — adds nothing to its plan.
+    */
+  private[queries] def packEfficiencyEntry: Entry =
+    Entry("p96_pack_efficiency", (s, dir) => {
+      packSequences(docs(s, dir))
+        .withColumn("overflow", greatest(lit(0L),
+          col("pack_offset") + col("n_toks") - lit(PackBudget)))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("spans_boundary").cast("long")).as("n_spanning"),
+          sum(col("n_toks")).as("started_toks"),
+          sum(col("overflow")).as("overflow_toks"))
+        .select(col("pack_id"), col("n_docs"), col("n_spanning"),
+          col("started_toks"), col("overflow_toks"),
+          (col("overflow_toks").cast("double") / col("started_toks"))
+            .as("trunc_loss_frac"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, len($toksSql) AS n_toks FROM documents),
+      c AS (SELECT doc_id, n_toks,
+              CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+            FROM d),
+      p AS (SELECT doc_id, n_toks,
+              start_tok // $PackBudget AS pack_id,
+              start_tok % $PackBudget AS pack_offset
+            FROM c)
+      SELECT pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN pack_offset + n_toks > $PackBudget
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+             CAST(sum(n_toks) AS BIGINT) AS started_toks,
+             CAST(sum(greatest(0, pack_offset + n_toks - $PackBudget))
+               AS BIGINT) AS overflow_toks,
+             CAST(sum(greatest(0, pack_offset + n_toks - $PackBudget))
+               AS DOUBLE) / sum(n_toks) AS trunc_loss_frac
+      FROM p GROUP BY pack_id"""))
 }

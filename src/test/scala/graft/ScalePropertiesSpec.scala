@@ -956,6 +956,8 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "a18_rolling_corr" -> 6,
     // bucket-base prefix sum over the docs/PackBucket bucket table
     "p20_pack_sequences" -> 1,
+    // p96 composes p20's manifest, inheriting the same bucket window
+    "p96_pack_efficiency" -> 1,
     // rank/cumsum over the 32-row top-k frame (TakeOrdered feeds it)
     "p85_vocab_coverage" -> 1,
     // running register-max along the S-row source axis of the sketch grid

@@ -2391,5 +2391,69 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("p95 dup-loss mask == sequential interval-union recompute; " +
+    "masked iff p44 sees dup spans") {
+    val got = run("p95_dup_loss_mask").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id",
+        "lower(regexp_replace(trim(text), '\\\\s+', ' ')) AS nt")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .toMap
+    val grams: Map[Long, Seq[(Long, String)]] = docs.map { case (id, tk) =>
+      id -> (if (tk.length >= 8)
+        (0 to tk.length - 8).map(i =>
+          ((i + 1).toLong, tk.slice(i, i + 8).mkString(" ")))
+      else Seq.empty)
+    }
+    val df = grams.toSeq
+      .flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    for ((id, tk) <- docs) {
+      val dups = grams(id).collect {
+        case (s0, g) if df(g) >= 2 => (s0, s0 + 7L) }.sorted
+      var isls = List.empty[(Long, Long)]
+      for ((s0, e0) <- dups) isls = isls match {
+        case (a, b) :: rest if s0 <= b + 1 =>
+          (a, math.max(b, e0)) :: rest
+        case other => (s0, e0) :: other
+      }
+      val masked = isls.map { case (a, b) => b - a + 1 }.sum
+      assert(got(id) === ((tk.length.toLong, masked, isls.size.toLong,
+        masked.toDouble / tk.length)), s"doc $id")
+    }
+    // consistency: a doc is masked iff p44's span signal fires on it
+    val p44 = run("p44_dupspan").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((id, (_, masked, _, _)) <- got)
+      assert((masked > 0) === (p44.getOrElse(id, 0L) > 0),
+        s"p44/p95 disagree on doc $id")
+  }
+
+  test("p96 pack efficiency == groupBy recompute over the p20 manifest") {
+    val b = Pipeline.PackBudget
+    val p20 = run("p20_pack_sequences").collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    val want = p20.groupBy(_._1).map { case (pack, rows) =>
+      val overflow = rows.map { case (_, n, off) =>
+        math.max(0L, off + n - b) }.sum
+      val started = rows.map(_._2).sum
+      pack -> ((rows.length.toLong,
+        rows.count { case (_, n, off) => off + n > b }.toLong,
+        started, overflow, overflow.toDouble / started))
+    }
+    val got = run("p96_pack_efficiency").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === want)
+    // every pack except possibly the last is exactly full under the
+    // span policy, so overflow == next packs' imported tokens; sanity:
+    // spanning implies positive overflow
+    for ((pack, (_, spanning, _, overflow, _)) <- got)
+      assert((spanning > 0) === (overflow > 0), s"pack $pack")
+  }
 }
 
