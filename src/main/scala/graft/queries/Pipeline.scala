@@ -303,19 +303,33 @@ object Pipeline {
       .persistTracked()
     // candidate generation joins on the raw 4-row band slice (array
     // equality — no engine-specific bucket hash), ids-only + distinct;
-    // signatures rejoin once per surviving pair. The occupancy window
-    // rides the same (band, bucket) partitioning the self-join needs,
-    // so the cap costs no extra exchange.
-    val wOcc = Window.partitionBy("band", "bucket")
-    val banded = sigs.select(col("doc_id"),
+    // signatures rejoin once per surviving pair. The occupancy cap is a
+    // broadcast ANTI-join against the over-cap bucket dim — one
+    // map-side-combined (band, bucket) count whose >cap survivors are
+    // the DEGENERATE buckets only (boilerplate clusters; a corpus with
+    // corpus-proportional overfull buckets is pathological mass p01
+    // collapses first), so the dim is declared-small like p34's bloom
+    // bitmap and the cap costs no shuffle/sort/cache of the banded
+    // stream itself.
+    val banded0 = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-      .withColumn("occ", count(lit(1)).over(wOcc))
-      .filter(col("occ") <= bucketCap)
-      .drop("occ")
+    val hot = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > bucketCap)
+      .select("band", "bucket")
+    // persisted: the capped stream feeds BOTH self-join sides (p03's
+    // df-cap discipline — banding and the anti probe run once, not
+    // once per side)
+    // select restores (doc_id, band, bucket) order — the join puts its
+    // keys first, and the positional toDF renames below depend on it
+    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"),
+      "left_anti")
+      .select("doc_id", "band", "bucket")
+      .persistTracked()
     val cand = banded.toDF("doc_a", "band", "bucket")
       .join(banded.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -2666,7 +2680,11 @@ object Pipeline {
     // after the loop: the final ranks frame is checkpointed data, not
     // lineage over e/nodes.
     Entry("p52_pagerank", (s, dir) => {
-      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      // lazy cut: the LOGICAL plan truncates immediately (the round-k+1
+      // plan is a LogicalRDD over round k — no per-iteration plan
+      // doubling), while materialization happens inside the caller's
+      // one action cascade instead of 5 eager driver-blocking jobs
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
       val d = docs(s, dir)
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -2691,8 +2709,9 @@ object Pipeline {
           .select(col("doc_id"),
             (lit(150000L) + coalesce(col("cin"), lit(0L))).as("rank")))
       }
-      e.unpersist()
-      nodes.unpersist()
+      // e/nodes are persistTracked: EntryCaches.releaseAll() drops them
+      // after the caller's terminal action (unpersisting HERE would
+      // evict them before the lazy checkpoints materialize)
       ranks.select(col("doc_id"), col("rank").as("rank_micro"),
         (col("rank") / lit(1e6)).as("rank"))
     }, Some {
