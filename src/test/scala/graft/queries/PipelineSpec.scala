@@ -2433,6 +2433,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"p44/p95 disagree on doc $id")
   }
 
+  test("ivfSeedCents: fixed K, bottom-k by salted hash, graceful on " +
+    "tiny corpora (n < K returns all n)") {
+    import spark.implicits._
+    val big = (0L until 200L).map(i => (i, Seq(i, i + 1))).toDF("vec_id", "v")
+    val cents = Pipeline.ivfSeedCents(big, "v").collect()
+      .map(r => r.getLong(0))
+    assert(cents.length === Pipeline.IvfK, "K must not scale with n")
+    assert(cents.toSet === ivfSeedIds(0L until 200L),
+      "seed choice must be the bottom-K by salted h60")
+    val tiny = (0L until 5L).map(i => (i, Seq(i))).toDF("vec_id", "v")
+    assert(Pipeline.ivfSeedCents(tiny, "v").count() === 5L,
+      "n < K corpora keep all vectors as centroids")
+  }
+
   test("p96 pack efficiency == groupBy recompute over the p20 manifest") {
     val b = Pipeline.PackBudget
     val p20 = run("p20_pack_sequences").collect()
