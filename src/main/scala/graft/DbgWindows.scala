@@ -1,13 +1,12 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.Window
-
-/** Catalog-wide unpartitioned-window census: prints every logical
-  * `Window` node with an EMPTY partitionSpec per catalog entry — each
-  * one is a single-task global sort at execution time ("No Partition
-  * Defined for Window operation"), the p94-class scale killer. Pair
-  * with ScalePropertiesSpec's allowlist pin; this main is the fast way
-  * to audit a new entry while iterating.
+/** Catalog-wide unpartitioned-window census: prints every window with
+  * an EMPTY partitionSpec per catalog entry — logical nodes AND those
+  * hiding inside persisted subtrees (see [[PlanAudit]]) — each one a
+  * single-task global sort at execution time ("No Partition Defined
+  * for Window operation"), the p94-class scale killer. Pair with
+  * ScalePropertiesSpec's allowlist pin; this main is the fast way to
+  * audit a new entry while iterating.
   */
 object DbgWindows {
   def main(args: Array[String]): Unit = {
@@ -15,15 +14,11 @@ object DbgWindows {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     queries.Catalog.all.foreach { e =>
       try {
-        val wins = e.run(spark, dir).queryExecution.optimizedPlan.collect {
-          case w: Window if w.partitionSpec.isEmpty => w
-        }
+        val wins = PlanAudit.unpartitionedWindows(e.run(spark, dir))
         if (wins.nonEmpty) {
           println(s"${e.name}: ${wins.size} unpartitioned window(s)")
-          wins.foreach(w => println(
-            s"  orderBy=${w.orderSpec.map(_.sql).mkString(", ")}"))
+          wins.foreach(w => println(s"  $w"))
         }
-        spark.catalog.clearCache()
       } catch {
         case ex: Throwable => println(s"${e.name}: ERROR ${ex.getMessage}")
       }

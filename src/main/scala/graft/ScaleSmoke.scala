@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // both arguments optional: a leading integer is the factor, any
+    // remaining (or all, if the first isn't numeric) args are entry
+    // names
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val rest = if (args.headOption.exists(_.toIntOption.isDefined))
+      args.drop(1).toSeq else args.toSeq
+    val names = if (rest.nonEmpty) rest
       else Seq("p94_epoch_schedule", "p85_vocab_coverage", "p52_pagerank",
         "p81_contam_semantic", "p63_sim_ivfpq", "p15_sim_ivf",
         "p35_semdedup", "p04_dedup_minhash_lsh")

@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.Dataset
@@ -13,45 +12,58 @@ import org.apache.spark.sql.Dataset
   * composition pattern re-invoking component entries) accumulate
   * cached RDDs until executor storage evicts under pressure.
   *
-  * The contract: entries route every cache through [[persistTracked]];
+  * The contract: entries route every cache through `persistTracked`;
   * the harness (Verify per query, Bench per block, or an embedding
   * application whenever a catalog result has been consumed) calls
-  * [[releaseAll]] to drop exactly the entry-scoped caches — no blast
+  * `releaseAll` to drop exactly the entry-scoped caches — no blast
   * radius on caches the application owns, unlike
-  * `spark.catalog.clearCache()`. References are weak, so tracking
-  * never pins a frame the caller already dropped.
+  * `spark.catalog.clearCache()`.
+  *
+  * References are STRONG until released — deliberately. Spark's
+  * CacheManager keeps the cached data alive independently of the
+  * Dataset wrapper, so a weak reference could be collected while the
+  * cache persists, and releaseAll would silently leak exactly the
+  * entry it was built to drop. The registry is therefore bounded by
+  * the release cadence, which the harness contract guarantees (one
+  * entry's caches between releases).
   */
-object EntryCaches {
+class CacheRegistry {
 
-  private val tracked =
-    new ConcurrentLinkedQueue[WeakReference[Dataset[_]]]()
+  private val tracked = new ConcurrentLinkedQueue[Dataset[_]]()
 
   /** Registered count — observability for leak tests. */
   def trackedCount: Int = tracked.size()
 
-  implicit final class TrackedPersist[T](private val ds: Dataset[T])
-      extends AnyVal {
-    /** `persist()` + registration with the entry-scoped registry. */
-    def persistTracked(): Dataset[T] = {
-      ds.persist()
-      tracked.add(new WeakReference[Dataset[_]](ds))
-      ds
-    }
+  /** `persist()` + registration for the next [[releaseAll]]. */
+  def persist[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    tracked.add(ds)
+    ds
   }
 
-  /** Unpersist (non-blocking) every tracked cache still reachable and
-    * clear the registry. Safe to call at any point between entry
-    * invocations; frames already unpersisted or collected no-op.
+  /** Unpersist (non-blocking) every tracked cache and clear the
+    * registry. Safe to call at any point between entry invocations;
+    * frames already unpersisted elsewhere no-op.
     */
   def releaseAll(): Unit = {
-    var ref = tracked.poll()
-    while (ref != null) {
-      val ds = ref.get
-      if (ds != null) {
-        try ds.unpersist(blocking = false)
-        catch { case _: Throwable => () }
-      }
-      ref = tracked.poll()
+    var ds = tracked.poll()
+    while (ds != null) {
+      try ds.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      ds = tracked.poll()
     }
+  }
+}
+
+/** The process-global registry the catalog entries and harness share.
+  * (Tests exercise the mechanism on their own [[CacheRegistry]]
+  * instances — releasing the GLOBAL registry mid-suite would evict
+  * caches that other parallel suites' plan pins depend on.)
+  */
+object EntryCaches extends CacheRegistry {
+
+  implicit final class TrackedPersist[T](private val ds: Dataset[T])
+      extends AnyVal {
+    def persistTracked(): Dataset[T] = EntryCaches.persist(ds)
   }
 }

@@ -303,14 +303,16 @@ object Pipeline {
       .persistTracked()
     // candidate generation joins on the raw 4-row band slice (array
     // equality — no engine-specific bucket hash), ids-only + distinct;
-    // signatures rejoin once per surviving pair. The occupancy cap is a
-    // broadcast ANTI-join against the over-cap bucket dim — one
+    // signatures rejoin once per surviving pair. The occupancy cap is
+    // an ANTI-join against the over-cap bucket dim — one
     // map-side-combined (band, bucket) count whose >cap survivors are
     // the DEGENERATE buckets only (boilerplate clusters; a corpus with
     // corpus-proportional overfull buckets is pathological mass p01
-    // collapses first), so the dim is declared-small like p34's bloom
-    // bitmap and the cap costs no shuffle/sort/cache of the banded
-    // stream itself.
+    // collapses first). No explicit broadcast hint: AQE sees the dim's
+    // true size after the aggregate and picks broadcast when it is the
+    // expected handful — but degrades to a shuffle join instead of a
+    // driver OOM on an adversarial corpus where EVERY bucket overflows
+    // (a 65x-replicated corpus makes the dim corpus-sized).
     val banded0 = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*))
@@ -326,8 +328,7 @@ object Pipeline {
     // once per side)
     // select restores (doc_id, band, bucket) order — the join puts its
     // keys first, and the positional toDF renames below depend on it
-    val banded = banded0.join(broadcast(hot), Seq("band", "bucket"),
-      "left_anti")
+    val banded = banded0.join(hot, Seq("band", "bucket"), "left_anti")
       .select("doc_id", "band", "bucket")
       .persistTracked()
     val cand = banded.toDF("doc_a", "band", "bucket")
@@ -498,8 +499,14 @@ object Pipeline {
                FROM hrows, perms GROUP BY 1, 2),
       sigs AS MATERIALIZED (SELECT doc_id, list(m ORDER BY i) AS sig
         FROM mins GROUP BY doc_id),
-      banded AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket, sig
-                 FROM sigs, UNNEST(range(0, 16)) t(b)
+      -- banded0 = the raw banding (p75's claim primitive reads it:
+      -- window-min claims are linear in occupancy, so the pair cap
+      -- does NOT apply there); banded = the occupancy-capped stream
+      -- the candidate self-join below consumes
+      banded0 AS (SELECT doc_id, b AS band, sig[b*4+1:b*4+4] AS bucket,
+                    sig
+                  FROM sigs, UNNEST(range(0, 16)) t(b)),
+      banded AS (SELECT * FROM banded0
                  QUALIFY count(*) OVER (PARTITION BY band, bucket)
                    <= $LshBucketCap),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -4304,7 +4311,11 @@ object Pipeline {
     * under id-ordered ingest is pinned in StreamingNearDupSpec.
     * 100 TB shape: signature build is one scan; the claim is a window
     * min over the banded table keyed by (band, bucket) — exactly the
-    * p04 candidate join's shuffle, minus the pair blow-up.
+    * p04 candidate join's shuffle, minus the pair blow-up. Deliberately
+    * UNCAPPED (oracle reads the raw banded0 CTE): p04's occupancy cap
+    * exists to bound B² candidate pairs, but a claim is a linear
+    * window-min — an over-cap boilerplate bucket still claims exactly
+    * one survivor, which is what the online dedup stream needs.
     */
   private[queries] def neardupFirstClaimEntry: Entry = {
     import org.apache.spark.sql.expressions.Window
@@ -4332,7 +4343,7 @@ object Pipeline {
              min(doc_id) OVER (PARTITION BY band, bucket) AS first_doc,
              doc_id = min(doc_id) OVER (PARTITION BY band, bucket)
                AS is_first
-      FROM banded"""))
+      FROM banded0"""))
   }
 
   /** p62's audit core over any (text, doc_id, lang) frame — exposed so

@@ -990,26 +990,48 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       "the epoch_pos rank window must partition by the vt bucket")
   }
 
+  test("window census is not vacuous: a deliberately unpartitioned " +
+    "window IS detected by the same collector") {
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    val bad = spark.range(10).toDF("x")
+      .withColumn("rn", row_number().over(WSpec.orderBy("x")))
+    assert(PlanAudit.unpartitionedWindows(bad).size === 1,
+      "the detector must flag the global window")
+  }
+
   test("catalog-wide: every unpartitioned window is a declared " +
     "small-frame prefix/rank — no one-task sort of corpus-sized data") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = queries.Catalog.all.flatMap { e =>
       // NOTE: no clearCache here — sbt runs suites in parallel on the
       // shared session, and evicting mid-run breaks the persist-reuse
-      // plan pins above (the cartesian sweep below makes the same call)
-      val wins = e.run(spark, sfDir).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
+      // plan pins above (the cartesian sweep below makes the same call).
+      // PlanAudit also walks PERSISTED subtrees, which optimizedPlan
+      // alone hides behind InMemoryRelation leaves.
+      val wins = PlanAudit.unpartitionedWindows(e.run(spark, sfDir))
       val cap = allowedGlobalWindows.getOrElse(e.name, 0)
       if (wins.size > cap)
-        Some(s"${e.name}: ${wins.size} unpartitioned windows (cap $cap): " +
-          wins.map(_.orderSpec.map(_.sql).mkString("[", ", ", "]"))
-            .mkString("; "))
+        Some(s"${e.name}: ${wins.size} unpartitioned windows " +
+          s"(cap $cap): " + wins.mkString("; "))
       else None
     }
     assert(offenders.isEmpty,
       "undeclared unpartitioned windows (every one is a single-task " +
         "global sort at 100 TB):\n" + offenders.mkString("\n"))
+  }
+
+  test("window census sees through persists: an unpartitioned window " +
+    "UNDER a cached frame is still detected") {
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    val hidden = spark.range(20).toDF("x")
+      .withColumn("rn", row_number().over(WSpec.orderBy("x")))
+      .persist()
+    try {
+      hidden.count() // materialize so the cache substitutes into plans
+      val consumer = hidden.filter("rn > 3")
+      assert(PlanAudit.unpartitionedWindows(consumer).size === 1,
+        "the census must walk cached build plans, not stop at the " +
+          "InMemoryRelation leaf")
+    } finally hidden.unpersist()
   }
 
   test("catalog-wide: no entry plans a CartesianProduct, and " +
