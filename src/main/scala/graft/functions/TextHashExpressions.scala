@@ -277,10 +277,62 @@ case class Md5MinHash(child: Expression) extends UnaryExpression
 }
 
 object Md5MinHash {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/** `md5_simhash60(tokens)`: the [[HashScheme]] 60-bit SimHash — per
+  * token the md5-60 base hash (first 15 hex chars), each occurrence
+  * voting ±1 into 60 bit-counters, majority (>0) folding to the
+  * signature. Output-identical to the SQL token-fold the DuckDB oracle
+  * runs (and that `Pipeline.simhashSql` used to run Spark-side), but
+  * one digest per token with no hex-string materialization and no
+  * per-(bit, token) lambda dispatch — the same ~10x the Md5MinHash
+  * native form bought the MinHash pipeline.
+  */
+case class Md5SimHash60(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash60"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](60)
+    val md = Md5MinHash.digest.get()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        md.reset()
+        val d = md.digest(s.getBytes)
+        // first 15 hex chars == first 8 digest bytes big-endian >>> 4
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h >>>= 4
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) cnt(i) += 1 else cnt(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 60) { if (cnt(i) > 0) sig |= 1L << i; i += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 object TextHashFunctions {
@@ -296,6 +348,8 @@ object TextHashFunctions {
     column(WordNGrams(expression(tokens), n))
   def md5_minhash(shingles: Column): Column =
     column(Md5MinHash(expression(shingles)))
+  def md5_simhash60(tokens: Column): Column =
+    column(Md5SimHash60(expression(tokens)))
   def ngram_hashes(tokens: Column, n: Int): Column =
     column(NGramHashes(expression(tokens), n))
 }

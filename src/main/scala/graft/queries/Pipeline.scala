@@ -35,9 +35,13 @@ object Pipeline {
     * so all 60 iterations re-hash the whole document — O(60·T) md5
     * calls instead of O(T) (9 s/query at sf0.001 before the fix).
     * Counter sums are identical, so signatures (and the per-bit DuckDB
-    * oracle form) are unchanged.
+    * oracle form) are unchanged. Since round 9 the entries use the
+    * native [[graft.functions.Md5SimHash60]] expression instead (one
+    * digest per token); this SQL form remains the REFERENCE the spec
+    * pins the native expression against, exactly like the Md5MinHash
+    * contract.
     */
-  private def simhashSql(toksExpr: String): String = {
+  private[queries] def simhashSql(toksExpr: String): String = {
     import graft.functions.{HashScheme => H}
     s"""aggregate($toksExpr,
          cast(array_repeat(0, 60) as array<int>),
@@ -614,7 +618,7 @@ object Pipeline {
       import graft.functions.{HashScheme => H}
       val sigs = docs(s, dir)
         .withColumn("toks", toks)
-        .withColumn("sig", expr(simhashSql("toks")))
+        .withColumn("sig", TextHashFunctions.md5_simhash60(col("toks")))
         .select(col("doc_id"), col("sig"))
       val seg = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i => struct(lit(i).as("seg"),
@@ -859,17 +863,17 @@ object Pipeline {
     // Determinism + order-sensitivity additionally pinned in PipelineSpec.
     Entry("p12_fingerprint", (s, dir) => {
       import graft.functions.{HashScheme => H}
-      // simhash via the token-fold (see simhashSql — the per-bit form
-      // re-hashes the document 60x once `hs` is inlined); the rolling
-      // fingerprint folds the inlined hash transform once, which is
-      // already O(T).
+      // simhash via the native md5_simhash60 expression (one digest per
+      // token; PipelineSpec pins it == the SQL token-fold the oracle
+      // runs); the rolling fingerprint folds the inlined hash transform
+      // once, which is already O(T).
       docs(s, dir)
         .withColumn("toks", toks)
         .withColumn("hs", expr(s"transform(toks, t -> ${H.h60Spark("t")})"))
         .select(col("doc_id"),
           expr(s"aggregate(hs, 0L, (acc, h) -> (acc*31L + h) % ${H.FingerprintMod}L)")
             .as("fingerprint"),
-          expr(simhashSql("toks")).as("simhash"))
+          TextHashFunctions.md5_simhash60(col("toks")).as("simhash"))
     }, Some {
       import graft.functions.{HashScheme => H}
       s"""

@@ -2433,6 +2433,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"p44/p95 disagree on doc $id")
   }
 
+  test("md5_simhash60 native expression == the SQL token-fold the " +
+    "oracle runs, over the whole corpus incl. empty/short docs") {
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "split(lower(regexp_replace(trim(text), '\\\\s+', ' ')), ' ') " +
+          "AS toks")
+    val both = d.select(col("doc_id"),
+      graft.functions.TextHashFunctions.md5_simhash60(col("toks"))
+        .as("native"),
+      expr(Pipeline.simhashSql("toks")).as("sqlfold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"doc ${r.getLong(0)}: native ${r.getLong(1)} != sql ${r.getLong(2)}"))
+  }
+
   test("ivfSeedCents: fixed K, bottom-k by salted hash, graceful on " +
     "tiny corpora (n < K returns all n)") {
     import spark.implicits._
