@@ -94,6 +94,19 @@ object GraftExtensions {
       args => WordNGrams(args(0), litInt(args(1), "graft_word_ngrams", "n"))
     },
 
+    fn("graft_md5_h60_ngrams",
+      "graft_md5_h60_ngrams(tokens, n) - 60-bit md5 (HashScheme h60) " +
+        "of each space-joined word n-gram; oracle-replayable") {
+      args => graft.functions.Md5H60NGrams(args(0),
+        litInt(args(1), "graft_md5_h60_ngrams", "n"))
+    },
+
+    fn("graft_md5_simhash60",
+      "graft_md5_simhash60(tokens) - 60-bit md5-based SimHash " +
+        "(HashScheme h60 per token, majority per bit); oracle-replayable") {
+      args => graft.functions.Md5SimHash60(args.head)
+    },
+
     fn("graft_minhash",
       "graft_minhash(tokens, ngram, k) - k-permutation MinHash signature") {
       args => MinHashSignature(args(0),

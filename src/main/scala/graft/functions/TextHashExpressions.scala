@@ -283,6 +283,50 @@ object Md5MinHash {
   }
 }
 
+/** `md5_h60_ngrams(tokens, n)`: the [[HashScheme]] 60-bit md5 hash of
+  * each space-joined word n-gram — the array the winnowing /
+  * fingerprint pipelines fold over. Output-identical to the SQL
+  * `transform(sequence(1, size-n+1), i ->
+  * conv(substr(md5(concat_ws(' ', slice(tokens, i, n))), 1, 15), 16,
+  * 10))` form the DuckDB oracles run, but one digest per gram with
+  * byte-level concat and no hex materialization. Shorter-than-n input
+  * yields an empty array (the SQL form's `CASE len >= n` guard).
+  */
+case class Md5H60NGrams(child: Expression, n: Int)
+    extends TokenArrayExpression {
+  require(n > 0, "ngram size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_h60_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val md = Md5MinHash.digest.get()
+    val out = new Array[Long](cnt - n + 1)
+    var j = 0
+    while (j <= cnt - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, j, parts, 0, n)
+      md.reset()
+      val d = md.digest(UTF8String.concatWs(sep, parts: _*).getBytes)
+      // first 15 hex chars == first 8 digest bytes big-endian >>> 4
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      out(j) = h >>> 4
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `md5_simhash60(tokens)`: the [[HashScheme]] 60-bit SimHash — per
   * token the md5-60 base hash (first 15 hex chars), each occurrence
   * voting ±1 into 60 bit-counters, majority (>0) folding to the
@@ -350,6 +394,8 @@ object TextHashFunctions {
     column(Md5MinHash(expression(shingles)))
   def md5_simhash60(tokens: Column): Column =
     column(Md5SimHash60(expression(tokens)))
+  def md5_h60_ngrams(tokens: Column, n: Int): Column =
+    column(Md5H60NGrams(expression(tokens), n))
   def ngram_hashes(tokens: Column, n: Int): Column =
     column(NGramHashes(expression(tokens), n))
 }

@@ -869,7 +869,8 @@ object Pipeline {
       // once, which is already O(T).
       docs(s, dir)
         .withColumn("toks", toks)
-        .withColumn("hs", expr(s"transform(toks, t -> ${H.h60Spark("t")})"))
+        // n=1 grams are the tokens themselves: one digest per token
+        .withColumn("hs", TextHashFunctions.md5_h60_ngrams(col("toks"), 1))
         .select(col("doc_id"),
           expr(s"aggregate(hs, 0L, (acc, h) -> (acc*31L + h) % ${H.FingerprintMod}L)")
             .as("fingerprint"),
@@ -1832,25 +1833,32 @@ object Pipeline {
     // turning an O(n) row into O(n^3) md5 calls. Lambda arguments are
     // evaluated exactly once, so wrapping each intermediate as the
     // argument of a single-element transform pins the evaluation count
-    // regardless of how the optimizer rewrites the projections.
+    // regardless of how the optimizer rewrites the projections. The
+    // gram stream itself is the native graft_md5_h60_ngrams expression
+    // (one digest per gram, byte-level concat; spec-pinned == the SQL
+    // hex form) — on short rows it yields an EMPTY array, so the
+    // greatest(..., 1) clamp below stays total (sequence over [1,1],
+    // slice/array_min over empty → null picks the size filter drops).
     Entry("p36_winnowing", (s, dir) => {
-      import graft.functions.{HashScheme => H}
       docs(s, dir)
         .withColumn("tk", toks)
         // need >= 4 grams, i.e. >= 6 tokens (3-gram stream length n-2)
         .filter(size(col("tk")) >= 6)
+        // the native gram stream binds by NAME and is referenced
+        // exactly once (inside array(gs0)), so even if CollapseProject
+        // inlines it the digest pass runs once per row
+        .withColumn("gs0", TextHashFunctions.md5_h60_ngrams(col("tk"), 3))
         // greatest(..., 1) clamps keep the expression TOTAL on short
         // rows: InferFiltersFromGenerate hoists a `size(sel) > 0`
         // predicate below the explode, and predicate reordering can
         // evaluate it BEFORE the size(tk) >= 6 filter — where an
         // unclamped sequence(1, size-2) DESCENDS through 0 and slice
-        // throws. Clamped junk on short rows is fine; the row never
-        // survives the size filter.
+        // throws. Clamped junk on short rows is fine (array_min over an
+        // empty slice is null); the row never survives the size filter.
         .withColumn("sel", expr(
           s"""array_distinct(flatten(transform(
                 array(flatten(transform(
-                  array(transform(sequence(1, greatest(size(tk)-2, 1)), i ->
-                    ${H.h60Spark("concat_ws(' ', slice(tk, i, 3))")})),
+                  array(gs0),
                   gs -> transform(sequence(1, greatest(size(gs)-3, 1)), i ->
                     array_min(transform(slice(gs, i, 4), (g, o) ->
                       g*4 + 3 - o)))))),

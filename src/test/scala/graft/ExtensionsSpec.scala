@@ -24,20 +24,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
                graft_rolling_fingerprint(split(text, ' ')) AS fp,
                graft_ngram_hashes(split(text, ' '), 3) AS nh,
                graft_word_ngrams(split(text, ' '), 3) AS wg,
-               graft_minhash(split(text, ' '), 3, 16) AS mh
+               graft_minhash(split(text, ' '), 3, 16) AS mh,
+               graft_md5_h60_ngrams(split(text, ' '), 3) AS hg,
+               graft_md5_simhash60(split(text, ' ')) AS s60
         FROM ext_docs""").collect().head
     val viaCol = spark.table("ext_docs").select(
       TextHashFunctions.simhash64(split(col("text"), " ")).as("sh"),
       TextHashFunctions.rolling_fingerprint(split(col("text"), " ")).as("fp"),
       TextHashFunctions.ngram_hashes(split(col("text"), " "), 3).as("nh"),
       TextHashFunctions.word_ngrams(split(col("text"), " "), 3).as("wg"),
-      TextHashFunctions.minhash_signature(split(col("text"), " "), 3, 16).as("mh"))
+      TextHashFunctions.minhash_signature(split(col("text"), " "), 3, 16).as("mh"),
+      TextHashFunctions.md5_h60_ngrams(split(col("text"), " "), 3).as("hg"),
+      TextHashFunctions.md5_simhash60(split(col("text"), " ")).as("s60"))
       .collect().head
     assert(viaSql.getLong(0) === viaCol.getLong(0))
     assert(viaSql.getLong(1) === viaCol.getLong(1))
     assert(viaSql.getSeq[Long](2) === viaCol.getSeq[Long](2))
     assert(viaSql.getSeq[String](3) === viaCol.getSeq[String](3))
     assert(viaSql.getSeq[Long](4) === viaCol.getSeq[Long](4))
+    assert(viaSql.getSeq[Long](5) === viaCol.getSeq[Long](5))
+    assert(viaSql.getLong(6) === viaCol.getLong(6))
   }
 
   test("graft_kmv_sketch resolves in SQL and matches the Column API") {

@@ -2449,6 +2449,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"doc ${r.getLong(0)}: native ${r.getLong(1)} != sql ${r.getLong(2)}"))
   }
 
+  test("md5_h60_ngrams native expression == the SQL hex form, over " +
+    "the corpus at n=1 and n=3 (incl. shorter-than-n docs)") {
+    import graft.functions.{HashScheme => H}
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "split(lower(regexp_replace(trim(text), '\\\\s+', ' ')), ' ') " +
+          "AS toks")
+    for (n <- Seq(1, 3)) {
+      val both = d.select(col("doc_id"),
+        graft.functions.TextHashFunctions.md5_h60_ngrams(col("toks"), n)
+          .as("native"),
+        expr(s"""CASE WHEN size(toks) >= $n THEN
+            transform(sequence(1, size(toks) - $n + 1), i ->
+              ${H.h60Spark(s"concat_ws(' ', slice(toks, i, $n))")})
+          ELSE cast(array() as array<bigint>) END""").as("sqlform"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"n=$n doc ${r.getLong(0)}"))
+    }
+  }
+
   test("ivfSeedCents: fixed K, bottom-k by salted hash, graceful on " +
     "tiny corpora (n < K returns all n)") {
     import spark.implicits._
