@@ -616,21 +616,29 @@ object Pipeline {
     // 60-bit md5-derived signature (HashScheme) → full DuckDB oracle.
     Entry("p05_dedup_simhash", (s, dir) => {
       import graft.functions.{HashScheme => H}
+      // persisted: the candidate join reads segments from both sides
+      // and the signatures rejoin once per surviving pair (p04's
+      // ids-only candidate discipline — carrying both 8-byte sigs
+      // through the pair distinct doubled its shuffle width)
       val sigs = docs(s, dir)
         .withColumn("toks", toks)
         .withColumn("sig", TextHashFunctions.md5_simhash60(col("toks")))
         .select(col("doc_id"), col("sig"))
-      val seg = sigs.select(col("doc_id"), col("sig"),
+        .persistTracked()
+      val seg = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(i => struct(lit(i).as("seg"),
           shiftrightunsigned(col("sig"), i * 15).bitwiseAND(0x7FFF)
             .as("val"))): _*)).as("sv"))
-        .select(col("doc_id"), col("sig"),
+        .select(col("doc_id"),
           col("sv.seg").as("seg"), col("sv.val").as("val"))
-      val cand = seg.toDF("doc_a", "sig_a", "seg", "val")
-        .join(seg.toDF("doc_b", "sig_b", "seg", "val"), Seq("seg", "val"))
+      val cand = seg.toDF("doc_a", "seg", "val")
+        .join(seg.toDF("doc_b", "seg", "val"), Seq("seg", "val"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-      cand.select(col("doc_a"), col("doc_b"),
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
             .as("hamming"))
         .filter(col("hamming") <= 3)
