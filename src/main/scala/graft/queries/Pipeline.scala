@@ -392,6 +392,51 @@ object Pipeline {
           vec_id LIMIT $IvfK"""
   }
 
+  /** p05's SimHash pair generator: 60-bit md5 signature (native
+    * [[graft.functions.Md5SimHash60]]), 4-segment blocking (dups
+    * within hamming ≤ 3 share at least one 15-bit segment), hamming
+    * verify on candidates. Same candidate discipline as
+    * [[minhashLshPairs]]: ids-only pair distinct with signatures
+    * persisted and rejoined, and a segment-occupancy cap — a
+    * (seg, val) bucket with B members emits B² candidates, and
+    * boilerplate clusters make B unbounded; buckets above `segCap`
+    * are skipped (over-cap members still pair through their other 3
+    * segments where those are below cap, and the genuinely-identical
+    * mass is p01's job first). The oracle carries the same QUALIFY;
+    * the spec pins the cap as a no-op at test SF.
+    */
+  private[queries] def simhashPairs(d: DataFrame,
+      segCap: Long = LshBucketCap): DataFrame = {
+    val sigs = d
+      .withColumn("toks", toks)
+      .withColumn("sig", TextHashFunctions.md5_simhash60(col("toks")))
+      .select(col("doc_id"), col("sig"))
+      .persistTracked()
+    val seg = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("seg"),
+        shiftrightunsigned(col("sig"), i * 15).bitwiseAND(0x7FFF)
+          .as("val"))): _*)).as("sv"))
+      .select(col("doc_id"),
+        col("sv.seg").as("seg"), col("sv.val").as("val"))
+    val hot = seg.groupBy("seg", "val")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > segCap)
+      .select("seg", "val")
+    val capped = seg.join(hot, Seq("seg", "val"), "left_anti")
+      .select("doc_id", "seg", "val")
+    val cand = capped.toDF("doc_a", "seg", "val")
+      .join(capped.toDF("doc_b", "seg", "val"), Seq("seg", "val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** p15's IVF search with the probe width as a parameter, so the spec
     * can measure recall at nprobe=1 vs 2 against p07's exact top-k.
     */
@@ -614,35 +659,8 @@ object Pipeline {
     // ---- p05: SimHash near-dedup (hamming distance via 4-segment
     // blocking: dups within distance<=3 share at least one segment).
     // 60-bit md5-derived signature (HashScheme) → full DuckDB oracle.
-    Entry("p05_dedup_simhash", (s, dir) => {
-      import graft.functions.{HashScheme => H}
-      // persisted: the candidate join reads segments from both sides
-      // and the signatures rejoin once per surviving pair (p04's
-      // ids-only candidate discipline — carrying both 8-byte sigs
-      // through the pair distinct doubled its shuffle width)
-      val sigs = docs(s, dir)
-        .withColumn("toks", toks)
-        .withColumn("sig", TextHashFunctions.md5_simhash60(col("toks")))
-        .select(col("doc_id"), col("sig"))
-        .persistTracked()
-      val seg = sigs.select(col("doc_id"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("seg"),
-          shiftrightunsigned(col("sig"), i * 15).bitwiseAND(0x7FFF)
-            .as("val"))): _*)).as("sv"))
-        .select(col("doc_id"),
-          col("sv.seg").as("seg"), col("sv.val").as("val"))
-      val cand = seg.toDF("doc_a", "seg", "val")
-        .join(seg.toDF("doc_b", "seg", "val"), Seq("seg", "val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
-            .as("hamming"))
-        .filter(col("hamming") <= 3)
-    }, Some {
+    Entry("p05_dedup_simhash", (s, dir) =>
+      simhashPairs(docs(s, dir)), Some {
       import graft.functions.{HashScheme => H}
       s"""
       WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -654,7 +672,9 @@ object Pipeline {
                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
           AS sig FROM hsx),
       seg AS (SELECT doc_id, sig, s AS seg, (sig >> (s*15)) & 32767 AS val
-              FROM sig, UNNEST(range(0, 4)) t(s)),
+              FROM sig, UNNEST(range(0, 4)) t(s)
+              QUALIFY count(*) OVER (PARTITION BY seg, val)
+                <= $LshBucketCap),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                       x.sig AS sig_a, y.sig AS sig_b
                FROM seg x JOIN seg y ON x.seg = y.seg AND x.val = y.val

@@ -169,6 +169,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "under-cap clique must still pair completely")
   }
 
+  test("p05 segment cap: no-op at the test SF, and a degenerate " +
+    "replicated segment bucket is skipped (bounded candidate volume)") {
+    import spark.implicits._
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+    val capped = Pipeline.simhashPairs(d).count()
+    val uncapped = Pipeline.simhashPairs(d, segCap = Long.MaxValue).count()
+    assert(capped === uncapped,
+      "segment cap changed pairs at test SF — raise LshBucketCap")
+    // identical docs share the signature, hence all 4 segment buckets:
+    // over cap -> every bucket skipped -> zero pairs (vs n^2/2); under
+    // cap the full hamming-0 clique must survive
+    val boiler = (1L to (Pipeline.LshBucketCap + 36L))
+      .map(i => (i, "s1 s2 s3 s4 s5 s6 s7 s8")).toDF("doc_id", "text")
+    assert(Pipeline.simhashPairs(boiler).count() === 0L,
+      "over-cap segment bucket must be skipped, not exploded")
+    val small = (1L to 10L)
+      .map(i => (i, "s1 s2 s3 s4 s5 s6 s7 s8")).toDF("doc_id", "text")
+    assert(Pipeline.simhashPairs(small).count() === 45L,
+      "under-cap clique must still pair completely")
+  }
+
   test("p20 two-phase prefix sum == naive single-window cumsum") {
     import org.apache.spark.sql.expressions.Window
     val d = graft.sources.Tables.table(spark, sfDir, "documents")
