@@ -43,13 +43,22 @@ class CacheRegistry {
 
   /** Unpersist (non-blocking) every tracked cache and clear the
     * registry. Safe to call at any point between entry invocations;
-    * frames already unpersisted elsewhere no-op.
+    * frames already unpersisted elsewhere no-op. Only non-fatal
+    * unpersist failures are swallowed: fatal errors (OOM, linkage)
+    * propagate rather than masking a dying executor, and an
+    * interrupt re-asserts the thread's interrupt status so callers
+    * polling the flag still see the cancellation.
     */
   def releaseAll(): Unit = {
     var ds = tracked.poll()
     while (ds != null) {
       try ds.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      catch {
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw ie
+        case scala.util.control.NonFatal(_) => ()
+      }
       ds = tracked.poll()
     }
   }

@@ -98,6 +98,17 @@ object TextIngest {
   /** CSV ingest with the same contract semantics (header expected;
     * a row with the wrong column count or an uncastable cell is
     * `malformed_record`).
+    *
+    * Quarantine-raw contract limits (CSV only — the corrupt capture
+    * is faithful, the fallback RE-RENDER is lossy in two ways):
+    * (1) null vs empty-string is not distinguishable — both render
+    * as an empty cell, matching Spark's CSV reader which parses an
+    * empty cell as null anyway; (2) field values containing commas
+    * or quotes are re-rendered unquoted, so a replay consumer must
+    * treat the re-rendered form as review material, not a
+    * byte-faithful copy of the input line (the corrupt-capture
+    * branch, which fires for every parse-failure quarantine, IS
+    * byte-faithful).
     */
   def csv(
       spark: SparkSession,

@@ -190,6 +190,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "under-cap clique must still pair completely")
   }
 
+  test("p97 cap audit: healthy (n_over_cap=0) at test SF, and a " +
+    "degenerate boilerplate cluster is REPORTED, not silent") {
+    import spark.implicits._
+    // healthy reading on the real corpus — the same fact the two cap
+    // no-op pins above establish, now visible as data
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+    val healthy = Pipeline.lshCapAudit(d).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(healthy === Map("minhash" -> 0L, "simhash" -> 0L),
+      s"cap fired at test SF — no-op pins and audit disagree: $healthy")
+    // the ADVICE scenario: a boilerplate cluster hot enough to
+    // overflow every band/segment drops ALL its pairs; the audit is
+    // the signal that replaces silent recall loss. n = cap + 36
+    // identical docs -> every minhash band bucket and every simhash
+    // segment bucket holds n members: 16 (bands) resp. 4 (segments)
+    // over-cap buckets, n members and n*(n-1)/2 skipped pairs each.
+    val n = Pipeline.LshBucketCap + 36L
+    val boiler = (1L to n)
+      .map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val rows = Pipeline.lshCapAudit(boiler).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val pairsPerBucket = n * (n - 1) / 2
+    assert(rows("minhash") === ((16L, n, 16L, 16L * n, 16L * pairsPerBucket)),
+      s"minhash audit mismatch: ${rows("minhash")}")
+    assert(rows("simhash") === ((4L, n, 4L, 4L * n, 4L * pairsPerBucket)),
+      s"simhash audit mismatch: ${rows("simhash")}")
+  }
+
   test("p20 two-phase prefix sum == naive single-window cumsum") {
     import org.apache.spark.sql.expressions.Window
     val d = graft.sources.Tables.table(spark, sfDir, "documents")
