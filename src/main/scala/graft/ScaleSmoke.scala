@@ -34,9 +34,9 @@ object ScaleSmoke {
     val cpus = Runtime.getRuntime.availableProcessors.min(32)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "scale-smoke")
 
-    if (!new java.io.File(s"$out/_SMOKE_READY").exists()) {
+    if (!new java.io.File(s"$out/_SMOKE_READY_V2").exists()) {
       replicate(spark, base, out, factor)
-      new java.io.File(s"$out/_SMOKE_READY").createNewFile()
+      new java.io.File(s"$out/_SMOKE_READY_V2").createNewFile()
     }
 
     def time(name: String, dir: String): Double = {
@@ -66,23 +66,28 @@ object ScaleSmoke {
   }
 
   /** Writes factor-replicated copies of the key-bearing tables with
-    * disjoint id ranges; dimension tables copy through unchanged.
+    * disjoint id ranges; pure dimension tables copy through unchanged.
+    * Facts: documents/embeddings/events by their id, orders+lineitem
+    * by orderkey (consistently, so the join still matches within each
+    * copy — customer/part/supplier stay dimensions and just get N×
+    * hotter, which is the realistic fact-grows-dims-don't shape).
     */
-  private def replicate(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+  private[graft] def replicate(spark: SparkSession, base: String,
+      out: String, factor: Int): Unit = {
     val Off = 100000000L
-    def rep(name: String, key: String): Unit = {
+    def rep(name: String, keys: String*): Unit = {
       val d = sources.Tables.table(spark, base, name)
       val copies = (0 until factor).map(i =>
-        d.withColumn(key, col(key) + lit(i * Off)))
+        keys.foldLeft(d)((f, k) => f.withColumn(k, col(k) + lit(i * Off))))
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     rep("documents", "doc_id")
     rep("embeddings", "vec_id")
     rep("events", "event_id")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    rep("orders", "o_orderkey")
+    rep("lineitem", "l_orderkey")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
