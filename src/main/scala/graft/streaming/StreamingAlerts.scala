@@ -42,6 +42,25 @@ object StreamingAlerts {
     else (s.copy(wasAbove = above), None)
   }
 
+  /** The per-series batch fold both backends share: apply [[step]] in
+    * the detector's within-batch total order.
+    */
+  private def fold(threshold: Double, cooldownSec: Long)(
+      key: String, prev: Option[AlertState],
+      rows: Iterator[AnomalyScore]): (AlertState, Iterator[Alert]) = {
+    var s = prev.getOrElse(AlertState(false, 0L, 0L))
+    // same within-batch total order as the detector itself
+    val ordered = rows.toArray.sortBy(p =>
+      (p.ts.toInstant.getEpochSecond, p.ts.toInstant.getNano,
+        p.value, p.prob))
+    val out = ordered.flatMap { p =>
+      val (ns, alert) = step(s, p, threshold, cooldownSec)
+      s = ns
+      alert
+    }
+    (s, out.iterator)
+  }
+
   def alerts(scores: Dataset[AnomalyScore], threshold: Double,
       cooldownSec: Long)(implicit
       spark: SparkSession): Dataset[Alert] = {
@@ -50,19 +69,25 @@ object StreamingAlerts {
       .flatMapGroupsWithState[AlertState, Alert](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
-          var s = state.getOption.getOrElse(AlertState(false, 0L, 0L))
-          // same within-batch total order as the detector itself
-          val ordered = rows.toArray.sortBy(p =>
-            (p.ts.toInstant.getEpochSecond, p.ts.toInstant.getNano,
-              p.value, p.prob))
-          val out = ordered.flatMap { p =>
-            val (ns, alert) = step(s, p, threshold, cooldownSec)
-            s = ns
-            alert
-          }
-          state.update(s)
-          out.iterator
+        case (key, rows, state) =>
+          val (next, out) =
+            fold(threshold, cooldownSec)(key, state.getOption, rows)
+          state.update(next)
+          out
       }
+  }
+
+  /** [[alerts]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same edge-trigger fold, same alerts.
+    */
+  def alertsTws(scores: Dataset[AnomalyScore], threshold: Double,
+      cooldownSec: Long)(implicit
+      spark: SparkSession): Dataset[Alert] = {
+    import spark.implicits._
+    scores.groupByKey(_.series)
+      .transformWithState(
+        new Tws.FoldProcessor(fold(threshold, cooldownSec)),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 }

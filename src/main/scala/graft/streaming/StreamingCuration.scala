@@ -91,6 +91,26 @@ object StreamingCuration {
   /** Update-mode decision stream with event-time idle TTL on the
     * dup-claim state.
     */
+  /** The per-content-hash batch fold both backends share: first
+    * arrival claims the hash, later ones are duplicates.
+    */
+  private def fold(key: Long, prev: Option[ClaimState],
+      rows: Iterator[Flagged]): (ClaimState, Iterator[Decision]) = {
+    val ordered = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+    var s = prev.getOrElse(ClaimState(Long.MinValue))
+    val out = ordered.map { r =>
+      val act = math.max(s.act_ms, r.ts.getTime)
+      val dup = s.first_doc != Long.MinValue
+      if (!dup) s = ClaimState(r.doc_id, act)
+      else s = s.copy(act_ms = act)
+      Decision(r.doc_id, r.source, dup, r.flag_quality,
+        r.flag_contaminated, r.flag_benchmark,
+        !dup && !r.flag_quality && !r.flag_contaminated &&
+          !r.flag_benchmark)
+    }
+    (s, out.iterator)
+  }
+
   def decisions(docs: DataFrame, bitmap: DataFrame,
       idleTtl: java.time.Duration, watermarkDelay: String = "0 seconds")(
       implicit spark: SparkSession): Dataset[Decision] = {
@@ -98,28 +118,35 @@ object StreamingCuration {
     flagged(docs.withWatermark("ts", watermarkDelay), bitmap).as[Flagged]
       .groupByKey(_.content_hash)
       .flatMapGroupsWithState[ClaimState, Decision](OutputMode.Update,
-        GroupStateTimeout.EventTimeTimeout) { case (_, rows, state) =>
+        GroupStateTimeout.EventTimeTimeout) { case (key, rows, state) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
-          val ordered = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
-          var s = state.getOption.getOrElse(ClaimState(Long.MinValue))
-          val out = ordered.map { r =>
-            val act = math.max(s.act_ms, r.ts.getTime)
-            val dup = s.first_doc != Long.MinValue
-            if (!dup) s = ClaimState(r.doc_id, act)
-            else s = s.copy(act_ms = act)
-            Decision(r.doc_id, r.source, dup, r.flag_quality,
-              r.flag_contaminated, r.flag_benchmark,
-              !dup && !r.flag_quality && !r.flag_contaminated &&
-                !r.flag_benchmark)
-          }
+          val (s, out) = fold(key, state.getOption, rows)
           state.update(s)
           state.setTimeoutTimestamp(math.max(s.act_ms + idleTtl.toMillis,
             state.getCurrentWatermarkMs() + 1))
-          out.iterator
+          out
         }
       }
+  }
+
+  /** [[decisions]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same claim fold, same decisions,
+    * eviction via an event-time timer at the same high-water + TTL
+    * deadline.
+    */
+  def decisionsTws(docs: DataFrame, bitmap: DataFrame,
+      idleTtl: java.time.Duration, watermarkDelay: String = "0 seconds")(
+      implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    flagged(docs.withWatermark("ts", watermarkDelay), bitmap).as[Flagged]
+      .groupByKey(_.content_hash)
+      .transformWithState(
+        new Tws.TtlFoldProcessor(fold, (s: ClaimState) => s.act_ms,
+          idleTtl.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
   }
 }

@@ -46,6 +46,15 @@ object StreamingDistinctHll {
   /** Update-mode stream over a (source STRING, t STRING) token stream:
     * one RegisterUpdate per touched (source, bucket) per micro-batch.
     */
+  /** The per-register fold both backends share: element-wise max. */
+  private def fold(key: (String, Long), prev: Option[Long],
+      rows: Iterator[(String, Long, Long)])
+      : (Long, Iterator[RegisterUpdate]) = {
+    var m = prev.getOrElse(0L)
+    rows.foreach { r => if (r._3 > m) m = r._3 }
+    (m, Iterator.single(RegisterUpdate(key._1, key._2, m)))
+  }
+
   def registers(tokens: DataFrame)(implicit
       spark: SparkSession): Dataset[RegisterUpdate] = {
     import spark.implicits._
@@ -53,12 +62,25 @@ object StreamingDistinctHll {
       .as[(String, Long, Long)]
       .groupByKey(r => (r._1, r._2))
       .mapGroupsWithState[Long, RegisterUpdate](GroupStateTimeout.NoTimeout) {
-        case ((src, b), rows, state) =>
-          var m = state.getOption.getOrElse(0L)
-          rows.foreach { r => if (r._3 > m) m = r._3 }
+        case (key, rows, state) =>
+          val (m, out) = fold(key, state.getOption, rows)
           state.update(m)
-          RegisterUpdate(src, b, m)
+          out.next()
       }
+  }
+
+  /** [[registers]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same fold, same registers.
+    */
+  def registersTws(tokens: DataFrame)(implicit
+      spark: SparkSession): Dataset[RegisterUpdate] = {
+    import spark.implicits._
+    rhos(tokens)
+      .as[(String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new Tws.FoldProcessor(fold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   /** Per-source cardinality estimates from a materialized register

@@ -41,43 +41,73 @@ object StreamingDriftMonitor {
     * running-distribution TV against `reference` (token -> count; must
     * be non-empty).
     */
-  def drift(tokens: DataFrame, reference: Map[String, Long])(implicit
-      spark: SparkSession): Dataset[Drift] = {
-    import spark.implicits._
+  /** The per-source batch fold both backends share: advance the
+    * running counts on the reference support, emit the refreshed TV.
+    */
+  private def fold(reference: Map[String, Long], m: Long)(
+      source: String, prev: Option[St],
+      rows: Iterator[(String, String)]): (St, Iterator[Drift]) = {
+    val st0 = prev.getOrElse(St(0L, Map.empty))
+    var n = st0.n
+    val counts = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    st0.counts.foreach { case (k, v) => counts(k) = v }
+    rows.foreach { case (_, t) =>
+      n += 1L
+      // state tracks reference support only: an out-of-support
+      // token contributes min(c·m, 0·n) = 0 to the fold and
+      // enters the TV through n
+      if (reference.contains(t)) counts(t) += 1L
+    }
+    val next = St(n, counts.toMap)
+    val out = if (n == 0) Iterator.empty
+    else {
+      val nm = BigInt(n) * m
+      val sMin = reference.iterator.map { case (v, r) =>
+        (BigInt(counts(v)) * m).min(BigInt(r) * n)
+      }.sum
+      val tv = (nm - sMin).toDouble / nm.toDouble
+      Iterator.single(Drift(source, n,
+        java.math.BigDecimal.valueOf(tv)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+    }
+    (next, out)
+  }
+
+  private def validated(reference: Map[String, Long]): Long = {
     require(reference.nonEmpty, "drift: empty reference histogram")
     val m = reference.values.sum
     require(reference.values.forall(_ > 0) && m > 0,
       "drift: reference counts must be positive")
+    m
+  }
+
+  def drift(tokens: DataFrame, reference: Map[String, Long])(implicit
+      spark: SparkSession): Dataset[Drift] = {
+    import spark.implicits._
+    val m = validated(reference)
     tokens.select("source", "t").as[(String, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[St, Drift](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[(String, String)],
          state: GroupState[St]) =>
-          val st0 = state.getOption.getOrElse(St(0L, Map.empty))
-          var n = st0.n
-          val counts = scala.collection.mutable.Map[String, Long]()
-            .withDefaultValue(0L)
-          st0.counts.foreach { case (k, v) => counts(k) = v }
-          rows.foreach { case (_, t) =>
-            n += 1L
-            // state tracks reference support only: an out-of-support
-            // token contributes min(c·m, 0·n) = 0 to the fold and
-            // enters the TV through n
-            if (reference.contains(t)) counts(t) += 1L
-          }
-          state.update(St(n, counts.toMap))
-          if (n == 0) Iterator.empty
-          else {
-            val nm = BigInt(n) * m
-            val sMin = reference.iterator.map { case (v, r) =>
-              (BigInt(counts(v)) * m).min(BigInt(r) * n)
-            }.sum
-            val tv = (nm - sMin).toDouble / nm.toDouble
-            Iterator.single(Drift(source, n,
-              java.math.BigDecimal.valueOf(tv)
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
-          }
+          val (next, out) = fold(reference, m)(source, state.getOption, rows)
+          state.update(next)
+          out
       }
+  }
+
+  /** [[drift]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same fold, same TV values.
+    */
+  def driftTws(tokens: DataFrame, reference: Map[String, Long])(implicit
+      spark: SparkSession): Dataset[Drift] = {
+    import spark.implicits._
+    val m = validated(reference)
+    tokens.select("source", "t").as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new Tws.FoldProcessor(fold(reference, m)),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 }

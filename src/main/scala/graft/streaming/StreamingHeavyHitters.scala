@@ -33,6 +33,33 @@ object StreamingHeavyHitters {
     * after each micro-batch, emits the source's full current summary
     * (<= m rows per source per batch).
     */
+  /** The per-source batch fold both backends share: SpaceSaving in
+    * explicit `seq` order, then re-emit the full summary.
+    */
+  private def fold(m: Int)(source: String, prev: Option[Summary],
+      rows: Iterator[(String, Long, String)])
+      : (Summary, Iterator[Hitter]) = {
+    val cur = scala.collection.mutable.Map[String, (Long, Long)]()
+    prev.foreach(_.entries.foreach { case (k, v) => cur(k) = v })
+    // fold in explicit sequence order: micro-batch iterator order
+    // is not a contract, the seq column is
+    rows.toSeq.sortBy(_._2).foreach { case (_, _, t) =>
+      cur.get(t) match {
+        case Some((c, e)) => cur(t) = (c + 1, e)
+        case None if cur.size < m => cur(t) = (1L, 0L)
+        case None =>
+          // evict the minimum-count entry (ties: smallest token,
+          // so eviction is deterministic) and inherit its count
+          // as the overestimate bound
+          val (vt, (vc, _)) = cur.minBy { case (k, (c, _)) => (c, k) }
+          cur.remove(vt)
+          cur(t) = (vc + 1, vc)
+      }
+    }
+    (Summary(cur.toMap),
+      cur.iterator.map { case (t, (c, e)) => Hitter(source, t, c, e) })
+  }
+
   def hitters(tokens: DataFrame, m: Int)(implicit
       spark: SparkSession): Dataset[Hitter] = {
     import spark.implicits._
@@ -43,27 +70,22 @@ object StreamingHeavyHitters {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[(String, Long, String)],
          state: GroupState[Summary]) =>
-          val cur = scala.collection.mutable.Map[String, (Long, Long)]()
-          state.getOption.foreach(_.entries.foreach { case (k, v) =>
-            cur(k) = v
-          })
-          // fold in explicit sequence order: micro-batch iterator order
-          // is not a contract, the seq column is
-          rows.toSeq.sortBy(_._2).foreach { case (_, _, t) =>
-            cur.get(t) match {
-              case Some((c, e)) => cur(t) = (c + 1, e)
-              case None if cur.size < m => cur(t) = (1L, 0L)
-              case None =>
-                // evict the minimum-count entry (ties: smallest token,
-                // so eviction is deterministic) and inherit its count
-                // as the overestimate bound
-                val (vt, (vc, _)) = cur.minBy { case (k, (c, _)) => (c, k) }
-                cur.remove(vt)
-                cur(t) = (vc + 1, vc)
-            }
-          }
-          state.update(Summary(cur.toMap))
-          cur.iterator.map { case (t, (c, e)) => Hitter(source, t, c, e) }
+          val (next, out) = fold(m)(source, state.getOption, rows)
+          state.update(next)
+          out
       }
+  }
+
+  /** [[hitters]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same fold, same summaries.
+    */
+  def hittersTws(tokens: DataFrame, m: Int)(implicit
+      spark: SparkSession): Dataset[Hitter] = {
+    import spark.implicits._
+    require(m > 0, "summary capacity must be positive")
+    tokens.select("source", "seq", "t").as[(String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new Tws.FoldProcessor(fold(m)),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 }

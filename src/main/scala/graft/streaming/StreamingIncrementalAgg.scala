@@ -48,23 +48,75 @@ object StreamingIncrementalAgg {
   /** Update-mode stream: one refreshed view row per touched group per
     * micro-batch.
     */
+  /** The per-group batch fold both backends share: the micro-batch's
+    * partial aggregate, then the ⊎ merge — both pure integer addition.
+    */
+  private def fold(key: (String, String), prev: Option[AggState],
+      batch: Iterator[MeasureIn]): (AggState, Iterator[ViewOut]) = {
+    var dn = 0L
+    var dq = 0L
+    batch.foreach { r => dn += 1; dq += r.qty2 }
+    val s = prev.getOrElse(AggState(0L, 0L))
+    val merged = AggState(s.n + dn, s.q2 + dq)
+    (merged, Iterator.single(emit(key._1, key._2, merged)))
+  }
+
+  /** [[fold]] over the timestamped input, advancing the activity
+    * high-water the TTL variants evict by.
+    */
+  private def foldTs(key: (String, String), prev: Option[AggState],
+      batch: Iterator[MeasureTsIn]): (AggState, Iterator[ViewOut]) = {
+    var dn = 0L
+    var dq = 0L
+    var maxMs = Long.MinValue
+    batch.foreach { r =>
+      dn += 1; dq += r.qty2
+      maxMs = math.max(maxMs, r.ts.getTime)
+    }
+    val s = prev.getOrElse(AggState(0L, 0L))
+    val merged = AggState(s.n + dn, s.q2 + dq, math.max(s.actMs, maxMs))
+    (merged, Iterator.single(emit(key._1, key._2, merged)))
+  }
+
   def maintain(rows: DataFrame)(implicit
       spark: SparkSession): Dataset[ViewOut] = {
     import spark.implicits._
     rows.as[MeasureIn]
       .groupByKey(r => (r.flag, r.status))
       .mapGroupsWithState[AggState, ViewOut](GroupStateTimeout.NoTimeout) {
-        case ((flag, status), batch, state) =>
-          // the micro-batch's partial aggregate, then the ⊎ merge —
-          // both pure integer addition
-          var dn = 0L
-          var dq = 0L
-          batch.foreach { r => dn += 1; dq += r.qty2 }
-          val s = state.getOption.getOrElse(AggState(0L, 0L))
-          val merged = AggState(s.n + dn, s.q2 + dq)
+        case (key, batch, state) =>
+          val (merged, out) = fold(key, state.getOption, batch)
           state.update(merged)
-          emit(flag, status, merged)
+          out.next()
       }
+  }
+
+  /** [[maintain]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same fold, same view rows.
+    */
+  def maintainTws(rows: DataFrame)(implicit
+      spark: SparkSession): Dataset[ViewOut] = {
+    import spark.implicits._
+    rows.as[MeasureIn]
+      .groupByKey(r => (r.flag, r.status))
+      .transformWithState(new Tws.FoldProcessor(fold),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[maintainTtl]] on the v2 API: same fold, eviction via an
+    * event-time timer at the same high-water + TTL deadline.
+    */
+  def maintainTtlTws(rows: DataFrame, idleTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds")(implicit
+      spark: SparkSession): Dataset[ViewOut] = {
+    import spark.implicits._
+    rows.withWatermark("ts", watermarkDelay).as[MeasureTsIn]
+      .groupByKey(r => (r.flag, r.status))
+      .transformWithState(
+        new Tws.TtlFoldProcessor(foldTs, (s: AggState) => s.actMs,
+          idleTtl.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
   }
 
   /** [[maintain]] with event-time idle eviction — the unbounded-group-
@@ -82,25 +134,16 @@ object StreamingIncrementalAgg {
       .groupByKey(r => (r.flag, r.status))
       .flatMapGroupsWithState[AggState, ViewOut](OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout) {
-        case ((flag, status), batch, state) =>
+        case (key, batch, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var dn = 0L
-            var dq = 0L
-            var maxMs = Long.MinValue
-            batch.foreach { r =>
-              dn += 1; dq += r.qty2
-              maxMs = math.max(maxMs, r.ts.getTime)
-            }
-            val s = state.getOption.getOrElse(AggState(0L, 0L))
-            val merged = AggState(s.n + dn, s.q2 + dq,
-              math.max(s.actMs, maxMs))
+            val (merged, out) = foldTs(key, state.getOption, batch)
             state.update(merged)
             // deadline from the activity high-water, never the batch
             state.setTimeoutTimestamp(math.max(
               merged.actMs + idleTtl.toMillis,
               state.getCurrentWatermarkMs() + 1))
-            Iterator.single(emit(flag, status, merged))
+            out
           }
       }
   }

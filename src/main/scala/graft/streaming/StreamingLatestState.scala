@@ -46,6 +46,26 @@ object StreamingLatestState {
     else s.copy(n_events = s.n_events + 1)
   }
 
+  /** The per-key batch fold both backends share; `trackAct` additionally
+    * advances the TTL variants' activity high-water.
+    */
+  private def foldBatch(trackAct: Boolean)(key: (Long, String),
+      prev: Option[KeyState],
+      rows: Iterator[EventIn]): (KeyState, Iterator[StateOut]) = {
+    var s = prev.getOrElse(KeyState(Long.MinValue, Long.MinValue, 0.0, 0L))
+    rows.foreach { e =>
+      // high-water from the PRE-fold state: [[fold]]'s newer branch
+      // rebuilds KeyState and would reset act_ms, silently pulling the
+      // eviction deadline backwards on an out-of-order arrival
+      val prevAct = s.act_ms
+      // floor-seconds, matching the batch side's long cast
+      s = fold(s, Math.floorDiv(e.ts.getTime, 1000L), e.event_id, e.value)
+      if (trackAct) s = s.copy(act_ms = math.max(prevAct, e.ts.getTime))
+    }
+    (s, Iterator.single(StateOut(key._1, key._2, s.last_ts,
+      s.last_event_id, s.last_value, s.n_events)))
+  }
+
   /** Update-mode stream: one StateOut per touched key per micro-batch. */
   def latestState(events: DataFrame)(implicit
       spark: SparkSession): Dataset[StateOut] = {
@@ -53,18 +73,43 @@ object StreamingLatestState {
     events.as[EventIn]
       .groupByKey(e => (e.user_id, e.event_type))
       .mapGroupsWithState[KeyState, StateOut](GroupStateTimeout.NoTimeout) {
-        case ((user, etype), rows, state) =>
-          var s = state.getOption
-            .getOrElse(KeyState(Long.MinValue, Long.MinValue, 0.0, 0L))
-          rows.foreach { e =>
-            // floor-seconds, matching the batch side's long cast
-            s = fold(s, Math.floorDiv(e.ts.getTime, 1000L), e.event_id,
-              e.value)
-          }
+        case (key, rows, state) =>
+          val (s, out) = foldBatch(trackAct = false)(key,
+            state.getOption, rows)
           state.update(s)
-          StateOut(user, etype, s.last_ts, s.last_event_id, s.last_value,
-            s.n_events)
+          out.next()
       }
+  }
+
+  /** [[latestState]] on the arbitrary-state v2 API
+    * (`transformWithState`, RocksDB store required) — same fold, same
+    * compaction.
+    */
+  def latestStateTws(events: DataFrame)(implicit
+      spark: SparkSession): Dataset[StateOut] = {
+    import spark.implicits._
+    events.as[EventIn]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(
+        new Tws.FoldProcessor(foldBatch(trackAct = false)),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** [[latestStateTtl]] on the v2 API: same fold, eviction via an
+    * event-time timer at the same high-water + TTL deadline.
+    */
+  def latestStateTtlTws(events: DataFrame, idleTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds")(implicit
+      spark: SparkSession): Dataset[StateOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay).as[EventIn]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(
+        new Tws.TtlFoldProcessor(foldBatch(trackAct = true),
+          (s: KeyState) => s.act_ms, idleTtl.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
   }
 
   /** [[latestState]] with EVENT-TIME idle expiry: a key whose last
@@ -100,12 +145,8 @@ object StreamingLatestState {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption
-              .getOrElse(KeyState(Long.MinValue, Long.MinValue, 0.0, 0L))
-            rows.foreach { e =>
-              s = fold(s, Math.floorDiv(e.ts.getTime, 1000L), e.event_id,
-                e.value).copy(act_ms = math.max(s.act_ms, e.ts.getTime))
-            }
+            val (s, out) = foldBatch(trackAct = true)((user, etype),
+              state.getOption, rows)
             state.update(s)
             // evict when the watermark passes the key's activity
             // HIGH-WATER + TTL (an out-of-order batch must never pull
@@ -114,8 +155,7 @@ object StreamingLatestState {
             // the watermark
             state.setTimeoutTimestamp(math.max(s.act_ms + idleTtl.toMillis,
               state.getCurrentWatermarkMs() + 1))
-            Iterator.single(StateOut(user, etype, s.last_ts,
-              s.last_event_id, s.last_value, s.n_events))
+            out
           }
       }
   }

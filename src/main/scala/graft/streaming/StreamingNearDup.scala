@@ -102,6 +102,38 @@ object StreamingNearDup {
       }
   }
 
+  /** [[bandHits]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same claim fold, same hits.
+    */
+  def bandHitsTws(docs: DataFrame)(implicit
+      spark: SparkSession): Dataset[BandHit] = {
+    import spark.implicits._
+    banded(docs).as[BandRow]
+      .groupByKey(_.bucket_key)
+      .transformWithState(
+        new Tws.FoldProcessor((_: String, prev: Option[BucketState],
+            rows: Iterator[BandRow]) => claim(rows, prev)),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** [[bandHitsTtl]] on the v2 API: same claim fold, eviction via an
+    * event-time timer at the same high-water + TTL deadline.
+    */
+  def bandHitsTtlTws(docs: DataFrame, idleTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds")(implicit
+      spark: SparkSession): Dataset[BandHit] = {
+    import spark.implicits._
+    banded(docs.withWatermark("ts", watermarkDelay)).as[BandRow]
+      .groupByKey(_.bucket_key)
+      .transformWithState(
+        new Tws.TtlFoldProcessor((_: String, prev: Option[BucketState],
+            rows: Iterator[BandRow]) => claim(rows, prev),
+          (s: BucketState) => s.act_ms, idleTtl.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** [[bandHits]] with event-time idle expiry: a bucket whose last
     * activity sits more than `idleTtl` behind the watermark is
     * forgotten — a later arrival re-claims it fresh. Deterministic

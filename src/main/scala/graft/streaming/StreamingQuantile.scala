@@ -68,6 +68,40 @@ object StreamingQuantile {
   /** Update-mode stream: refreshed percentile rows per touched series
     * per micro-batch.
     */
+  /** The per-series batch fold both backends share: the micro-batch's
+    * partial sketch, then the ⊎ merge — both pure integer bucket-count
+    * addition. `actMs` advances only on the timestamped (TTL) input.
+    */
+  private def foldCounts(prev: Option[SketchState],
+      deltas: Iterator[(Int, Long)], maxMs: Long): SketchState = {
+    val delta = collection.mutable.Map.empty[Int, Long]
+    deltas.foreach { case (b, c) =>
+      delta.update(b, delta.getOrElse(b, 0L) + c)
+    }
+    val p = prev.getOrElse(SketchState(Map.empty))
+    val merged = (p.counts.keySet ++ delta.keySet).map(b =>
+      b -> (p.counts.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+    SketchState(merged, math.max(p.actMs, maxMs))
+  }
+
+  private def fold(qs: Seq[Int])(et: String, prev: Option[SketchState],
+      batch: Iterator[ObsIn]): (SketchState, Iterator[QOut]) = {
+    val next = foldCounts(prev,
+      batch.map(r => bucket(r.micro) -> 1L), Long.MinValue)
+    (next, extract(et, next.counts, qs).iterator)
+  }
+
+  private def foldTs(qs: Seq[Int])(et: String, prev: Option[SketchState],
+      batch: Iterator[ObsTsIn]): (SketchState, Iterator[QOut]) = {
+    // materialize before folding: maxMs must be final when passed
+    val rows = batch.toArray
+    val maxMs = rows.foldLeft(Long.MinValue)((m, r) =>
+      math.max(m, r.ts.getTime))
+    val next = foldCounts(prev,
+      rows.iterator.map(r => bucket(r.micro) -> 1L), maxMs)
+    (next, extract(et, next.counts, qs).iterator)
+  }
+
   def maintain(rows: DataFrame, qs: Seq[Int])(implicit
       spark: SparkSession): Dataset[QOut] = {
     import spark.implicits._
@@ -76,19 +110,64 @@ object StreamingQuantile {
       .flatMapGroupsWithState[SketchState, QOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (et, batch, state) =>
-          // the micro-batch's partial sketch, then the ⊎ merge — both
-          // pure integer bucket-count addition
-          val delta = collection.mutable.Map.empty[Int, Long]
-          batch.foreach { r =>
-            val b = bucket(r.micro)
-            delta.update(b, delta.getOrElse(b, 0L) + 1L)
-          }
-          val prev = state.getOption.getOrElse(SketchState(Map.empty)).counts
-          val merged = (prev.keySet ++ delta.keySet).map(b =>
-            b -> (prev.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
-          state.update(SketchState(merged))
-          extract(et, merged, qs).iterator
+          val (next, out) = fold(qs)(et, state.getOption, batch)
+          state.update(next)
+          out
       }
+  }
+
+  /** TWS state twin of [[SketchState]]: the RocksDB state codec's Avro
+    * schema supports only STRING-keyed maps, so the Int-keyed bucket
+    * map flattens to parallel arrays (sorted by bucket — deterministic
+    * state bytes). Public for Spark's state-row codegen.
+    */
+  case class SketchStateArr(buckets: Array[Int], counts: Array[Long],
+      actMs: Long)
+
+  private def toArr(s: SketchState): SketchStateArr = {
+    val sorted = s.counts.toArray.sortBy(_._1)
+    SketchStateArr(sorted.map(_._1), sorted.map(_._2), s.actMs)
+  }
+
+  private def fromArr(v: SketchStateArr): SketchState =
+    SketchState(v.buckets.zip(v.counts).toMap, v.actMs)
+
+  /** Lifts a [[SketchState]] fold to the array-backed TWS state. */
+  private def arrFold[I](f: (String, Option[SketchState], Iterator[I]) =>
+      (SketchState, Iterator[QOut]))(et: String,
+      prev: Option[SketchStateArr],
+      batch: Iterator[I]): (SketchStateArr, Iterator[QOut]) = {
+    val (next, out) = f(et, prev.map(fromArr), batch)
+    (toArr(next), out)
+  }
+
+  /** [[maintain]] on the arbitrary-state v2 API (`transformWithState`,
+    * RocksDB store required) — same fold, same percentile rows.
+    */
+  def maintainTws(rows: DataFrame, qs: Seq[Int])(implicit
+      spark: SparkSession): Dataset[QOut] = {
+    import spark.implicits._
+    rows.as[ObsIn]
+      .groupByKey(_.event_type)
+      .transformWithState(new Tws.FoldProcessor(arrFold(fold(qs))),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[maintainTtl]] on the v2 API: same fold, eviction via an
+    * event-time timer at the same high-water + TTL deadline.
+    */
+  def maintainTtlTws(rows: DataFrame, qs: Seq[Int],
+      idleTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds")(implicit
+      spark: SparkSession): Dataset[QOut] = {
+    import spark.implicits._
+    rows.withWatermark("ts", watermarkDelay).as[ObsTsIn]
+      .groupByKey(_.event_type)
+      .transformWithState(
+        new Tws.TtlFoldProcessor(arrFold(foldTs(qs)),
+          (s: SketchStateArr) => s.actMs, idleTtl.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
   }
 
   /** [[maintain]] with event-time idle eviction (the shared TTL
@@ -110,23 +189,13 @@ object StreamingQuantile {
         case (et, batch, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val delta = collection.mutable.Map.empty[Int, Long]
-            var maxMs = Long.MinValue
-            batch.foreach { r =>
-              val b = bucket(r.micro)
-              delta.update(b, delta.getOrElse(b, 0L) + 1L)
-              maxMs = math.max(maxMs, r.ts.getTime)
-            }
-            val prevState = state.getOption.getOrElse(SketchState(Map.empty))
-            val prev = prevState.counts
-            val merged = (prev.keySet ++ delta.keySet).map(b =>
-              b -> (prev.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
-            val actMs = math.max(prevState.actMs, maxMs)
-            state.update(SketchState(merged, actMs))
+            val (next, out) = foldTs(qs)(et, state.getOption, batch)
+            state.update(next)
             // deadline from the activity high-water, never the batch
-            state.setTimeoutTimestamp(math.max(actMs + idleTtl.toMillis,
+            state.setTimeoutTimestamp(math.max(
+              next.actMs + idleTtl.toMillis,
               state.getCurrentWatermarkMs() + 1))
-            extract(et, merged, qs).iterator
+            out
           }
       }
   }

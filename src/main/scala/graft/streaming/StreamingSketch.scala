@@ -39,6 +39,13 @@ object StreamingSketch {
       .withColumn("r", explode(sequence(lit(0), lit(Depth - 1))))
       .withColumn("b", expr(s"(h1 + r * h2) % $Width"))
 
+  /** The per-bucket fold both backends share: counter += batch size. */
+  private def fold(key: (Int, Long), prev: Option[Long],
+      rows: Iterator[(Int, Long)]): (Long, Iterator[BucketUpdate]) = {
+    val cnt = prev.getOrElse(0L) + rows.size
+    (cnt, Iterator.single(BucketUpdate(key._1, key._2, cnt)))
+  }
+
   /** Update-mode stream over a one-column (`t` STRING) token stream:
     * one BucketUpdate per touched (r, b) per micro-batch.
     */
@@ -50,11 +57,27 @@ object StreamingSketch {
       .as[(Int, Long)]
       .groupByKey(identity)
       .mapGroupsWithState[Long, BucketUpdate](GroupStateTimeout.NoTimeout) {
-        case ((r, b), rows, state) =>
-          val cnt = state.getOption.getOrElse(0L) + rows.size
+        case (key, rows, state) =>
+          val (cnt, out) = fold(key, state.getOption, rows)
           state.update(cnt)
-          BucketUpdate(r, b, cnt)
+          out.next()
       }
+  }
+
+  /** [[cmsBuckets]] on the arbitrary-state v2 API
+    * (`transformWithState`, RocksDB store required) — same fold, same
+    * counters; see [[Tws]] for why this is the forward path.
+    */
+  def cmsBucketsTws(tokens: DataFrame)(implicit
+      spark: SparkSession): Dataset[BucketUpdate] = {
+    import spark.implicits._
+    probed(tokens)
+      .select(col("r"), col("b"))
+      .as[(Int, Long)]
+      .groupByKey(identity)
+      .transformWithState(new Tws.FoldProcessor(fold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   /** Point estimates for query tokens against a materialized sketch
