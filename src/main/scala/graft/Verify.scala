@@ -34,6 +34,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val t0 = System.nanoTime()
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       val tq = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -41,8 +42,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      System.err.println(
-        f"[verify] $name%-28s ${(System.nanoTime() - tq) / 1e9}%8.2f s")
+      val sec = (System.nanoTime() - tq) / 1e9
+      timings(name) = sec
+      System.err.println(f"[verify] $name%-28s $sec%8.2f s")
       // the catalog's persisted intermediates are per-query scoped;
       // dropping them here keeps a 199-query run's storage memory flat.
       // releaseAll drops the entry-tracked caches surgically; the
@@ -52,6 +54,12 @@ object Verify {
     }
     System.err.println(
       f"[verify] TOTAL ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // per-entry wall seconds for the budget gate (tools/check_budgets.py
+    // against tools/budgets_sf01.json): a silent per-entry perf
+    // regression should fail a tool, not wait for a bench round
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -15,4 +15,8 @@ for sf in "${SFS[@]}"; do
   echo "== $sf: DuckDB value compare =="
   python3 tools/oracle_check.py "$out" "/root/testdata/$sf" \
     | grep -Ev '^PASS' || true
+  if [ "$sf" = "sf0.1" ]; then
+    echo "== $sf: per-entry wall-time budget gate =="
+    python3 tools/check_budgets.py "$out"
+  fi
 done
