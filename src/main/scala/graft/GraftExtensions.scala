@@ -161,6 +161,21 @@ object GraftExtensions {
       args => Md5MinHash(args.head)
     },
 
+    fn("graft_mann_kendall_stats",
+      "graft_mann_kendall_stats(arr) - STRUCT(s_stat, tie_term) of a " +
+        "micro-fixed BIGINT window: s_stat = sum of pair signs, " +
+        "tie_term = sum of t(t-1)(2t+5) over tied groups") {
+      args => MannKendallStats(args.head)
+    },
+
+    fn("graft_scaled_l1_dist",
+      "graft_scaled_l1_dist(a, b, diff, scale) - sum of " +
+        "|scale*(a_i - b_i) - diff| over two equal-length BIGINT " +
+        "windows (the mean-centered Manhattan profile distance)") {
+      args => ScaledL1Dist(args(0), args(1), args(2),
+        litInt(args(3), "graft_scaled_l1_dist", "scale"))
+    },
+
     fn("graft_anomaly_prob",
       "graft_anomaly_prob(window, seriesHash, rowKey, activeSize, " +
         "nSeasons, permCount, methodsCsv) - ensemble anomaly probability") {

@@ -33,6 +33,25 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Untimed warmup: in a fresh JVM the first Spark action pays
+    // classloading, whole-stage-codegen compilation, and parquet
+    // footer/codec init (measured ~6-10 s at sf0.1) — without this the
+    // first entry absorbs that fixed cost into its recorded wall time
+    // and the budget gate compares warmup noise, not query cost.
+    try {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id") % 32).orderBy("x")
+      spark.range(200000)
+        .select(col("id"), md5(col("id").cast("string")).as("m"),
+          xxhash64(col("id")).as("x"))
+        .withColumn("r", row_number().over(w))
+        .groupBy((col("id") % 100).as("g")).agg(count(lit(1)), max("m"))
+        .write.format("noop").mode("overwrite").save()
+      Seq("documents", "embeddings", "events", "lineitem", "orders")
+        .foreach(t =>
+          graft.sources.Tables.table(spark, sfDir, t).limit(1).count())
+    } catch { case e if scala.util.control.NonFatal(e) => () }
     val t0 = System.nanoTime()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>

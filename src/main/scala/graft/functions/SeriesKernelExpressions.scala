@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native per-row kernels over micro-fixed (int64) series windows.
+  *
+  * These replace interpreted higher-order-function lambdas
+  * (`aggregate`/`zip_with`/`filter` chains) in the windowed-statistics
+  * hot paths: Catalyst evaluates each lambda application through the
+  * interpreter with boxed values and per-element `element_at` calls,
+  * which costs ~1 ms/row for an O(w²) kernel at w = 20 — three orders
+  * of magnitude over a primitive-array loop doing identical integer
+  * arithmetic. At 100 TB (billions of window rows) the lambda form is
+  * the job's dominant cost; these expressions keep the SAME exact
+  * integer semantics (bit-identical outputs, oracle SQL unchanged)
+  * while evaluating as one tight JVM loop per row. `CodegenFallback`
+  * is deliberate: the kernel is the work, wrapper codegen is noise
+  * (same rationale as [[AnomalyExpressionBase]]).
+  */
+abstract class LongArrayKernel extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+}
+
+/** Mann–Kendall window statistics in one pass: `s_stat` = Σ_{i<j}
+  * sign(x_j − x_i) and `tie_term` = Σ over tied-value groups of
+  * t(t−1)(2t+5) — the two integer inputs of the tie-corrected normal
+  * approximation (Var·18 = n(n−1)(2n+5) − tie_term). Pure int64
+  * arithmetic on the micro-fixed values: exact, engine-independent.
+  * O(w²) sign loop + O(w log w) sort for ties on primitive arrays.
+  */
+case class MannKendallStats(child: Expression) extends LongArrayKernel {
+  override def dataType: DataType = StructType(Seq(
+    StructField("s_stat", LongType, nullable = false),
+    StructField("tie_term", LongType, nullable = false)))
+  override def prettyName: String = "mann_kendall_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData].toLongArray()
+    val n = a.length
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (a(j) > a(i)) s += 1L else if (a(j) < a(i)) s -= 1L
+        j += 1
+      }
+      i += 1
+    }
+    val sorted = a.clone()
+    java.util.Arrays.sort(sorted)
+    var ties = 0L
+    var k = 0
+    while (k < n) {
+      var m = k + 1
+      while (m < n && sorted(m) == sorted(k)) m += 1
+      val t = (m - k).toLong
+      ties += t * (t - 1L) * (2L * t + 5L)
+      k = m
+    }
+    InternalRow(s, ties)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** w-scaled mean-centered Manhattan distance between two equal-length
+  * int64 windows: Σ_i |scale·(a_i − b_i) − diff| where `diff` is the
+  * caller's Σa − Σb (so each term is the centered difference cleared
+  * of the /w — see the a52/a53 matrix-profile derivation). NULL when
+  * lengths differ (malformed window pair). Domain: |scale·Δx − diff| ≤
+  * 2·scale·1e15 under the events micro contract — no overflow.
+  */
+case class ScaledL1Dist(left: Expression, right: Expression,
+    diff: Expression, scale: Int) extends TernaryExpression
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = diff
+  override def graftInputTypes: Seq[DataType] = Seq(
+    ArrayType(LongType, containsNull = false),
+    ArrayType(LongType, containsNull = false), LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "scaled_l1_dist"
+  // returns NULL on a length mismatch even when every input is
+  // non-null — without this the planner drops the null bit and a
+  // mismatch surfaces as 0 instead of NULL
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any, d: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    if (a.length != b.length) null
+    else {
+      val c = d.asInstanceOf[Long]
+      val w = scale.toLong
+      var acc = 0L
+      var i = 0
+      while (i < a.length) {
+        acc += Math.abs(w * (a(i) - b(i)) - c)
+        i += 1
+      }
+      acc
+    }
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, diff = newThird)
+}
+
+object SeriesKernelFunctions {
+  import org.apache.spark.sql.graft.shims.{column, expression}
+
+  /** Column API: STRUCT(s_stat, tie_term) of a micro-fixed window. */
+  def mann_kendall_stats(arr: Column): Column =
+    column(MannKendallStats(expression(arr)))
+
+  /** Column API: Σ|scale·(a_i−b_i) − diff| over two int64 windows. */
+  def scaled_l1_dist(a: Column, b: Column, diff: Column,
+      scale: Int): Column =
+    column(ScaledL1Dist(expression(a), expression(b), expression(diff),
+      scale))
+}

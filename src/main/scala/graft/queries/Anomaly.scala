@@ -1607,19 +1607,14 @@ object Anomaly {
         .withColumn("arr", collect_list(col("v6"))
           .over(wT.rowsBetween(-(w - 1), 0)))
         .filter(col("rn") >= w)
-        .withColumn("s_stat", expr(
-          s"""aggregate(sequence(1, $w - 1), 0L, (acc, i) ->
-                acc + aggregate(sequence(i + 1, $w), 0L, (a2, j) ->
-                  a2 + (case when element_at(arr, j) > element_at(arr, i)
-                               then 1L
-                             when element_at(arr, j) < element_at(arr, i)
-                               then -1L
-                             else 0L end)))"""))
-        .withColumn("var18", lit(varMax) - expr(
-          """aggregate(array_distinct(arr), 0L, (acc, v) ->
-               acc + cast(size(filter(arr, x -> x = v)) as bigint) *
-                     (size(filter(arr, x -> x = v)) - 1) *
-                     (2 * size(filter(arr, x -> x = v)) + 5))"""))
+        // native kernel (one primitive-array pass) — the interpreted
+        // nested-aggregate lambda form of the same integer arithmetic
+        // cost ~1 ms/row and dominated the entry's wall time
+        .withColumn("mk",
+          graft.functions.SeriesKernelFunctions.mann_kendall_stats(
+            col("arr")))
+        .withColumn("s_stat", col("mk.s_stat"))
+        .withColumn("var18", lit(varMax) - col("mk.tie_term"))
         .withColumn("z", round(
           when(col("s_stat") === 0L || col("var18") === 0L, lit(0.0))
             .otherwise(
@@ -3696,10 +3691,10 @@ object Anomaly {
       .filter(abs(col("npos") - col("pos"))
         .between(MpW.toLong, MpHorizon.toLong))
       .select(col("event_type"), col("pos"), col("npos"),
-        aggregate(
-          zip_with(col("arr"), col("narr"), (x, y) =>
-            abs(lit(MpW.toLong) * (x - y) - (col("sa") - col("nsa")))),
-          lit(0L), (acc, x) => acc + x).as("d1"))
+        // native kernel — the zip_with/aggregate lambda form evaluates
+        // interpreted per pair element; this is the pair-join hot path
+        graft.functions.SeriesKernelFunctions.scaled_l1_dist(
+          col("arr"), col("narr"), col("sa") - col("nsa"), MpW).as("d1"))
   }
 
   /** Shared DuckDB CTE chain: windows + in-horizon directed pairs with

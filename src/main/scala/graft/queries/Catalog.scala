@@ -23,11 +23,16 @@ final case class Entry(
 object Catalog {
   lazy val all: Seq[Entry] = Relational.entries ++ Anomaly.entries ++ Pipeline.entries
 
+  // ListMap: iteration (and thus Verify's run order and timings.json)
+  // follows catalog declaration order. A plain .toMap hash-scrambles
+  // it, so which entry ran first — and absorbed the fresh-JVM warmup
+  // into its recorded wall-time budget — was arbitrary per build.
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(e => e.name -> e.run).toMap
+    scala.collection.immutable.ListMap(all.map(e => e.name -> e.run): _*)
 
   lazy val oracleSql: Map[String, String] =
-    all.flatMap(e => e.oracle.map(e.name -> _)).toMap
+    scala.collection.immutable.ListMap(
+      all.flatMap(e => e.oracle.map(e.name -> _)): _*)
 
   lazy val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
 }

@@ -135,4 +135,84 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback"), plan)
   }
+
+  test("series kernels match the interpreted lambda forms they replace " +
+    "and resolve in SQL") {
+    registered
+    import spark.implicits._
+    // windows with ties, negatives, monotone and constant stretches —
+    // every branch of both kernels
+    val arrs = Seq(
+      (1 to 20).map(_.toLong),                       // strictly up
+      (1 to 20).map(i => (21 - i).toLong),           // strictly down
+      Seq.fill(20)(7L),                              // all tied
+      Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L,
+        5L, 8L, 9L, 7L, 9L, 3L, 2L, 3L, 8L, 4L),     // mixed ties
+      (1 to 20).map(i => if (i % 3 == 0) -i.toLong else (i % 5).toLong))
+    val df = arrs.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("id", "arr")
+    df.createOrReplaceTempView("sk_t")
+    val native = spark.sql(
+      """SELECT id, graft_mann_kendall_stats(arr).s_stat AS s,
+                graft_mann_kendall_stats(arr).tie_term AS t
+         FROM sk_t ORDER BY id""").collect()
+    val lambda = spark.sql(
+      """SELECT id,
+           aggregate(sequence(1, 19), 0L, (acc, i) ->
+             acc + aggregate(sequence(i + 1, 20), 0L, (a2, j) ->
+               a2 + (case when element_at(arr, j) > element_at(arr, i)
+                            then 1L
+                          when element_at(arr, j) < element_at(arr, i)
+                            then -1L else 0L end))) AS s,
+           aggregate(array_distinct(arr), 0L, (acc, v) ->
+             acc + cast(size(filter(arr, x -> x = v)) as bigint) *
+                   (size(filter(arr, x -> x = v)) - 1) *
+                   (2 * size(filter(arr, x -> x = v)) + 5)) AS t
+         FROM sk_t ORDER BY id""").collect()
+    native.zip(lambda).foreach { case (n, l) =>
+      assert(n.getLong(1) === l.getLong(1), s"s_stat id=${n.getInt(0)}")
+      assert(n.getLong(2) === l.getLong(2), s"tie_term id=${n.getInt(0)}")
+    }
+    // Column API == SQL surface
+    val viaCol = df.orderBy("id").select(
+      graft.functions.SeriesKernelFunctions
+        .mann_kendall_stats(col("arr")).as("mk")).collect()
+    native.zip(viaCol).foreach { case (n, c) =>
+      val r = c.getStruct(0)
+      assert(n.getLong(1) === r.getLong(0) && n.getLong(2) === r.getLong(1))
+    }
+
+    // scaled L1: pair every window with every other (incl. itself)
+    val pairs = df.select(col("id").as("ia"), col("arr").as("a"),
+        expr("aggregate(arr, 0L, (x, y) -> x + y)").as("sa"))
+      .crossJoin(df.select(col("id").as("ib"), col("arr").as("b"),
+        expr("aggregate(arr, 0L, (x, y) -> x + y)").as("sb")))
+    pairs.createOrReplaceTempView("sk_pairs")
+    val nd = spark.sql(
+      """SELECT ia, ib, graft_scaled_l1_dist(a, b, sa - sb, 16) AS d
+         FROM sk_pairs ORDER BY ia, ib""").collect()
+    val ld = spark.sql(
+      """SELECT ia, ib,
+           aggregate(zip_with(a, b, (x, y) ->
+             abs(16L * (x - y) - (sa - sb))), 0L, (acc, x) -> acc + x) AS d
+         FROM sk_pairs ORDER BY ia, ib""").collect()
+    nd.zip(ld).foreach { case (n, l) =>
+      assert(n.getLong(2) === l.getLong(2),
+        s"d(${n.getInt(0)},${n.getInt(1)})")
+    }
+    val viaColD = pairs.orderBy("ia", "ib").select(
+      graft.functions.SeriesKernelFunctions.scaled_l1_dist(
+        col("a"), col("b"), col("sa") - col("sb"), 16).as("d")).collect()
+    nd.zip(viaColD).foreach { case (n, c) =>
+      assert(n.getLong(2) === c.getLong(0))
+    }
+    // length mismatch -> NULL, not an error
+    val mm = spark.sql(
+      """SELECT graft_scaled_l1_dist(array(5L, 6L, 7L), array(1L), 0L, 1)
+           AS d1,
+         graft_scaled_l1_dist(array(5L), array(1L), 0L, 1) AS d2""")
+      .collect().head
+    assert(mm.getLong(1) === 4L, s"d2 got ${mm.get(1)}")
+    assert(mm.isNullAt(0), s"expected NULL, got ${mm.get(0)}")
+  }
 }
