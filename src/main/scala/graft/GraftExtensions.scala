@@ -176,6 +176,31 @@ object GraftExtensions {
         litInt(args(3), "graft_scaled_l1_dist", "scale"))
     },
 
+    fn("graft_theil_sen_median_slope",
+      "graft_theil_sen_median_slope(arr) - median of all pairwise " +
+        "slopes (x_j - x_i)/(j - i) of a BIGINT window; NULL below " +
+        "two points") {
+      args => TheilSenMedianSlope(args.head)
+    },
+
+    fn("graft_int_sq_l2",
+      "graft_int_sq_l2(a, b) - exact integer squared-L2 distance " +
+        "sum((a_i - b_i)^2) of two BIGINT arrays; NULL on length mismatch") {
+      args => IntSqL2(args(0), args(1))
+    },
+
+    fn("graft_int_dot",
+      "graft_int_dot(a, b) - exact integer dot product of two BIGINT " +
+        "arrays; NULL on length mismatch") {
+      args => IntDot(args(0), args(1))
+    },
+
+    fn("graft_int_eq_count",
+      "graft_int_eq_count(a, b) - positionwise agreement count of two " +
+        "BIGINT arrays; NULL on length mismatch") {
+      args => IntEqCount(args(0), args(1))
+    },
+
     fn("graft_anomaly_prob",
       "graft_anomaly_prob(window, seriesHash, rowKey, activeSize, " +
         "nSeasons, permCount, methodsCsv) - ensemble anomaly probability") {

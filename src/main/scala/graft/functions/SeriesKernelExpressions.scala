@@ -123,6 +123,120 @@ case class ScaledL1Dist(left: Expression, right: Expression,
     copy(left = newFirst, right = newSecond, diff = newThird)
 }
 
+/** Theil–Sen median slope of a micro-fixed window: the median of all
+  * n(n−1)/2 pairwise slopes (x_j − x_i)/(j − i), each ONE correctly-
+  * rounded IEEE double division of an exact int64 numerator by a small
+  * positive int — bit-identical to the `flatten(transform(...))` +
+  * `array_sort` + `element_at(…, (nPairs+1)/2)` lambda pipeline it
+  * replaces (same multiset of doubles, same ascending sort, same
+  * 1-based median pick; −0.0/NaN can't arise: denominators are
+  * positive, numerators integers). NULL for windows of fewer than two
+  * points. O(w²) divisions + one primitive sort per row instead of
+  * materializing and garbage-collecting a per-row slope ARRAY through
+  * three interpreted expression nodes.
+  */
+case class TheilSenMedianSlope(child: Expression) extends LongArrayKernel {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "theil_sen_median_slope"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData].toLongArray()
+    val n = a.length
+    if (n < 2) return null
+    val slopes = new Array[Double](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        slopes(k) = (a(j) - a(i)).toDouble / (j - i).toDouble
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(slopes)
+    slopes((slopes.length + 1) / 2 - 1)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Shared base for the int64 vector kernels: two ARRAY<BIGINT>
+  * children, BIGINT out, NULL on a length mismatch (and therefore
+  * `nullable = true` — the planner drops the null bit of a
+  * non-nullable expression and a mismatch would read as 0).
+  */
+abstract class LongArrayBinaryKernel extends Expression
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(
+    ArrayType(LongType, containsNull = false),
+    ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  protected def kernel(a: Array[Long], b: Array[Long]): Long
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    if (a.length != b.length) null else kernel(a, b)
+  }
+}
+
+/** Σ (a_i − b_i)² — the exact integer squared-L2 distance every
+  * IVF/k-means/PQ assignment in the ANN family computes per
+  * (vector, centroid) pair. Domain: micro-fixed embedding components
+  * (|x| ≤ 1e8) at 64 dims keep the sum < 2^63 with headroom.
+  */
+case class IntSqL2(left: Expression, right: Expression)
+    extends LongArrayBinaryKernel {
+  override def prettyName: String = "int_sq_l2"
+  override protected def kernel(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Σ a_i·b_i — exact integer dot product (pass the same column twice
+  * for a squared norm). Same micro-fixed domain bound as [[IntSqL2]].
+  */
+case class IntDot(left: Expression, right: Expression)
+    extends LongArrayBinaryKernel {
+  override def prettyName: String = "int_dot"
+  override protected def kernel(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Σ [a_i = b_i] — positionwise agreement count (MinHash signature
+  * agreement → estimated Jaccard).
+  */
+case class IntEqCount(left: Expression, right: Expression)
+    extends LongArrayBinaryKernel {
+  override def prettyName: String = "int_eq_count"
+  override protected def kernel(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) acc += 1L; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object SeriesKernelFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
 
@@ -135,4 +249,20 @@ object SeriesKernelFunctions {
       scale: Int): Column =
     column(ScaledL1Dist(expression(a), expression(b), expression(diff),
       scale))
+
+  /** Column API: exact integer squared-L2 distance Σ(a_i−b_i)². */
+  def int_sq_l2(a: Column, b: Column): Column =
+    column(IntSqL2(expression(a), expression(b)))
+
+  /** Column API: exact integer dot product Σ a_i·b_i. */
+  def int_dot(a: Column, b: Column): Column =
+    column(IntDot(expression(a), expression(b)))
+
+  /** Column API: positionwise agreement count Σ[a_i = b_i]. */
+  def int_eq_count(a: Column, b: Column): Column =
+    column(IntEqCount(expression(a), expression(b)))
+
+  /** Column API: Theil–Sen median pairwise slope of an int64 window. */
+  def theil_sen_median_slope(arr: Column): Column =
+    column(TheilSenMedianSlope(expression(arr)))
 }

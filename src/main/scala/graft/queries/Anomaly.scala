@@ -1686,13 +1686,12 @@ object Anomaly {
         .withColumn("arr", collect_list(col("v6"))
           .over(wT.rowsBetween(-(w - 1), 0)))
         .filter(col("rn") >= w)
-        .withColumn("slopes", expr(
-          s"""flatten(transform(sequence(1, $w - 1), i ->
-                transform(sequence(i + 1, $w), j ->
-                  cast(element_at(arr, j) - element_at(arr, i) as double) /
-                  cast(j - i as double))))"""))
-        .withColumn("slope_micro",
-          round(element_at(array_sort(col("slopes")), midIdx), 6))
+        // native kernel — same slope multiset, sort, and midIdx pick as
+        // the flatten/transform/array_sort lambda pipeline it replaces,
+        // without materializing a 45-element array per row interpreted
+        .withColumn("slope_micro", round(
+          graft.functions.SeriesKernelFunctions
+            .theil_sen_median_slope(col("arr")), 6))
         .select(col("event_type"), col("event_id"), col("slope_micro"),
           (abs(col("slope_micro")) > lit(50000.0)).as("is_steep"))
     }, Some {

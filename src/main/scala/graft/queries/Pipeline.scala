@@ -365,9 +365,8 @@ object Pipeline {
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
       .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / k, 6).as("est_jaccard"))
+        round(graft.functions.SeriesKernelFunctions.int_eq_count(col("sig_a"), col("sig_b"))
+          .cast("double") / k, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }
 
@@ -483,8 +482,7 @@ object Pipeline {
     val e = embs(s, dir)
       .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
     val cents = ivfSeedCents(e, "ei")
-    val d2 = expr(
-      "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+    val d2 = graft.functions.SeriesKernelFunctions.int_sq_l2(col("ei"), col("ci"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
     // persisted: the cell join reads the (expensive) centroid
     // cross-join assignment from both sides (probes and neighbors)
@@ -1398,12 +1396,10 @@ object Pipeline {
           col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(
-            expr("aggregate(zip_with(qq, nq, (x, y) -> x * y), 0L, " +
-              "(a, x) -> a + x)") /
-              (sqrt(expr("aggregate(transform(qq, x -> x * x), 0L, " +
-                "(a, x) -> a + x)").cast("double")) *
-                sqrt(expr("aggregate(transform(nq, x -> x * x), 0L, " +
-                  "(a, x) -> a + x)").cast("double"))), 6).as("cos_sim"))
+            graft.functions.SeriesKernelFunctions.int_dot(col("qq"), col("nq")) /
+              (sqrt(graft.functions.SeriesKernelFunctions.int_dot(col("qq"), col("qq")).cast("double")) *
+                sqrt(graft.functions.SeriesKernelFunctions.int_dot(col("nq"), col("nq")).cast("double"))),
+            6).as("cos_sim"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
     }, Some("""
@@ -1868,8 +1864,7 @@ object Pipeline {
         .withColumn("ei",
           expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
       val cents = ivfSeedCents(e, "ei")
-      val d2 = expr(
-        "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+      val d2 = graft.functions.SeriesKernelFunctions.int_sq_l2(col("ei"), col("ci"))
       val assigned = e.join(broadcast(cents))
         .withColumn("d2", d2)
         .groupBy("vec_id")
@@ -2992,8 +2987,7 @@ object Pipeline {
           expr("transform(emb, x -> cast(round(x*1000000) as bigint))")
             .as("ei"))
         .persistTracked()
-      val d2 = expr("aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), " +
-        "0L, (a, x) -> a + x)")
+      val d2 = graft.functions.SeriesKernelFunctions.int_sq_l2(col("ei"), col("ci"))
       val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       def assign(cents: DataFrame): DataFrame =
         e.join(broadcast(cents))
@@ -3228,8 +3222,7 @@ object Pipeline {
         .filter(col("vec_id") % 31 === 0 && col("vec_id") < PqSeedBound)
         .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
       val codes = subs.join(broadcast(cents), "m")
-        .withColumn("d2", expr("aggregate(zip_with(sub, csub, " +
-          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("sub"), col("csub")))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("d2"), col("cid"))).as("best"))
         .select(col("vec_id"), col("m"), col("best.cid").as("code"))
@@ -3237,8 +3230,7 @@ object Pipeline {
         .select(col("vec_id").as("query_id"), col("m"), col("sub"))
         .join(broadcast(cents), "m")
         .select(col("query_id"), col("m"), col("cid"),
-          expr("aggregate(zip_with(sub, csub, (a, b) -> a * b), 0L, " +
-            "(acc, x) -> acc + x)").as("dot12"))
+          graft.functions.SeriesKernelFunctions.int_dot(col("sub"), col("csub")).as("dot12"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("adot12").desc, col("neighbor_id"))
       codes.join(broadcast(lut),
@@ -3469,12 +3461,10 @@ object Pipeline {
       // persisted: read 3× (corpus residual subs, PQ seed codebook,
       // query probe list)
       val probed = e6.join(broadcast(coarse))
-        .withColumn("d2", expr("aggregate(zip_with(v6, c6, " +
-          "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+        .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("v6"), col("c6")))
         .withColumn("crk", row_number().over(wAssign))
         .filter(col("crk") <= 2)
-        .withColumn("qcdot12", expr("aggregate(zip_with(v6, c6, " +
-          "(x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("qcdot12", graft.functions.SeriesKernelFunctions.int_dot(col("v6"), col("c6")))
         .withColumn("res", expr("zip_with(v6, c6, (x, y) -> x - y)"))
         .select(col("vec_id"), col("ccid").as("cell"), col("crk"),
           col("qcdot12"), col("res"))
@@ -3491,8 +3481,7 @@ object Pipeline {
         .select(col("vec_id").as("cid"), col("m").as("cm"),
           col("sub").as("csub"))
       val codes = rsubs.join(broadcast(pqc), col("m") === col("cm"))
-        .withColumn("d2", expr("aggregate(zip_with(sub, csub, " +
-          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("sub"), col("csub")))
         .groupBy("vec_id", "cell", "m")
         .agg(min(struct(col("d2"), col("cid"))).as("best"))
         .select(col("vec_id"), col("cell"), col("m"),
@@ -3506,8 +3495,7 @@ object Pipeline {
           col("qsub"))
       val lut = qsubs.join(broadcast(pqc), col("lm") === col("cm"))
         .select(col("query_id").as("lq"), col("lm"), col("cid"),
-          expr("aggregate(zip_with(qsub, csub, (a, b) -> a * b), 0L, " +
-            "(acc, x) -> acc + x)").as("ldot12"))
+          graft.functions.SeriesKernelFunctions.int_dot(col("qsub"), col("csub")).as("ldot12"))
       val qprobe = probed.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("cell"),
           col("qcdot12"))
@@ -4544,8 +4532,7 @@ object Pipeline {
   private[queries] def coresetKcenterEntry: Entry = {
     val R = 8
     def d2c(ei: Column, ci: Column): Column =
-      aggregate(zip_with(ei, ci, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.SeriesKernelFunctions.int_sq_l2(ei, ci)
     def d2duck(a: String, b: String): String =
       s"list_sum(list_transform(range(1, len($a)+1), " +
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
@@ -5065,8 +5052,7 @@ object Pipeline {
         .withColumn("ei",
           expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
       val cents = ivfSeedCents(e, "ei")
-      val d2 = expr(
-        "aggregate(zip_with(ei, ci, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+      val d2 = graft.functions.SeriesKernelFunctions.int_sq_l2(col("ei"), col("ci"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       // persisted: the cell join reads the centroid assignment from both
       // sides (held-out probes and corpus vectors)

@@ -215,4 +215,81 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(mm.getLong(1) === 4L, s"d2 got ${mm.get(1)}")
     assert(mm.isNullAt(0), s"expected NULL, got ${mm.get(0)}")
   }
+
+  test("int vector kernels match the interpreted lambda forms and null " +
+    "length mismatches") {
+    registered
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(1L, -2L, 3L, 0L), Seq(4L, 5L, -6L, 0L)),
+      (2, Seq(0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L)),
+      (3, Seq(100000000L, -100000000L, 7L, 7L),
+        Seq(-100000000L, 100000000L, 7L, -7L)),
+      (4, Seq(5L, 5L, 5L, 5L), Seq(5L, 4L, 5L, 4L)))
+      .toDF("id", "a", "b")
+    df.createOrReplaceTempView("ivk_t")
+    val rows = spark.sql(
+      """SELECT id,
+           graft_int_sq_l2(a, b) AS n_l2,
+           aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L,
+             (acc, x) -> acc + x) AS l_l2,
+           graft_int_dot(a, b) AS n_dot,
+           aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+             (acc, x) -> acc + x) AS l_dot,
+           graft_int_eq_count(a, b) AS n_eq,
+           aggregate(zip_with(a, b, (x, y) ->
+             case when x = y then 1L else 0L end), 0L,
+             (acc, x) -> acc + x) AS l_eq
+         FROM ivk_t ORDER BY id""").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"sq_l2 id=${r.getInt(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"dot id=${r.getInt(0)}")
+      assert(r.getLong(5) === r.getLong(6), s"eq id=${r.getInt(0)}")
+    }
+    // Column API == SQL surface
+    val viaCol = df.orderBy("id").select(
+      graft.functions.SeriesKernelFunctions.int_sq_l2(col("a"), col("b")),
+      graft.functions.SeriesKernelFunctions.int_dot(col("a"), col("b")),
+      graft.functions.SeriesKernelFunctions.int_eq_count(col("a"), col("b")))
+      .collect()
+    rows.zip(viaCol).foreach { case (r, c) =>
+      assert(r.getLong(1) === c.getLong(0) && r.getLong(3) === c.getLong(1)
+        && r.getLong(5) === c.getLong(2))
+    }
+    val mm = spark.sql(
+      """SELECT graft_int_sq_l2(array(1L, 2L), array(1L)) AS a,
+                graft_int_dot(array(1L, 2L), array(1L)) AS b,
+                graft_int_eq_count(array(1L, 2L), array(1L)) AS c""")
+      .collect().head
+    assert(mm.isNullAt(0) && mm.isNullAt(1) && mm.isNullAt(2))
+  }
+
+  test("theil-sen kernel matches the flatten/sort/pick lambda pipeline") {
+    registered
+    import spark.implicits._
+    val arrs = Seq(
+      (1 to 10).map(_.toLong * 3),                       // constant slope
+      Seq(5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L),       // flat
+      Seq(1L, 100L, 2L, 3L, 4L, -50L, 6L, 7L, 8L, 9L),   // outliers
+      Seq(-3L, 14L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L))
+    val df = arrs.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("id", "arr")
+    df.createOrReplaceTempView("ts_t")
+    val w = 10
+    val midIdx = (w * (w - 1) / 2 + 1) / 2
+    val rows = spark.sql(
+      s"""SELECT id, graft_theil_sen_median_slope(arr) AS n,
+            element_at(array_sort(flatten(transform(sequence(1, ${w - 1}),
+              i -> transform(sequence(i + 1, $w), j ->
+                cast(element_at(arr, j) - element_at(arr, i) as double) /
+                cast(j - i as double))))), $midIdx) AS l
+          FROM ts_t ORDER BY id""").collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"id=${r.getInt(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    val nul = spark.sql(
+      "SELECT graft_theil_sen_median_slope(array(7L)) AS d").collect().head
+    assert(nul.isNullAt(0))
+  }
 }
