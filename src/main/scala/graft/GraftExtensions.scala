@@ -183,6 +183,15 @@ object GraftExtensions {
       args => TheilSenMedianSlope(args.head)
     },
 
+    fn("graft_rademacher_lsh_bucket",
+      "graft_rademacher_lsh_bucket(ei, table, bits) - hyperplane-LSH " +
+        "bucket id of a micro-fixed BIGINT embedding under the " +
+        "integer Rademacher sign scheme (oracle-replayable)") {
+      args => RademacherLshBucket(args(0),
+        litInt(args(1), "graft_rademacher_lsh_bucket", "table"),
+        litInt(args(2), "graft_rademacher_lsh_bucket", "bits"))
+    },
+
     fn("graft_int_sq_l2",
       "graft_int_sq_l2(a, b) - exact integer squared-L2 distance " +
         "sum((a_i - b_i)^2) of two BIGINT arrays; NULL on length mismatch") {

@@ -237,6 +237,43 @@ case class IntEqCount(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Hyperplane-LSH bucket id from ±1 Rademacher components derived by
+  * the p08 integer hash — sign_d(t, b) = +1 iff
+  * (((t·1000003 + b·8191 + d) · 2654435761) mod 2147483647) mod 2 = 1
+  * — over a micro-fixed embedding: bit b of the bucket is set iff
+  * Σ_d ei_d · sign_d > 0. Pure positive-operand int64 arithmetic,
+  * bit-identical to both the SQL lambda fold it replaces and the
+  * DuckDB oracle replaying the same formula. The lambda form costs
+  * tables × bits × dim interpreted applications per vector (~3 000 at
+  * 8×6×64) — this is one flat loop.
+  */
+case class RademacherLshBucket(child: Expression, table: Int, bits: Int)
+    extends LongArrayKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rademacher_lsh_bucket"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData].toLongArray()
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0L
+      var d = 0
+      while (d < a.length) {
+        val h = (((table.toLong * 1000003L + b.toLong * 8191L + d) *
+          2654435761L) % 2147483647L) % 2L
+        dot += (if (h == 1L) a(d) else -a(d))
+        d += 1
+      }
+      if (dot > 0L) bucket |= 1L << b
+      b += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object SeriesKernelFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
 
@@ -265,4 +302,8 @@ object SeriesKernelFunctions {
   /** Column API: Theil–Sen median pairwise slope of an int64 window. */
   def theil_sen_median_slope(arr: Column): Column =
     column(TheilSenMedianSlope(expression(arr)))
+
+  /** Column API: p08-scheme Rademacher hyperplane LSH bucket id. */
+  def rademacher_lsh_bucket(ei: Column, table: Int, bits: Int): Column =
+    column(RademacherLshBucket(expression(ei), table, bits))
 }

@@ -793,14 +793,10 @@ object Pipeline {
     Entry("p08_sim_ann_lsh", (s, dir) => {
       val tables = 8
       val bits = 6
-      def bucketExpr(t: Int) = expr(
-        s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) -> acc +
-              CASE WHEN aggregate(transform(ei, (x, d) -> x *
-                  (CASE WHEN ((($t*1000003 + b*8191 + d) * 2654435761L)
-                               % 2147483647L) % 2 = 1
-                        THEN 1L ELSE -1L END)),
-                0L, (a, x) -> a + x) > 0
-              THEN shiftleft(1L, b) ELSE 0L END)""")
+      // native kernel — the nested lambda fold of the same arithmetic
+      // costs tables*bits*dim interpreted applications per vector
+      def bucketExpr(t: Int) = graft.functions.SeriesKernelFunctions
+        .rademacher_lsh_bucket(col("ei"), t, bits)
       val e = embs(s, dir)
         .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
         .select(col("vec_id"), col("emb"),

@@ -292,4 +292,31 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
       "SELECT graft_theil_sen_median_slope(array(7L)) AS d").collect().head
     assert(nul.isNullAt(0))
   }
+
+  test("rademacher LSH bucket matches the nested lambda fold") {
+    registered
+    import spark.implicits._
+    val vecs = Seq(
+      (1, (1 to 64).map(i => (i * 37 - 1200).toLong)),
+      (2, Seq.fill(64)(0L)),
+      (3, (1 to 64).map(i => if (i % 2 == 0) 1000000L else -999999L)),
+      (4, (1 to 8).map(_.toLong)))                // non-64-dim
+    val df = vecs.toDF("id", "ei")
+    df.createOrReplaceTempView("rl_t")
+    for (t <- Seq(0, 3, 7)) {
+      val rows = spark.sql(
+        s"""SELECT id, graft_rademacher_lsh_bucket(ei, $t, 6) AS n,
+             aggregate(sequence(0, 5), 0L, (acc, b) -> acc +
+               CASE WHEN aggregate(transform(ei, (x, d) -> x *
+                   (CASE WHEN ((($t*1000003 + b*8191 + d) * 2654435761L)
+                                % 2147483647L) % 2 = 1
+                         THEN 1L ELSE -1L END)),
+                 0L, (a, x) -> a + x) > 0
+               THEN shiftleft(1L, b) ELSE 0L END) AS l
+           FROM rl_t ORDER BY id""").collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) === r.getLong(2), s"t=$t id=${r.getInt(0)}")
+      }
+    }
+  }
 }
