@@ -183,6 +183,16 @@ object GraftExtensions {
       args => TheilSenMedianSlope(args.head)
     },
 
+    fn("graft_ks_grid_stat_num",
+      "graft_ks_grid_stat_num(arr, n1, n2) - exact integer KS grid " +
+        "statistic numerator over a cumulative-fold linspace of the " +
+        "(n1+n2)-point window (ref = first n1, active = last n2); " +
+        "NULL unless the window holds exactly n1+n2 points") {
+      args => KsGridStatNum(args(0),
+        litInt(args(1), "graft_ks_grid_stat_num", "n1"),
+        litInt(args(2), "graft_ks_grid_stat_num", "n2"))
+    },
+
     fn("graft_rademacher_lsh_bucket",
       "graft_rademacher_lsh_bucket(ei, table, bits) - hyperplane-LSH " +
         "bucket id of a micro-fixed BIGINT embedding under the " +

@@ -237,6 +237,66 @@ case class IntEqCount(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** The a10 deterministic KS grid statistic numerator: over a w-point
+  * grid built by CUMULATIVE step addition (g₀ = min(arr), gᵢ = gᵢ₋₁ +
+  * (max−min)/(w−1) — the reference kernel's exact left-fold, NOT
+  * lo + i·step which differs in ulps), the max over grid points of
+  * |mAct·#{active ≤ g} − mRef·#{ref ≤ g}| where ref = arr[0..n1),
+  * active = arr[n1..n1+n2), mAct = lcm/n2, mRef = lcm/n1. Exact
+  * integer output; the doubles go through the identical IEEE op
+  * sequence as the SQL lambda pipeline (and DuckDB oracle) this
+  * replaces, which cost O(w²) interpreted filter scans per row.
+  * NULL unless the window holds exactly n1+n2 points.
+  */
+case class KsGridStatNum(child: Expression, n1: Int, n2: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ks_grid_stat_num"
+
+  private val l = {
+    @scala.annotation.tailrec
+    def gcd(x: Int, y: Int): Int = if (y == 0) x else gcd(y, x % y)
+    n1 / gcd(n1, n2) * n2
+  }
+  private val mAct = l / n2
+  private val mRef = l / n1
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toDoubleArray()
+    val w = n1 + n2
+    if (arr.length != w) return null
+    var lo = arr(0); var hi = arr(0)
+    var i = 1
+    while (i < arr.length) {
+      if (arr(i) < lo) lo = arr(i)
+      if (arr(i) > hi) hi = arr(i)
+      i += 1
+    }
+    val step = (hi - lo) / (w - 1).toDouble
+    var g = lo
+    var best = 0L
+    var p = 0
+    while (p < w) {
+      var nAct = 0; var nRef = 0
+      var j = 0
+      while (j < n1) { if (arr(j) <= g) nRef += 1; j += 1 }
+      while (j < w) { if (arr(j) <= g) nAct += 1; j += 1 }
+      val d = Math.abs(mAct.toLong * nAct - mRef.toLong * nRef)
+      if (d > best) best = d
+      p += 1
+      g += step
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Hyperplane-LSH bucket id from ±1 Rademacher components derived by
   * the p08 integer hash — sign_d(t, b) = +1 iff
   * (((t·1000003 + b·8191 + d) · 2654435761) mod 2147483647) mod 2 = 1
@@ -306,4 +366,8 @@ object SeriesKernelFunctions {
   /** Column API: p08-scheme Rademacher hyperplane LSH bucket id. */
   def rademacher_lsh_bucket(ei: Column, table: Int, bits: Int): Column =
     column(RademacherLshBucket(expression(ei), table, bits))
+
+  /** Column API: exact integer KS grid statistic numerator (a10). */
+  def ks_grid_stat_num(arr: Column, n1: Int, n2: Int): Column =
+    column(KsGridStatNum(expression(arr), n1, n2))
 }

@@ -534,8 +534,6 @@ object Anomaly {
       val n1 = w - a // reference window (8)
       val n2 = a // active window (2)
       val L = KsGrid.lcm(n1, n2) // 8
-      val mAct = L / n2 // 4
-      val mRef = L / n1 // 1
       val wBase = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
       val frame = wBase.rowsBetween(-(w - 1), 0)
@@ -543,22 +541,13 @@ object Anomaly {
         .withColumn("rn", row_number().over(wBase))
         .withColumn("arr", collect_list(col("value")).over(frame))
         .filter(col("rn") >= w)
-        .withColumn("lo", array_min(col("arr")))
-        .withColumn("step",
-          (array_max(col("arr")) - col("lo")) / lit((w - 1).toDouble))
-        // grid(i) = lo + step + ... + step (i adds, left to right) —
-        // NOT lo + i*step, which differs in ulps from the kernel. Built
-        // as ONE cumulative fold (each point = previous + step), O(w)
-        // adds per row; the oracle's per-point re-fold is the same
-        // addition sequence per index, so values stay bit-identical.
-        .withColumn("grid", expr(s"aggregate(sequence(1, ${w - 1}), " +
-          "array(lo), (acc, i) -> " +
-          "array_append(acc, element_at(acc, size(acc)) + step))"))
-        .withColumn("ks_stat_num", expr(
-          s"array_max(transform(grid, g -> abs($mAct * size(filter(" +
-            s"slice(arr, ${n1 + 1}, $n2), y -> y <= g)) - $mRef * " +
-            s"size(filter(slice(arr, 1, $n1), y -> y <= g)))))")
-          .cast("long"))
+        // native kernel — same cumulative-fold grid (each point =
+        // previous + step, bit-identical to the reference kernel and
+        // the oracle's list_reduce) and the same counts, in one loop
+        // instead of the O(w²) interpreted filter scans per row
+        .withColumn("ks_stat_num",
+          graft.functions.SeriesKernelFunctions
+            .ks_grid_stat_num(col("arr"), n1, n2))
         .select(col("event_type"), col("event_id"), col("ks_stat_num"),
           (col("ks_stat_num") / lit(L.toDouble)).as("ks_stat"))
     }, Some {

@@ -293,6 +293,39 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(nul.isNullAt(0))
   }
 
+  test("ks grid stat kernel matches the grid-fold lambda pipeline") {
+    registered
+    import spark.implicits._
+    val n1 = 8; val n2 = 2; val w = n1 + n2
+    val mAct = 4; val mRef = 1 // lcm(8,2)=8 -> 8/2, 8/8
+    val arrs = Seq(
+      (1 to 10).map(_.toDouble),
+      Seq.fill(10)(3.25),                          // zero step
+      Seq(0.1, 0.7, 0.3, 0.9, 0.2, 0.8, 0.4, 0.6, 5.5, 5.6), // shifted tail
+      Seq(-4.2, 1.0, 0.5, -0.5, 2.25, -1.75, 3.0, 0.0, 0.125, -2.5))
+    val df = arrs.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("id", "arr")
+    df.createOrReplaceTempView("ks_t")
+    val rows = spark.sql(
+      s"""SELECT id, graft_ks_grid_stat_num(arr, $n1, $n2) AS n,
+           cast(array_max(transform(
+             aggregate(sequence(1, ${w - 1}),
+               array(array_min(arr)), (acc, i) -> array_append(acc,
+                 element_at(acc, size(acc)) +
+                 (array_max(arr) - array_min(arr)) / ${w - 1}.0D)),
+             g -> abs($mAct * size(filter(slice(arr, ${n1 + 1}, $n2),
+               y -> y <= g)) - $mRef * size(filter(slice(arr, 1, $n1),
+               y -> y <= g))))) as long) AS l
+         FROM ks_t ORDER BY id""").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id=${r.getInt(0)}")
+    }
+    val nul = spark.sql(
+      s"SELECT graft_ks_grid_stat_num(array(1.0D, 2.0D), $n1, $n2) AS d")
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("rademacher LSH bucket matches the nested lambda fold") {
     registered
     import spark.implicits._
