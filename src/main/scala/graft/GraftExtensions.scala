@@ -183,6 +183,12 @@ object GraftExtensions {
       args => TheilSenMedianSlope(args.head)
     },
 
+    fn("graft_double_rank_sum",
+      "graft_double_rank_sum(sub, full) - strict-less rank sum: for " +
+        "each x in sub, count of y in full with y < x, summed") {
+      args => DoubleRankSum(args(0), args(1))
+    },
+
     fn("graft_ks_grid_stat_num",
       "graft_ks_grid_stat_num(arr, n1, n2) - exact integer KS grid " +
         "statistic numerator over a cumulative-fold linspace of the " +

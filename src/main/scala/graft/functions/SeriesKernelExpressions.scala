@@ -297,6 +297,49 @@ case class KsGridStatNum(child: Expression, n1: Int, n2: Int)
     copy(child = c)
 }
 
+/** Strict-less rank sum Σ_{x ∈ sub} #{y ∈ full : y < x} over two
+  * double arrays — the min-tie rank-sum statistic the rank/diff tests
+  * permute (reference algorithms.go:170-205), previously three O(w²)
+  * interpreted aggregate/filter folds per row in a09. IEEE `<` on
+  * doubles (±Infinity from the reldiff guard compares identically);
+  * inputs need not be equal length (sub is a window slice of full).
+  */
+case class DoubleRankSum(left: Expression, right: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType, containsNull = false),
+    ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    left.nullable || right.nullable
+  override def prettyName: String = "double_rank_sum"
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val sub = l.asInstanceOf[ArrayData].toDoubleArray()
+    val full = r.asInstanceOf[ArrayData].toDoubleArray()
+    var acc = 0L
+    var i = 0
+    while (i < sub.length) {
+      var j = 0
+      while (j < full.length) {
+        if (full(j) < sub(i)) acc += 1L
+        j += 1
+      }
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Hyperplane-LSH bucket id from ±1 Rademacher components derived by
   * the p08 integer hash — sign_d(t, b) = +1 iff
   * (((t·1000003 + b·8191 + d) · 2654435761) mod 2147483647) mod 2 = 1
@@ -370,4 +413,8 @@ object SeriesKernelFunctions {
   /** Column API: exact integer KS grid statistic numerator (a10). */
   def ks_grid_stat_num(arr: Column, n1: Int, n2: Int): Column =
     column(KsGridStatNum(expression(arr), n1, n2))
+
+  /** Column API: strict-less rank sum of `sub` against `full`. */
+  def double_rank_sum(sub: Column, full: Column): Column =
+    column(DoubleRankSum(expression(sub), expression(full)))
 }

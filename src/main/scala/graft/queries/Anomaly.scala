@@ -484,13 +484,17 @@ object Anomaly {
             "else abs((element_at(arr, i + 1) - element_at(arr, i)) " +
             "/ element_at(arr, i)) end)"))
         .withColumn("rdact", expr(s"slice(rd, size(rd) - ${a - 1}, $a)"))
+        // native rank-sum kernel — the aggregate/filter lambda form of
+        // the same statistic is O(w²) interpreted per row
         .select(col("event_type"), col("event_id"),
-          expr("aggregate(act, 0L, (s, x) -> s + size(filter(arr, y -> y < x)))")
+          graft.functions.SeriesKernelFunctions
+            .double_rank_sum(col("act"), col("arr"))
             .as("active_rank_sum"),
-          expr("aggregate(slice(arr, 1, size(arr) - " + a + "), 0L, " +
-            "(s, x) -> s + size(filter(arr, y -> y < x)))")
-            .as("ref_rank_sum"),
-          expr("aggregate(rdact, 0L, (s, x) -> s + size(filter(rd, y -> y < x)))")
+          graft.functions.SeriesKernelFunctions
+            .double_rank_sum(expr(s"slice(arr, 1, size(arr) - $a)"),
+              col("arr")).as("ref_rank_sum"),
+          graft.functions.SeriesKernelFunctions
+            .double_rank_sum(col("rdact"), col("rd"))
             .as("active_reldiff_rank_sum"))
     }, Some(s"""
       WITH base AS (

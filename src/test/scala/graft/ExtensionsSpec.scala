@@ -326,6 +326,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(nul.isNullAt(0))
   }
 
+  test("double rank sum kernel matches the aggregate/filter fold") {
+    registered
+    import spark.implicits._
+    val rows = Seq(
+      (1, Seq(3.0, 7.0), Seq(1.0, 3.0, 5.0, 7.0, 9.0)),
+      (2, Seq(0.0, 0.0), Seq(0.0, 0.0, 0.0)),
+      (3, Seq(Double.PositiveInfinity, -2.5),
+        Seq(-2.5, 0.0, Double.PositiveInfinity, 4.25)),
+      (4, Seq.empty[Double], Seq(1.0, 2.0)))
+      .toDF("id", "sub", "full")
+    rows.createOrReplaceTempView("rs_t")
+    val got = spark.sql(
+      """SELECT id, graft_double_rank_sum(sub, full) AS n,
+           aggregate(sub, 0L, (s, x) ->
+             s + size(filter(full, y -> y < x))) AS l
+         FROM rs_t ORDER BY id""").collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id=${r.getInt(0)}")
+    }
+  }
+
   test("rademacher LSH bucket matches the nested lambda fold") {
     registered
     import spark.implicits._
