@@ -35,6 +35,26 @@ object PlanAudit {
     logical ++ cached.flatMap(physWindows)
   }
 
+  /** Every forced broadcast hint reachable from `df`'s ANALYZED plan.
+    * The analyzed tree is the right place to look: the optimizer
+    * erases `ResolvedHint` nodes into the join's `JoinHint`, and cache
+    * substitution (which runs later still) hides persisted subtrees
+    * behind `InMemoryRelation` leaves — analyzed has neither problem.
+    * A hard `broadcast()` hint bypasses AQE's size check entirely, so
+    * every one in the catalog must be bounded BY CONSTRUCTION
+    * (centroid sets, per-lang stats, single-row scalars…); the
+    * ScalePropertiesSpec allowlist documents each entry's bound.
+    */
+  def broadcastHints(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        h.child.nodeName + "[" +
+          h.child.output.take(4).map(_.name).mkString(", ") +
+          (if (h.child.output.size > 4) ", …" else "") + "]"
+    }
+  }
+
   private def physWindows(p: SparkPlan): Seq[String] = p match {
     case a: AdaptiveSparkPlanExec => physWindows(a.executedPlan)
     case q: QueryStageExec => physWindows(q.plan)

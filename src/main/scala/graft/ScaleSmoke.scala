@@ -74,19 +74,30 @@ object ScaleSmoke {
     */
   private[graft] def replicate(spark: SparkSession, base: String,
       out: String, factor: Int): Unit = {
-    val Off = 100000000L
-    def rep(name: String, keys: String*): Unit = {
+    val reps = Seq(
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"),
+      "events" -> Seq("event_id"), "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey"))
+    // The copy offset must clear EVERY replicated key or copies alias
+    // (colliding ids corrupt join cardinalities and the sweep's fitted
+    // exponents) — derive it from the observed max instead of a fixed
+    // constant, rounded up to a power of 10 so replicated ids stay
+    // readable. One tiny max() aggregate per table, paid once per run.
+    val maxKey = reps.map { case (name, keys) =>
+      sources.Tables.table(spark, base, name)
+        .agg(max(col(keys.head)).cast("long")).head.getLong(0)
+    }.max
+    var off = 100000000L
+    while (off <= maxKey) off *= 10L
+    val Off = off
+    def rep(name: String, keys: Seq[String]): Unit = {
       val d = sources.Tables.table(spark, base, name)
       val copies = (0 until factor).map(i =>
         keys.foldLeft(d)((f, k) => f.withColumn(k, col(k) + lit(i * Off))))
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    rep("documents", "doc_id")
-    rep("embeddings", "vec_id")
-    rep("events", "event_id")
-    rep("orders", "o_orderkey")
-    rep("lineitem", "l_orderkey")
+    reps.foreach { case (n, ks) => rep(n, ks) }
     for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

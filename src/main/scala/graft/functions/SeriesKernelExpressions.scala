@@ -23,11 +23,48 @@ import org.apache.spark.sql.types._
   * is deliberate: the kernel is the work, wrapper codegen is noise
   * (same rationale as [[AnomalyExpressionBase]]).
   */
+/** containsNull=false is a hard runtime precondition of every kernel
+  * in this file: `ArrayData.toLongArray`/`toDoubleArray` silently read
+  * a NULL element as 0, which would corrupt the statistic instead of
+  * failing. The FORMAL input type can still carry containsNull=true —
+  * e.g. an array built via transform+CASE over a nullable cast —
+  * because Catalyst's input-type check ignores nullability and a cast
+  * cannot remove it, so the declared `containsNull = false` in
+  * `graftInputTypes` is advisory, not enforced. These converters fail
+  * loudly on the first NULL element; the O(n) null scan is noise next
+  * to the O(w²)/O(dim) kernels it guards.
+  */
+private[functions] object KernelInput {
+  def longs(raw: Any, who: String): Array[Long] = {
+    val a = raw.asInstanceOf[ArrayData]
+    assertNoNulls(a, who)
+    a.toLongArray()
+  }
+  def doubles(raw: Any, who: String): Array[Double] = {
+    val a = raw.asInstanceOf[ArrayData]
+    assertNoNulls(a, who)
+    a.toDoubleArray()
+  }
+  private def assertNoNulls(a: ArrayData, who: String): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$who: NULL array element at position $i — kernel inputs " +
+          "must contain no NULL elements (ArrayData.to*Array would " +
+          "silently read one as 0)")
+      i += 1
+    }
+  }
+}
+
 abstract class LongArrayKernel extends UnaryExpression
     with org.apache.spark.sql.graft.GraftImplicitCastInputs
     with CodegenFallback {
   override def graftInputTypes: Seq[DataType] =
     Seq(ArrayType(LongType, containsNull = false))
+  protected final def longs(raw: Any): Array[Long] =
+    KernelInput.longs(raw, prettyName)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -49,7 +86,7 @@ case class MannKendallStats(child: Expression) extends LongArrayKernel {
   override def prettyName: String = "mann_kendall_stats"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData].toLongArray()
+    val a = longs(input)
     val n = a.length
     var s = 0L
     var i = 0
@@ -103,8 +140,8 @@ case class ScaledL1Dist(left: Expression, right: Expression,
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any, d: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+    val a = KernelInput.longs(l, prettyName)
+    val b = KernelInput.longs(r, prettyName)
     if (a.length != b.length) null
     else {
       val c = d.asInstanceOf[Long]
@@ -141,7 +178,7 @@ case class TheilSenMedianSlope(child: Expression) extends LongArrayKernel {
   override def prettyName: String = "theil_sen_median_slope"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData].toLongArray()
+    val a = longs(input)
     val n = a.length
     if (n < 2) return null
     val slopes = new Array[Double](n * (n - 1) / 2)
@@ -184,8 +221,8 @@ abstract class LongArrayBinaryKernel extends Expression
     if (l == null) return null
     val r = right.eval(input)
     if (r == null) return null
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+    val a = KernelInput.longs(l, prettyName)
+    val b = KernelInput.longs(r, prettyName)
     if (a.length != b.length) null else kernel(a, b)
   }
 }
@@ -267,7 +304,7 @@ case class KsGridStatNum(child: Expression, n1: Int, n2: Int)
   private val mRef = l / n1
 
   override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toDoubleArray()
+    val arr = KernelInput.doubles(input, prettyName)
     val w = n1 + n2
     if (arr.length != w) return null
     var lo = arr(0); var hi = arr(0)
@@ -322,8 +359,8 @@ case class DoubleRankSum(left: Expression, right: Expression)
     if (l == null) return null
     val r = right.eval(input)
     if (r == null) return null
-    val sub = l.asInstanceOf[ArrayData].toDoubleArray()
-    val full = r.asInstanceOf[ArrayData].toDoubleArray()
+    val sub = KernelInput.doubles(l, prettyName)
+    val full = KernelInput.doubles(r, prettyName)
     var acc = 0L
     var i = 0
     while (i < sub.length) {
@@ -356,7 +393,7 @@ case class RademacherLshBucket(child: Expression, table: Int, bits: Int)
   override def prettyName: String = "rademacher_lsh_bucket"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData].toLongArray()
+    val a = longs(input)
     var bucket = 0L
     var b = 0
     while (b < bits) {

@@ -1796,8 +1796,14 @@ object Pipeline {
             expr(s"(element_at(bits, cast($pos div 32 as int) + 1) & " +
               s"shiftleft(cast(1 as bigint), cast($pos % 32 as int))) != 0")
           }.reduce(_ && _))
+      // NO broadcast() hint on benchSet: it is corpus-derived (distinct
+      // shingles of the held-out 1%), so a hard hint is an unbounded
+      // driver OOM at adversarial sizes — let AQE pick broadcast from
+      // the aggregate's TRUE runtime size (the p04 hot-bucket
+      // discipline). The bounded side of this entry is the bitmap
+      // above, which is small by construction at ANY corpus size.
       probes
-        .join(broadcast(benchSet), Seq("shingle"), "left")
+        .join(benchSet, Seq("shingle"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hit"),

@@ -80,8 +80,12 @@ object Tws {
       // re-arm: TWS registers timers cumulatively, so drop the stale
       // deadline first — the live deadline must only ever come from
       // the activity high-water (an out-of-order batch must not pull
-      // it backwards; actMsOf is monotone by the ops' fold contract)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // it backwards; actMsOf is monotone by the ops' fold contract).
+      // Materialize before deleting: listTimers() is backed by the
+      // state-store iterator, and mutating mid-traversal is defined
+      // only for snapshot-isolated providers (RocksDB), undefined for
+      // the rest.
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
       getHandle.registerTimer(math.max(actMsOf(next) + idleTtlMs,
         timerValues.getCurrentWatermarkInMs() + 1))
       out

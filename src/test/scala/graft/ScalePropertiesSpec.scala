@@ -1050,6 +1050,70 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         "cartesian):\n" + offenders.mkString("\n"))
   }
 
+  // every entry ALLOWED to carry forced broadcast() hints, with how
+  // many: a hard hint bypasses AQE's size check, so each hinted side
+  // must be bounded BY CONSTRUCTION, never corpus-derived. Bound
+  // classes (audited r10-r11): TPC-H dimension tables (q*); per-series
+  // / per-lang / per-source stat tables, rows = #keys (a*, p28, p33,
+  // p39, p41, p47, p71, p72, p83, p84, p90, p91); fixed-k centroid /
+  // codebook / LUT / query dims (p15, p35, p55, p58-p60, p63, p69,
+  // p76, p81); top-k-bounded vocab tables (p17, p27, p32, p48, p85,
+  // p86); <=1024-row bucket tables (p20, p94, p96); declared
+  // small-benchmark dims whose 100 TB twin is the p34 bloom (p24,
+  // p74); single-row scalars / dedup-pair lists / per-round state
+  // (p34 bitmap, p43, p45, p65, p68). The round-10 unbounded hint
+  // (p34's corpus-derived benchSet) is GONE — a new hint anywhere, or
+  // growth here, must re-justify its bound or fail this gate before
+  // it becomes a driver OOM at 100 TB.
+  private val allowedBroadcastHints: Map[String, Int] = Map(
+    "q03_join_broadcast" -> 1, "q04_join_multi" -> 3,
+    "q33_constraints" -> 2, "q39_division" -> 1, "q45_merge_upsert" -> 3,
+    "a05_anomaly_enrich" -> 1, "a28_runs_test" -> 1,
+    "a39_seasonal_esd" -> 1, "a43_evt_tail" -> 1, "a49_ks_two_series" -> 1,
+    "a50_stl_decompose" -> 1, "a51_forecast_band" -> 1,
+    "p15_sim_ivf" -> 2, "p17_tfidf" -> 1, "p20_pack_sequences" -> 1,
+    "p24_contamination" -> 1, "p27_vocab_oov" -> 1,
+    "p28_source_report" -> 1, "p32_ngram_topk" -> 1,
+    "p33_emb_outliers" -> 1, "p34_contam_bloom" -> 1,
+    "p35_semdedup" -> 2, "p39_domain_mix" -> 4, "p41_lm_quality" -> 1,
+    "p43_crossmodal_check" -> 2, "p45_dsir_weight" -> 2,
+    "p47_cms_topk" -> 1, "p48_jl_project" -> 1,
+    "p55_kmeans_refine" -> 8, "p58_bm25_topk" -> 3, "p59_pq_topk" -> 3,
+    "p60_hybrid_rrf" -> 3, "p63_sim_ivfpq" -> 8,
+    "p65_dedup_savings" -> 1, "p68_mixture_budget" -> 15,
+    "p69_ann_recall" -> 2, "p71_split_contamination" -> 1,
+    "p72_dataset_card" -> 1, "p74_decontam_excise" -> 1,
+    "p76_coreset_kcenter" -> 1, "p81_contam_semantic" -> 2,
+    "p83_source_divergence" -> 4, "p84_split_parity" -> 4,
+    "p85_vocab_coverage" -> 1, "p86_vocab_growth" -> 4,
+    "p90_curation_decision" -> 1, "p91_curation_waterfall" -> 1,
+    "p94_epoch_schedule" -> 7, "p96_pack_efficiency" -> 1)
+
+  test("catalog-wide: every forced broadcast() hint rides a side " +
+    "bounded by construction — no corpus-derived hard hints (those " +
+    "sides must leave the choice to AQE's runtime size check)") {
+    val offenders = queries.Catalog.all.flatMap { e =>
+      val hints = PlanAudit.broadcastHints(e.run(spark, sfDir))
+      val cap = allowedBroadcastHints.getOrElse(e.name, 0)
+      if (hints.size > cap)
+        Some(s"${e.name}: ${hints.size} broadcast hints (cap $cap): " +
+          hints.mkString("; "))
+      else None
+    }
+    assert(offenders.isEmpty,
+      "undeclared forced broadcasts (every one is a potential driver " +
+        "OOM at 100 TB — drop the hint or document the bound):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("broadcast-hint census is not vacuous: a deliberate hint IS " +
+    "detected, an unhinted join is NOT") {
+    val dim = spark.range(5).toDF("k")
+    val fact = spark.range(100).toDF("k")
+    assert(PlanAudit.broadcastHints(fact.join(broadcast(dim), "k")).size === 1)
+    assert(PlanAudit.broadcastHints(fact.join(dim, "k")).isEmpty)
+  }
+
   test("p87: gram postings are pruned to pair-listed docs BEFORE the " +
     "position explode — the corpus never explodes 8-grams globally") {
     val p = plan("p87_longest_common_run")

@@ -20,6 +20,9 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 BUDGETS = os.path.join(HERE, "budgets_sf01.json")
 
+if len(sys.argv) < 2:
+    print(__doc__)
+    sys.exit(2)
 outdir = sys.argv[1]
 timings = json.load(open(os.path.join(outdir, "timings.json")))
 
