@@ -42,6 +42,38 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
+    // Ambient-noise calibration probe (VERDICT r10 #2): a FIXED,
+    // catalog-independent synthetic job — range → hash-agg over 1 000
+    // keys → noop — whose cost depends only on the host (cores,
+    // co-tenant load, GC pressure), never on library code. Untouched
+    // queries drifted 14-26% between rounds with zero code change and
+    // two same-day runs differed 30% on the core sum; this probe turns
+    // that drift into a measured factor instead of an unattributable
+    // table delta. Measured once before the core block and once after
+    // the full list; the summary reports both plus normalized sums
+    // (value / (calib / calib_ref)). NEVER change this workload — the
+    // recorded calib_ref is only comparable against the identical job.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus * 2)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.avg("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibBlock(): Double = {
+      spark.catalog.clearCache(); System.gc()
+      calibrate() // warmup (codegen for the probe itself)
+      val xs = (1 to 3).map(_ => calibrate())
+      xs.sorted.apply(1)
+    }
+    // quiet-host reference for THIS probe, recorded round 11 (median
+    // of three calibBlock() medians on an otherwise-idle 32-core
+    // builder). Re-record ONLY when the probe workload itself changes.
+    val CalibRef = sys.env.get("SPARK_GRAFT_CALIB_REF")
+      .map(_.toDouble).getOrElse(0.55)
+
     // per query: one untimed warmup, then `runs` consecutive timed
     // runs. The warmup absorbs the one-off costs a long-lived engine
     // never pays per query — whole-stage-codegen compilation, JIT of
@@ -91,6 +123,7 @@ object Bench {
     // so the block runs once more and the quieter block's median is
     // reported — the same outlier-retry discipline CatalogCostSpec
     // applies. The lower median is always an actually-observed time.
+    val calibStart = calibBlock()
     val samples: Map[String, (Double, Double)] = names.map { n =>
       val first = block(n)
       val med0 = blockMedian(first)
@@ -121,8 +154,18 @@ object Bench {
     // or a core query regressing to failure reads as a speedup
     val coreMissing = (coreSet -- med.collect {
       case (n, v) if v >= 0 => n }.toSet).toSeq.sorted
+    val calibEnd = calibBlock()
+    // normalization: the core set runs first, so its ambient factor is
+    // calibStart's; the full list spans the run, so its factor is the
+    // mean of the two probes. A normalized number ~equal to last
+    // round's normalized number means "no real change" even when the
+    // raw medians moved 25% with the host.
+    val coreNorm = totalCore * CalibRef / calibStart
+    val totalNorm = total * CalibRef / ((calibStart + calibEnd) / 2)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""value_min":$totalMin,"value_core":$totalCore,""" +
+      s""""calib":$calibStart,"calib_end":$calibEnd,"calib_ref":$CalibRef,""" +
+      s""""value_core_norm":$coreNorm,"value_norm":$totalNorm,""" +
       s""""core_queries":${coreSet.size - coreMissing.size},""" +
       s""""core_missing":${coreMissing.map("\"" + _ + "\"")
         .mkString("[", ",", "]")},""" +
