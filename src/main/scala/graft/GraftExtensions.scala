@@ -226,6 +226,14 @@ object GraftExtensions {
       args => IntEqCount(args(0), args(1))
     },
 
+    fn("graft_bm25_c6",
+      "graft_bm25_c6(idf6, tf, dl, a_toks, n_docs) - exact 128-bit " +
+        "BM25 term contribution in micro units: (idf6*22*tf*a_toks + " +
+        "den div 2) div den with den = 10*tf*a_toks + 3*a_toks + " +
+        "9*dl*n_docs; all operands nonnegative BIGINTs") {
+      args => Bm25Contrib(args(0), args(1), args(2), args(3), args(4))
+    },
+
     fn("graft_anomaly_prob",
       "graft_anomaly_prob(window, seriesHash, rowKey, activeSize, " +
         "nSeasons, permCount, methodsCsv) - ensemble anomaly probability") {

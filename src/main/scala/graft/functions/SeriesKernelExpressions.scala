@@ -414,6 +414,126 @@ case class RademacherLshBucket(child: Expression, table: Int, bits: Int)
     copy(child = c)
 }
 
+/** BM25 per-(posting, query-term) contribution in EXACT 128-bit
+  * integer arithmetic:
+  *
+  *   c6 = (num + den div 2) div den,   num = idf6 · 22 · tf · A,
+  *   den = 10·tf·A + 3·A + 9·dl·N
+  *
+  * — bit-identical to the DECIMAL(38,0) expression pipeline (and the
+  * DuckDB HUGEINT oracle) it replaces in p58/p60's scorer. The r11
+  * census measured the decimal form at ~8× the cost of identical
+  * int64 math on the 4.5M-row candidate stage (BigDecimal allocation
+  * per operation per row); plain int64 overflows once A ≈ corpus
+  * token count reaches the 1e13+ of the 100 TB design point, so the
+  * kernel does 64×64→128 products, 128-bit sums, and a
+  * double-estimated, exactly-corrected 128÷128 division (the quotient
+  * is bounded by 2.2·idf6 — always a small long). Domain: all inputs
+  * nonnegative (idf6 is strictly positive by the Lucene-idf
+  * construction); NULL if any input is NULL.
+  */
+case class Bm25Contrib(idf6: Expression, tf: Expression, dl: Expression,
+    aToks: Expression, nDocs: Expression) extends Expression
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
+  override def children: Seq[Expression] = Seq(idf6, tf, dl, aToks, nDocs)
+  override def graftInputTypes: Seq[DataType] =
+    Seq(LongType, LongType, LongType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "bm25_contrib"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = new Array[Long](5)
+    var i = 0
+    while (i < 5) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vs(i) = v.asInstanceOf[Long]
+      if (vs(i) < 0L) throw new IllegalArgumentException(
+        s"$prettyName: negative input ${vs(i)} at arg $i — all BM25 " +
+          "operands are nonnegative by construction")
+      i += 1
+    }
+    Bm25Contrib.c6(vs(0), vs(1), vs(2), vs(3), vs(4))
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(idf6 = c(0), tf = c(1), dl = c(2), aToks = c(3), nDocs = c(4))
+}
+
+object Bm25Contrib {
+  // unsigned 128-bit helpers over (hi, lo) pairs; every value in this
+  // kernel is nonnegative and < 2^127, so signed hi works with
+  // unsigned lo throughout
+  @inline private def mulHiU(x: Long, y: Long): Long =
+    Math.multiplyHigh(x, y) + ((x >> 63) & y) + ((y >> 63) & x)
+  @inline private def uloToDouble(lo: Long): Double =
+    (lo >>> 1).toDouble * 2.0 + (lo & 1L)
+  @inline private def toDouble(hi: Long, lo: Long): Double =
+    hi.toDouble * 1.8446744073709552e19 + uloToDouble(lo)
+  @inline private def cmp(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Int = {
+    val h = java.lang.Long.compareUnsigned(aHi, bHi)
+    if (h != 0) h else java.lang.Long.compareUnsigned(aLo, bLo)
+  }
+
+  /** The exact quotient (idf6·22·tf·A + den/2) / den with
+    * den = 10·tf·A + 3·A + 9·dl·N, floor semantics on positives —
+    * identical to the DECIMAL `(num + den div 2) div den`.
+    */
+  private[graft] def c6(idf6: Long, tf: Long, dl: Long, a: Long,
+      n: Long): Long = {
+    // num128 = (idf6 · 22 · tf) × A — the first factor is ≤ ~8e14 for
+    // any real corpus (idf6 ≤ ln(2·docs)·1e6, tf ≤ doc length), far
+    // inside int64
+    val t = idf6 * 22L * tf
+    var numHi = mulHiU(t, a); var numLo = t * a
+    // den128 = (10·tf)×A + 3×A + (9·dl)×N, accumulated in 128 bits
+    var denHi = mulHiU(10L * tf, a); var denLo = 10L * tf * a
+    var lo = denLo + 3L * a
+    denHi += (if (java.lang.Long.compareUnsigned(lo, denLo) < 0) 1L else 0L)
+    denLo = lo
+    val d3 = 9L * dl
+    lo = denLo + d3 * n
+    denHi += mulHiU(d3, n) +
+      (if (java.lang.Long.compareUnsigned(lo, denLo) < 0) 1L else 0L)
+    denLo = lo
+    if (denHi == 0L && denLo == 0L) throw new ArithmeticException(
+      "bm25_contrib: zero denominator (empty corpus)")
+    // rounding shift: num += den >>> 1
+    val hHi = denHi >>> 1; val hLo = (denLo >>> 1) | (denHi << 63)
+    lo = numLo + hLo
+    numHi += hHi +
+      (if (java.lang.Long.compareUnsigned(lo, numLo) < 0) 1L else 0L)
+    numLo = lo
+    // 128÷128: double estimate, then exact ±1-step correction (the
+    // estimate's relative error is ~1e-16 against a quotient < 2^40,
+    // so the loops run at most once; they are exact regardless)
+    var q = (toDouble(numHi, numLo) / toDouble(denHi, denLo)).toLong
+    if (q < 0L) q = 0L
+    // p = q × den (fits 128: p ≈ num < 2^128 with tiny estimate slack)
+    var pHi = mulHiU(q, denLo) + q * denHi; var pLo = q * denLo
+    while (cmp(pHi, pLo, numHi, numLo) > 0) {
+      q -= 1L
+      val nl = pLo - denLo
+      pHi -= denHi +
+        (if (java.lang.Long.compareUnsigned(pLo, nl) < 0) 1L else 0L)
+      pLo = nl
+    }
+    var rLo = numLo - pLo
+    var rHi = numHi - pHi -
+      (if (java.lang.Long.compareUnsigned(numLo, rLo) < 0) 1L else 0L)
+    while (cmp(rHi, rLo, denHi, denLo) >= 0) {
+      q += 1L
+      val nl = rLo - denLo
+      rHi -= denHi +
+        (if (java.lang.Long.compareUnsigned(rLo, nl) < 0) 1L else 0L)
+      rLo = nl
+    }
+    q
+  }
+}
+
 object SeriesKernelFunctions {
   import org.apache.spark.sql.graft.shims.{column, expression}
 
@@ -454,4 +574,10 @@ object SeriesKernelFunctions {
   /** Column API: strict-less rank sum of `sub` against `full`. */
   def double_rank_sum(sub: Column, full: Column): Column =
     column(DoubleRankSum(expression(sub), expression(full)))
+
+  /** Column API: exact 128-bit BM25 term contribution (micro units). */
+  def bm25_contrib(idf6: Column, tf: Column, dl: Column, aToks: Column,
+      nDocs: Column): Column =
+    column(Bm25Contrib(expression(idf6), expression(tf), expression(dl),
+      expression(aToks), expression(nDocs)))
 }

@@ -159,7 +159,6 @@ object Pipeline {
     * scale analysis; p60 fuses these scores with the dense ranking.
     */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     // tf via explode + count: linear in tokens. The per-distinct-token
     // `size(filter(tk, _ === tok))` form this replaces rescanned the
     // whole token array per posting row — O(dl²) per document, a wrong
@@ -187,15 +186,18 @@ object Pipeline {
       .withColumn("idf6", expr("cast(round(ln((n_docs + 1.0D) / " +
         "(df + 0.5D)) * 1e6) as bigint)"))
       .select(col("q_id"), col("tok"), col("idf6"))
+    // per-term contribution via the native 128-bit kernel: the former
+    // DECIMAL(38,0) num/den pipeline cost ~8× the identical integer
+    // math on the 4.5M-row candidate stage (BigDecimal alloc per op
+    // per row — r11 census); plain int64 overflows at 100 TB corpus
+    // token counts, so Bm25Contrib does exact 128-bit products and an
+    // exactly-corrected 128÷128 division. Bit-identical to the DECIMAL
+    // form and the DuckDB HUGEINT oracle (ExtensionsSpec parity pin).
     post.join(broadcast(qdim), "tok")
       .filter(col("doc_id") =!= col("q_id"))
       .crossJoin(broadcast(scal))
-      .withColumn("den", dec(lit(10L)) * col("tf") * col("a_toks") +
-        dec(lit(3L)) * col("a_toks") +
-        dec(lit(9L)) * col("dl") * col("n_docs"))
-      .withColumn("num", dec(col("idf6")) * lit(22L) * col("tf") *
-        col("a_toks"))
-      .withColumn("c6", expr("cast((num + den div 2) div den as bigint)"))
+      .withColumn("c6", graft.functions.SeriesKernelFunctions.bm25_contrib(
+        col("idf6"), col("tf"), col("dl"), col("a_toks"), col("n_docs")))
       .groupBy(col("q_id").as("query_id"), col("doc_id"))
       .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms"))
   }

@@ -373,4 +373,54 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("bm25 contribution kernel matches the DECIMAL(38) pipeline, " +
+    "BigInteger at 100 TB magnitudes, and resolves in SQL") {
+    registered
+    import spark.implicits._
+    // sf-scale magnitudes: verify against the exact DECIMAL(38,0)
+    // expression pipeline the kernel replaced (same formula the DuckDB
+    // oracle runs in HUGEINT)
+    val rows = Seq(
+      (1, 9210340L, 3L, 54L, 270658L, 5000L),
+      (2, 1L, 1L, 1L, 1L, 1L),
+      (3, 36000000L, 120L, 2000L, 270658L, 5000L),
+      (4, 14508658L, 1L, 10L, 541316L, 10000L),
+      (5, 0L, 5L, 50L, 270658L, 5000L)) // idf6=0 -> c6=0
+      .toDF("id", "idf6", "tf", "dl", "a", "n")
+    rows.createOrReplaceTempView("bm_t")
+    val got = spark.sql(
+      """SELECT id, graft_bm25_c6(idf6, tf, dl, a, n) AS k,
+           CAST((CAST(idf6 AS DECIMAL(38,0)) * 22 * tf * a +
+             (CAST(10 AS DECIMAL(38,0)) * tf * a +
+              CAST(3 AS DECIMAL(38,0)) * a +
+              CAST(9 AS DECIMAL(38,0)) * dl * n) div 2)
+             div (CAST(10 AS DECIMAL(38,0)) * tf * a +
+              CAST(3 AS DECIMAL(38,0)) * a +
+              CAST(9 AS DECIMAL(38,0)) * dl * n) AS BIGINT) AS d
+         FROM bm_t ORDER BY id""").collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id=${r.getInt(0)}")
+    }
+    // 100 TB magnitudes (a_toks ~ 1e13-1e14, where int64 AND
+    // DECIMAL(38) intermediate products both leave the comfortable
+    // range): seeded sweep against an exact BigInteger reference
+    import java.math.BigInteger
+    val rnd = new java.util.Random(42)
+    def pick(lim: Long): Long = 1L + ((rnd.nextLong() & Long.MaxValue) % lim)
+    (1 to 2000).foreach { i =>
+      val idf6 = pick(40000000L); val tf = pick(100000L)
+      val dl = pick(1000000L); val a = pick(100000000000000L)
+      val n = pick(1000000000000L)
+      val bi = (x: Long) => BigInteger.valueOf(x)
+      val den = bi(10L).multiply(bi(tf)).multiply(bi(a))
+        .add(bi(3L).multiply(bi(a)))
+        .add(bi(9L).multiply(bi(dl)).multiply(bi(n)))
+      val num = bi(idf6).multiply(bi(22L)).multiply(bi(tf)).multiply(bi(a))
+      val want = num.add(den.shiftRight(1)).divide(den).longValueExact()
+      val gotK = graft.functions.Bm25Contrib.c6(idf6, tf, dl, a, n)
+      assert(gotK === want,
+        s"i=$i idf6=$idf6 tf=$tf dl=$dl a=$a n=$n: kernel $gotK != BigInteger $want")
+    }
+  }
 }

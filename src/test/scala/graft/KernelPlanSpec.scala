@@ -65,7 +65,11 @@ class KernelPlanSpec extends AnyFunSuite with SparkTestBase {
     ("p76_coreset_kcenter", "IntSqL2",
       { case _: IntSqL2 => true; case _ => false }),
     ("p81_contam_semantic", "IntSqL2",
-      { case _: IntSqL2 => true; case _ => false }))
+      { case _: IntSqL2 => true; case _ => false }),
+    ("p58_bm25_topk", "Bm25Contrib",
+      { case _: Bm25Contrib => true; case _ => false }),
+    ("p60_hybrid_rrf", "Bm25Contrib",
+      { case _: Bm25Contrib => true; case _ => false }))
 
   test("every kernel-converted entry plans with its native expression") {
     val missing = pins.collect {
