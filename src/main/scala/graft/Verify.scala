@@ -56,7 +56,18 @@ object Verify {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       val tq = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce merges the plan's
+      // FINAL STAGE into one task, so everything after the last shuffle
+      // — in the permutation entries that is the entire 500-permutation
+      // kernel eval the chunked evaluator explicitly round-robins
+      // across cores — ran single-threaded inside the timed window
+      // (a07 7.4 s / a13 8.3 s recorded vs ~1 s at full parallelism;
+      // the r10 "a13-class tops the Verify budget" finding was THIS
+      // harness artifact, not kernel cost). repartition(1) keeps the
+      // one-file-per-entry layout but isolates the write behind an
+      // explicit exchange, preserving upstream parallelism. Output row
+      // order changes; the driver sorts rows before hashing.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
