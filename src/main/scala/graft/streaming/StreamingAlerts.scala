@@ -61,6 +61,11 @@ object StreamingAlerts {
     (s, out.iterator)
   }
 
+  /** Legacy `flatMapGroupsWithState` twin of [[alertsTws]] — kept for
+    * HDFS-backed state stores and as TwsParitySpec's parity
+    * baseline; new pipelines should use [[alertsTws]] (Spark's
+    * forward path: native timers, RocksDB, state v2).
+    */
   def alerts(scores: Dataset[AnomalyScore], threshold: Double,
       cooldownSec: Long)(implicit
       spark: SparkSession): Dataset[Alert] = {
@@ -77,7 +82,7 @@ object StreamingAlerts {
       }
   }
 
-  /** [[alerts]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[alerts]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same edge-trigger fold, same alerts.
     */
   def alertsTws(scores: Dataset[AnomalyScore], threshold: Double,

@@ -111,6 +111,11 @@ object StreamingCuration {
     (s, out.iterator)
   }
 
+  /** Legacy `flatMapGroupsWithState` twin of [[decisionsTws]] — kept for
+    * HDFS-backed state stores and as TwsParitySpec's parity
+    * baseline; new pipelines should use [[decisionsTws]] (Spark's
+    * forward path: native timers, RocksDB, state v2).
+    */
   def decisions(docs: DataFrame, bitmap: DataFrame,
       idleTtl: java.time.Duration, watermarkDelay: String = "0 seconds")(
       implicit spark: SparkSession): Dataset[Decision] = {
@@ -132,7 +137,7 @@ object StreamingCuration {
       }
   }
 
-  /** [[decisions]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[decisions]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same claim fold, same decisions,
     * eviction via an event-time timer at the same high-water + TTL
     * deadline.

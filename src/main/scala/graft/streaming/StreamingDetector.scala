@@ -70,6 +70,11 @@ object StreamingDetector {
     (SeriesState(buf, pushed), out)
   }
 
+  /** Legacy `flatMapGroupsWithState` form — kept for HDFS-backed
+    * state stores and as TwsParitySpec's parity baseline; new
+    * pipelines should use [[scoreTws]] (Spark's forward path: native
+    * timers, RocksDB, state v2).
+    */
   def score(points: Dataset[SeriesPoint], conf0: AnomalyzerConf)
       : Dataset[AnomalyScore] = {
     val conf = AnomalyzerConf.validated(conf0)
@@ -88,7 +93,8 @@ object StreamingDetector {
         })
   }
 
-  /** [[score]] on the modern arbitrary-state API (`transformWithState`,
+  /** The DEFAULT streaming form of [[score]] — the modern
+    * arbitrary-state API (`transformWithState`,
     * Spark 4.x): same semantics, same probabilities, but state lives in
     * the RocksDB state store (required by this API) with fine-grained
     * per-key ValueState — the operationally preferred backend for large

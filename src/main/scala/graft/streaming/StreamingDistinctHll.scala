@@ -55,6 +55,11 @@ object StreamingDistinctHll {
     (m, Iterator.single(RegisterUpdate(key._1, key._2, m)))
   }
 
+  /** Legacy `flatMapGroupsWithState` twin of [[registersTws]] — kept for
+    * HDFS-backed state stores and as TwsParitySpec's parity
+    * baseline; new pipelines should use [[registersTws]] (Spark's
+    * forward path: native timers, RocksDB, state v2).
+    */
   def registers(tokens: DataFrame)(implicit
       spark: SparkSession): Dataset[RegisterUpdate] = {
     import spark.implicits._
@@ -69,7 +74,7 @@ object StreamingDistinctHll {
       }
   }
 
-  /** [[registers]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[registers]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same fold, same registers.
     */
   def registersTws(tokens: DataFrame)(implicit

@@ -82,6 +82,11 @@ object StreamingDriftMonitor {
     m
   }
 
+  /** Legacy `flatMapGroupsWithState` twin of [[driftTws]] — kept for
+    * HDFS-backed state stores and as TwsParitySpec's parity
+    * baseline; new pipelines should use [[driftTws]] (Spark's
+    * forward path: native timers, RocksDB, state v2).
+    */
   def drift(tokens: DataFrame, reference: Map[String, Long])(implicit
       spark: SparkSession): Dataset[Drift] = {
     import spark.implicits._
@@ -98,7 +103,7 @@ object StreamingDriftMonitor {
       }
   }
 
-  /** [[drift]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[drift]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same fold, same TV values.
     */
   def driftTws(tokens: DataFrame, reference: Map[String, Long])(implicit

@@ -60,6 +60,11 @@ object StreamingHeavyHitters {
       cur.iterator.map { case (t, (c, e)) => Hitter(source, t, c, e) })
   }
 
+  /** Legacy `flatMapGroupsWithState` twin of [[hittersTws]] — kept for
+    * HDFS-backed state stores and as TwsParitySpec's parity
+    * baseline; new pipelines should use [[hittersTws]] (Spark's
+    * forward path: native timers, RocksDB, state v2).
+    */
   def hitters(tokens: DataFrame, m: Int)(implicit
       spark: SparkSession): Dataset[Hitter] = {
     import spark.implicits._
@@ -76,7 +81,7 @@ object StreamingHeavyHitters {
       }
   }
 
-  /** [[hitters]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[hitters]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same fold, same summaries.
     */
   def hittersTws(tokens: DataFrame, m: Int)(implicit

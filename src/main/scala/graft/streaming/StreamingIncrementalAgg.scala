@@ -78,6 +78,11 @@ object StreamingIncrementalAgg {
     (merged, Iterator.single(emit(key._1, key._2, merged)))
   }
 
+  /** Legacy `flatMapGroupsWithState` twin of [[maintainTws]] — kept for
+    * HDFS-backed state stores and as TwsParitySpec's parity
+    * baseline; new pipelines should use [[maintainTws]] (Spark's
+    * forward path: native timers, RocksDB, state v2).
+    */
   def maintain(rows: DataFrame)(implicit
       spark: SparkSession): Dataset[ViewOut] = {
     import spark.implicits._
@@ -91,7 +96,7 @@ object StreamingIncrementalAgg {
       }
   }
 
-  /** [[maintain]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[maintain]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same fold, same view rows.
     */
   def maintainTws(rows: DataFrame)(implicit

@@ -66,7 +66,11 @@ object StreamingLatestState {
       s.last_event_id, s.last_value, s.n_events)))
   }
 
-  /** Update-mode stream: one StateOut per touched key per micro-batch. */
+  /** Update-mode stream: one StateOut per touched key per micro-batch. *
+    * Legacy `flatMapGroupsWithState` form — kept for HDFS-backed
+    * state stores and as TwsParitySpec's parity baseline; new
+    * pipelines should use [[latestStateTws]].
+    */
   def latestState(events: DataFrame)(implicit
       spark: SparkSession): Dataset[StateOut] = {
     import spark.implicits._
@@ -81,7 +85,7 @@ object StreamingLatestState {
       }
   }
 
-  /** [[latestState]] on the arbitrary-state v2 API
+  /** The DEFAULT streaming form of [[latestState]] — the arbitrary-state v2 API
     * (`transformWithState`, RocksDB store required) — same fold, same
     * compaction.
     */

@@ -88,6 +88,10 @@ object StreamingNearDup {
 
   /** Append-mode stream of per-(doc, band) claims/hits; state lives
     * forever (bounded corpora / bounded bucket spaces).
+    *
+    * Legacy `flatMapGroupsWithState` form — kept for HDFS-backed
+    * state stores and as TwsParitySpec's parity baseline; new
+    * pipelines should use [[bandHitsTws]].
     */
   def bandHits(docs: DataFrame)(implicit
       spark: SparkSession): Dataset[BandHit] = {
@@ -102,7 +106,7 @@ object StreamingNearDup {
       }
   }
 
-  /** [[bandHits]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[bandHits]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same claim fold, same hits.
     */
   def bandHitsTws(docs: DataFrame)(implicit

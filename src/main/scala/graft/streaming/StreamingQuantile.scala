@@ -102,6 +102,11 @@ object StreamingQuantile {
     (next, extract(et, next.counts, qs).iterator)
   }
 
+  /** Legacy `flatMapGroupsWithState` twin of [[maintainTws]] — kept for
+    * HDFS-backed state stores and as TwsParitySpec's parity
+    * baseline; new pipelines should use [[maintainTws]] (Spark's
+    * forward path: native timers, RocksDB, state v2).
+    */
   def maintain(rows: DataFrame, qs: Seq[Int])(implicit
       spark: SparkSession): Dataset[QOut] = {
     import spark.implicits._
@@ -141,7 +146,7 @@ object StreamingQuantile {
     (toArr(next), out)
   }
 
-  /** [[maintain]] on the arbitrary-state v2 API (`transformWithState`,
+  /** The DEFAULT streaming form of [[maintain]] — the arbitrary-state v2 API (`transformWithState`,
     * RocksDB store required) — same fold, same percentile rows.
     */
   def maintainTws(rows: DataFrame, qs: Seq[Int])(implicit

@@ -48,6 +48,10 @@ object StreamingSketch {
 
   /** Update-mode stream over a one-column (`t` STRING) token stream:
     * one BucketUpdate per touched (r, b) per micro-batch.
+    *
+    * Legacy `flatMapGroupsWithState` form — kept for HDFS-backed
+    * state stores and as TwsParitySpec's parity baseline; new
+    * pipelines should use [[cmsBucketsTws]].
     */
   def cmsBuckets(tokens: DataFrame)(implicit
       spark: SparkSession): Dataset[BucketUpdate] = {
@@ -64,7 +68,7 @@ object StreamingSketch {
       }
   }
 
-  /** [[cmsBuckets]] on the arbitrary-state v2 API
+  /** The DEFAULT streaming form of [[cmsBuckets]] — the arbitrary-state v2 API
     * (`transformWithState`, RocksDB store required) — same fold, same
     * counters; see [[Tws]] for why this is the forward path.
     */
