@@ -28,6 +28,17 @@ object ScaleSweep {
 
   private val Factors = Seq(1, 3, 10)
 
+  /** The quadratic-output dedup entries get one more decade: under
+    * exact replication their PAIR OUTPUT inflates ~N² by construction,
+    * so a coarse 1×/3×/10× fit cannot separate "quadratic output"
+    * (expected, bounded by df/occupancy caps) from "quadratic WORK"
+    * (an accidental all-pairs plan). The 30× point adds the decade
+    * that separates them: output-quadratic entries keep flattening as
+    * the caps bite harder (more twins discarded per bucket), while a
+    * work-quadratic plan keeps steepening toward α = 2.
+    */
+  private val DedupExtraFactor = 30
+
   /** Default fitted-exponent cap: linear plus measurement headroom.
     * Sub-second entries fit well below 1; anything genuinely linear
     * lands ≲1.1 even with noisy small-n points.
@@ -61,16 +72,18 @@ object ScaleSweep {
     val cpus = Runtime.getRuntime.availableProcessors.min(32)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "scale-sweep")
 
-    val dirs: Seq[(Int, String)] = Factors.map {
-      case 1 => 1 -> base
-      case f =>
+    def dirFor(f: Int): String = f match {
+      case 1 => base
+      case _ =>
         val d = s"/tmp/graft_scale_x$f"
         if (!new File(s"$d/_SMOKE_READY_V2").exists()) {
           ScaleSmoke.replicate(spark, base, d, f)
           new File(s"$d/_SMOKE_READY_V2").createNewFile()
         }
-        f -> d
+        d
     }
+    def factorsFor(name: String): Seq[Int] =
+      if (Caps.contains(name)) Factors :+ DedupExtraFactor else Factors
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
@@ -100,7 +113,7 @@ object ScaleSweep {
     var failed = List.empty[String]
     val rows = names.flatMap { n =>
       try {
-        val pts = dirs.map { case (f, d) => f -> time(n, d) }
+        val pts = factorsFor(n).map(f => f -> time(n, dirFor(f)))
         val alpha = fitAlpha(pts)
         val cap = Caps.getOrElse(n, DefaultCap)
         val ok = alpha <= cap
