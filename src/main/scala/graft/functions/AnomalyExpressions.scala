@@ -45,8 +45,10 @@ abstract class AnomalyExpressionBase
   override def graftInputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), LongType, LongType)
 
+  // KernelInput fails loudly on NULL elements (toDoubleArray would
+  // silently read one as 0.0 — same latent class as the series kernels)
   protected def values(w: Any): Array[Double] =
-    w.asInstanceOf[ArrayData].toDoubleArray()
+    KernelInput.doubles(w, prettyName)
   protected def rng(sh: Any, rk: Any): PermDraw =
     new PermDraw(sh.asInstanceOf[Long], rk.asInstanceOf[Long])
 }

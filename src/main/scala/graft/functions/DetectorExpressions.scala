@@ -71,7 +71,10 @@ case class DetectorEval(window: Expression, rn: Expression,
   private val sensMicro: Long = math.round(spec.sensitivity * 1e6)
 
   override protected def nullSafeEval(input: Any, rnVal: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toDoubleArray()
+    // guarded conversion: a NULL element would silently read as 0.0
+    // (can't arise from collect_list, which drops NULLs — the guard
+    // covers direct SQL calls on arbitrary arrays)
+    val arr = KernelInput.doubles(input, prettyName)
     val w = spec.windowSize
     val a = spec.activeSize
     if (arr.length < w) {

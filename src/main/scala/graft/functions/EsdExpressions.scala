@@ -96,7 +96,8 @@ object EsdRoundsKernel {
 
   def eval(arrVal: ArrayData, sxVal: Long, sxxVal: Decimal, w: Int,
       k: Int): InternalRow = {
-    val xs = arrVal.toLongArray()
+    // guarded conversion: a NULL element would silently read as 0
+    val xs = KernelInput.longs(arrVal, "graft_esd_rounds")
     var sxCur = sxVal
     // toBigIntegerExact: a fractional Σx² is out of contract — fail
     // loudly rather than truncate (ArithmeticException surfaces as the
