@@ -423,4 +423,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
         s"i=$i idf6=$idf6 tf=$tf dl=$dl a=$a n=$n: kernel $gotK != BigInteger $want")
     }
   }
+
+  test("kernel array inputs REJECT NULL elements instead of reading " +
+    "them as 0 (KernelInput guard)") {
+    registered
+    import spark.implicits._
+    val df = Seq((1, Seq[java.lang.Double](1.0, null, 3.0)),
+      (2, Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("id", "arr")
+    df.createOrReplaceTempView("nul_t")
+    // clean rows evaluate; the NULL-element row must throw, not return
+    val ok = spark.sql(
+      "SELECT graft_double_rank_sum(arr, arr) FROM nul_t WHERE id = 2")
+      .collect()
+    assert(ok.head.getLong(0) === 3L) // strict-less self rank sum of distinct
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_double_rank_sum(arr, arr) FROM nul_t WHERE id = 1")
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("NULL array element")),
+      s"expected the KernelInput guard, got: $e")
+  }
 }
