@@ -62,11 +62,21 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def calibBlock(): Double = {
+    // a calibration failure must never take the bench JSON down with
+    // it (the driver's whole round reads that one line): fall back to
+    // the reference, i.e. a neutral factor of 1.0
+    def calibBlock(): Double = try {
       spark.catalog.clearCache(); System.gc()
       calibrate() // warmup (codegen for the probe itself)
       val xs = (1 to 3).map(_ => calibrate())
-      xs.sorted.apply(1)
+      val m = xs.sorted.apply(1)
+      if (m > 0 && java.lang.Double.isFinite(m)) m
+      else sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble)
+        .getOrElse(0.55)
+    } catch {
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+        sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble).getOrElse(0.55)
     }
     // quiet-host reference for THIS probe, recorded round 11 (median
     // of three calibBlock() medians on an otherwise-idle 32-core
