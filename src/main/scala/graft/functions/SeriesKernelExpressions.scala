@@ -485,15 +485,19 @@ object Bm25Contrib {
       n: Long): Long = {
     // num128 = (idf6 · 22 · tf) × A — the first factor is ≤ ~8e14 for
     // any real corpus (idf6 ≤ ln(2·docs)·1e6, tf ≤ doc length), far
-    // inside int64
-    val t = idf6 * 22L * tf
+    // inside int64; out-of-domain inputs must fail, not silently wrap
+    val t22 = Math.multiplyExact(idf6, 22L)
+    val t = Math.multiplyExact(t22, tf)
     var numHi = mulHiU(t, a); var numLo = t * a
-    // den128 = (10·tf)×A + 3×A + (9·dl)×N, accumulated in 128 bits
-    var denHi = mulHiU(10L * tf, a); var denLo = 10L * tf * a
-    var lo = denLo + 3L * a
+    // den128 = (10·tf)×A + 3×A + (9·dl)×N, accumulated in 128 bits;
+    // the small-constant products must not wrap in their 64-bit limb
+    val tf10 = Math.multiplyExact(tf, 10L)
+    val a3 = Math.multiplyExact(a, 3L)
+    var denHi = mulHiU(tf10, a); var denLo = tf10 * a
+    var lo = denLo + a3
     denHi += (if (java.lang.Long.compareUnsigned(lo, denLo) < 0) 1L else 0L)
     denLo = lo
-    val d3 = 9L * dl
+    val d3 = Math.multiplyExact(dl, 9L)
     lo = denLo + d3 * n
     denHi += mulHiU(d3, n) +
       (if (java.lang.Long.compareUnsigned(lo, denLo) < 0) 1L else 0L)
