@@ -742,15 +742,41 @@ object Pipeline {
       FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3"""
     }),
 
-    // ---- p06: embedding-cosine near-duplicates (brute force, exact)
+    // ---- p06: embedding-cosine near-duplicates (brute force, exact).
+    // Two measured plan rules (r11 A/B, sf0.1 2M ordered pairs,
+    // 2.55 s -> 1.25 s):
+    //  (1) the similarity threshold goes INTO the join condition AFTER
+    //      the cheap vec_a < vec_b conjunct. Written as a filter above
+    //      the projection, Catalyst pushes it into the nested-loop
+    //      join condition AHEAD of the existing ineq (And(pushed,
+    //      existing)), so the kernel ran on all 4M ordered pairs
+    //      instead of 2M;
+    //  (2) per-side norms are computed ONCE per row and the pair
+    //      kernel is dot-only — an all-pairs scorer otherwise
+    //      re-derives both norms inside every candidate evaluation
+    //      (3·dim vs 1·dim flops per pair; at 100 TB the pair side is
+    //      the whole job). dot/(na·nb) with na = sqrt(Σx²) in the same
+    //      left-fold order is bit-identical to CosineSim — oracle SQL
+    //      unchanged.
     Entry("p06_embed_neardup", (s, dir) => {
       val e = embs(s, dir)
+      // zero-norm guard: the fused kernel's JVM 0/0 is a silent NaN
+      // (filtered by the threshold), but Catalyst Divide under ANSI
+      // throws DIVIDE_BY_ZERO — a zero vector passes the ingestion
+      // domain filter, so the degenerate case must stay a NaN. na = 0
+      // implies dot = 0, so this is exactly the 0/0 case.
+      def cosPre = {
+        val prod = col("na") * col("nb")
+        round(when(prod === 0.0, lit(Double.NaN))
+          .otherwise(
+            VectorOps.dotNative(col("emb_a"), col("emb_b")) / prod), 6)
+      }
       val a = e.toDF("vec_a", "label_a", "emb_a")
+        .withColumn("na", sqrt(VectorOps.dot(col("emb_a"), col("emb_a"))))
       val b = e.toDF("vec_b", "label_b", "emb_b")
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
+        .withColumn("nb", sqrt(VectorOps.dot(col("emb_b"), col("emb_b"))))
+      a.join(b, col("vec_a") < col("vec_b") && cosPre >= 0.4)
+        .select(col("vec_a"), col("vec_b"), cosPre.as("cos_sim"))
     }, Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
