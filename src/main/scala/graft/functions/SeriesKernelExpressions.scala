@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -19,9 +19,18 @@ import org.apache.spark.sql.types._
   * arithmetic. At 100 TB (billions of window rows) the lambda form is
   * the job's dominant cost; these expressions keep the SAME exact
   * integer semantics (bit-identical outputs, oracle SQL unchanged)
-  * while evaluating as one tight JVM loop per row. `CodegenFallback`
-  * is deliberate: the kernel is the work, wrapper codegen is noise
-  * (same rationale as [[AnomalyExpressionBase]]).
+  * while evaluating as one tight JVM loop per row.
+  *
+  * Codegen policy (r11): the heavy per-ROW kernels (O(w²) Mann–Kendall
+  * / Theil–Sen / KS grid, one call per window row) keep
+  * `CodegenFallback` — the kernel is the work, wrapper codegen is
+  * noise (same rationale as [[AnomalyExpressionBase]]). The cheap
+  * per-CANDIDATE kernels ([[LongArrayBinaryKernel]], [[ScaledL1Dist]],
+  * [[Bm25Contrib]] — one call per candidate pair, O(dim) or O(1) each)
+  * implement real `doGenCode`: for them the fallback's per-call
+  * InternalRow materialization measured ~4× the kernel arithmetic
+  * (p06 A/B). KernelCodegenSpec pins codegen == interpreted for every
+  * converted kernel.
   */
 /** containsNull=false is a hard runtime precondition of every kernel
   * in this file: `ArrayData.toLongArray`/`toDoubleArray` silently read
@@ -124,8 +133,7 @@ case class MannKendallStats(child: Expression) extends LongArrayKernel {
   */
 case class ScaledL1Dist(left: Expression, right: Expression,
     diff: Expression, scale: Int) extends TernaryExpression
-    with org.apache.spark.sql.graft.GraftImplicitCastInputs
-    with CodegenFallback {
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs {
   override def first: Expression = left
   override def second: Expression = right
   override def third: Expression = diff
@@ -155,6 +163,43 @@ case class ScaledL1Dist(left: Expression, right: Expression,
       acc
     }
   }
+
+  // per-PAIR kernel in the a52/a53 matrix-profile joins — real codegen
+  // for the same reason as [[LongArrayBinaryKernel]] (KernelCodegenSpec
+  // pins codegen == interpreted)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val guard = (arr: String, n: String) => s"""
+        for (int $i = 0; $i < $n; $i++) {
+          if ($arr.isNullAt($i)) throw new IllegalArgumentException(
+            "$prettyName: NULL array element at position " + $i +
+            " — kernel inputs must contain no NULL elements" +
+            " (ArrayData.to*Array would silently read one as 0)");
+        }"""
+      s"""
+        final int $na = $a.numElements();
+        final int $nb = $b.numElements();
+        ${guard(a, na)}
+        ${guard(b, nb)}
+        if ($na != $nb) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          for (int $i = 0; $i < $na; $i++) {
+            $acc += java.lang.Math.abs(
+              ${scale}L * ($a.getLong($i) - $b.getLong($i)) - $c);
+          }
+          ${ev.value} = $acc;
+        }
+      """
+    })
+  }
+
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(left = newFirst, right = newSecond, diff = newThird)
@@ -203,11 +248,20 @@ case class TheilSenMedianSlope(child: Expression) extends LongArrayKernel {
   * children, BIGINT out, NULL on a length mismatch (and therefore
   * `nullable = true` — the planner drops the null bit of a
   * non-nullable expression and a mismatch would read as 0).
+  *
+  * These are PER-CANDIDATE kernels (one call per (vector, centroid) /
+  * (query, neighbor) pair, not one per row), so unlike the O(w²)
+  * per-row kernels above they implement real `doGenCode`: a
+  * CodegenFallback in a pair-scoring projection forces the codegen'd
+  * operator to materialize an InternalRow per call just to feed
+  * interpreted eval — measured at ~4× the kernel's own arithmetic on
+  * the p06 all-pairs A/B. The generated loop does the identical
+  * integer arithmetic (and throws the same first-NULL-element error);
+  * KernelCodegenSpec pins codegen == interpreted.
   */
 abstract class LongArrayBinaryKernel extends Expression
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
-    with org.apache.spark.sql.graft.GraftImplicitCastInputs
-    with CodegenFallback {
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs {
   override def graftInputTypes: Seq[DataType] = Seq(
     ArrayType(LongType, containsNull = false),
     ArrayType(LongType, containsNull = false))
@@ -215,6 +269,13 @@ abstract class LongArrayBinaryKernel extends Expression
   override def nullable: Boolean = true
 
   protected def kernel(a: Array[Long], b: Array[Long]): Long
+
+  /** Java loop body accumulating into `acc` (a `long`) at index `i`
+    * over ArrayData vars `a` and `b` — must compute exactly what
+    * [[kernel]] computes at that index.
+    */
+  protected def genLoopBody(ctx: CodegenContext, a: String,
+      b: String, i: String, acc: String): String
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
@@ -224,6 +285,51 @@ abstract class LongArrayBinaryKernel extends Expression
     val a = KernelInput.longs(l, prettyName)
     val b = KernelInput.longs(r, prettyName)
     if (a.length != b.length) null else kernel(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val a = leftGen.value.toString
+    val b = rightGen.value.toString
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val body = genLoopBody(ctx, a, b, i, acc)
+    // same observable order as eval: first-NULL-element error in a,
+    // then in b, THEN the length-mismatch -> NULL rule
+    val guard = (arr: String, n: String) => s"""
+      for (int $i = 0; $i < $n; $i++) {
+        if ($arr.isNullAt($i)) throw new IllegalArgumentException(
+          "$prettyName: NULL array element at position " + $i +
+          " — kernel inputs must contain no NULL elements" +
+          " (ArrayData.to*Array would silently read one as 0)");
+      }"""
+    ev.copy(code = code"""
+      ${leftGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = -1L;
+      if (!${leftGen.isNull}) {
+        ${rightGen.code}
+        if (!${rightGen.isNull}) {
+          final int $na = $a.numElements();
+          final int $nb = $b.numElements();
+          ${guard(a, na)}
+          ${guard(b, nb)}
+          if ($na == $nb) {
+            long $acc = 0L;
+            for (int $i = 0; $i < $na; $i++) {
+              $body
+            }
+            ${ev.isNull} = false;
+            ${ev.value} = $acc;
+          }
+        }
+      }
+    """)
   }
 }
 
@@ -240,6 +346,11 @@ case class IntSqL2(left: Expression, right: Expression)
     while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
     acc
   }
+  override protected def genLoopBody(ctx: CodegenContext, a: String,
+      b: String, i: String, acc: String): String = {
+    val d = ctx.freshName("d")
+    s"final long $d = $a.getLong($i) - $b.getLong($i); $acc += $d * $d;"
+  }
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
 }
@@ -255,6 +366,9 @@ case class IntDot(left: Expression, right: Expression)
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
+  override protected def genLoopBody(ctx: CodegenContext, a: String,
+      b: String, i: String, acc: String): String =
+    s"$acc += $a.getLong($i) * $b.getLong($i);"
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
 }
@@ -270,6 +384,9 @@ case class IntEqCount(left: Expression, right: Expression)
     while (i < a.length) { if (a(i) == b(i)) acc += 1L; i += 1 }
     acc
   }
+  override protected def genLoopBody(ctx: CodegenContext, a: String,
+      b: String, i: String, acc: String): String =
+    s"if ($a.getLong($i) == $b.getLong($i)) $acc += 1L;"
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
 }
@@ -434,8 +551,7 @@ case class RademacherLshBucket(child: Expression, table: Int, bits: Int)
   */
 case class Bm25Contrib(idf6: Expression, tf: Expression, dl: Expression,
     aToks: Expression, nDocs: Expression) extends Expression
-    with org.apache.spark.sql.graft.GraftImplicitCastInputs
-    with CodegenFallback {
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs {
   override def children: Seq[Expression] = Seq(idf6, tf, dl, aToks, nDocs)
   override def graftInputTypes: Seq[DataType] =
     Seq(LongType, LongType, LongType, LongType, LongType)
@@ -457,6 +573,36 @@ case class Bm25Contrib(idf6: Expression, tf: Expression, dl: Expression,
     }
     Bm25Contrib.c6(vs(0), vs(1), vs(2), vs(3), vs(4))
   }
+
+  // per-(posting, query-term) kernel on a 4.5M-row candidate stage —
+  // real codegen calls the SAME static c6, so the 128-bit arithmetic
+  // is one implementation in both modes (KernelCodegenSpec pins parity)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val Seq(g0, g1, g2, g3, g4) = children.map(_.genCode(ctx))
+    val gens = Seq(g0, g1, g2, g3, g4)
+    val negChecks = gens.zipWithIndex.map { case (g, i) =>
+      s"""if (${g.value} < 0L) throw new IllegalArgumentException(
+         "$prettyName: negative input " + ${g.value} + " at arg $i — " +
+         "all BM25 operands are nonnegative by construction");"""
+    }.mkString("\n")
+    ev.copy(code = code"""
+      ${g0.code}
+      ${g1.code}
+      ${g2.code}
+      ${g3.code}
+      ${g4.code}
+      boolean ${ev.isNull} = ${gens.map(_.isNull).mkString(" || ")};
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        $negChecks
+        ${ev.value} = graft.functions.Bm25Contrib$$.MODULE$$.c6(
+          ${gens.map(_.value).mkString(", ")});
+      }
+    """)
+  }
+
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression =
     copy(idf6 = c(0), tf = c(1), dl = c(2), aToks = c(3), nDocs = c(4))

@@ -3037,8 +3037,16 @@ object Pipeline {
           .groupBy("cid")
           .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), " +
             "p -> p.cv)").as("ci_new"))
+        // lazy lineage cut per Lloyd round (p52's cascade pattern): the
+        // centroid table is k=20 rows, but WITHOUT the cut each round's
+        // plan nests the previous round's assignment+update subtree, and
+        // the final action replans/reexecutes the whole trajectory —
+        // measured 3.2 -> 1.45 s at sf0.1 (r11 A/B). Values unchanged:
+        // the checkpoint only materializes what the next broadcast
+        // would compute anyway.
         cents = cents.join(upd, Seq("cid"), "left")
           .select(col("cid"), coalesce(col("ci_new"), col("ci")).as("ci"))
+          .localCheckpoint(false)
       }
       assign(cents)
         .withColumn("cell_size",

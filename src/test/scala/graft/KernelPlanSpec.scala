@@ -69,7 +69,9 @@ class KernelPlanSpec extends AnyFunSuite with SparkTestBase {
     ("p58_bm25_topk", "Bm25Contrib",
       { case _: Bm25Contrib => true; case _ => false }),
     ("p60_hybrid_rrf", "Bm25Contrib",
-      { case _: Bm25Contrib => true; case _ => false }))
+      { case _: Bm25Contrib => true; case _ => false }),
+    ("p06_embed_neardup", "DoubleDot",
+      { case _: DoubleDot => true; case _ => false }))
 
   test("every kernel-converted entry plans with its native expression") {
     val missing = pins.collect {
@@ -77,6 +79,42 @@ class KernelPlanSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(missing.isEmpty,
       s"entries planning WITHOUT their native kernel: $missing")
+  }
+
+  test("p06 joins with the cheap ineq conjunct BEFORE the threshold") {
+    // the r11 A/B: written as a filter, the cosine threshold is pushed
+    // into the nested-loop join condition IN FRONT of vec_a < vec_b,
+    // doubling the kernel calls (4M ordered pairs instead of 2M). Pin
+    // the evaluation order of the shipped form: the leftmost conjunct
+    // of the join condition must be the id inequality.
+    import org.apache.spark.sql.catalyst.expressions.{And, LessThan}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = Catalog.queries("p06_embed_neardup")(spark, pinDir)
+      .queryExecution.sparkPlan
+    val conds = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j.condition
+    }.flatten
+    assert(conds.nonEmpty, "p06 no longer plans a nested-loop join")
+    conds.foreach {
+      case And(l, _) =>
+        assert(l.isInstanceOf[LessThan],
+          s"p06 join condition leads with ${l.prettyName}, not the " +
+            "cheap vec_a < vec_b conjunct — the pushed-threshold " +
+            "pathology is back")
+      case other => fail(s"p06 join condition is not a conjunction: $other")
+    }
+  }
+
+  test("p55 cuts centroid lineage per Lloyd round") {
+    // without the per-iteration localCheckpoint the final action
+    // replans/reexecutes the whole 3-round trajectory (3.2 -> 1.45 s
+    // at sf0.1); the analyzed plan must read the checkpointed RDD
+    import org.apache.spark.sql.execution.LogicalRDD
+    val plan = Catalog.queries("p55_kmeans_refine")(spark, pinDir)
+      .queryExecution.analyzed
+    val rdds = plan.collect { case r: LogicalRDD => r }
+    assert(rdds.nonEmpty,
+      "p55 plans with no LogicalRDD — the per-round lineage cut is gone")
   }
 
   test("the pin predicate is not vacuous") {

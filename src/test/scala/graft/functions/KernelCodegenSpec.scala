@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Codegen parity for the per-candidate kernels moved off
+  * CodegenFallback in r11 (IntSqL2 / IntDot / IntEqCount /
+  * ScaledL1Dist / Bm25Contrib): the generated path must equal the
+  * interpreted path value-for-value, honor the length-mismatch → NULL
+  * rule, and fail loudly on a NULL array element in BOTH modes.
+  */
+class KernelCodegenSpec extends AnyFunSuite with SparkTestBase {
+
+  private def bothModes[T](f: => T): (T, T) = {
+    val conf = spark.conf
+    val ws = conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = f
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = f
+      (gen, interp)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", ws)
+      conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+  }
+
+  test("int64 binary kernels: codegen == interpreted on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 300).map { i =>
+      (i.toLong,
+        Array.fill(48)(rnd.nextInt(2000000) - 1000000L),
+        Array.fill(48)(rnd.nextInt(2000000) - 1000000L))
+    }.toDF("id", "a", "b")
+    def run() = df.select(col("id"),
+        SeriesKernelFunctions.int_sq_l2(col("a"), col("b")).as("l2"),
+        SeriesKernelFunctions.int_dot(col("a"), col("b")).as("dot"),
+        SeriesKernelFunctions.int_eq_count(col("a"), col("b")).as("eq"),
+        SeriesKernelFunctions.scaled_l1_dist(col("a"), col("b"),
+          (col("id") * 7L) - 400L, 48).as("l1"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val (gen, interp) = bothModes(run())
+    assert(gen === interp)
+    assert(gen.length === 300)
+  }
+
+  test("length mismatch yields NULL in both modes") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1L, 2L, 3L), Seq(1L, 2L)))
+      .toDF("id", "a", "b")
+    def run() = df.select(
+        SeriesKernelFunctions.int_sq_l2(col("a"), col("b")).as("l2"),
+        SeriesKernelFunctions.int_dot(col("a"), col("b")).as("dot"),
+        SeriesKernelFunctions.int_eq_count(col("a"), col("b")).as("eq"),
+        SeriesKernelFunctions.scaled_l1_dist(col("a"), col("b"),
+          lit(0L), 3).as("l1"))
+      .collect().map(r => (0 until 4).map(r.isNullAt)).toSeq
+    val (gen, interp) = bothModes(run())
+    assert(gen === interp)
+    assert(gen.head.forall(identity))
+  }
+
+  test("NULL array element fails loudly in both modes") {
+    import spark.implicits._
+    val df = Seq((1L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)))
+      .toDF("id", "a", "b")
+    def run(): String =
+      try {
+        df.select(SeriesKernelFunctions.int_dot(col("a"), col("b")))
+          .collect(); "no-error"
+      } catch {
+        case e: Throwable =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+          if (msgs.contains("NULL array element")) "kernel-error"
+          else s"other-error: $msgs"
+      }
+    val (gen, interp) = bothModes(run())
+    assert(gen === "kernel-error")
+    assert(interp === "kernel-error")
+  }
+
+  test("bm25_contrib: codegen == interpreted across the operand domain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map { i =>
+      (i.toLong,
+        1L + rnd.nextInt(20000000).toLong,      // idf6
+        1L + rnd.nextInt(500).toLong,           // tf
+        1L + rnd.nextInt(5000).toLong,          // dl
+        1L + math.abs(rnd.nextLong() % 10000000000000L), // A ~ 1e13
+        1L + rnd.nextInt(100000000).toLong)     // nDocs
+    }
+    val df = rows.toDF("id", "idf6", "tf", "dl", "a", "n")
+    def run() = df.select(col("id"),
+        SeriesKernelFunctions.bm25_contrib(col("idf6"), col("tf"),
+          col("dl"), col("a"), col("n")).as("c6"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (gen, interp) = bothModes(run())
+    assert(gen === interp)
+    // spot-check one value against the sequential reference impl
+    val (_, idf6, tf, dl, a, n) = rows.head
+    assert(gen.head._2 === Bm25Contrib.c6(idf6, tf, dl, a, n))
+  }
+}
