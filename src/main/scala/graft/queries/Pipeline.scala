@@ -4576,8 +4576,11 @@ object Pipeline {
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
     Entry("p76_coreset_kcenter", (s, dir) => {
       // per-round lineage cut — see scaladoc; local mode has no
-      // checkpoint dir, so the ephemeral variant
-      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      // checkpoint dir, so the ephemeral variant. Lazy: the plan is
+      // replaced by the checkpointed RDD either way (that is what
+      // stops the 2^R doubling); eager only adds a driver-blocking
+      // barrier per round (the p52 A/B measured eager ~17% slower)
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
       // materialized once: R selection rounds + the final assignment
       // all re-read this fixed-point projection
       val e = cut(embs(s, dir)
@@ -4934,7 +4937,9 @@ object Pipeline {
   private[queries] def bpeMergesEntry: Entry = {
     val R = BpeRounds
     Entry("p79_bpe_merges", (s, dir) => {
-      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      // lazy cut: see the p76 rationale (plan truncation is identical,
+      // eager only adds a per-round driver barrier)
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
       var state = cut(docs(s, dir)
         .select(explode(toks).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -5016,7 +5021,8 @@ object Pipeline {
     */
   private[queries] def bpeApplyEntry: Entry =
     Entry("p80_bpe_apply", (s, dir) => {
-      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      // lazy cut: see the p76 rationale
+      def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
       val merges = cut(Catalog.queries("p79_bpe_merges")(s, dir)
         .select(col("merge_round"), col("left_sym"), col("right_sym")))
       var words = cut(docs(s, dir)
