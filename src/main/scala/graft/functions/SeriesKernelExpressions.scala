@@ -494,6 +494,79 @@ case class DoubleRankSum(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Robust per-window location/scale statistics in ONE pass over the
+  * collect_list window array: struct(med, mad, q1, q3) where
+  * med = sorted(arr)[mid−1], mad = sorted(|xᵢ − med|)[mid−1] (deviations
+  * taken over the UNSORTED array — same multiset), q1/q3 =
+  * sorted(arr)[q1i−1]/[q3i−1] (all 1-based like element_at). Replaces
+  * the interpreted chain `array_sort` + `transform(x -> abs(x − med))`
+  * + `array_sort` that every detector-scorecard row (a54/a55/a56/a57/
+  * a58's shared flags frame) evaluated per row. Bit-identical — which
+  * requires replicating array_sort's EXACT ordering: its lambda
+  * compares with primitive `<`/`>` under a STABLE sort, so −0.0 and
+  * 0.0 are EQUAL and keep input order (`Arrays.sort(double[])` would
+  * order −0.0 < 0.0 and can pick the other zero's bit pattern — caught
+  * by the ±0.0 case in the parity spec). |x − med| is the identical
+  * IEEE op. NULL for windows shorter than the requested indices.
+  * O(w log w) per row — heavy per-ROW kernel, so CodegenFallback per
+  * the policy split above. Domain note: NaN inputs would compare
+  * "equal to everything" under this comparator exactly as they do in
+  * array_sort's lambda — same order, same pick — but the events
+  * ingestion contract already excludes them.
+  */
+case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
+    q3i: Int) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftImplicitCastInputs
+    with CodegenFallback {
+  require(mid > 0 && q1i > 0 && q3i > 0, "indices are 1-based")
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = StructType(Seq(
+    StructField("med", DoubleType, nullable = false),
+    StructField("mad", DoubleType, nullable = false),
+    StructField("q1", DoubleType, nullable = false),
+    StructField("q3", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "robust_window_stats"
+
+  private def sortedLikeArraySort(arr: Array[Double]): Array[java.lang.Double] = {
+    val boxed = new Array[java.lang.Double](arr.length)
+    var i = 0
+    while (i < arr.length) { boxed(i) = arr(i); i += 1 }
+    java.util.Arrays.sort(boxed, RobustWindowStats.SparkOrder) // stable
+    boxed
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = KernelInput.doubles(input, prettyName)
+    val n = arr.length
+    if (n < mid || n < q1i || n < q3i) return null
+    val sorted = sortedLikeArraySort(arr)
+    val med = sorted(mid - 1).doubleValue()
+    val dev = new Array[Double](n)
+    var i = 0
+    while (i < n) { dev(i) = Math.abs(arr(i) - med); i += 1 }
+    val sdev = sortedLikeArraySort(dev)
+    InternalRow(med, sdev(mid - 1).doubleValue(),
+      sorted(q1i - 1).doubleValue(), sorted(q3i - 1).doubleValue())
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RobustWindowStats {
+  /** array_sort's comparator: primitive <, >, else equal — stable.
+    * Serializable: the expression ships to executors with the task.
+    */
+  private object SparkOrder extends java.util.Comparator[java.lang.Double]
+      with Serializable {
+    override def compare(x: java.lang.Double, y: java.lang.Double): Int = {
+      val a = x.doubleValue(); val b = y.doubleValue()
+      if (a < b) -1 else if (a > b) 1 else 0
+    }
+  }
+}
+
 /** Hyperplane-LSH bucket id from ±1 Rademacher components derived by
   * the p08 integer hash — sign_d(t, b) = +1 iff
   * (((t·1000003 + b·8191 + d) · 2654435761) mod 2147483647) mod 2 = 1
@@ -716,6 +789,11 @@ object SeriesKernelFunctions {
   /** Column API: p08-scheme Rademacher hyperplane LSH bucket id. */
   def rademacher_lsh_bucket(ei: Column, table: Int, bits: Int): Column =
     column(RademacherLshBucket(expression(ei), table, bits))
+
+  /** Column API: struct(med, mad, q1, q3) of a double window array. */
+  def robust_window_stats(arr: Column, mid: Int, q1i: Int,
+      q3i: Int): Column =
+    column(RobustWindowStats(expression(arr), mid, q1i, q3i))
 
   /** Column API: exact integer KS grid statistic numerator (a10). */
   def ks_grid_stat_num(arr: Column, n1: Int, n2: Int): Column =

@@ -3883,12 +3883,15 @@ object Anomaly {
       .withColumn("rn", row_number().over(wRn))
       .withColumn("arr", collect_list(col("value")).over(frame))
       .filter(col("rn") >= w)
-      .withColumn("sarr", array_sort(col("arr")))
-      .withColumn("med25", expr(s"element_at(sarr, $mid)"))
-      .withColumn("mad25", expr(
-        s"element_at(array_sort(transform(arr, x -> abs(x - med25))), $mid)"))
-      .withColumn("q1_v", expr("element_at(sarr, 7)"))
-      .withColumn("q3_v", expr("element_at(sarr, 19)"))
+      // one fused kernel pass instead of the interpreted array_sort +
+      // transform(x -> abs(x - med)) + array_sort chain per row (the
+      // r10 lambda-kernel rule; bit-identical, see RobustWindowStats)
+      .withColumn("rs", graft.functions.SeriesKernelFunctions
+        .robust_window_stats(col("arr"), mid, 7, 19))
+      .withColumn("med25", col("rs.med"))
+      .withColumn("mad25", col("rs.mad"))
+      .withColumn("q1_v", col("rs.q1"))
+      .withColumn("q3_v", col("rs.q3"))
       .withColumn("v6", expr("cast(round(value * 1e6) as bigint)"))
       .withColumn("wv", row_number().over(wVal).cast("long"))
       .withColumn("n_u", count(lit(1)).over(wAll))

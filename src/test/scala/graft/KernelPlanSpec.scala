@@ -71,7 +71,11 @@ class KernelPlanSpec extends AnyFunSuite with SparkTestBase {
     ("p60_hybrid_rrf", "Bm25Contrib",
       { case _: Bm25Contrib => true; case _ => false }),
     ("p06_embed_neardup", "DoubleDot",
-      { case _: DoubleDot => true; case _ => false }))
+      { case _: DoubleDot => true; case _ => false }),
+    ("a54_detector_scorecard", "RobustWindowStats",
+      { case _: RobustWindowStats => true; case _ => false }),
+    ("a57_ensemble_ablation", "RobustWindowStats",
+      { case _: RobustWindowStats => true; case _ => false }))
 
   test("every kernel-converted entry plans with its native expression") {
     val missing = pins.collect {

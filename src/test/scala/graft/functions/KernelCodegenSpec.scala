@@ -89,6 +89,44 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase {
     assert(interp === "kernel-error")
   }
 
+  test("robust_window_stats == the HOF chain it replaces, bit-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 300).map { i =>
+      // include ties, negatives, and ±0.0 (the sort-order edge)
+      (i.toLong, Array.fill(25)(rnd.nextInt(9) match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case k => (rnd.nextDouble() - 0.5) * k
+      }))
+    }.toDF("id", "arr")
+    val rows = df.select(col("id"), col("arr"),
+        SeriesKernelFunctions.robust_window_stats(col("arr"), 13, 7, 19)
+          .as("rs"),
+        array_sort(col("arr")).as("sarr"))
+      .withColumn("med", expr("element_at(sarr, 13)"))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(arr, x -> abs(x - med))), 13)"))
+      .select(col("rs"), col("med"), col("mad"),
+        expr("element_at(sarr, 7)").as("q1"),
+        expr("element_at(sarr, 19)").as("q3"))
+      .collect()
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    assert(rows.length === 300)
+    rows.foreach { r =>
+      val rs = r.getStruct(0)
+      assert(bits(rs.getDouble(0)) === bits(r.getDouble(1)), "med")
+      assert(bits(rs.getDouble(1)) === bits(r.getDouble(2)), "mad")
+      assert(bits(rs.getDouble(2)) === bits(r.getDouble(3)), "q1")
+      assert(bits(rs.getDouble(3)) === bits(r.getDouble(4)), "q3")
+    }
+    // short windows yield NULL, matching element_at's out-of-bounds null
+    val short = Seq((1L, Array(1.0, 2.0))).toDF("id", "arr")
+      .select(SeriesKernelFunctions.robust_window_stats(col("arr"), 13, 7, 19))
+      .collect()
+    assert(short.head.isNullAt(0))
+  }
+
   test("bm25_contrib: codegen == interpreted across the operand domain") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
