@@ -60,14 +60,18 @@ object Components {
       val prop = labels.join(nbr, Seq("node"))
         .select(col("node"), least(col("label"), col("nmin")).as("label"))
       // pointer jump: follow the label one more hop (labels always hold
-      // node ids, so the lookup join is total)
+      // node ids, so the lookup join is total). The convergence flag
+      // rides the SAME materialized pass — computing it as a separate
+      // jumped⋈labels join afterwards costs one extra join + action per
+      // round on every consumer (p23/p56/p61/p66/p67/p71 chains)
       val jumped = cut(prop
         .join(prop.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"))
-        .select(col("node"), col("ll").as("label")))
-      done = jumped.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = jumped
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .select(col("node"), col("ll").as("label"),
+          (col("ll") =!= col("old")).as("changed")))
+      done = jumped.filter(col("changed")).isEmpty
+      labels = jumped.select(col("node"), col("label"))
       iter += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
