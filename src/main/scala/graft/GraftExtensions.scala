@@ -226,6 +226,27 @@ object GraftExtensions {
       args => IntEqCount(args(0), args(1))
     },
 
+    fn("graft_double_dot",
+      "graft_double_dot(a, b) - dot product of two DOUBLE arrays in " +
+        "one pass (the pair half of graft_cosine_sim for callers that " +
+        "precompute per-row norms); NULL on length mismatch or null " +
+        "elements") {
+      args => graft.functions.DoubleDot(args(0), args(1))
+    },
+
+    fn("graft_robust_window_stats",
+      "graft_robust_window_stats(arr, mid, q1i, q3i) - " +
+        "STRUCT(med, mad, q1, q3) of a DOUBLE window array in one " +
+        "pass: med/q1/q3 are the 1-based order statistics of " +
+        "array_sort(arr) (array_sort's exact stable ordering), mad the " +
+        "mid-th order statistic of |x - med|; NULL when the window is " +
+        "shorter than a requested index") {
+      args => graft.functions.RobustWindowStats(args(0),
+        litInt(args(1), "graft_robust_window_stats", "mid"),
+        litInt(args(2), "graft_robust_window_stats", "q1i"),
+        litInt(args(3), "graft_robust_window_stats", "q3i"))
+    },
+
     fn("graft_bm25_c6",
       "graft_bm25_c6(idf6, tf, dl, a_toks, n_docs) - exact 128-bit " +
         "BM25 term contribution in micro units: (idf6*22*tf*a_toks + " +

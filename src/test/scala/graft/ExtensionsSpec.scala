@@ -264,6 +264,39 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(mm.isNullAt(0) && mm.isNullAt(1) && mm.isNullAt(2))
   }
 
+  test("graft_double_dot and graft_robust_window_stats resolve in SQL " +
+    "and match the Column API") {
+    registered
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 50).map(i =>
+      (i, Array.fill(25)(rnd.nextDouble() * 4 - 2),
+        Array.fill(25)(rnd.nextDouble() * 4 - 2))).toDF("id", "a", "b")
+    df.createOrReplaceTempView("dd_t")
+    val viaSql = spark.sql(
+      """SELECT id, graft_double_dot(a, b) AS dd,
+           graft_robust_window_stats(a, 13, 7, 19) AS rs
+         FROM dd_t ORDER BY id""").collect()
+    val viaCol = df.orderBy("id").select(
+      graft.functions.VectorOps.dotNative(col("a"), col("b")).as("dd"),
+      graft.functions.SeriesKernelFunctions
+        .robust_window_stats(col("a"), 13, 7, 19).as("rs"))
+      .collect()
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(bits(s.getDouble(1)) === bits(c.getDouble(0)))
+      val (rs, rc) = (s.getStruct(2), c.getStruct(1))
+      (0 until 4).foreach { i =>
+        assert(bits(rs.getDouble(i)) === bits(rc.getDouble(i)))
+      }
+    }
+    val mm = spark.sql(
+      """SELECT graft_double_dot(array(1.0D, 2.0D), array(1.0D)) AS a,
+                graft_robust_window_stats(array(1.0D, 2.0D), 13, 7, 19) AS b""")
+      .collect().head
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("theil-sen kernel matches the flatten/sort/pick lambda pipeline") {
     registered
     import spark.implicits._
