@@ -226,6 +226,13 @@ object GraftExtensions {
       args => IntEqCount(args(0), args(1))
     },
 
+    fn("graft_cusum_max_abs",
+      "graft_cusum_max_abs(arr) - CUSUM range numerator of an int64 " +
+        "window: max_j |n*S_j - j*S_n| over prefix sums; NULL for " +
+        "windows shorter than 2") {
+      args => graft.functions.CusumMaxAbs(args.head)
+    },
+
     fn("graft_double_dot",
       "graft_double_dot(a, b) - dot product of two DOUBLE arrays in " +
         "one pass (the pair half of graft_cosine_sim for callers that " +

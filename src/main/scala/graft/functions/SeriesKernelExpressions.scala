@@ -554,6 +554,42 @@ case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
     copy(child = c)
 }
 
+/** CUSUM range numerator over an int64 window in one pass:
+  * max_{j=1..n−1} |n·S_j − j·S_n| with S_j the prefix sum of the first
+  * j elements — the a17 shift statistic. Replaces the interpreted
+  * `aggregate(slice(arr,…), array(0L), (acc,x) -> array_append(…))` +
+  * `array_max(transform(…))` pipeline, which allocated a fresh boxed
+  * array per fold step (O(w²) copies per row). Exact int64: domain
+  * |v6| ≤ 1e15 micro at w ≤ 20 keeps n·S_j well inside 2^63. NULL for
+  * windows of fewer than two points.
+  */
+case class CusumMaxAbs(child: Expression) extends LongArrayKernel {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cusum_max_abs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = longs(input)
+    val n = a.length
+    if (n < 2) return null
+    var sn = 0L
+    var i = 0
+    while (i < n) { sn += a(i); i += 1 }
+    var best = 0L
+    var s = 0L
+    var j = 1
+    while (j < n) {
+      s += a(j - 1)
+      val d = Math.abs(n.toLong * s - j.toLong * sn)
+      if (d > best) best = d
+      j += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object RobustWindowStats {
   /** array_sort's comparator: primitive <, >, else equal — stable.
     * Serializable: the expression ships to executors with the task.
@@ -789,6 +825,10 @@ object SeriesKernelFunctions {
   /** Column API: p08-scheme Rademacher hyperplane LSH bucket id. */
   def rademacher_lsh_bucket(ei: Column, table: Int, bits: Int): Column =
     column(RademacherLshBucket(expression(ei), table, bits))
+
+  /** Column API: max_j |n·S_j − j·S_n| over an int64 window (a17). */
+  def cusum_max_abs(arr: Column): Column =
+    column(CusumMaxAbs(expression(arr)))
 
   /** Column API: struct(med, mad, q1, q3) of a double window array. */
   def robust_window_stats(arr: Column, mid: Int, q1i: Int,

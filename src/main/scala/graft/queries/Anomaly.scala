@@ -875,14 +875,11 @@ object Anomaly {
         .withColumn("rn", row_number().over(wRn))
         .withColumn("arr", collect_list(col("v6")).over(frame))
         .filter(col("rn") >= w)
-        .withColumn("prefix", expr(s"aggregate(slice(arr, 1, ${w - 1}), " +
-          "array(cast(0 as bigint)), " +
-          "(acc, x) -> array_append(acc, element_at(acc, size(acc)) + x))"))
-        .withColumn("sn",
-          expr(s"element_at(prefix, $w) + element_at(arr, $w)"))
-        .withColumn("cusum_num", expr(s"array_max(transform(" +
-          s"sequence(1, ${w - 1}), " +
-          s"j -> abs($w * element_at(prefix, j + 1) - j * sn)))"))
+        // one-pass kernel: the interpreted aggregate/array_append fold
+        // allocated a fresh boxed prefix array per step (O(w²) copies
+        // per row); same exact int64 statistic (see CusumMaxAbs)
+        .withColumn("cusum_num", graft.functions.SeriesKernelFunctions
+          .cusum_max_abs(col("arr")))
         .select(col("event_type"), col("event_id"), col("cusum_num"),
           round(col("cusum_num") / lit(20000000.0), 6).as("cusum_v"))
     }, Some("""
@@ -990,12 +987,15 @@ object Anomaly {
         .withColumn("rn", row_number().over(wRn))
         .withColumn("arr", collect_list(col("value")).over(frame))
         .filter(col("rn") >= w)
+        // kernel sort-pick: array_sort's comparator is an interpreted
+        // lambda per COMPARISON, and the expression appeared twice
+        // (two sorts per row); RobustWindowStats picks the identical
+        // element once (bit-parity pinned in KernelCodegenSpec)
+        .withColumn("rs", graft.functions.SeriesKernelFunctions
+          .robust_window_stats(col("arr"), (w + 1) / 2, 1, 1))
         .select(col("event_type"), col("event_id"),
-          expr(s"element_at(array_sort(arr), ${(w + 1) / 2})")
-            .as("median_v"),
-          round(col("value") -
-            expr(s"element_at(array_sort(arr), ${(w + 1) / 2})"), 6)
-            .as("spike_v"))
+          col("rs.med").as("median_v"),
+          round(col("value") - col("rs.med"), 6).as("spike_v"))
     }, Some("""
       WITH base AS (
         SELECT event_type, event_id, value,
@@ -1036,12 +1036,13 @@ object Anomaly {
         .withColumn("rn", row_number().over(wRn))
         .withColumn("arr", collect_list(col("value")).over(frame))
         .filter(col("rn") >= w)
-        .withColumn("med", expr(s"element_at(array_sort(arr), $mid)"))
-        .withColumn("mad", expr(
-          s"element_at(array_sort(transform(arr, x -> abs(x - med))), $mid)"))
+        // fused med+mad kernel pass (the scorecardFlags rule; same
+        // sort-pick bit-parity)
+        .withColumn("rs", graft.functions.SeriesKernelFunctions
+          .robust_window_stats(col("arr"), mid, 1, 1))
         .select(col("event_type"), col("event_id"),
-          col("mad").as("mad_v"),
-          ((lit(0.6745) * (col("value") - col("med"))) / col("mad"))
+          col("rs.mad").as("mad_v"),
+          ((lit(0.6745) * (col("value") - col("rs.med"))) / col("rs.mad"))
             .as("robust_z"))
     }, Some("""
       WITH base AS (
@@ -1083,11 +1084,14 @@ object Anomaly {
         .select(col("event_type"), col("event_id"), col("ts"),
           col("value"))
         .withColumn("rn", row_number().over(wRn))
-        .withColumn("sarr", array_sort(collect_list(col("value"))
-          .over(frame)))
+        .withColumn("arr", collect_list(col("value")).over(frame))
         .filter(col("rn") >= w)
-        .withColumn("q1_v", expr("element_at(sarr, 7)"))
-        .withColumn("q3_v", expr("element_at(sarr, 19)"))
+        // quartile sort-picks via the fused kernel, AFTER the warm-up
+        // filter (the old form sorted every pre-window row too)
+        .withColumn("rs", graft.functions.SeriesKernelFunctions
+          .robust_window_stats(col("arr"), 13, 7, 19))
+        .withColumn("q1_v", col("rs.q1"))
+        .withColumn("q3_v", col("rs.q3"))
         .withColumn("lo_fence",
           col("q1_v") - lit(1.5) * (col("q3_v") - col("q1_v")))
         .withColumn("hi_fence",

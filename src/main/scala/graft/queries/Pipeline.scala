@@ -2102,12 +2102,16 @@ object Pipeline {
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"),
           col("tk"))
         .filter(col("n_toks") >= 3)
-      val cnt = d.select(col("doc_id"), col("n_toks"), explode(expr(
-          """concat(
-               transform(sequence(1, size(tk)-1), i ->
-                 named_struct('k', 2, 'g', concat_ws(' ', slice(tk, i, 2)))),
-               transform(sequence(1, size(tk)-2), i ->
-                 named_struct('k', 3, 'g', concat_ws(' ', slice(tk, i, 3)))))"""))
+      // gram identity = 64-bit n-gram hash (p32's hash-census rule: the
+      // gram string is dropped after ranking and count ties all carry
+      // the same c, so only COUNTS are observable — no string
+      // materialization or string shuffle keys; p03's ~1e-9 collision
+      // caveat applies). transform() here only CONSTRUCTS the stream.
+      val cnt = d.select(col("doc_id"), col("n_toks"), explode(concat(
+          transform(TextHashFunctions.ngram_hashes(col("tk"), 2),
+            h => struct(lit(2).as("k"), h.as("g"))),
+          transform(TextHashFunctions.ngram_hashes(col("tk"), 3),
+            h => struct(lit(3).as("k"), h.as("g")))))
           .as("s"))
         .select(col("doc_id"), col("n_toks"), col("s.k").as("k"),
           col("s.g").as("g"))

@@ -75,6 +75,14 @@ class KernelPlanSpec extends AnyFunSuite with SparkTestBase {
     ("a54_detector_scorecard", "RobustWindowStats",
       { case _: RobustWindowStats => true; case _ => false }),
     ("a57_ensemble_ablation", "RobustWindowStats",
+      { case _: RobustWindowStats => true; case _ => false }),
+    ("a17_cusum_shift", "CusumMaxAbs",
+      { case _: CusumMaxAbs => true; case _ => false }),
+    ("a19_rolling_median", "RobustWindowStats",
+      { case _: RobustWindowStats => true; case _ => false }),
+    ("a20_mad_zscore", "RobustWindowStats",
+      { case _: RobustWindowStats => true; case _ => false }),
+    ("a21_iqr_fence", "RobustWindowStats",
       { case _: RobustWindowStats => true; case _ => false }))
 
   test("every kernel-converted entry plans with its native expression") {

@@ -127,6 +127,27 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase {
     assert(short.head.isNullAt(0))
   }
 
+  test("cusum_max_abs == the interpreted prefix-fold pipeline it replaces") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val w = 20
+    val df = (1 to 200).map { i =>
+      (i.toLong, Array.fill(w)(rnd.nextInt(2000001) - 1000000L))
+    }.toDF("id", "arr")
+    val rows = df.select(col("id"),
+        SeriesKernelFunctions.cusum_max_abs(col("arr")).as("k"),
+        expr(s"""array_max(transform(sequence(1, ${w - 1}), j ->
+          abs($w * aggregate(slice(arr, 1, j), 0L, (acc, x) -> acc + x)
+            - j * aggregate(arr, 0L, (acc, x) -> acc + x))))""").as("l"))
+      .collect()
+    assert(rows.length === 200)
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    // short windows are NULL
+    val short = Seq((1L, Array(5L))).toDF("id", "arr")
+      .select(SeriesKernelFunctions.cusum_max_abs(col("arr"))).collect()
+    assert(short.head.isNullAt(0))
+  }
+
   test("bm25_contrib: codegen == interpreted across the operand domain") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
