@@ -2934,9 +2934,15 @@ object Pipeline {
       val d = docs(s, dir)
       val pairs = minhashLshPairs(d)
         .withColumn("est64", expr("cast(round(est_jaccard * 64) as bigint)"))
-      // persisted: postings feed the pair-restricted intersection join
-      // twice (doc_a side, doc_b side) and the counts dim once
-      val sh = shingleSets(d).persistTracked()
+      // truth shingles only for docs the LSH actually surfaced (p87's
+      // semi-join prune — the calibration never needs the rest of the
+      // corpus shingled); persisted: postings feed the pair-restricted
+      // intersection join twice (doc_a side, doc_b side) and the
+      // counts dim once
+      val inPairs = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = shingleSets(d.join(inPairs, Seq("doc_id"), "left_semi"))
+        .persistTracked()
       val cnts = sh.select(col("doc_id"), col("n")).distinct()
       val posts = sh.select(col("doc_id"), col("shingle"))
       // zero-common pairs (possible in principle at est >= 0.5) keep
