@@ -60,7 +60,15 @@ object ScaleSweep {
     "p04_dedup_minhash_lsh" -> 2.2,
     // span excision joins contaminated spans against their duplicates:
     // span multiplicity is ~N² under replication
-    "p44_dupspan" -> 2.2
+    "p44_dupspan" -> 2.2,
+    // the two DECLARED brute-force baselines: the query set is a fixed
+    // fraction of the corpus (vec_id % 50), so queries AND corpus both
+    // grow ×N and the exact scan does ~N² work BY DECLARATION — their
+    // scale paths (p15/p63) are swept separately under the linear cap.
+    // Under 1.3 they passed only via fixed-overhead deflation (r11
+    // fits: p07 1.03, p59 1.28 — one noisy point from a false alarm)
+    "p07_sim_topk" -> 2.2,
+    "p59_pq_topk" -> 2.2
   )
 
   def main(args: Array[String]): Unit = {
