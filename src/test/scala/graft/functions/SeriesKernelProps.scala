@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants for the r11 kernels against independent
+  * sequential references — randomized inputs (duplicates, negatives,
+  * ±0.0, extreme magnitudes) exercise paths the seeded DataFrame
+  * parity specs cannot enumerate. Interpreted eval is tested directly
+  * (ArrayData in, value out); codegen == interpreted is pinned
+  * separately in KernelCodegenSpec.
+  */
+object SeriesKernelProps extends Properties("functions.SeriesKernels") {
+
+  private def arr(xs: Seq[Long]): InternalRow =
+    new GenericInternalRow(Array[Any](ArrayData.toArrayData(xs.toArray)))
+  private def darr(xs: Seq[Double]): InternalRow =
+    new GenericInternalRow(Array[Any](ArrayData.toArrayData(xs.toArray)))
+  private val longArr =
+    BoundReference(0, ArrayType(LongType, containsNull = false), true)
+  private val dblArr =
+    BoundReference(0, ArrayType(DoubleType, containsNull = false), true)
+
+  // ---- CusumMaxAbs vs a direct BigInt reference (overflow-free)
+  private val cusumIn: Gen[List[Long]] =
+    Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000000000000L, 1000000000000000L)))
+
+  property("cusum_max_abs == BigInt reference") = forAll(cusumIn) { xs =>
+    val got = CusumMaxAbs(longArr).eval(arr(xs)).asInstanceOf[Long]
+    val n = xs.length
+    val sn = xs.map(BigInt(_)).sum
+    val exp = (1 until n).map { j =>
+      (BigInt(n) * xs.take(j).map(BigInt(_)).sum - BigInt(j) * sn).abs
+    }.max
+    BigInt(got) == exp
+  }
+
+  property("cusum_max_abs: windows shorter than 2 are NULL") =
+    forAll(Gen.oneOf(Seq.empty[Long], Seq(7L))) { xs =>
+      CusumMaxAbs(longArr).eval(arr(xs)) == null
+    }
+
+  // ---- RobustWindowStats vs a boxed stable-sort reference with
+  // array_sort's comparator semantics (±0.0 equal, input order kept)
+  private val robustIn: Gen[List[Double]] =
+    Gen.chooseNum(13, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-1e6, 1e6),
+        Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5))))
+
+  private def sortRef(xs: Seq[Double]): IndexedSeq[Double] = {
+    // stable sort under the primitive <,> comparator (NOT Ordering.Double)
+    xs.zipWithIndex.sortWith { case ((a, ia), (b, ib)) =>
+      if (a < b) true else if (a > b) false else ia < ib
+    }.map(_._1).toIndexedSeq
+  }
+
+  property("robust_window_stats == stable-sort reference (bit-exact)") =
+    forAll(robustIn) { xs =>
+      val mid = 13
+      val got = RobustWindowStats(dblArr, mid, 7, 13).eval(darr(xs))
+        .asInstanceOf[InternalRow]
+      val sorted = sortRef(xs)
+      val med = sorted(mid - 1)
+      val mad = sortRef(xs.map(x => math.abs(x - med)))(mid - 1)
+      def b(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+      b(got.getDouble(0)) == b(med) && b(got.getDouble(1)) == b(mad) &&
+        b(got.getDouble(2)) == b(sorted(6)) &&
+        b(got.getDouble(3)) == b(sorted(12))
+    }
+
+  property("robust_window_stats: short windows are NULL") =
+    forAll(Gen.listOfN(5, Gen.chooseNum(-10.0, 10.0))) { xs =>
+      RobustWindowStats(dblArr, 13, 7, 19).eval(darr(xs)) == null
+    }
+
+  // ---- Bm25Contrib.c6 vs a BigInt reference across the full declared
+  // domain (A up to corpus token counts at the 100 TB design point)
+  private val bm25In: Gen[(Long, Long, Long, Long, Long)] = for {
+    idf6 <- Gen.chooseNum(1L, 25000000L)
+    tf <- Gen.chooseNum(1L, 10000L)
+    dl <- Gen.chooseNum(1L, 100000L)
+    a <- Gen.chooseNum(1L, 20000000000000L)
+    n <- Gen.chooseNum(1L, 10000000000L)
+  } yield (idf6, tf, dl, a, n)
+
+  property("bm25_contrib c6 == BigInt reference") = forAll(bm25In) {
+    case (idf6, tf, dl, a, n) =>
+      val num = BigInt(idf6) * 22 * tf * a
+      val den = BigInt(10) * tf * a + BigInt(3) * a + BigInt(9) * dl * n
+      val exp = (num + den / 2) / den
+      BigInt(Bm25Contrib.c6(idf6, tf, dl, a, n)) == exp
+  }
+}
