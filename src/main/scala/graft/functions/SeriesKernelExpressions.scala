@@ -54,7 +54,10 @@ private[functions] object KernelInput {
     assertNoNulls(a, who)
     a.toDoubleArray()
   }
-  private def assertNoNulls(a: ArrayData, who: String): Unit = {
+  // also called BY GENERATED CODE (the codegen'd kernels' guard) so
+  // the scan, the exception, and the message have ONE implementation
+  // in both evaluation modes
+  private[functions] def assertNoNulls(a: ArrayData, who: String): Unit = {
     var i = 0
     val n = a.numElements()
     while (i < n) {
@@ -174,18 +177,15 @@ case class ScaledL1Dist(left: Expression, right: Expression,
       val nb = ctx.freshName("nb")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val guard = (arr: String, n: String) => s"""
-        for (int $i = 0; $i < $n; $i++) {
-          if ($arr.isNullAt($i)) throw new IllegalArgumentException(
-            "$prettyName: NULL array element at position " + $i +
-            " — kernel inputs must contain no NULL elements" +
-            " (ArrayData.to*Array would silently read one as 0)");
-        }"""
+      // the SAME guard implementation interpreted eval uses
+      val guard = (arr: String) =>
+        s"""graft.functions.KernelInput$$.MODULE$$.assertNoNulls(
+              $arr, "$prettyName");"""
       s"""
         final int $na = $a.numElements();
         final int $nb = $b.numElements();
-        ${guard(a, na)}
-        ${guard(b, nb)}
+        ${guard(a)}
+        ${guard(b)}
         if ($na != $nb) {
           ${ev.isNull} = true;
         } else {
@@ -299,15 +299,12 @@ abstract class LongArrayBinaryKernel extends Expression
     val i = ctx.freshName("i")
     val acc = ctx.freshName("acc")
     val body = genLoopBody(ctx, a, b, i, acc)
-    // same observable order as eval: first-NULL-element error in a,
-    // then in b, THEN the length-mismatch -> NULL rule
-    val guard = (arr: String, n: String) => s"""
-      for (int $i = 0; $i < $n; $i++) {
-        if ($arr.isNullAt($i)) throw new IllegalArgumentException(
-          "$prettyName: NULL array element at position " + $i +
-          " — kernel inputs must contain no NULL elements" +
-          " (ArrayData.to*Array would silently read one as 0)");
-      }"""
+    // same observable order as eval — first-NULL-element error in a,
+    // then in b, THEN the length-mismatch -> NULL rule — via the SAME
+    // guard implementation interpreted eval uses
+    val guard = (arr: String) =>
+      s"""graft.functions.KernelInput$$.MODULE$$.assertNoNulls(
+            $arr, "$prettyName");"""
     ev.copy(code = code"""
       ${leftGen.code}
       boolean ${ev.isNull} = true;
@@ -317,8 +314,8 @@ abstract class LongArrayBinaryKernel extends Expression
         if (!${rightGen.isNull}) {
           final int $na = $a.numElements();
           final int $nb = $b.numElements();
-          ${guard(a, na)}
-          ${guard(b, nb)}
+          ${guard(a)}
+          ${guard(b)}
           if ($na == $nb) {
             long $acc = 0L;
             for (int $i = 0; $i < $na; $i++) {
@@ -509,13 +506,15 @@ case class DoubleRankSum(left: Expression, right: Expression)
   * by the ±0.0 case in the parity spec). |x − med| is the identical
   * IEEE op. NULL for windows shorter than the requested indices.
   * O(w log w) per row — heavy per-ROW kernel, so CodegenFallback per
-  * the policy split above. Domain note: NaN inputs would compare
-  * "equal to everything" under this comparator exactly as they do in
-  * array_sort's lambda — same order, same pick — but the events
-  * ingestion contract already excludes them.
+  * the policy split above. NaN follows Spark SQL's documented
+  * comparison semantics exactly (NaN is GREATER than every other
+  * value and equal to itself — array_sort's lambda is built from
+  * Catalyst LessThan/GreaterThan, which are NaN-aware), so the pick is
+  * identical even though the events ingestion contract already
+  * excludes NaN.
   */
 case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
-    q3i: Int) extends UnaryExpression
+    q3i: Int, needMad: Boolean = true) extends UnaryExpression
     with org.apache.spark.sql.graft.GraftImplicitCastInputs
     with CodegenFallback {
   require(mid > 0 && q1i > 0 && q3i > 0, "indices are 1-based")
@@ -543,11 +542,16 @@ case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
     if (n < mid || n < q1i || n < q3i) return null
     val sorted = sortedLikeArraySort(arr)
     val med = sorted(mid - 1).doubleValue()
-    val dev = new Array[Double](n)
-    var i = 0
-    while (i < n) { dev(i) = Math.abs(arr(i) - med); i += 1 }
-    val sdev = sortedLikeArraySort(dev)
-    InternalRow(med, sdev(mid - 1).doubleValue(),
+    // the deviation pass + second sort is half the kernel's work —
+    // callers that never read mad (a19's median, a21's quartiles)
+    // construct with needMad = false and get NaN in the slot
+    val mad = if (!needMad) Double.NaN else {
+      val dev = new Array[Double](n)
+      var i = 0
+      while (i < n) { dev(i) = Math.abs(arr(i) - med); i += 1 }
+      sortedLikeArraySort(dev)(mid - 1).doubleValue()
+    }
+    InternalRow(med, mad,
       sorted(q1i - 1).doubleValue(), sorted(q3i - 1).doubleValue())
   }
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -591,14 +595,24 @@ case class CusumMaxAbs(child: Expression) extends LongArrayKernel {
 }
 
 object RobustWindowStats {
-  /** array_sort's comparator: primitive <, >, else equal — stable.
+  /** array_sort's comparator under Spark SQL double semantics: −0.0
+    * and 0.0 are EQUAL (stable sort keeps input order), NaN is
+    * GREATER than every other value and equal to itself (Catalyst
+    * LessThan/GreaterThan are NaN-aware — plain Java `<`/`>` would
+    * leave a NaN at its input position instead of sorting it last).
     * Serializable: the expression ships to executors with the task.
     */
   private object SparkOrder extends java.util.Comparator[java.lang.Double]
       with Serializable {
     override def compare(x: java.lang.Double, y: java.lang.Double): Int = {
       val a = x.doubleValue(); val b = y.doubleValue()
-      if (a < b) -1 else if (a > b) 1 else 0
+      if (a < b) -1
+      else if (a > b) 1
+      else {
+        val na = java.lang.Double.isNaN(a)
+        val nb = java.lang.Double.isNaN(b)
+        if (na == nb) 0 else if (na) 1 else -1
+      }
     }
   }
 }
@@ -685,29 +699,40 @@ case class Bm25Contrib(idf6: Expression, tf: Expression, dl: Expression,
 
   // per-(posting, query-term) kernel on a 4.5M-row candidate stage —
   // real codegen calls the SAME static c6, so the 128-bit arithmetic
-  // is one implementation in both modes (KernelCodegenSpec pins parity)
+  // is one implementation in both modes (KernelCodegenSpec pins
+  // parity). Children are evaluated SEQUENTIALLY with the negative
+  // check after each, exactly like interpreted eval — a row with a
+  // negative at arg i and a NULL at arg j > i must throw, not return
+  // NULL (and a NULL at arg i must return NULL without evaluating or
+  // checking later args).
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    val Seq(g0, g1, g2, g3, g4) = children.map(_.genCode(ctx))
-    val gens = Seq(g0, g1, g2, g3, g4)
-    val negChecks = gens.zipWithIndex.map { case (g, i) =>
-      s"""if (${g.value} < 0L) throw new IllegalArgumentException(
-         "$prettyName: negative input " + ${g.value} + " at arg $i — " +
-         "all BM25 operands are nonnegative by construction");"""
+    val gens = children.map(_.genCode(ctx))
+    val tmps = gens.indices.map(i => ctx.freshName(s"bm25Arg$i"))
+    val decls = tmps.map(t => s"long $t = 0L;").mkString("\n")
+    val steps = gens.zip(tmps).zipWithIndex.map { case ((g, t), i) => s"""
+      if (!${ev.isNull}) {
+        ${g.code}
+        if (${g.isNull}) {
+          ${ev.isNull} = true;
+        } else if (${g.value} < 0L) {
+          throw new IllegalArgumentException(
+            "$prettyName: negative input " + ${g.value} + " at arg $i" +
+            " — all BM25 operands are nonnegative by construction");
+        } else {
+          $t = ${g.value};
+        }
+      }"""
     }.mkString("\n")
     ev.copy(code = code"""
-      ${g0.code}
-      ${g1.code}
-      ${g2.code}
-      ${g3.code}
-      ${g4.code}
-      boolean ${ev.isNull} = ${gens.map(_.isNull).mkString(" || ")};
+      boolean ${ev.isNull} = false;
       long ${ev.value} = -1L;
+      $decls
+      $steps
       if (!${ev.isNull}) {
-        $negChecks
         ${ev.value} = graft.functions.Bm25Contrib$$.MODULE$$.c6(
-          ${gens.map(_.value).mkString(", ")});
+          ${tmps.mkString(", ")});
       }
     """)
   }
@@ -830,10 +855,13 @@ object SeriesKernelFunctions {
   def cusum_max_abs(arr: Column): Column =
     column(CusumMaxAbs(expression(arr)))
 
-  /** Column API: struct(med, mad, q1, q3) of a double window array. */
+  /** Column API: struct(med, mad, q1, q3) of a double window array;
+    * pass `needMad = false` when the mad slot is never read (skips the
+    * deviation pass + second sort — half the kernel's work).
+    */
   def robust_window_stats(arr: Column, mid: Int, q1i: Int,
-      q3i: Int): Column =
-    column(RobustWindowStats(expression(arr), mid, q1i, q3i))
+      q3i: Int, needMad: Boolean = true): Column =
+    column(RobustWindowStats(expression(arr), mid, q1i, q3i, needMad))
 
   /** Column API: exact integer KS grid statistic numerator (a10). */
   def ks_grid_stat_num(arr: Column, n1: Int, n2: Int): Column =

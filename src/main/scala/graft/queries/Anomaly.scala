@@ -992,7 +992,8 @@ object Anomaly {
         // (two sorts per row); RobustWindowStats picks the identical
         // element once (bit-parity pinned in KernelCodegenSpec)
         .withColumn("rs", graft.functions.SeriesKernelFunctions
-          .robust_window_stats(col("arr"), (w + 1) / 2, 1, 1))
+          .robust_window_stats(col("arr"), (w + 1) / 2, 1, 1,
+            needMad = false))
         .select(col("event_type"), col("event_id"),
           col("rs.med").as("median_v"),
           round(col("value") - col("rs.med"), 6).as("spike_v"))
@@ -1089,7 +1090,7 @@ object Anomaly {
         // quartile sort-picks via the fused kernel, AFTER the warm-up
         // filter (the old form sorted every pre-window row too)
         .withColumn("rs", graft.functions.SeriesKernelFunctions
-          .robust_window_stats(col("arr"), 13, 7, 19))
+          .robust_window_stats(col("arr"), 13, 7, 19, needMad = false))
         .withColumn("q1_v", col("rs.q1"))
         .withColumn("q3_v", col("rs.q3"))
         .withColumn("lo_fence",

@@ -2105,8 +2105,13 @@ object Pipeline {
       // gram identity = 64-bit n-gram hash (p32's hash-census rule: the
       // gram string is dropped after ranking and count ties all carry
       // the same c, so only COUNTS are observable — no string
-      // materialization or string shuffle keys; p03's ~1e-9 collision
-      // caveat applies). transform() here only CONSTRUCTS the stream.
+      // materialization or string shuffle keys). p03's ~1e-9-per-pair
+      // collision caveat applies and here it IS count-visible: a
+      // within-doc collision would merge two grams' counts and could
+      // inflate the reported top-k — accepted like p32, and any
+      // occurrence fails the string-identity DuckDB oracle loudly
+      // rather than passing silently. transform() here only CONSTRUCTS
+      // the stream.
       val cnt = d.select(col("doc_id"), col("n_toks"), explode(concat(
           transform(TextHashFunctions.ngram_hashes(col("tk"), 2),
             h => struct(lit(2).as("k"), h.as("g"))),
@@ -4940,9 +4945,11 @@ object Pipeline {
     * top-k and every round is vocab-sized — a pair-count aggregate, a
     * 1-row TakeOrdered broadcast back (null-safe left join so a
     * pair-less degenerate vocab rewrites as a no-op on both engines),
-    * and the per-row fold. Round state is eagerly localCheckpoint-ed
+    * and the per-row fold. Round state is lazily localCheckpoint-ed
     * (the p76/Components iterative-lineage rule: state(r) references
-    * state(r−1) twice).
+    * state(r−1) twice, so the plan must truncate per round; lazy —
+    * the cut truncates the plan either way and eager only adds a
+    * driver barrier).
     */
   private[queries] def bpeMergesEntry: Entry = {
     val R = BpeRounds
@@ -5027,7 +5034,7 @@ object Pipeline {
     * merge learning, and the final explode-join-rollup), plus the
     * DISTINCT-word dim — the rewrite rounds run on that dim, never the
     * corpus; the per-word symbol-length dim joins back on the word
-    * shuffle key. Round state eager-localCheckpoint-ed as in p79.
+    * shuffle key. Round state lazily localCheckpoint-ed as in p79.
     */
   private[queries] def bpeApplyEntry: Entry =
     Entry("p80_bpe_apply", (s, dir) => {

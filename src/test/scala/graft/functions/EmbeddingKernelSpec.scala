@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTestBase
+import graft.{CodegenModes, SparkTestBase}
 
 /** CosineSim / DoubleDot kernel contract: the generated-code path is
   * bit-identical to the interpreted path (the r11 doGenCode move off
@@ -11,7 +11,7 @@ import graft.SparkTestBase
   * (length mismatch, NULL element) holds in both modes, and the p06
   * norm-precompute form dot/(na·nb) reproduces CosineSim exactly.
   */
-class EmbeddingKernelSpec extends AnyFunSuite with SparkTestBase {
+class EmbeddingKernelSpec extends AnyFunSuite with SparkTestBase with CodegenModes {
 
   private def vecs = {
     import spark.implicits._
@@ -21,28 +21,6 @@ class EmbeddingKernelSpec extends AnyFunSuite with SparkTestBase {
         Array.fill(64)(rnd.nextDouble() * 2 - 1),
         Array.fill(64)(rnd.nextDouble() * 2 - 1))
     }.toDF("id", "a", "b")
-  }
-
-  /** Runs `f` once with whole-stage codegen + codegen'd expressions and
-    * once with both forced OFF (interpreted eval), returning the two
-    * collected results for exact comparison.
-    */
-  private def bothModes[T](f: => T): (T, T) = {
-    val conf = spark.conf
-    val ws = conf.get("spark.sql.codegen.wholeStage", "true")
-    val fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    try {
-      conf.set("spark.sql.codegen.wholeStage", "true")
-      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      val gen = f
-      conf.set("spark.sql.codegen.wholeStage", "false")
-      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      val interp = f
-      (gen, interp)
-    } finally {
-      conf.set("spark.sql.codegen.wholeStage", ws)
-      conf.set("spark.sql.codegen.factoryMode", fm)
-    }
   }
 
   test("cosine_sim and double_dot: codegen == interpreted, bit-exact") {

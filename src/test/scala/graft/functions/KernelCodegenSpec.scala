@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTestBase
+import graft.{CodegenModes, SparkTestBase}
 
 /** Codegen parity for the per-candidate kernels moved off
   * CodegenFallback in r11 (IntSqL2 / IntDot / IntEqCount /
@@ -11,25 +11,7 @@ import graft.SparkTestBase
   * interpreted path value-for-value, honor the length-mismatch → NULL
   * rule, and fail loudly on a NULL array element in BOTH modes.
   */
-class KernelCodegenSpec extends AnyFunSuite with SparkTestBase {
-
-  private def bothModes[T](f: => T): (T, T) = {
-    val conf = spark.conf
-    val ws = conf.get("spark.sql.codegen.wholeStage", "true")
-    val fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    try {
-      conf.set("spark.sql.codegen.wholeStage", "true")
-      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      val gen = f
-      conf.set("spark.sql.codegen.wholeStage", "false")
-      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      val interp = f
-      (gen, interp)
-    } finally {
-      conf.set("spark.sql.codegen.wholeStage", ws)
-      conf.set("spark.sql.codegen.factoryMode", fm)
-    }
-  }
+class KernelCodegenSpec extends AnyFunSuite with SparkTestBase with CodegenModes {
 
   test("int64 binary kernels: codegen == interpreted on random vectors") {
     import spark.implicits._
@@ -93,10 +75,13 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
     val df = (1 to 300).map { i =>
-      // include ties, negatives, and ±0.0 (the sort-order edge)
-      (i.toLong, Array.fill(25)(rnd.nextInt(9) match {
+      // include ties, negatives, ±0.0 (stable-order edge) and NaN
+      // (Spark sorts it GREATEST; a plain-< comparator would leave it
+      // in input position — the r11 review catch)
+      (i.toLong, Array.fill(25)(rnd.nextInt(12) match {
         case 0 => 0.0
         case 1 => -0.0
+        case 2 => Double.NaN
         case k => (rnd.nextDouble() - 0.5) * k
       }))
     }.toDF("id", "arr")
@@ -146,6 +131,31 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase {
     val short = Seq((1L, Array(5L))).toDF("id", "arr")
       .select(SeriesKernelFunctions.cusum_max_abs(col("arr"))).collect()
     assert(short.head.isNullAt(0))
+  }
+
+  test("bm25_contrib: a negative BEFORE a NULL throws in both modes; " +
+    "a NULL BEFORE a negative returns NULL in both modes") {
+    import spark.implicits._
+    def run(idf6: java.lang.Long, n: java.lang.Long): String =
+      try {
+        val r = Seq((idf6, n)).toDF("idf6", "n")
+          .select(SeriesKernelFunctions.bm25_contrib(col("idf6"), lit(1L),
+            lit(1L), lit(1L), col("n")))
+          .collect().head
+        if (r.isNullAt(0)) "null" else s"value=${r.getLong(0)}"
+      } catch {
+        case e: Throwable =>
+          val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+          if (msgs.contains("negative input")) "neg-error"
+          else s"other-error: $msgs"
+      }
+    // negative at arg 0, NULL at arg 4 -> the arg-order guard throws
+    val (g1, i1) = bothModes(run(-5L, null))
+    assert(g1 === "neg-error" && i1 === "neg-error")
+    // NULL at arg 0, negative at arg 4 -> NULL wins (later args unchecked)
+    val (g2, i2) = bothModes(run(null, -5L))
+    assert(g2 === "null" && i2 === "null")
   }
 
   test("bm25_contrib: codegen == interpreted across the operand domain") {

@@ -51,12 +51,18 @@ object SeriesKernelProps extends Properties("functions.SeriesKernels") {
     Gen.chooseNum(13, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(
         Gen.chooseNum(-1e6, 1e6),
-        Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5))))
+        Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5, Double.NaN))))
 
   private def sortRef(xs: Seq[Double]): IndexedSeq[Double] = {
-    // stable sort under the primitive <,> comparator (NOT Ordering.Double)
+    // stable sort under Spark SQL double ordering: ±0.0 equal (input
+    // order kept), NaN greater than everything and equal to itself
     xs.zipWithIndex.sortWith { case ((a, ia), (b, ib)) =>
-      if (a < b) true else if (a > b) false else ia < ib
+      if (a < b) true
+      else if (a > b) false
+      else {
+        val na = a.isNaN; val nb = b.isNaN
+        if (na != nb) nb else ia < ib
+      }
     }.map(_._1).toIndexedSeq
   }
 
@@ -73,6 +79,19 @@ object SeriesKernelProps extends Properties("functions.SeriesKernels") {
         b(got.getDouble(2)) == b(sorted(6)) &&
         b(got.getDouble(3)) == b(sorted(12))
     }
+
+  property("robust_window_stats: needMad=false matches med/q1/q3 and " +
+    "NaNs the mad slot") = forAll(robustIn) { xs =>
+    val full = RobustWindowStats(dblArr, 13, 7, 13).eval(darr(xs))
+      .asInstanceOf[InternalRow]
+    val slim = RobustWindowStats(dblArr, 13, 7, 13, needMad = false)
+      .eval(darr(xs)).asInstanceOf[InternalRow]
+    def b(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    b(slim.getDouble(0)) == b(full.getDouble(0)) &&
+      slim.getDouble(1).isNaN &&
+      b(slim.getDouble(2)) == b(full.getDouble(2)) &&
+      b(slim.getDouble(3)) == b(full.getDouble(3))
+  }
 
   property("robust_window_stats: short windows are NULL") =
     forAll(Gen.listOfN(5, Gen.chooseNum(-10.0, 10.0))) { xs =>
