@@ -3349,14 +3349,19 @@ object Anomaly {
       val tys = m.select(col("event_type")).distinct()
       val prs = tys.toDF("ta")
         .crossJoin(tys.toDF("tb")).filter(col("ta") < col("tb"))
-      val tagged = m.join(broadcast(prs),
-          col("event_type") === col("ta") ||
-            col("event_type") === col("tb"))
+      // two broadcast EQUI-joins instead of one OR-condition nested
+      // loop: the OR form evaluates every (event, pair) combination —
+      // O(T²) per event as the type count grows — where the equi form
+      // is a hash probe per side with identical output rows
+      val tagged = m.join(broadcast(prs), col("event_type") === col("ta"))
+        .select(col("ta"), col("tb"), col("v"),
+          lit(1L).as("isa"), lit(0L).as("isb"))
+        .unionAll(
+          m.join(broadcast(prs), col("event_type") === col("tb"))
+            .select(col("ta"), col("tb"), col("v"),
+              lit(0L).as("isa"), lit(1L).as("isb")))
         .groupBy(col("ta"), col("tb"), col("v"))
-        .agg(sum(when(col("event_type") === col("ta"), 1L)
-            .otherwise(0L)).as("ca"),
-          sum(when(col("event_type") === col("tb"), 1L)
-            .otherwise(0L)).as("cb"))
+        .agg(sum(col("isa")).as("ca"), sum(col("isb")).as("cb"))
       val wCum = Window.partitionBy("ta", "tb").orderBy("v")
       val wAll = Window.partitionBy("ta", "tb")
       val gaps = tagged

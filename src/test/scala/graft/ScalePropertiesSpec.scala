@@ -1069,7 +1069,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "q03_join_broadcast" -> 1, "q04_join_multi" -> 3,
     "q33_constraints" -> 2, "q39_division" -> 1, "q45_merge_upsert" -> 3,
     "a05_anomaly_enrich" -> 1, "a28_runs_test" -> 1,
-    "a39_seasonal_esd" -> 1, "a43_evt_tail" -> 1, "a49_ks_two_series" -> 1,
+    // a49: the SAME bounded type-pair dim hinted on both equi-joins
+    // (rows = T(T-1)/2 over the series-key cardinality)
+    "a39_seasonal_esd" -> 1, "a43_evt_tail" -> 1, "a49_ks_two_series" -> 2,
     "a50_stl_decompose" -> 1, "a51_forecast_band" -> 1,
     "p15_sim_ivf" -> 2, "p17_tfidf" -> 1, "p20_pack_sequences" -> 1,
     "p24_contamination" -> 1, "p27_vocab_oov" -> 1,
