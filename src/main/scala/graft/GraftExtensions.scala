@@ -226,6 +226,16 @@ object GraftExtensions {
       args => IntEqCount(args(0), args(1))
     },
 
+    fn("graft_winnow_fingerprints",
+      "graft_winnow_fingerprints(gs, w) - winnowing fingerprint " +
+        "selection over a nonnegative int64 gram-hash stream: distinct " +
+        "STRUCT(pos, fp) records in first-occurrence order, rightmost " +
+        "minimal gram per length-w window; empty for streams shorter " +
+        "than w") {
+      args => graft.functions.WinnowFingerprints(args(0),
+        litInt(args(1), "graft_winnow_fingerprints", "w"))
+    },
+
     fn("graft_cusum_max_abs",
       "graft_cusum_max_abs(arr) - CUSUM range numerator of an int64 " +
         "window: max_j |n*S_j - j*S_n| over prefix sums; NULL for " +

@@ -558,6 +558,51 @@ case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
     copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al., public) over a
+  * nonnegative int64 gram-hash stream in one pass: for every length-w
+  * window starting at 1-based position i, select the minimum of
+  * gs(i−1+o)·w + (w−1−o) over offsets o (the rightmost-minimal-gram
+  * tie-break encoded in the low bits), emit (pos = i+o, fp = gram),
+  * and keep the DISTINCT records in first-occurrence order — exactly
+  * the nested transform/slice/array_min/array_distinct expression
+  * chain p36 evaluated interpreted (O(n·w) lambda applications and a
+  * fresh slice array per window per row). Domain: grams are 60-bit
+  * md5-derived hashes, so gram·w + (w−1) fits int64 with headroom.
+  * Streams shorter than w yield an empty selection.
+  */
+case class WinnowFingerprints(child: Expression, w: Int)
+    extends LongArrayKernel {
+  require(w > 1, "window must have at least 2 grams")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val gs = longs(input)
+    val m = gs.length
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    var i = 1
+    while (i <= m - w + 1) {
+      var k = Long.MaxValue
+      var o = 0
+      while (o < w) {
+        val cand = gs(i - 1 + o) * w + (w - 1 - o)
+        if (cand < k) k = cand
+        o += 1
+      }
+      out += (((i + (w - 1) - (k % w)), k / w))
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray.map { case (pos, fp) =>
+      InternalRow(pos, fp)
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** CUSUM range numerator over an int64 window in one pass:
   * max_{j=1..n−1} |n·S_j − j·S_n| with S_j the prefix sum of the first
   * j elements — the a17 shift statistic. Replaces the interpreted
@@ -850,6 +895,10 @@ object SeriesKernelFunctions {
   /** Column API: p08-scheme Rademacher hyperplane LSH bucket id. */
   def rademacher_lsh_bucket(ei: Column, table: Int, bits: Int): Column =
     column(RademacherLshBucket(expression(ei), table, bits))
+
+  /** Column API: winnowing (pos, fp) selection over a gram stream. */
+  def winnow_fingerprints(gs: Column, w: Int): Column =
+    column(WinnowFingerprints(expression(gs), w))
 
   /** Column API: max_j |n·S_j − j·S_n| over an int64 window (a17). */
   def cusum_max_abs(arr: Column): Column =

@@ -1961,28 +1961,20 @@ object Pipeline {
         .withColumn("tk", toks)
         // need >= 4 grams, i.e. >= 6 tokens (3-gram stream length n-2)
         .filter(size(col("tk")) >= 6)
-        // the native gram stream binds by NAME and is referenced
-        // exactly once (inside array(gs0)), so even if CollapseProject
+        // the native gram stream is referenced exactly once (the
+        // winnow kernel's only input), so even if CollapseProject
         // inlines it the digest pass runs once per row
         .withColumn("gs0", TextHashFunctions.md5_h60_ngrams(col("tk"), 3))
-        // greatest(..., 1) clamps keep the expression TOTAL on short
-        // rows: InferFiltersFromGenerate hoists a `size(sel) > 0`
-        // predicate below the explode, and predicate reordering can
-        // evaluate it BEFORE the size(tk) >= 6 filter — where an
-        // unclamped sequence(1, size-2) DESCENDS through 0 and slice
-        // throws. Clamped junk on short rows is fine (array_min over an
-        // empty slice is null); the row never survives the size filter.
-        .withColumn("sel", expr(
-          s"""array_distinct(flatten(transform(
-                array(flatten(transform(
-                  array(gs0),
-                  gs -> transform(sequence(1, greatest(size(gs)-3, 1)), i ->
-                    array_min(transform(slice(gs, i, 4), (g, o) ->
-                      g*4 + 3 - o)))))),
-                ks -> transform(ks, (k, i0) ->
-                  named_struct(
-                    'pos', cast(i0 + 4 - (k % 4) as bigint),
-                    'fp', k div 4)))))"""))
+        // one-pass native kernel (the r10 lambda-kernel rule): the
+        // interpreted form cost O(n·w) lambda applications plus a
+        // fresh slice array per window per row; the kernel emits the
+        // identical distinct (pos, fp) records in first-occurrence
+        // order, and is TOTAL on short rows (empty selection) — the
+        // plan-order hazard the old greatest(...,1) clamp defended
+        // against (hoisted predicates evaluating sel before the
+        // size(tk) >= 6 filter) cannot throw here
+        .withColumn("sel", graft.functions.SeriesKernelFunctions
+          .winnow_fingerprints(col("gs0"), 4))
         .select(col("doc_id"), explode(col("sel")).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }, Some(s"""

@@ -83,7 +83,9 @@ class KernelPlanSpec extends AnyFunSuite with SparkTestBase {
     ("a20_mad_zscore", "RobustWindowStats",
       { case _: RobustWindowStats => true; case _ => false }),
     ("a21_iqr_fence", "RobustWindowStats",
-      { case _: RobustWindowStats => true; case _ => false }))
+      { case _: RobustWindowStats => true; case _ => false }),
+    ("p36_winnowing", "WinnowFingerprints",
+      { case _: WinnowFingerprints => true; case _ => false }))
 
   test("every kernel-converted entry plans with its native expression") {
     val missing = pins.collect {

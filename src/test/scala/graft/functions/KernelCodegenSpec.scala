@@ -112,6 +112,48 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase with CodegenModes
     assert(short.head.isNullAt(0))
   }
 
+  test("winnow_fingerprints == the interpreted transform/slice/min chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // small hash domain -> frequent repeated grams (distinct-dedup and
+    // rightmost-tie-break paths both exercised); include short streams
+    val df = (1 to 300).map { i =>
+      val m = rnd.nextInt(40) // 0..39, below w=4 sometimes
+      (i.toLong, Array.fill(m)(rnd.nextInt(50).toLong))
+    }.toDF("id", "gs")
+    val rows = df.select(col("id"),
+        SeriesKernelFunctions.winnow_fingerprints(col("gs"), 4).as("k"),
+        expr("""array_distinct(flatten(transform(
+              array(flatten(transform(
+                array(gs),
+                gs -> transform(sequence(1, greatest(size(gs)-3, 1)), i ->
+                  array_min(transform(slice(gs, i, 4), (g, o) ->
+                    g*4 + 3 - o)))))),
+              ks -> transform(ks, (k, i0) ->
+                named_struct(
+                  'pos', cast(i0 + 4 - (k % 4) as bigint),
+                  'fp', k div 4)))))""").as("l"),
+        size(col("gs")).as("m"))
+      .collect()
+    assert(rows.length === 300)
+    var nonEmpty = 0
+    rows.foreach { r =>
+      val got = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1)))
+      if (r.getInt(3) >= 4) {
+        val exp = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => (x.getLong(0), x.getLong(1)))
+        assert(got === exp, s"id=${r.getLong(0)}")
+        if (got.nonEmpty) nonEmpty += 1
+      } else {
+        // the old clamped form emits junk on short rows (filtered
+        // upstream in p36); the kernel is total: empty selection
+        assert(got.isEmpty, s"id=${r.getLong(0)}")
+      }
+    }
+    assert(nonEmpty > 50, "generator produced too few real streams")
+  }
+
   test("cusum_max_abs == the interpreted prefix-fold pipeline it replaces") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
