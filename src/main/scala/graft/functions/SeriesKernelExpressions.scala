@@ -520,9 +520,12 @@ case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
   require(mid > 0 && q1i > 0 && q3i > 0, "indices are 1-based")
   override def graftInputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType, containsNull = false))
+  // a needMad=false instance never computes the slot: declare it
+  // nullable and emit NULL so a call site that reads it anyway gets a
+  // visible null (propagates / fails fast downstream), not a silent NaN
   override def dataType: DataType = StructType(Seq(
     StructField("med", DoubleType, nullable = false),
-    StructField("mad", DoubleType, nullable = false),
+    StructField("mad", DoubleType, nullable = !needMad),
     StructField("q1", DoubleType, nullable = false),
     StructField("q3", DoubleType, nullable = false)))
   override def nullable: Boolean = true
@@ -544,8 +547,8 @@ case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
     val med = sorted(mid - 1).doubleValue()
     // the deviation pass + second sort is half the kernel's work —
     // callers that never read mad (a19's median, a21's quartiles)
-    // construct with needMad = false and get NaN in the slot
-    val mad = if (!needMad) Double.NaN else {
+    // construct with needMad = false and get a NULL slot
+    val mad: Any = if (!needMad) null else {
       val dev = new Array[Double](n)
       var i = 0
       while (i < n) { dev(i) = Math.abs(arr(i) - med); i += 1 }
@@ -567,12 +570,18 @@ case class RobustWindowStats(child: Expression, mid: Int, q1i: Int,
   * the nested transform/slice/array_min/array_distinct expression
   * chain p36 evaluated interpreted (O(n·w) lambda applications and a
   * fresh slice array per window per row). Domain: grams are 60-bit
-  * md5-derived hashes, so gram·w + (w−1) fits int64 with headroom.
-  * Streams shorter than w yield an empty selection.
+  * md5-derived hashes, so gram·w + (w−1) fits int64 with headroom at
+  * the enforced w ≤ 8 (2^60·8 + 7 < 2^63); the kernel is on the public
+  * SQL surface, so the bound and the nonnegativity of every gram are
+  * require()d rather than assumed — a silent overflow or a negative
+  * gram would corrupt the k%w position decode. Streams shorter than w
+  * yield an empty selection.
   */
 case class WinnowFingerprints(child: Expression, w: Int)
     extends LongArrayKernel {
   require(w > 1, "window must have at least 2 grams")
+  require(w <= 8,
+    "window above 8 grams overflows the 60-bit-hash tie-break encoding")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("pos", LongType, nullable = false),
     StructField("fp", LongType, nullable = false))),
@@ -582,7 +591,25 @@ case class WinnowFingerprints(child: Expression, w: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val gs = longs(input)
     val m = gs.length
-    val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    var g = 0
+    while (g < m) {
+      if (gs(g) < 0L) throw new IllegalArgumentException(
+        s"$prettyName: negative gram hash at position $g — grams must " +
+          "be nonnegative 60-bit hashes (the tie-break encoding " +
+          "gram*w + offset requires a nonnegative domain)")
+      g += 1
+    }
+    // primitive first-occurrence dedup: each window emits one (pos, fp)
+    // record; a repeat of an already-emitted record can only come from
+    // a window at most w−1 starts later (the emitted pos is always
+    // ≥ the window start, so older records are unreachable), hence
+    // scanning the last w APPENDED records is exactly LinkedHashSet
+    // membership — no boxed tuples, no hash set, O(w) per window on
+    // two primitive arrays
+    val cap = Math.max(m - w + 1, 0)
+    val posOut = new Array[Long](cap)
+    val fpOut = new Array[Long](cap)
+    var len = 0
     var i = 1
     while (i <= m - w + 1) {
       var k = Long.MaxValue
@@ -592,12 +619,21 @@ case class WinnowFingerprints(child: Expression, w: Int)
         if (cand < k) k = cand
         o += 1
       }
-      out += (((i + (w - 1) - (k % w)), k / w))
+      val pos = i + (w - 1) - (k % w)
+      val fp = k / w
+      var seen = false
+      var s = Math.max(len - w, 0)
+      while (s < len && !seen) {
+        if (posOut(s) == pos && fpOut(s) == fp) seen = true
+        s += 1
+      }
+      if (!seen) { posOut(len) = pos; fpOut(len) = fp; len += 1 }
       i += 1
     }
-    ArrayData.toArrayData(out.toArray.map { case (pos, fp) =>
-      InternalRow(pos, fp)
-    })
+    val rows = new Array[Any](len)
+    var r = 0
+    while (r < len) { rows(r) = InternalRow(posOut(r), fpOut(r)); r += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -906,7 +942,9 @@ object SeriesKernelFunctions {
 
   /** Column API: struct(med, mad, q1, q3) of a double window array;
     * pass `needMad = false` when the mad slot is never read (skips the
-    * deviation pass + second sort — half the kernel's work).
+    * deviation pass + second sort — half the kernel's work; the slot
+    * becomes a nullable NULL so an accidental read is visible, not a
+    * silent NaN).
     */
   def robust_window_stats(arr: Column, mid: Int, q1i: Int,
       q3i: Int, needMad: Boolean = true): Column =

@@ -112,6 +112,27 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase with CodegenModes
     assert(short.head.isNullAt(0))
   }
 
+  test("robust_window_stats needMad=false: NULL (nullable) mad slot") {
+    import spark.implicits._
+    val df = Seq((1L, Array(3.0, 1.0, 2.0))).toDF("id", "arr")
+      .select(SeriesKernelFunctions
+        .robust_window_stats(col("arr"), 2, 1, 3, needMad = false).as("rs"))
+    val madField = df.schema("rs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("mad")
+    assert(madField.nullable, "unread slot must be declared nullable")
+    val rs = df.collect().head.getStruct(0)
+    assert(rs.getDouble(0) === 2.0)
+    assert(rs.isNullAt(1), "unread slot must be NULL, not NaN")
+    assert(rs.getDouble(2) === 1.0 && rs.getDouble(3) === 3.0)
+    // the default (needMad = true) keeps the non-null contract
+    val full = Seq((1L, Array(3.0, 1.0, 2.0))).toDF("id", "arr")
+      .select(SeriesKernelFunctions
+        .robust_window_stats(col("arr"), 2, 1, 3).as("rs"))
+    assert(!full.schema("rs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("mad").nullable)
+    assert(full.collect().head.getStruct(0).getDouble(1) === 1.0)
+  }
+
   test("winnow_fingerprints == the interpreted transform/slice/min chain") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
@@ -152,6 +173,29 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase with CodegenModes
       }
     }
     assert(nonEmpty > 50, "generator produced too few real streams")
+  }
+
+  test("winnow_fingerprints rejects out-of-domain w and negative grams") {
+    import spark.implicits._
+    // w > 8 overflows the 60-bit tie-break encoding: construction fails
+    val one = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    val big = intercept[IllegalArgumentException] {
+      graft.functions.WinnowFingerprints(one, 9)
+    }
+    assert(big.getMessage.contains("overflow"))
+    assert(intercept[IllegalArgumentException] {
+      graft.functions.WinnowFingerprints(one, 1)
+    }.getMessage.contains("at least 2"))
+    // a negative gram would corrupt the k%w position decode: loud failure
+    val neg = intercept[Exception] {
+      Seq((1L, Array(3L, -1L, 5L, 7L, 9L))).toDF("id", "gs")
+        .select(SeriesKernelFunctions.winnow_fingerprints(col("gs"), 4))
+        .collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("negative gram")) ||
+        mentions(t.getCause))
+    assert(mentions(neg), s"unexpected failure: $neg")
   }
 
   test("cusum_max_abs == the interpreted prefix-fold pipeline it replaces") {

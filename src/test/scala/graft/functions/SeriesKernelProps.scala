@@ -81,14 +81,14 @@ object SeriesKernelProps extends Properties("functions.SeriesKernels") {
     }
 
   property("robust_window_stats: needMad=false matches med/q1/q3 and " +
-    "NaNs the mad slot") = forAll(robustIn) { xs =>
+    "NULLs the mad slot") = forAll(robustIn) { xs =>
     val full = RobustWindowStats(dblArr, 13, 7, 13).eval(darr(xs))
       .asInstanceOf[InternalRow]
     val slim = RobustWindowStats(dblArr, 13, 7, 13, needMad = false)
       .eval(darr(xs)).asInstanceOf[InternalRow]
     def b(d: Double) = java.lang.Double.doubleToRawLongBits(d)
     b(slim.getDouble(0)) == b(full.getDouble(0)) &&
-      slim.getDouble(1).isNaN &&
+      slim.isNullAt(1) &&
       b(slim.getDouble(2)) == b(full.getDouble(2)) &&
       b(slim.getDouble(3)) == b(full.getDouble(3))
   }
