@@ -2929,8 +2929,14 @@ object Pipeline {
     // ~1e-9 collision caveat).
     Entry("p54_minhash_calibration", (s, dir) => {
       val d = docs(s, dir)
+      // persisted: FOUR consumers read the pair list (both unionAll
+      // arms of the inPairs prune, the common-shingle join, the final
+      // join) — without the persist each one re-runs the LSH candidate
+      // self-join + signature rejoin (the prune was a net loss at test
+      // scale, 2.18 -> 3.16 s in r11's budget table)
       val pairs = minhashLshPairs(d)
         .withColumn("est64", expr("cast(round(est_jaccard * 64) as bigint)"))
+        .persistTracked()
       // truth shingles only for docs the LSH actually surfaced (p87's
       // semi-join prune — the calibration never needs the rest of the
       // corpus shingled); persisted: postings feed the pair-restricted
@@ -3885,7 +3891,12 @@ object Pipeline {
   private[queries] def leakageAuditEntry: Entry = {
     Entry("p67_leakage_audit", (s, dir) => {
       val d = docs(s, dir)
+      // persisted: the pair list is read TWICE — once as the component
+      // edge input (checkpointed inside connectedComponents) and once
+      // directly as the audited pair set below; without the persist the
+      // whole LSH pass runs twice
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+        .persistTracked()
       val labels = Components.connectedComponents(pairs)
       pairs
         .join(labels.withColumnRenamed("node", "doc_a")
