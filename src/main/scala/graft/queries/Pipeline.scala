@@ -1319,7 +1319,14 @@ object Pipeline {
       val train = gram3Sets(d.filter(col("doc_id") % 100 =!= 0))
       val bench = gram3Sets(d.filter(col("doc_id") % 100 === 0))
         .groupBy("shingle").agg(count(lit(1)).as("bench_df"))
-      train.join(broadcast(bench), "shingle")
+      // NO broadcast() hint on bench: it is corpus-derived (per-shingle
+      // counts over the held-out 1%), so a hard hint grows linearly
+      // with the corpus and is a driver OOM at adversarial sizes — let
+      // AQE pick broadcast from the aggregate's TRUE runtime size (the
+      // p34 benchSet discipline). The bounded-at-any-size membership
+      // twin is p34's fixed 2^17-bit bloom bitmap; p24 keeps the exact
+      // per-shingle counts the bloom cannot carry.
+      train.join(bench, "shingle")
         .groupBy("doc_id", "n")
         .agg(count(lit(1)).as("n_hit"), sum("bench_df").as("n_bench_docs"))
         .select(col("doc_id"), col("n").as("n_shingles"), col("n_hit"),
@@ -4385,11 +4392,14 @@ object Pipeline {
           TextHashFunctions.ngram_hashes(toks, 3))).as("shingle"))
         .distinct()
       val train = d.filter(col("doc_id") % 100 =!= 0)
+      // unhinted: bench is corpus-derived (distinct shingles of the
+      // held-out 1%) — AQE picks broadcast from its true runtime size;
+      // the constant-size screen at 100 TB is p34's bloom bitmap
       val hits = train
         .select(col("doc_id"),
           posexplode(TextHashFunctions.ngram_hashes(toks, 3)))
         .toDF("doc_id", "gpos", "shingle")
-        .join(broadcast(bench), "shingle")
+        .join(bench, "shingle")
       // gram at 0-based gpos covers 1-based token positions
       // gpos+1 .. gpos+3; a doc's covered set is tiny (hits x 3)
       val cov = hits

@@ -1058,13 +1058,14 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   // p39, p41, p47, p71, p72, p83, p84, p90, p91); fixed-k centroid /
   // codebook / LUT / query dims (p15, p35, p55, p58-p60, p63, p69,
   // p76, p81); top-k-bounded vocab tables (p17, p27, p32, p48, p85,
-  // p86); <=1024-row bucket tables (p20, p94, p96); declared
-  // small-benchmark dims whose 100 TB twin is the p34 bloom (p24,
-  // p74); single-row scalars / dedup-pair lists / per-round state
-  // (p34 bitmap, p43, p45, p65, p68). The round-10 unbounded hint
-  // (p34's corpus-derived benchSet) is GONE — a new hint anywhere, or
-  // growth here, must re-justify its bound or fail this gate before
-  // it becomes a driver OOM at 100 TB.
+  // p86); <=1024-row bucket tables (p20, p94, p96); single-row
+  // scalars / dedup-pair lists / per-round state (p34 bitmap, p43,
+  // p45, p65, p68). The round-10 unbounded hint (p34's corpus-derived
+  // benchSet) is GONE, and as of r12 so are p24/p74's corpus-fraction
+  // bench dims (now unhinted — AQE sizes them at runtime; the
+  // constant-size membership twin is p34's bloom bitmap). A new hint
+  // anywhere, or growth here, must re-justify its bound or fail this
+  // gate before it becomes a driver OOM at 100 TB.
   private val allowedBroadcastHints: Map[String, Int] = Map(
     "q03_join_broadcast" -> 1, "q04_join_multi" -> 3,
     "q33_constraints" -> 2, "q39_division" -> 1, "q45_merge_upsert" -> 3,
@@ -1074,7 +1075,7 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "a39_seasonal_esd" -> 1, "a43_evt_tail" -> 1, "a49_ks_two_series" -> 2,
     "a50_stl_decompose" -> 1, "a51_forecast_band" -> 1,
     "p15_sim_ivf" -> 2, "p17_tfidf" -> 1, "p20_pack_sequences" -> 1,
-    "p24_contamination" -> 1, "p27_vocab_oov" -> 1,
+    "p27_vocab_oov" -> 1,
     "p28_source_report" -> 1, "p32_ngram_topk" -> 1,
     "p33_emb_outliers" -> 1, "p34_contam_bloom" -> 1,
     "p35_semdedup" -> 2, "p39_domain_mix" -> 4, "p41_lm_quality" -> 1,
@@ -1084,7 +1085,7 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "p60_hybrid_rrf" -> 3, "p63_sim_ivfpq" -> 8,
     "p65_dedup_savings" -> 1, "p68_mixture_budget" -> 15,
     "p69_ann_recall" -> 2, "p71_split_contamination" -> 1,
-    "p72_dataset_card" -> 1, "p74_decontam_excise" -> 1,
+    "p72_dataset_card" -> 1,
     "p76_coreset_kcenter" -> 1, "p81_contam_semantic" -> 2,
     "p83_source_divergence" -> 4, "p84_split_parity" -> 4,
     "p85_vocab_coverage" -> 1, "p86_vocab_growth" -> 4,
