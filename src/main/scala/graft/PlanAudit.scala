@@ -55,6 +55,86 @@ object PlanAudit {
     }
   }
 
+  /** Every CodegenFallback expression sitting in a PER-CANDIDATE
+    * position reachable from `df`: a join condition, or a projection /
+    * filter DIRECTLY over a join's output. The r11 codegen policy is
+    * fallback-is-fine for heavy per-ROW kernels but wrong per
+    * CANDIDATE — the fallback materializes an InternalRow per call,
+    * which on p06's pair scorer measured ~4× the kernel arithmetic.
+    * This walks the optimized logical plan plus each cached relation's
+    * physical build plan (same blind spot as the window census:
+    * persistTracked hides subtrees behind InMemoryRelation leaves).
+    * Positions over 1:1 enrich joins (per-row, not per-candidate) are
+    * reported too — the consuming spec carries the documented
+    * allowlist, mirroring the loop-join/broadcast-hint gates.
+    */
+  def fallbackPerCandidate(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin, LogicalPlan, Project => LProject}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    // semi/anti joins emit at most one row per probe row — a
+    // projection over them is per-ROW (the p54/p87 semi-join prune
+    // shape), not per-candidate
+    def isJoinish(p: LogicalPlan): Boolean = p match {
+      case j: LJoin => j.joinType != LeftSemi && j.joinType != LeftAnti
+      case f: LFilter => isJoinish(f.child)
+      case _ => false
+    }
+    val lp = df.queryExecution.optimizedPlan
+    val logical = lp.collect {
+      case j: LJoin =>
+        j.condition.toSeq.flatMap(fb(_, "join-condition"))
+      case p: LProject if isJoinish(p.child) =>
+        p.projectList.flatMap(fb(_, "projection-over-join"))
+      case f: LFilter if isJoinish(f.child) =>
+        fb(f.condition, "filter-over-join")
+    }.flatten
+    val cached = lp.collect { case im: InMemoryRelation => im.cachedPlan }
+    logical ++ cached.flatMap(physFallbacks)
+  }
+
+  /** The shared fallback collector: lambda scaffolding
+    * (NamedLambdaVariable / LambdaFunction) is structural — the
+    * evaluated node is the containing HOF, which is collected itself.
+    */
+  private def fb(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      where: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, NamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    e.collect {
+      case f: CodegenFallback if !f.isInstanceOf[NamedLambdaVariable] &&
+        !f.isInstanceOf[LambdaFunction] => s"$where: ${f.nodeName}"
+    }
+  }
+
+  private def physFallbacks(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def isJoinish(q: SparkPlan): Boolean = q match {
+      case j: BaseJoinExec =>
+        j.joinType != LeftSemi && j.joinType != LeftAnti
+      case f: FilterExec => isJoinish(f.child)
+      case a: AdaptiveSparkPlanExec => isJoinish(a.executedPlan)
+      case q2: QueryStageExec => isJoinish(q2.plan)
+      case _ => false
+    }
+    p match {
+      case a: AdaptiveSparkPlanExec => physFallbacks(a.executedPlan)
+      case q: QueryStageExec => physFallbacks(q.plan)
+      case i: InMemoryTableScanExec => physFallbacks(i.relation.cachedPlan)
+      case j: BaseJoinExec =>
+        j.condition.toSeq.flatMap(fb(_, "join-condition")) ++
+          j.children.flatMap(physFallbacks)
+      case pr: ProjectExec if isJoinish(pr.child) =>
+        pr.projectList.flatMap(fb(_, "projection-over-join")) ++
+          pr.children.flatMap(physFallbacks)
+      case f: FilterExec if isJoinish(f.child) =>
+        fb(f.condition, "filter-over-join") ++
+          f.children.flatMap(physFallbacks)
+      case other => other.children.flatMap(physFallbacks)
+    }
+  }
+
   private def physWindows(p: SparkPlan): Seq[String] = p match {
     case a: AdaptiveSparkPlanExec => physWindows(a.executedPlan)
     case q: QueryStageExec => physWindows(q.plan)

@@ -1109,6 +1109,59 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         offenders.mkString("\n"))
   }
 
+  // entries ALLOWED to evaluate a CodegenFallback expression in a
+  // per-candidate position (join condition, or projection/filter
+  // directly over a row-multiplying join), each with its documented
+  // bound — the r11 codegen policy (fallback fine per ROW, wrong per
+  // CANDIDATE) as a gate instead of prose. Audited r12: both entries
+  // sit over joins that are 1:1 BY CONSTRUCTION (the right side is
+  // distinct/grouped on the join key), so the expression runs per
+  // ROW — the audit just cannot prove key uniqueness statically.
+  //   p74: the two excision HOFs (ArrayFilter over cov/tk) evaluate
+  //        over train LEFT JOIN cov where cov is groupBy(doc_id);
+  //   p87: NGramHashes evaluates over d JOIN inPairs where inPairs is
+  //        a DISTINCT doc-id dim (the semi-join-shaped prune, written
+  //        as an inner join to keep the id projection).
+  private val allowedFallbackPositions: Map[String, Int] = Map(
+    "p74_decontam_excise" -> 2, "p87_longest_common_run" -> 4)
+
+  test("catalog-wide: no CodegenFallback expression evaluates in a " +
+    "per-candidate position — pair kernels must carry real doGenCode " +
+    "(the fallback's per-call InternalRow measured ~4x the arithmetic " +
+    "on p06)") {
+    val offenders = queries.Catalog.all.flatMap { e =>
+      val hits = PlanAudit.fallbackPerCandidate(e.run(spark, sfDir))
+      val cap = allowedFallbackPositions.getOrElse(e.name, 0)
+      if (hits.size > cap)
+        Some(s"${e.name}: ${hits.size} fallback positions (cap $cap): " +
+          hits.distinct.mkString("; "))
+      else None
+    }
+    assert(offenders.isEmpty,
+      "CodegenFallback in a per-candidate position (give the kernel " +
+        "doGenCode or document the bound here):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("fallback-position census is not vacuous: a fallback kernel in " +
+    "a join condition IS detected, a codegen'd one is NOT") {
+    import graft.functions.SeriesKernelFunctions
+    val l = spark.range(4).toDF("id")
+      .withColumn("arr", array(col("id"), col("id") + 1))
+    val r = spark.range(4).toDF("rid")
+      .withColumn("brr", array(col("rid"), col("rid") + 2))
+    // CusumMaxAbs is a CodegenFallback per-row kernel: in a join
+    // condition it becomes per-candidate and must flag
+    val bad = l.join(r,
+      SeriesKernelFunctions.cusum_max_abs(col("arr")) >
+        SeriesKernelFunctions.cusum_max_abs(col("brr")))
+    assert(PlanAudit.fallbackPerCandidate(bad).nonEmpty)
+    // IntDot carries real doGenCode: same position, no flag
+    val good = l.join(r,
+      SeriesKernelFunctions.int_dot(col("arr"), col("brr")) > lit(0L))
+    assert(PlanAudit.fallbackPerCandidate(good).isEmpty)
+  }
+
   test("broadcast-hint census is not vacuous: a deliberate hint IS " +
     "detected, an unhinted join is NOT") {
     val dim = spark.range(5).toDF("k")
