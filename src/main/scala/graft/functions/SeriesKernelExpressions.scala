@@ -39,9 +39,14 @@ import org.apache.spark.sql.types._
   * e.g. an array built via transform+CASE over a nullable cast —
   * because Catalyst's input-type check ignores nullability and a cast
   * cannot remove it, so the declared `containsNull = false` in
-  * `graftInputTypes` is advisory, not enforced. These converters fail
-  * loudly on the first NULL element; the O(n) null scan is noise next
-  * to the O(w²)/O(dim) kernels it guards.
+  * `graftInputTypes` is advisory for the binary/double kernels (whose
+  * catalog inputs — parquet embedding arrays, nullable-lambda
+  * transforms — are formally nullable by construction; the r12 census
+  * over all 202 analyzed plans records which). The unary
+  * [[LongArrayKernel]] family, whose catalog inputs are all formally
+  * non-null, PROMOTES the precondition to an analysis-time check.
+  * These converters fail loudly on the first NULL element; the O(n)
+  * null scan is noise next to the O(w²)/O(dim) kernels it guards.
   */
 private[functions] object KernelInput {
   def longs(raw: Any, who: String): Array[Long] = {
@@ -77,8 +82,25 @@ abstract class LongArrayKernel extends UnaryExpression
     Seq(ArrayType(LongType, containsNull = false))
   protected final def longs(raw: Any): Array[Long] =
     KernelInput.longs(raw, prettyName)
+  // containsNull=false is PROMOTED to an analysis-time requirement for
+  // this unary family: every catalog input (collect_list windows,
+  // gram-hash streams) already carries the non-null formal type, so
+  // misuse fails before execution instead of mid-job. The binary /
+  // double kernels CANNOT promote — their catalog inputs are parquet
+  // embedding arrays and nullable-lambda transforms whose FORMAL type
+  // is containsNull=true even though values never are (a cast cannot
+  // remove the bit), and ExtensionsSpec pins the SQL-surface contract
+  // that clean rows evaluate under a formally-nullable type with only
+  // actual NULL elements rejected (by the KernelInput runtime guard,
+  // which stays on this family too as defense in depth).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> with non-nullable elements " +
+        "(containsNull=false) — a NULL element would silently read as " +
+        "0 and corrupt the statistic. Rebuild the array non-null, " +
+        "e.g. filter(arr, x -> x IS NOT NULL) or " +
+        "transform(arr, x -> coalesce(x, 0L))")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects ARRAY<BIGINT>, got ${other.catalogString}")
   }

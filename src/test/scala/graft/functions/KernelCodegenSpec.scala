@@ -51,6 +51,23 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase with CodegenModes
     assert(gen.head.forall(identity))
   }
 
+  test("unary long kernels reject a formally-nullable array at " +
+    "ANALYSIS time (promoted containsNull=false precondition)") {
+    import spark.implicits._
+    // Seq[java.lang.Long] gives the array a containsNull=true formal
+    // type even though no element is null — misuse must fail before
+    // execution, with the rebuild hint in the message
+    val df = Seq((1L, Seq[java.lang.Long](5L, 6L, 7L))).toDF("id", "gs")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(SeriesKernelFunctions.cusum_max_abs(col("gs")))
+    }
+    assert(e.getMessage.contains("non-nullable elements"), e.getMessage)
+    // the same values under a non-null formal type evaluate fine
+    val ok = Seq((1L, Seq(5L, 6L, 7L))).toDF("id", "gs")
+      .select(SeriesKernelFunctions.cusum_max_abs(col("gs"))).collect()
+    assert(!ok.head.isNullAt(0))
+  }
+
   test("NULL array element fails loudly in both modes") {
     import spark.implicits._
     val df = Seq((1L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)))
