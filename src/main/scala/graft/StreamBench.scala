@@ -1,0 +1,159 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.kernel.AnomalyzerConf
+import graft.streaming.{SeriesPoint, StreamingDetector, StreamingNearDup}
+
+/** Streaming throughput bench (VERDICT r11 #6): replays the sf corpus
+  * through the two flagship keyed-state operators on BOTH backends and
+  * prints ONE JSON line with rows/s, wall seconds, and state-store
+  * size, so the streaming story has recorded numbers next to its
+  * parity pins (TwsParitySpec pins WHAT the backends compute — this
+  * records HOW FAST).
+  *
+  * Workloads:
+  *  - detector: events.parquet → SeriesPoint(series = event_type #
+  *    user_id%200 → ~1 000 series), scored by the bounded-buffer
+  *    ensemble (the StreamingDetectorSpec conf — magnitude/fence/cdf/
+  *    highrank, no bootstrap) across N micro-batches in ts order.
+  *  - neardup: documents.parquet → MinHash-LSH band claims
+  *    (16 band rows/doc of keyed first-claim state).
+  *
+  * Both backends run on the RocksDB store (required by TWS, legal for
+  * FMGWS) so the measured axis is the API, plus one FMGWS row on the
+  * default HDFS-backed provider as the classic baseline. Each workload
+  * runs one untimed warmup feed (codegen + state-store init) before
+  * its timed feed — the numbers are steady-state micro-batch
+  * throughput, not first-batch compilation.
+  *
+  * MemoryStream feeds from the driver by design: the measured path is
+  * the stream (shuffle to keyed state, state round-trip, sink), and a
+  * file/kafka source would add a second variable. Sink is the noop-
+  * equivalent memory sink; row counts are cross-checked so a silently
+  * empty stream cannot flatter the numbers.
+  */
+object StreamBench {
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val conf = AnomalyzerConf(
+    sensitivity = 0.1, upperBound = 100, lowerBound = Some(0),
+    activeSize = 1, nSeasons = 4,
+    methods = Seq("magnitude", "fence", "cdf", "highrank"), permCount = 50)
+
+  case class Run(rows: Long, wallSec: Double, stateRows: Long,
+      stateBytes: Long) {
+    def rowsPerSec: Double = if (wallSec > 0) rows / wallSec else -1.0
+    def json: String =
+      f"""{"rows":$rows,"wall_sec":$wallSec%.3f,""" +
+        f""""rows_per_sec":${rowsPerSec.toLong},""" +
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
+  }
+
+  private var sinkN = 0
+
+  /** Feeds `batches` through `build` as a micro-batch stream and times
+    * the whole feed (addData + processAllAvailable per batch).
+    */
+  private def runStream[I: Encoder, O](spark: SparkSession,
+      batches: Seq[Seq[I]], provider: String)(
+      build: Dataset[I] => Dataset[O]): Run = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, provider)
+    try {
+      sinkN += 1
+      val name = s"stream_bench_sink_$sinkN"
+      val input = MemoryStream[I](spark)
+      val q = build(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        batches.foreach { b =>
+          input.addData(b)
+          q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val st = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+        val outRows = spark.table(name).count()
+        Run(outRows, wall,
+          st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(ProviderKey, p)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString).toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    val spark = GraftSession.create(s"local[$cpus]", cpus, "graft-streambench")
+    import spark.implicits._
+
+    // ---- detector feed: ts-ordered replay, ~1 000 series
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter("value > -1e9 AND value < 1e9")
+      .selectExpr("concat(event_type, '#', user_id % 200) AS series",
+        "ts", "value")
+      .orderBy("ts").as[SeriesPoint].collect()
+    val ptBatches = pts.grouped((pts.length + nBatches - 1) / nBatches)
+      .map(_.toSeq).toSeq
+
+    // ---- neardup feed: id-ordered docs, synthetic arrival clock
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").orderBy("doc_id")
+      .as[(Long, String)].collect()
+      .map { case (id, text) =>
+        (id, new Timestamp(1700000000000L + id), text) }
+    val docBatches = docRows.grouped(
+      (docRows.length + nBatches - 1) / nBatches).map(_.toSeq).toSeq
+
+    def detector(provider: String, tws: Boolean): Run =
+      runStream(spark, ptBatches, provider)(ds =>
+        if (tws) StreamingDetector.scoreTws(ds, conf)
+        else StreamingDetector.score(ds, conf))
+    def neardup(provider: String, tws: Boolean): Run =
+      runStream(spark, docBatches, provider) { ds =>
+        val df = ds.toDF("doc_id", "ts", "text")
+        if (tws) StreamingNearDup.bandHitsTws(df)(spark)
+        else StreamingNearDup.bandHits(df)(spark)
+      }
+
+    // warmup feed per workload+backend (codegen, RocksDB init), then
+    // the timed feed on a fresh query
+    detector(RocksDb, tws = false); detector(RocksDb, tws = true)
+    val detFmgwsHdfs = detector(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      tws = false)
+    val detFmgws = detector(RocksDb, tws = false)
+    val detTws = detector(RocksDb, tws = true)
+    neardup(RocksDb, tws = false); neardup(RocksDb, tws = true)
+    val ndFmgws = neardup(RocksDb, tws = false)
+    val ndTws = neardup(RocksDb, tws = true)
+
+    require(detFmgws.rows == pts.length && detTws.rows == pts.length,
+      s"detector row mismatch: ${detFmgws.rows}/${detTws.rows} vs ${pts.length}")
+    require(ndFmgws.rows == ndTws.rows && ndFmgws.rows > 0,
+      s"neardup row mismatch: ${ndFmgws.rows} vs ${ndTws.rows}")
+
+    println(s"""{"metric":"stream_rows_per_sec",""" +
+      s""""value":${detTws.rowsPerSec.toLong},"unit":"rows/s",""" +
+      s""""batches":$nBatches,"series":1000,""" +
+      s""""detector_fmgws_hdfs":${detFmgwsHdfs.json},""" +
+      s""""detector_fmgws_rocksdb":${detFmgws.json},""" +
+      s""""detector_tws_rocksdb":${detTws.json},""" +
+      s""""neardup_fmgws_rocksdb":${ndFmgws.json},""" +
+      s""""neardup_tws_rocksdb":${ndTws.json},""" +
+      s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
