@@ -68,14 +68,51 @@ object ScaleSweep {
     // Under 1.3 they passed only via fixed-overhead deflation (r11
     // fits: p07 1.03, p59 1.28 — one noisy point from a false alarm)
     "p07_sim_topk" -> 2.2,
-    "p59_pq_topk" -> 2.2
+    "p59_pq_topk" -> 2.2,
+    // ---- the budget-top tier added in r12 (VERDICT r11 #7): entries
+    // whose work rides the p04 LSH PAIR LIST (components, calibration,
+    // splits, leakage audit, per-pair runs) — pair count inflates ~N²
+    // under exact replication exactly like p04 itself, bounded by the
+    // same df/occupancy caps
+    "p23_dedup_clusters" -> 2.2,
+    "p54_minhash_calibration" -> 2.2,
+    "p66_split_leakfree" -> 2.2,
+    "p67_leakage_audit" -> 2.2,
+    "p71_split_contamination" -> 2.2,
+    "p87_longest_common_run" -> 2.2,
+    // retrieval with a fixed-corpus-fraction query set (doc_id % 100):
+    // queries AND postings both grow ×N, so the (query, doc) score
+    // volume is ~N² BY DECLARATION (the p07/p59 rationale; a real
+    // deployment's query set does not grow with the corpus)
+    "p58_bm25_topk" -> 2.2,
+    "p60_hybrid_rrf" -> 2.2
   )
+
+  /** Entries that also time a 30× point (see [[DedupExtraFactor]]):
+    * kept to the five original quadratic-output dedup entries — the
+    * r12 budget-tier additions share their caps but not the extra
+    * decade (the 30× corpus puts minutes-long component/calibration
+    * runs in the sweep for no extra separation: their quadratic term
+    * is the SAME pair list the p04 point already separates).
+    */
+  private val ExtraFactorNames = Set("p03_dedup_ngram_jaccard",
+    "p04_dedup_minhash_lsh", "p44_dupspan", "p07_sim_topk", "p59_pq_topk")
+
+  /** The non-bench entries swept anyway (VERDICT r11 #7): the top of
+    * the Verify budget table, whose 100× behavior the bench-set sweep
+    * never fitted.
+    */
+  val ExtraSweepNames: Seq[String] = Seq("p23_dedup_clusters",
+    "p54_minhash_calibration", "p58_bm25_topk", "p60_hybrid_rrf",
+    "p66_split_leakfree", "p67_leakage_audit", "p71_split_contamination",
+    "p87_longest_common_run")
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SCALE_SWEEP.json")
     val names: Seq[String] =
       if (args.length > 1) args.drop(1).toSeq
-      else queries.Catalog.benchNames
+      else queries.Catalog.benchNames ++
+        ExtraSweepNames.filterNot(queries.Catalog.benchNames.contains)
     val base = "/root/testdata/sf0.1"
     val cpus = Runtime.getRuntime.availableProcessors.min(32)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "scale-sweep")
@@ -91,7 +128,8 @@ object ScaleSweep {
         d
     }
     def factorsFor(name: String): Seq[Int] =
-      if (Caps.contains(name)) Factors :+ DedupExtraFactor else Factors
+      if (ExtraFactorNames.contains(name)) Factors :+ DedupExtraFactor
+      else Factors
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

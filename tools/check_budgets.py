@@ -2,16 +2,25 @@
 """Per-entry Verify wall-time budget gate (VERDICT r9 #7).
 
 Compares a Verify run's $outdir/timings.json against the recorded
-sf0.1 budgets (tools/budgets_sf01.json — refresh with
---record after an intentional perf change) and fails when any entry
+sf0.1 budgets (tools/budgets_sf01.json) and fails when any entry
 exceeds 2x its budget AND 1.0 s absolute (sub-second entries jitter
 with JIT/GC; a regression that matters at 100 TB shows up above the
 floor). New entries without a recorded budget are reported, not
 failed — record them at the next refresh.
 
+Recording policy (ADVICE r11): --record MERGES with the existing
+budgets, keeping the MINIMUM of old and new per entry — a single
+noisy run can therefore only tighten the gate, never loosen it (the
+r11 wholesale overwrite loosened 43 budgets >15% from one run).
+Entries an intentional change made slower must be loosened
+explicitly: --loosen name1,name2 takes the current run's value for
+those names even when higher. Entries in the recorded file but absent
+from this run (filtered runs) keep their old budgets.
+
 Usage:
-  tools/check_budgets.py <outdir>            # gate
-  tools/check_budgets.py <outdir> --record   # overwrite budgets
+  tools/check_budgets.py <outdir>                         # gate
+  tools/check_budgets.py <outdir> --record                # tighten-only refresh
+  tools/check_budgets.py <outdir> --record --loosen a,b   # + explicit loosens
 """
 import json
 import os
@@ -27,9 +36,40 @@ outdir = sys.argv[1]
 timings = json.load(open(os.path.join(outdir, "timings.json")))
 
 if "--record" in sys.argv[2:]:
+    loosen = set()
+    argv = sys.argv[2:]
+    if "--loosen" in argv:
+        i = argv.index("--loosen")
+        if i + 1 >= len(argv):
+            print("--loosen requires a comma-separated name list")
+            sys.exit(2)
+        loosen = {n.strip() for n in argv[i + 1].split(",") if n.strip()}
+    old = json.load(open(BUDGETS)) if os.path.exists(BUDGETS) else {}
+    merged = dict(old)
+    tightened, loosened, added = [], [], []
+    for name, sec in timings.items():
+        if name not in old:
+            merged[name] = sec
+            added.append(name)
+        elif name in loosen:
+            if sec > old[name]:
+                loosened.append((name, old[name], sec))
+            merged[name] = sec
+        elif sec < old[name]:
+            merged[name] = sec
+            tightened.append(name)
+        # else: keep the old (tighter) budget
+    unknown = loosen - set(timings)
+    if unknown:
+        print(f"WARN --loosen names not in this run: {sorted(unknown)}")
     with open(BUDGETS, "w") as f:
-        json.dump(timings, f, indent=1, sort_keys=True)
-    print(f"recorded {len(timings)} budgets -> {BUDGETS}")
+        json.dump(merged, f, indent=1, sort_keys=True)
+    for name, a, b in loosened:
+        print(f"LOOSENED {name}: {a:.2f} -> {b:.2f} s (explicit)")
+    print(f"recorded {len(merged)} budgets -> {BUDGETS} "
+          f"({len(tightened)} tightened, {len(loosened)} loosened, "
+          f"{len(added)} new, "
+          f"{len(merged) - len(tightened) - len(loosened) - len(added)} kept)")
     sys.exit(0)
 
 if not os.path.exists(BUDGETS):
