@@ -825,8 +825,13 @@ object Pipeline {
       // costs tables*bits*dim interpreted applications per vector
       def bucketExpr(t: Int) = graft.functions.SeriesKernelFunctions
         .rademacher_lsh_bucket(col("ei"), t, bits)
+      // coalesce(…, 0L) makes the fixed-point array FORMALLY non-null
+      // (the kernel family promotes containsNull=false to an
+      // analysis-time requirement); it never fires — embs() ingestion
+      // already drops vectors with null/NaN/out-of-range elements
       val e = embs(s, dir)
-        .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
+        .withColumn("ei", expr(
+          "transform(emb, x -> coalesce(cast(round(x*1000000) as bigint), 0L))"))
         .select(col("vec_id"), col("emb"),
           explode(array((0 until tables).map(t =>
             struct(lit(t).as("tbl"), bucketExpr(t).as("bucket"))): _*)).as("tb"))
