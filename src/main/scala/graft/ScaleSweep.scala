@@ -138,6 +138,14 @@ object ScaleSweep {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // settled heap before the warm run: the 10x/30x points of earlier
+      // entries leave GC fragmentation behind that otherwise inflates
+      // the NEXT entry's small-n points (deflating its fitted exponent
+      // — the unsafe direction for a gate that fires on alpha ABOVE
+      // cap); same discipline as Bench/DbgTime blocks
+      operators.EntryCaches.releaseAll()
+      spark.catalog.clearCache()
+      System.gc()
       once() // warm
       val t = math.min(once(), once())
       operators.EntryCaches.releaseAll()
