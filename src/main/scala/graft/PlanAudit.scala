@@ -108,12 +108,20 @@ object PlanAudit {
 
   private def physFallbacks(p: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
-    import org.apache.spark.sql.execution.{FilterExec, ProjectExec}
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    // codegen packaging (WholeStageCodegenExec / InputAdapter) is
+    // transparent for position purposes — a projection in its own
+    // codegen fragment whose input adapter wraps a join is STILL a
+    // projection over that join; CartesianProductExec is a join that
+    // does not extend BaseJoinExec
     def isJoinish(q: SparkPlan): Boolean = q match {
       case j: BaseJoinExec =>
         j.joinType != LeftSemi && j.joinType != LeftAnti
+      case _: CartesianProductExec => true
       case f: FilterExec => isJoinish(f.child)
+      case w: WholeStageCodegenExec => isJoinish(w.child)
+      case ia: InputAdapter => isJoinish(ia.child)
       case a: AdaptiveSparkPlanExec => isJoinish(a.executedPlan)
       case q2: QueryStageExec => isJoinish(q2.plan)
       case _ => false
@@ -125,6 +133,9 @@ object PlanAudit {
       case j: BaseJoinExec =>
         j.condition.toSeq.flatMap(fb(_, "join-condition")) ++
           j.children.flatMap(physFallbacks)
+      case c: CartesianProductExec =>
+        c.condition.toSeq.flatMap(fb(_, "join-condition")) ++
+          c.children.flatMap(physFallbacks)
       case pr: ProjectExec if isJoinish(pr.child) =>
         pr.projectList.flatMap(fb(_, "projection-over-join")) ++
           pr.children.flatMap(physFallbacks)

@@ -82,6 +82,10 @@ object StreamBench {
         val st = Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq)
         val outRows = spark.table(name).count()
+        // drop the memory sink's accumulated rows — nine feeds
+        // (warmups included) would otherwise retain every output row
+        // in driver memory for the process lifetime
+        spark.catalog.dropTempView(name)
         Run(outRows, wall,
           st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
       } finally q.stop()
@@ -128,12 +132,14 @@ object StreamBench {
         else StreamingNearDup.bandHits(df)(spark)
       }
 
-    // warmup feed per workload+backend (codegen, RocksDB init), then
-    // the timed feed on a fresh query
+    // warmup feed per workload+backend (codegen, state-provider init),
+    // then the timed feed on a fresh query — the HDFS-backed row warms
+    // its own provider so all three detector rows are comparable
+    val Hdfs =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     detector(RocksDb, tws = false); detector(RocksDb, tws = true)
-    val detFmgwsHdfs = detector(
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-      tws = false)
+    detector(Hdfs, tws = false)
+    val detFmgwsHdfs = detector(Hdfs, tws = false)
     val detFmgws = detector(RocksDb, tws = false)
     val detTws = detector(RocksDb, tws = true)
     neardup(RocksDb, tws = false); neardup(RocksDb, tws = true)

@@ -613,12 +613,16 @@ case class WinnowFingerprints(child: Expression, w: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val gs = longs(input)
     val m = gs.length
+    // gram*w + (w-1) must stay inside int64: reject out-of-domain
+    // grams loudly instead of wrapping to a corrupt (pos, fp) decode
+    val maxGram = (Long.MaxValue - (w - 1)) / w
     var g = 0
     while (g < m) {
-      if (gs(g) < 0L) throw new IllegalArgumentException(
-        s"$prettyName: negative gram hash at position $g — grams must " +
-          "be nonnegative 60-bit hashes (the tie-break encoding " +
-          "gram*w + offset requires a nonnegative domain)")
+      if (gs(g) < 0L || gs(g) > maxGram) throw new IllegalArgumentException(
+        s"$prettyName: gram hash out of domain at position $g " +
+          s"(${gs(g)}) — grams must be nonnegative and at most " +
+          s"$maxGram at w=$w (the tie-break encoding gram*w + offset " +
+          "must not overflow int64)")
       g += 1
     }
     // primitive first-occurrence dedup: each window emits one (pos, fp)

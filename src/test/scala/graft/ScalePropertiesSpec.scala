@@ -1160,6 +1160,30 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     val good = l.join(r,
       SeriesKernelFunctions.int_dot(col("arr"), col("brr")) > lit(0L))
     assert(PlanAudit.fallbackPerCandidate(good).isEmpty)
+    // the persist-hidden PHYSICAL path: the fallback join sits inside a
+    // cached build plan (wrapped in codegen packaging) and the census
+    // must walk into it rather than stop at the InMemoryRelation leaf
+    val hidden = l.join(r,
+      SeriesKernelFunctions.cusum_max_abs(col("arr")) >
+        SeriesKernelFunctions.cusum_max_abs(col("brr"))).persist()
+    try {
+      hidden.count()
+      val consumer = hidden.filter("id >= 0")
+      assert(PlanAudit.fallbackPerCandidate(consumer).nonEmpty,
+        "cached fallback join condition must be detected")
+    } finally hidden.unpersist()
+    // CartesianProductExec is a join without BaseJoinExec: a fallback
+    // kernel filtered over a cross join must flag too
+    val crossed = l.crossJoin(r).filter(
+      SeriesKernelFunctions.cusum_max_abs(col("arr")) +
+        SeriesKernelFunctions.cusum_max_abs(col("brr")) > lit(0L))
+      .persist()
+    try {
+      crossed.count()
+      assert(PlanAudit.fallbackPerCandidate(
+        crossed.filter("id >= 0")).nonEmpty,
+        "cached fallback over a cartesian join must be detected")
+    } finally crossed.unpersist()
   }
 
   test("broadcast-hint census is not vacuous: a deliberate hint IS " +

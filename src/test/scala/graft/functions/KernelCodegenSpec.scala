@@ -203,16 +203,29 @@ class KernelCodegenSpec extends AnyFunSuite with SparkTestBase with CodegenModes
     assert(intercept[IllegalArgumentException] {
       graft.functions.WinnowFingerprints(one, 1)
     }.getMessage.contains("at least 2"))
-    // a negative gram would corrupt the k%w position decode: loud failure
+    // an out-of-domain gram would corrupt the k%w position decode
+    // (negative, or so large that gram*w wraps int64): loud failure
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("out of domain")) ||
+        mentions(t.getCause))
     val neg = intercept[Exception] {
       Seq((1L, Array(3L, -1L, 5L, 7L, 9L))).toDF("id", "gs")
         .select(SeriesKernelFunctions.winnow_fingerprints(col("gs"), 4))
         .collect()
     }
-    def mentions(t: Throwable): Boolean = t != null &&
-      (Option(t.getMessage).exists(_.contains("negative gram")) ||
-        mentions(t.getCause))
     assert(mentions(neg), s"unexpected failure: $neg")
+    val huge = intercept[Exception] {
+      Seq((1L, Array(3L, Long.MaxValue / 2, 5L, 7L, 9L))).toDF("id", "gs")
+        .select(SeriesKernelFunctions.winnow_fingerprints(col("gs"), 4))
+        .collect()
+    }
+    assert(mentions(huge), s"unexpected failure: $huge")
+    // the 60-bit design domain itself stays accepted
+    val ok = Seq((1L, Array.tabulate(6)(i => (1L << 60) - 1 - i)))
+      .toDF("id", "gs")
+      .select(SeriesKernelFunctions.winnow_fingerprints(col("gs"), 4))
+      .collect()
+    assert(!ok.head.isNullAt(0))
   }
 
   test("cusum_max_abs == the interpreted prefix-fold pipeline it replaces") {

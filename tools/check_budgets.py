@@ -35,6 +35,11 @@ if len(sys.argv) < 2:
 outdir = sys.argv[1]
 timings = json.load(open(os.path.join(outdir, "timings.json")))
 
+if "--loosen" in sys.argv[2:] and "--record" not in sys.argv[2:]:
+    print("--loosen only applies with --record (the gate itself never "
+          "loosens); re-run with --record --loosen <names>")
+    sys.exit(2)
+
 if "--record" in sys.argv[2:]:
     loosen = set()
     argv = sys.argv[2:]
