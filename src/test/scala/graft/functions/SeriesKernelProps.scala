@@ -45,6 +45,41 @@ object SeriesKernelProps extends Properties("functions.SeriesKernels") {
       CusumMaxAbs(longArr).eval(arr(xs)) == null
     }
 
+  // ---- WinnowFingerprints' primitive last-w dedup vs the boxed
+  // global LinkedHashSet reference it replaced (r12): a tiny hash
+  // domain forces dense repeats and long min-runs — the exact shapes
+  // where a wrong dedup window would diverge from global first-
+  // occurrence distinct
+  private val winnowIn: Gen[(Int, List[Long])] = for {
+    w <- Gen.chooseNum(2, 8)
+    n <- Gen.chooseNum(0, 60)
+    xs <- Gen.listOfN(n, Gen.chooseNum(0L, 12L))
+  } yield (w, xs)
+
+  property("winnow_fingerprints == global LinkedHashSet reference") =
+    forAll(winnowIn) { case (w, gs) =>
+      val got = WinnowFingerprints(longArr, w).eval(arr(gs))
+        .asInstanceOf[ArrayData]
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2)
+        (r.getLong(0), r.getLong(1))
+      }
+      val ref = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+      var i = 1
+      while (i <= gs.length - w + 1) {
+        var k = Long.MaxValue
+        var o = 0
+        while (o < w) {
+          val cand = gs(i - 1 + o) * w + (w - 1 - o)
+          if (cand < k) k = cand
+          o += 1
+        }
+        ref += (((i + (w - 1) - (k % w)), k / w))
+        i += 1
+      }
+      gotPairs == ref.toSeq
+    }
+
   // ---- RobustWindowStats vs a boxed stable-sort reference with
   // array_sort's comparator semantics (±0.0 equal, input order kept)
   private val robustIn: Gen[List[Double]] =
