@@ -230,6 +230,23 @@ object Pipeline {
                count(*) AS n_terms
              FROM cand GROUP BY 1, 2)"""
 
+  /** The p36 winnowing selection as a DuckDB CTE chain ending in
+    * sel(doc_id, i, k) — shared by the p36 oracle (which decodes
+    * (pos, fp) from k) and the p98 containment oracle (which uses the
+    * distinct fp sets), so the two can never drift.
+    */
+  private def winnowSelOracleCtes: String = s"""
+      docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id,
+              list_transform(range(1, len(toks)-1), i ->
+                ${graft.functions.HashScheme.h60Duck(
+                  "array_to_string(toks[i:i+2], ' ')")}) AS grams
+            FROM docs WHERE len(toks) >= 6),
+      sel AS (SELECT doc_id, i,
+                list_min(list_transform(range(i, i+4), j ->
+                  grams[CAST(j AS INT)]*4 + 3 - (j - i))) AS k
+              FROM g, UNNEST(range(1, len(grams)-2)) AS t(i))"""
+
   /** Candidate near-dup pairs sharing >=1 surviving shingle, with the
     * common-shingle count and both set sizes. Exposed (with the cap as a
     * parameter) so PipelineSpec can pin the cardinality contract:
@@ -1990,16 +2007,7 @@ object Pipeline {
         .select(col("doc_id"), explode(col("sel")).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }, Some(s"""
-      WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-      g AS (SELECT doc_id,
-              list_transform(range(1, len(toks)-1), i ->
-                ${graft.functions.HashScheme.h60Duck(
-                  "array_to_string(toks[i:i+2], ' ')")}) AS grams
-            FROM docs WHERE len(toks) >= 6),
-      sel AS (SELECT doc_id, i,
-                list_min(list_transform(range(i, i+4), j ->
-                  grams[CAST(j AS INT)]*4 + 3 - (j - i))) AS k
-              FROM g, UNNEST(range(1, len(grams)-2)) AS t(i))
+      WITH $winnowSelOracleCtes
       SELECT DISTINCT doc_id, i + 3 - (k % 4) AS pos, k // 4 AS fp
       FROM sel""")),
 
@@ -3729,7 +3737,8 @@ object Pipeline {
     vocabGrowthEntry, longestRunEntry, sampleExactKEntry,
     dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
     splitEmbParityEntry, mmNearDupEntry, epochScheduleEntry,
-    dupLossMaskEntry, packEfficiencyEntry, lshCapAuditEntry)
+    dupLossMaskEntry, packEfficiencyEntry, lshCapAuditEntry,
+    winnowContainmentEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -6417,4 +6426,64 @@ object Pipeline {
                  AS skipped_pairs
              FROM occ_s)
       SELECT * FROM am UNION ALL SELECT * FROM asx"""))
+
+  /** p98: winnowed-fingerprint containment — the MOSS overlap measure
+    * over p36's fingerprint sets: |F_A ∩ F_B| / min(|F_A|, |F_B|) for
+    * doc pairs sharing at least one surviving fingerprint, thresholded
+    * at 0.5. This is the SCALE companion of p37's full-shingle
+    * containment: the winnowing guarantee (every ≥w-gram match shares
+    * a fingerprint) means real overlap still surfaces, but the posting
+    * list carries only the ~2/(w+1) winnow sample of the gram stream —
+    * at 100 TB that is the difference between joining every 3-gram and
+    * joining a fixed fraction of them. Candidate generation is the
+    * p03/p37 df-capped equi-join discipline on the fingerprint value:
+    * a fingerprint shared by more than [[P03DfCap]] docs is boilerplate
+    * and contributes ZERO candidates (bounding any bucket at dfCap²
+    * pairs), while each doc's FULL fingerprint-set size feeds the
+    * denominator so the capped postings never inflate containment.
+    * Fingerprint sets come from the p36 CATALOG ENTRY at run time (the
+    * p69/p70 no-shadow-pipeline pattern) and the oracle shares p36's
+    * selection CTE chain verbatim. Exactness: common and set sizes are
+    * exact integers; containment is one IEEE division + round(6) in
+    * the identical op order on both engines (the proven p37 idiom).
+    */
+  private[queries] def winnowContainmentEntry: Entry =
+    Entry("p98_winnow_containment", (s, dir) => {
+      val fp = Catalog.queries("p36_winnowing")(s, dir)
+        .select(col("doc_id"), col("fp")).distinct()
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // df-capped postings, persisted: BOTH self-join sides read them;
+      // the fp-window's partitioning is the join's, so the self-join
+      // reuses it instead of re-shuffling (the shingleCandidates shape)
+      val post = fp
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("df") <= P03DfCap)
+        .select("doc_id", "n", "fp")
+        .persistTracked()
+      post.toDF("doc_a", "na", "fp")
+        .join(post.toDF("doc_b", "nb", "fp"), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("common"))
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          round(col("common") / least(col("na"), col("nb")), 6)
+            .as("containment"))
+        .filter(col("containment") >= 0.5)
+    }, Some(s"""
+      WITH $winnowSelOracleCtes,
+      fps AS (SELECT DISTINCT doc_id, k // 4 AS fp FROM sel),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM fps GROUP BY doc_id),
+      dfc AS (SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) <= $P03DfCap),
+      post AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)),
+      pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS common
+                FROM post x JOIN post y USING (fp)
+                WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b, p.common,
+             round(p.common / least(ca.n, cb.n), 6) AS containment
+      FROM pairs p JOIN cnt ca ON p.doc_a = ca.doc_id
+                   JOIN cnt cb ON p.doc_b = cb.doc_id
+      WHERE round(p.common / least(ca.n, cb.n), 6) >= 0.5"""))
 }

@@ -363,6 +363,36 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p98 winnow containment == brute recompute from the p36 " +
+    "fingerprint sets (df cap + full-size denominator + threshold)") {
+    val fps = run("p36_winnowing").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet[(Long, Long)]
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // df cap on the POSTINGS, full set size in the DENOMINATOR —
+    // recomputed the obvious way from the entry p98 consumes
+    val df = fps.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val surviving = fps.view.mapValues(_.filter(df(_) <= 64L)).toMap
+    val docs = fps.keys.toSeq.sorted
+    val expected = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1 until docs.length).iterator
+      a = docs(i); b = docs(j)
+      common = (surviving(a) & surviving(b)).size
+      if common > 0
+      cont = BigDecimal(common.toDouble /
+        math.min(fps(a).size, fps(b).size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cont >= 0.5
+    } yield (a, b) -> ((common.toLong, cont))).toMap
+    val got = run("p98_winnow_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty, "corpus should have winnow-containment pairs")
+    assert(got === expected)
+  }
+
   test("p37 containment >= jaccard on every strong-jaccard pair " +
     "(same candidate generator, asymmetric measure dominates)") {
     val jac = run("p03_dedup_ngram_jaccard").collect()
