@@ -1516,19 +1516,28 @@ object Pipeline {
     // many are benchmark-contaminated (p24 semantics), and the mean
     // token length (exact integer sum, one division). Composes three
     // pipeline signals in one pass over the corpus: the dup mark is a
-    // content-hash window, the contamination mark a broadcast semi-join
-    // of 3-gram postings against the bench shingle set, then one
-    // source-keyed aggregate — no per-doc output, so the report stays
-    // O(|sources|) however large the corpus.
+    // content-hash window, the contamination mark an equi-join of
+    // 3-gram postings against the bench shingle set (AQE-sized, no
+    // forced hint — see below), then one source-keyed aggregate — no
+    // per-doc output, so the report stays O(|sources|) however large
+    // the corpus.
     Entry("p28_source_report", (s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("source"),
           size(toks).cast("long").as("n_toks"), md5(norm).as("h"))
         .withColumn("keeper",
           min("doc_id").over(Window.partitionBy("h")))
+      // NO broadcast() hint on the bench shingle set: it is the
+      // distinct 3-gram set of the held-out 1% — corpus-derived, grows
+      // ~linearly with the corpus, the exact driver-OOM class p24/p74
+      // shed in r12 (this entry was the last carrier, misfiled in the
+      // allowlist under its per-source OUTPUT bound). AQE sizes the
+      // distinct-aggregate side at runtime and still picks broadcast
+      // at test scale; at adversarial sizes it degrades to a shuffle
+      // equi-join instead of a driver OOM.
       val flagged = gram3Sets(d.filter(col("doc_id") % 100 =!= 0))
-        .join(broadcast(gram3Sets(d.filter(col("doc_id") % 100 === 0))
-          .select("shingle").distinct()), Seq("shingle"))
+        .join(gram3Sets(d.filter(col("doc_id") % 100 === 0))
+          .select("shingle").distinct(), Seq("shingle"))
         .select("doc_id").distinct()
         .withColumn("contam", lit(1))
       base.join(flagged, Seq("doc_id"), "left")

@@ -1054,7 +1054,7 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   // many: a hard hint bypasses AQE's size check, so each hinted side
   // must be bounded BY CONSTRUCTION, never corpus-derived. Bound
   // classes (audited r10-r11): TPC-H dimension tables (q*); per-series
-  // / per-lang / per-source stat tables, rows = #keys (a*, p28, p33,
+  // / per-lang / per-source stat tables, rows = #keys (a*, p33,
   // p39, p41, p47, p71, p72, p83, p84, p90, p91); fixed-k centroid /
   // codebook / LUT / query dims (p15, p35, p55, p58-p60, p63, p69,
   // p76, p81); top-k-bounded vocab tables (p17, p27, p32, p48, p85,
@@ -1063,7 +1063,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   // p45, p65, p68). The round-10 unbounded hint (p34's corpus-derived
   // benchSet) is GONE, and as of r12 so are p24/p74's corpus-fraction
   // bench dims (now unhinted — AQE sizes them at runtime; the
-  // constant-size membership twin is p34's bloom bitmap). A new hint
+  // constant-size membership twin is p34's bloom bitmap); r13 removed
+  // the last carrier, p28's distinct bench-shingle hint, which had
+  // been misfiled here under its per-source OUTPUT bound. A new hint
   // anywhere, or growth here, must re-justify its bound or fail this
   // gate before it becomes a driver OOM at 100 TB.
   private val allowedBroadcastHints: Map[String, Int] = Map(
@@ -1076,7 +1078,7 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "a50_stl_decompose" -> 1, "a51_forecast_band" -> 1,
     "p15_sim_ivf" -> 2, "p17_tfidf" -> 1, "p20_pack_sequences" -> 1,
     "p27_vocab_oov" -> 1,
-    "p28_source_report" -> 1, "p32_ngram_topk" -> 1,
+    "p32_ngram_topk" -> 1,
     "p33_emb_outliers" -> 1, "p34_contam_bloom" -> 1,
     "p35_semdedup" -> 2, "p39_domain_mix" -> 4, "p41_lm_quality" -> 1,
     "p43_crossmodal_check" -> 2, "p45_dsir_weight" -> 2,
