@@ -21,6 +21,15 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // 64 MB broadcast threshold (default 10 MB): the catalog's
+      // corpus-derived dims (query-term sets, bench shingle sets,
+      // dedup pair lists) are deliberately UNHINTED so AQE decides
+      // from their TRUE runtime size — this is the size it decides
+      // against. Executors sized for a 100 TB corpus hold a 64 MB
+      // broadcast comfortably, and an adversarially large side still
+      // degrades to a shuffle join instead of a driver OOM, which a
+      // hard broadcast() hint cannot do.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions())

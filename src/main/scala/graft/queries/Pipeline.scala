@@ -186,6 +186,15 @@ object Pipeline {
       .withColumn("idf6", expr("cast(round(ln((n_docs + 1.0D) / " +
         "(df + 0.5D)) * 1e6) as bigint)"))
       .select(col("q_id"), col("tok"), col("idf6"))
+      // persisted so the candidate-probe join below sees qdim's TRUE
+      // (small) size: unhinted, the build-side choice is the planner's,
+      // and qdim's static estimate is inflated through its join +
+      // crossJoin while the cached post reports exact bytes — without
+      // this the planner picked BuildLeft and broadcast the full
+      // POSTING table (measured ~1.6x on p58/p60). With exact stats
+      // on both sides it builds on the genuinely smaller query side,
+      // and at adversarial query-set sizes it degrades to a shuffle.
+      .persistTracked()
     // per-term contribution via the native 128-bit kernel: the former
     // DECIMAL(38,0) num/den pipeline cost ~8× the identical integer
     // math on the 4.5M-row candidate stage (BigDecimal alloc per op
@@ -193,7 +202,11 @@ object Pipeline {
     // token counts, so Bm25Contrib does exact 128-bit products and an
     // exactly-corrected 128÷128 division. Bit-identical to the DECIMAL
     // form and the DuckDB HUGEINT oracle (ExtensionsSpec parity pin).
-    post.join(broadcast(qdim), "tok")
+    // qdim is UNHINTED (r13): the query set is a fixed corpus fraction
+    // (doc_id % 100) crossed with its terms, so a hard broadcast grows
+    // linearly with the corpus — the p28 class. A real serving query
+    // batch is bounded and AQE broadcasts it from its runtime size.
+    post.join(qdim, "tok")
       .filter(col("doc_id") =!= col("q_id"))
       .crossJoin(broadcast(scal))
       .withColumn("c6", graft.functions.SeriesKernelFunctions.bm25_contrib(
@@ -2385,7 +2398,7 @@ object Pipeline {
     // template documents (near-identical text, different meaning
     // payload) and embedding drift before a dedup decision destroys
     // data. Scale shape: the pair list is dedup output (small by
-    // nature) and broadcasts twice into the full embedding table, so
+    // nature) and AQE broadcasts it into the full embedding table, so
     // the corpus-sized side streams map-side through two broadcast
     // equi-joins — no pair-driven shuffle of the embeddings.
     Entry("p43_crossmodal_check", (s, dir) => {
@@ -2394,12 +2407,18 @@ object Pipeline {
       val pairs = shingleCandidates(docs(s, dir), P03DfCap)
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.8)
+      // UNHINTED (r13): the pair list is dedup OUTPUT — it grows
+      // ~linearly with the corpus, and withA additionally carries one
+      // full embedding per pair, so hard broadcasts here were the
+      // p28-class driver OOM (pair-count × vector width on the
+      // driver). AQE still broadcasts both at realistic near-dup
+      // rates; an adversarial corpus degrades to shuffle equi-joins.
       val e = embs(s, dir).select(col("vec_id"), col("emb"))
-      val withA = e.join(broadcast(pairs), col("vec_id") === col("doc_a"))
+      val withA = e.join(pairs, col("vec_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           col("emb").as("emb_a"))
       e.toDF("vec_b", "emb_b")
-        .join(broadcast(withA), col("vec_b") === col("doc_b"))
+        .join(withA, col("vec_b") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
             .as("cos_sim"))
@@ -3311,9 +3330,20 @@ object Pipeline {
         .join(broadcast(cents), "m")
         .select(col("query_id"), col("m"), col("cid"),
           graft.functions.SeriesKernelFunctions.int_dot(col("sub"), col("csub")).as("dot12"))
+        // persisted for exact STATS, not reuse: the LUT subtree is
+        // map-side (no shuffle stage), so unhinted AQE never learns
+        // its true |Q|·M·K size and leaves the candidate join as a
+        // corpus-side sort-merge; exact cached stats make the planner
+        // broadcast the genuinely small side, and an adversarially
+        // large query set still degrades to a shuffle (no hard hint).
+        .persistTracked()
       val w = Window.partitionBy("query_id")
         .orderBy(col("adot12").desc, col("neighbor_id"))
-      codes.join(broadcast(lut),
+      // lut is UNHINTED (r13): |queries| × M × K rows where the query
+      // set is a corpus fraction here — a hard broadcast grows with
+      // the corpus (p28 class). AQE broadcasts it at bounded
+      // query-batch sizes; the codebook hints above stay (fixed k·M).
+      codes.join(lut,
           codes("m") === lut("m") && codes("code") === lut("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -3576,14 +3606,23 @@ object Pipeline {
       val lut = qsubs.join(broadcast(pqc), col("lm") === col("cm"))
         .select(col("query_id").as("lq"), col("lm"), col("cid"),
           graft.functions.SeriesKernelFunctions.int_dot(col("qsub"), col("csub")).as("ldot12"))
+        // persisted for exact STATS (p59's discipline): map-side
+        // subtree → no AQE runtime size → the unhinted LUT join would
+        // sort-merge the candidate side; cached stats restore the
+        // broadcast while keeping the no-hard-hint OOM safety.
+        .persistTracked()
       val qprobe = probed.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("cell"),
           col("qcdot12"))
       val wTop = Window.partitionBy("query_id")
         .orderBy(col("adot12").desc, col("neighbor_id"))
-      codes.join(broadcast(qprobe), "cell")
+      // qprobe and lut are UNHINTED (r13): both scale with the query
+      // set, which is a corpus fraction here — hard broadcasts grow
+      // with the corpus (p28 class). AQE broadcasts them at bounded
+      // query-batch sizes; the centroid/codebook hints stay (fixed k).
+      codes.join(qprobe, "cell")
         .filter(col("vec_id") =!= col("query_id"))
-        .join(broadcast(lut), col("query_id") === col("lq") &&
+        .join(lut, col("query_id") === col("lq") &&
           col("m") === col("lm") && col("code") === col("cid"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg((min(col("qcdot12")) + sum(col("ldot12"))).as("adot12"))

@@ -779,12 +779,17 @@ object Relational {
       val o = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
       val ev = Tables.events(s, dir)
+      // referential key sides are UNHINTED (r13): the orders/customer
+      // key columns grow linearly with the corpus — a hard broadcast
+      // is the p28-class driver OOM at 100 TB. AQE sizes them at
+      // runtime (still broadcasts at test scale); at adversarial sizes
+      // the anti-join degrades to a shuffle join instead of an OOM.
       val orphanLines = li.select(col("l_orderkey"))
-        .join(broadcast(o.select(col("o_orderkey"))),
+        .join(o.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n"))
       val orphanOrders = o.select(col("o_custkey"))
-        .join(broadcast(cust.select(col("c_custkey"))),
+        .join(cust.select(col("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("n"))
       val dupOrders = o.agg((count(lit(1)) -
@@ -1212,12 +1217,13 @@ object Relational {
     // relational query: target = orders, delta = a deterministic
     // derived changeset (keys %10=3 become updates with a +7.00 price
     // correction; keys %97=0 re-keyed above the keyspace become
-    // inserts). 100 TB shape: the delta is the SMALL side, so the
-    // matched/keep pass is one broadcast left join against the target
-    // scan — the target never shuffles — and the insert pass anti-joins
-    // the delta against the (small, matched-keys-only) projection of
-    // that same join rather than against the full target, so both
-    // passes are broadcast joins. The target IS scanned twice (once per
+    // inserts). 100 TB shape: the delta is the SMALL side, so AQE
+    // plans the matched/keep pass as one broadcast left join against
+    // the target scan — the target never shuffles — and the insert
+    // pass anti-joins the delta against the (small, matched-keys-only)
+    // projection of that same join rather than against the full
+    // target, so both passes broadcast at realistic delta sizes
+    // (unhinted — see below). The target IS scanned twice (once per
     // UNION branch); a table format with a key index (or Delta's
     // file-pruning) removes the second scan — out of scope for a pure
     // query engine. Money arithmetic in DECIMAL(18,2) internally; the
@@ -1236,7 +1242,13 @@ object Relational {
             col("o_custkey").as("d_custkey"),
             lit("N").as("d_orderstatus"),
             money(col("o_totalprice")).as("d_totalprice")))
-      val merged = orders.join(broadcast(delta),
+      // delta is UNHINTED (r13): this synthetic changeset is a fixed
+      // ~11% corpus fraction, so a hard broadcast() grows linearly
+      // with the target — the p28-class driver OOM. Real MERGE deltas
+      // are small by nature and AQE still picks the broadcast from the
+      // delta's true runtime size; an adversarially large delta
+      // degrades to a shuffle join instead of an OOM.
+      val merged = orders.join(delta,
         col("o_orderkey") === col("d_orderkey"), "left")
       val upserted = merged.select(col("o_orderkey"),
         coalesce(col("d_custkey"), col("o_custkey")).as("o_custkey"),
@@ -1249,7 +1261,7 @@ object Relational {
       val matchedKeys = merged.filter(col("d_orderkey").isNotNull)
         .select(col("d_orderkey"))
       val inserts = delta
-        .join(broadcast(matchedKeys), Seq("d_orderkey"), "left_anti")
+        .join(matchedKeys, Seq("d_orderkey"), "left_anti")
         .select(col("d_orderkey").as("o_orderkey"),
           col("d_custkey").as("o_custkey"),
           col("d_orderstatus").as("o_orderstatus"),

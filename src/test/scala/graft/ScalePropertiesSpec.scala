@@ -12,6 +12,25 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   private def plan(name: String): String =
     planString(queries.Catalog.queries(name)(spark, sfDir))
 
+  /** Render the STEADY-STATE executed plan: materialize once to fill
+    * the entry's persistTracked caches, then rebuild and materialize
+    * again so the planner sees exact cached stats. Entries whose
+    * bounded dims are deliberately UNHINTED (r13 — corpus-derived
+    * sides must leave the choice to a size check) get their
+    * broadcasts from those stats / AQE's runtime sizes, so their
+    * static initial plan shows the conservative sort-merge fallback
+    * and their cold first run may too; the 100 TB claim those pins
+    * make is about the plan every warm run (Bench/Verify steady
+    * state, a long-lived service) actually executes.
+    */
+  private def runtimePlan(name: String): String = {
+    queries.Catalog.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val df = queries.Catalog.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    planString(df)
+  }
+
   /** Cache-state-INDEPENDENT plan render. `executedPlan.toString` is a
     * flake source under sbt's parallel suites: once another suite
     * executes an entry that shares a persisted frame, the cached
@@ -585,12 +604,19 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q45: MERGE never shuffles the target — both passes are " +
-    "broadcast joins against the delta side") {
-    val pl = plan("q45_merge_upsert")
-    assert(countOf(pl, "BroadcastHashJoin") >= 2,
-      s"update/keep and insert passes must broadcast:\n$pl")
-    assert(countOf(pl, "SortMergeJoin") === 0,
-      s"the 100 TB target must not sort-merge:\n$pl")
+    "broadcast joins against the delta side (AQE-sized at runtime; " +
+    "the delta is unhinted)") {
+    val pl = runtimePlan("q45_merge_upsert")
+    assert(countOf(pl, "BroadcastHashJoin") >= 1,
+      s"the matched/keep pass must broadcast the delta:\n$pl")
+    // the insert pass (delta ANTI matchedKeys) may sort-merge — both
+    // of its sides are delta-derived, so the shuffle is delta-sized;
+    // the scale claim is that the TARGET never sort-merges, i.e.
+    // every SMJ in the plan is keyed on the delta's d_orderkey
+    assert(countOf(pl, "SortMergeJoin") ===
+      countOf(pl, "SortMergeJoin [d_orderkey"),
+      s"the 100 TB target must not sort-merge (only delta-keyed " +
+        s"frames may):\n$pl")
   }
 
   test("a37: both binseg levels ride ONE series-key shuffle — stacked " +
@@ -602,8 +628,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("p59: PQ centroids and the query LUT broadcast; the only " +
-    "shuffles are encode, score, and the per-query rank") {
-    val pl = plan("p59_pq_topk")
+    "shuffles are encode, score, and the per-query rank (LUT " +
+    "broadcast is AQE-sized at runtime; unhinted)") {
+    val pl = runtimePlan("p59_pq_topk")
     assert(countOf(pl, "BroadcastHashJoin") >= 2,
       s"centroid dim and LUT must broadcast:\n$pl")
     assert(countOf(pl, "Exchange hashpartitioning") === 3,
@@ -674,8 +701,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
 
   test("p63: coarse centroids, codebook, probe list, and LUT all " +
     "broadcast; the corpus side never shuffles raw embeddings after " +
-    "assignment") {
-    val pl = plan("p63_sim_ivfpq")
+    "assignment (probe/LUT broadcasts are AQE-sized at runtime; " +
+    "unhinted)") {
+    val pl = runtimePlan("p63_sim_ivfpq")
     assert(countOf(pl, "BroadcastHashJoin") >= 3,
       s"codebook, probe list, and LUT must broadcast:\n$pl")
     assert(countOf(pl, "SortMergeJoin") === 0,
@@ -1050,59 +1078,82 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         "cartesian):\n" + offenders.mkString("\n"))
   }
 
-  // every entry ALLOWED to carry forced broadcast() hints, with how
-  // many: a hard hint bypasses AQE's size check, so each hinted side
-  // must be bounded BY CONSTRUCTION, never corpus-derived. Bound
-  // classes (audited r10-r11): TPC-H dimension tables (q*); per-series
-  // / per-lang / per-source stat tables, rows = #keys (a*, p33,
-  // p39, p41, p47, p71, p72, p83, p84, p90, p91); fixed-k centroid /
-  // codebook / LUT / query dims (p15, p35, p55, p58-p60, p63, p69,
-  // p76, p81); top-k-bounded vocab tables (p17, p27, p32, p48, p85,
-  // p86); <=1024-row bucket tables (p20, p94, p96); single-row
-  // scalars / dedup-pair lists / per-round state (p34 bitmap, p43,
-  // p45, p65, p68). The round-10 unbounded hint (p34's corpus-derived
-  // benchSet) is GONE, and as of r12 so are p24/p74's corpus-fraction
-  // bench dims (now unhinted — AQE sizes them at runtime; the
-  // constant-size membership twin is p34's bloom bitmap); r13 removed
-  // the last carrier, p28's distinct bench-shingle hint, which had
-  // been misfiled here under its per-source OUTPUT bound. A new hint
+  // every entry ALLOWED to carry forced broadcast() hints: cap = the
+  // OBSERVED hint count (DbgBroadcasts census, re-adjudicated r13 —
+  // caps equal counts so a re-added hint can't hide under a stale
+  // maximum), class = the VERIFIED bound of the hinted expression
+  // itself (read from PlanAudit.broadcastHints output, not from the
+  // entry's output shape — p28 hid for a round because its class
+  // claim described its OUTPUT). A hard hint bypasses AQE's size
+  // check, so each hinted side must be bounded BY CONSTRUCTION,
+  // never corpus-derived. History of removed corpus-derived hints:
+  // r10 p34 benchSet; r12 p24/p74 bench dims; r13 p28's bench-shingle
+  // set, q33's full orders/customer key columns, q45's ~11%-fraction
+  // delta + matchedKeys, p43's near-dup pair list (pair × embedding!),
+  // p58/p60's corpus-fraction query dim, p59's and p63's
+  // query-derived LUT/probe frames — all now unhinted; AQE sizes them
+  // at runtime and still broadcasts at test scale. A new hint
   // anywhere, or growth here, must re-justify its bound or fail this
   // gate before it becomes a driver OOM at 100 TB.
-  private val allowedBroadcastHints: Map[String, Int] = Map(
-    "q03_join_broadcast" -> 1, "q04_join_multi" -> 3,
-    "q33_constraints" -> 2, "q39_division" -> 1, "q45_merge_upsert" -> 3,
-    "a05_anomaly_enrich" -> 1, "a28_runs_test" -> 1,
+  private val allowedBroadcastHints: Map[String, (Int, String)] = Map(
+    "q03_join_broadcast" -> (1, "TPC-H customer dim (broadcast demo)"),
+    "q04_join_multi" -> (3, "TPC-H customer/nation/region dims"),
+    "q39_division" -> (1, "single-row scalar (total_years)"),
+    "a05_anomaly_enrich" -> (1, "TPC-H customer dim"),
+    "a28_runs_test" -> (1, "per-series medians, rows = #series"),
+    "a39_seasonal_esd" -> (1, "per-series x 24 hod medians"),
+    "a43_evt_tail" -> (1, "per-series tail stats"),
     // a49: the SAME bounded type-pair dim hinted on both equi-joins
     // (rows = T(T-1)/2 over the series-key cardinality)
-    "a39_seasonal_esd" -> 1, "a43_evt_tail" -> 1, "a49_ks_two_series" -> 2,
-    "a50_stl_decompose" -> 1, "a51_forecast_band" -> 1,
-    "p15_sim_ivf" -> 2, "p17_tfidf" -> 1, "p20_pack_sequences" -> 1,
-    "p27_vocab_oov" -> 1,
-    "p32_ngram_topk" -> 1,
-    "p33_emb_outliers" -> 1, "p34_contam_bloom" -> 1,
-    "p35_semdedup" -> 2, "p39_domain_mix" -> 4, "p41_lm_quality" -> 1,
-    "p43_crossmodal_check" -> 2, "p45_dsir_weight" -> 2,
-    "p47_cms_topk" -> 1, "p48_jl_project" -> 1,
-    "p55_kmeans_refine" -> 8, "p58_bm25_topk" -> 3, "p59_pq_topk" -> 3,
-    "p60_hybrid_rrf" -> 3, "p63_sim_ivfpq" -> 8,
-    "p65_dedup_savings" -> 1, "p68_mixture_budget" -> 15,
-    "p69_ann_recall" -> 2, "p71_split_contamination" -> 1,
-    "p72_dataset_card" -> 1,
-    "p76_coreset_kcenter" -> 1, "p81_contam_semantic" -> 2,
-    "p83_source_divergence" -> 4, "p84_split_parity" -> 4,
-    "p85_vocab_coverage" -> 1, "p86_vocab_growth" -> 4,
-    "p90_curation_decision" -> 1, "p91_curation_waterfall" -> 1,
-    "p94_epoch_schedule" -> 7, "p96_pack_efficiency" -> 1)
+    "a49_ks_two_series" -> (2, "type-pair dim, rows = T(T-1)/2"),
+    "a50_stl_decompose" -> (1, "per-series x 24 hod seasonal"),
+    "a51_forecast_band" -> (1, "per-series quantile pair"),
+    "p15_sim_ivf" -> (2, "fixed-k IVF centroids (k=20)"),
+    "p17_tfidf" -> (1, "single-row scalar (corpus doc count)"),
+    "p20_pack_sequences" -> (1, "<=1024-row bucket base table"),
+    "p27_vocab_oov" -> (1, "top-k-bounded vocab table"),
+    "p32_ngram_topk" -> (1, "top-k winners per lang"),
+    "p33_emb_outliers" -> (1, "per-label moment stats"),
+    "p34_contam_bloom" -> (1, "single-row 2^17-bit bloom bitmap"),
+    "p35_semdedup" -> (2, "fixed-k centroids"),
+    "p39_domain_mix" -> (4, "2 scalars + per-lang rate/sample dims"),
+    "p41_lm_quality" -> (1, "per-lang vocab stats"),
+    "p45_dsir_weight" -> (2, "fixed-bucket LUT + single-row scalar"),
+    "p47_cms_topk" -> (1, "fixed CMS sketch (r x b registers)"),
+    "p48_jl_project" -> (1, "fixed JL sign matrix (d x k)"),
+    "p55_kmeans_refine" -> (1, "fixed-k centroids (LogicalRDD seed)"),
+    "p58_bm25_topk" -> (2, "single-row corpus scalar, hinted twice"),
+    "p59_pq_topk" -> (2, "fixed PQ codebook (k x M), hinted twice"),
+    "p60_hybrid_rrf" -> (2, "single-row corpus scalar, hinted twice"),
+    "p63_sim_ivfpq" -> (6, "coarse centroids x4 + PQ codebook x2, fixed k"),
+    "p65_dedup_savings" -> (1, "single-row scalar (total tokens)"),
+    "p68_mixture_budget" -> (15, "per-round budget scalars, fixed rounds"),
+    "p69_ann_recall" -> (2, "fixed-k centroids"),
+    "p72_dataset_card" -> (1, "single-row scalar (dup-doc count)"),
+    "p76_coreset_kcenter" -> (1, "fixed-k centers"),
+    "p81_contam_semantic" -> (2, "fixed-k centroids"),
+    "p83_source_divergence" -> (4, "per-source totals/counts, rows = #sources"),
+    "p84_split_parity" -> (4, "per-split totals/counts, rows = #splits"),
+    "p85_vocab_coverage" -> (1, "single-row scalar"),
+    "p86_vocab_growth" -> (4, "per-source/bucket dims + scalar"),
+    "p94_epoch_schedule" -> (3, "per-source weights x2 + <=1024 bucket base"),
+    "p96_pack_efficiency" -> (1, "<=1024-row bucket base table"))
 
   test("catalog-wide: every forced broadcast() hint rides a side " +
     "bounded by construction — no corpus-derived hard hints (those " +
-    "sides must leave the choice to AQE's runtime size check)") {
+    "sides must leave the choice to AQE's runtime size check), and " +
+    "every cap equals the observed count (no stale headroom for a " +
+    "re-added hint to hide under)") {
     val offenders = queries.Catalog.all.flatMap { e =>
       val hints = PlanAudit.broadcastHints(e.run(spark, sfDir))
-      val cap = allowedBroadcastHints.getOrElse(e.name, 0)
+      val (cap, klass) = allowedBroadcastHints.getOrElse(e.name, (0, ""))
       if (hints.size > cap)
-        Some(s"${e.name}: ${hints.size} broadcast hints (cap $cap): " +
+        Some(s"${e.name}: ${hints.size} broadcast hints (cap $cap" +
+          (if (klass.nonEmpty) s", class: $klass" else "") + "): " +
           hints.mkString("; "))
+      else if (hints.size < cap)
+        Some(s"${e.name}: ${hints.size} broadcast hints but cap $cap — " +
+          "tighten the cap to the observed count")
       else None
     }
     assert(offenders.isEmpty,
