@@ -57,7 +57,9 @@ object PlanAudit {
 
   /** Every CodegenFallback expression sitting in a PER-CANDIDATE
     * position reachable from `df`: a join condition, or a projection /
-    * filter DIRECTLY over a join's output. The r11 codegen policy is
+    * filter over a join's output (through any stack of
+    * cardinality-preserving Project/Filter nodes — r13 widened the
+    * census from directly-over-join). The r11 codegen policy is
     * fallback-is-fine for heavy per-ROW kernels but wrong per
     * CANDIDATE — the fallback materializes an InternalRow per call,
     * which on p06's pair scorer measured ~4× the kernel arithmetic.
@@ -73,10 +75,17 @@ object PlanAudit {
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     // semi/anti joins emit at most one row per probe row — a
     // projection over them is per-ROW (the p54/p87 semi-join prune
-    // shape), not per-candidate
+    // shape), not per-candidate. Filter and Project are transparent:
+    // both are cardinality-bounded by their child, so a fallback in a
+    // Project-over-Project-over-join still evaluates once per join
+    // candidate (ADVICE r12 — the single-Project scope missed the
+    // stacked shape). Remaining scope limit: fallbacks inside
+    // AGGREGATE or WINDOW argument lists directly over a join are not
+    // collected here — the consuming gate's failure message states it.
     def isJoinish(p: LogicalPlan): Boolean = p match {
       case j: LJoin => j.joinType != LeftSemi && j.joinType != LeftAnti
       case f: LFilter => isJoinish(f.child)
+      case pr: LProject => isJoinish(pr.child)
       case _ => false
     }
     val lp = df.queryExecution.optimizedPlan
@@ -120,6 +129,7 @@ object PlanAudit {
         j.joinType != LeftSemi && j.joinType != LeftAnti
       case _: CartesianProductExec => true
       case f: FilterExec => isJoinish(f.child)
+      case pr: ProjectExec => isJoinish(pr.child)
       case w: WholeStageCodegenExec => isJoinish(w.child)
       case ia: InputAdapter => isJoinish(ia.child)
       case a: AdaptiveSparkPlanExec => isJoinish(a.executedPlan)

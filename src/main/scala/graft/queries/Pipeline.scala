@@ -4446,30 +4446,43 @@ object Pipeline {
     * across a cut; re-screening is a second application of the same
     * operator.
     */
+  /** p74's covered-positions frame — the RIGHT side of the left join
+    * the excision HOFs evaluate over. Grouped by doc_id, so the join
+    * is 1:1 and the CodegenFallback HOFs run per ROW, not per
+    * candidate; exposed `private[graft]` so ScalePropertiesSpec's
+    * fallback-allowlist test asserts that uniqueness at runtime
+    * instead of trusting this comment.
+    */
+  private[graft] def p74CovFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 100 === 0)
+      .select(explode(array_distinct(
+        TextHashFunctions.ngram_hashes(toks, 3))).as("shingle"))
+      .distinct()
+    val train = d.filter(col("doc_id") % 100 =!= 0)
+    // unhinted: bench is corpus-derived (distinct shingles of the
+    // held-out 1%) — AQE picks broadcast from its true runtime size;
+    // the constant-size screen at 100 TB is p34's bloom bitmap
+    val hits = train
+      .select(col("doc_id"),
+        posexplode(TextHashFunctions.ngram_hashes(toks, 3)))
+      .toDF("doc_id", "gpos", "shingle")
+      .join(bench, "shingle")
+    // gram at 0-based gpos covers 1-based token positions
+    // gpos+1 .. gpos+3; a doc's covered set is tiny (hits x 3)
+    hits
+      .select(col("doc_id"), col("gpos"),
+        explode(expr("sequence(gpos + 1, gpos + 3)")).as("tpos"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gpos")).as("n_hits"),
+        array_sort(collect_set(col("tpos"))).as("cov"))
+  }
+
   private[queries] def decontamExciseEntry: Entry =
     Entry("p74_decontam_excise", (s, dir) => {
       val d = docs(s, dir)
-      val bench = d.filter(col("doc_id") % 100 === 0)
-        .select(explode(array_distinct(
-          TextHashFunctions.ngram_hashes(toks, 3))).as("shingle"))
-        .distinct()
       val train = d.filter(col("doc_id") % 100 =!= 0)
-      // unhinted: bench is corpus-derived (distinct shingles of the
-      // held-out 1%) — AQE picks broadcast from its true runtime size;
-      // the constant-size screen at 100 TB is p34's bloom bitmap
-      val hits = train
-        .select(col("doc_id"),
-          posexplode(TextHashFunctions.ngram_hashes(toks, 3)))
-        .toDF("doc_id", "gpos", "shingle")
-        .join(bench, "shingle")
-      // gram at 0-based gpos covers 1-based token positions
-      // gpos+1 .. gpos+3; a doc's covered set is tiny (hits x 3)
-      val cov = hits
-        .select(col("doc_id"), col("gpos"),
-          explode(expr("sequence(gpos + 1, gpos + 3)")).as("tpos"))
-        .groupBy("doc_id")
-        .agg(countDistinct(col("gpos")).as("n_hits"),
-          array_sort(collect_set(col("tpos"))).as("cov"))
+      val cov = p74CovFrame(s, dir)
       train.select(col("doc_id"), norm.as("nt"), toks.as("tk"))
         .join(cov, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -5736,13 +5749,29 @@ object Pipeline {
     * identity keeps the join key 8 bytes (p03's collision rationale;
     * the oracle matches the gram STRINGS).
     */
+  /** The doc-id dim of p87's pair list — the DISTINCT side of the
+    * prune join NGramHashes (a CodegenFallback) evaluates over, which
+    * makes that join 1:1 (per ROW, not per candidate). The builder is
+    * shared by the entry and by `p87InPairsFrame` so the spec's
+    * runtime uniqueness assertion tests the exact frame the entry
+    * joins.
+    */
+  private def inPairsOf(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+
+  /** Rebuilds p87's inPairs dim for ScalePropertiesSpec's
+    * fallback-allowlist 1:1 assertion (unique on doc_id at runtime).
+    */
+  private[graft] def p87InPairsFrame(s: SparkSession, dir: String): DataFrame =
+    inPairsOf(minhashLshPairs(docs(s, dir)).select("doc_a", "doc_b"))
+
   private[queries] def longestRunEntry: Entry = {
     import graft.functions.{HashScheme => H}
     Entry("p87_longest_common_run", (s, dir) => {
       val d = docs(s, dir)
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b").persistTracked()
-      val inPairs = pairs.select(col("doc_a").as("doc_id"))
-        .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val inPairs = inPairsOf(pairs)
       val g8 = d.join(inPairs, "doc_id")
         .withColumn("sh", TextHashFunctions.ngram_hashes(toks, 8))
         .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "h")))

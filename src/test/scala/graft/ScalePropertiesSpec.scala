@@ -953,15 +953,17 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   // with the number of such joins it is ALLOWED: all are broadcast
   // crosses against declared small dims (centroid sets, S^2 pair grids,
   // per-round water-filling / k-means / k-center state, single-row
-  // bitmap or budget rows). A new BNLJ anywhere else — or growth in an
-  // allowed entry — is an accidental cartesian and fails here before it
+  // bitmap or budget rows). Caps equal the OBSERVED counts (the gate
+  // fails in both directions since r13, same as the broadcast-hint
+  // gate) so a new BNLJ anywhere — or one sneaking back into freed
+  // headroom — is an accidental cartesian and fails here before it
   // becomes a 100 TB outage.
   private val allowedLoopJoins: Map[String, Int] = Map(
     "a49_ks_two_series" -> 2, "p06_embed_neardup" -> 1,
     "p07_sim_topk" -> 1, "p15_sim_ivf" -> 2, "p17_tfidf" -> 1,
     "p26_sim_topk_int8" -> 1, "p34_contam_bloom" -> 1,
     "p35_semdedup" -> 2, "p39_domain_mix" -> 2, "p45_dsir_weight" -> 1,
-    "p55_kmeans_refine" -> 8, "p58_bm25_topk" -> 2,
+    "p55_kmeans_refine" -> 1, "p58_bm25_topk" -> 2,
     "p60_hybrid_rrf" -> 3, "p63_sim_ivfpq" -> 4, "p65_dedup_savings" -> 1,
     "p68_mixture_budget" -> 15, "p69_ann_recall" -> 3,
     "p72_dataset_card" -> 1, "p76_coreset_kcenter" -> 1,
@@ -1071,6 +1073,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       val cap = allowedLoopJoins.getOrElse(e.name, 0)
       if (cart) Some(s"${e.name}: CartesianProduct")
       else if (bnlj > cap) Some(s"${e.name}: $bnlj loop joins (cap $cap)")
+      else if (bnlj < cap)
+        Some(s"${e.name}: $bnlj loop joins but cap $cap — tighten the " +
+          "cap to the observed count")
       else None
     }
     assert(offenders.isEmpty,
@@ -1175,8 +1180,28 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   //   p87: NGramHashes evaluates over d JOIN inPairs where inPairs is
   //        a DISTINCT doc-id dim (the semi-join-shaped prune, written
   //        as an inner join to keep the id projection).
+  // the 1:1 claims are TESTED, not trusted: the "fallback allowlist
+  // 1:1 claims" test below asserts count == distinct-count on the
+  // join key of each claimed-unique side at runtime (VERDICT r12 #5)
   private val allowedFallbackPositions: Map[String, Int] = Map(
     "p74_decontam_excise" -> 2, "p87_longest_common_run" -> 4)
+
+  test("fallback allowlist 1:1 claims are tested, not trusted: the " +
+    "grouped/distinct side of each allowlisted per-candidate join is " +
+    "unique on its join key at runtime") {
+    // p74: the two excision HOFs evaluate over train LEFT JOIN cov;
+    // per-ROW only if cov is unique on doc_id (it is groupBy(doc_id))
+    val cov = queries.Pipeline.p74CovFrame(spark, sfDir)
+    assert(cov.count() === cov.select("doc_id").distinct().count(),
+      "p74's cov frame must be unique on doc_id or the excision HOFs " +
+        "run per candidate")
+    // p87: NGramHashes evaluates over d JOIN inPairs; per-ROW only if
+    // inPairs is unique on doc_id (it is a DISTINCT union)
+    val ip = queries.Pipeline.p87InPairsFrame(spark, sfDir)
+    assert(ip.count() === ip.select("doc_id").distinct().count(),
+      "p87's inPairs dim must be unique on doc_id or NGramHashes " +
+        "runs per candidate")
+  }
 
   test("catalog-wide: no CodegenFallback expression evaluates in a " +
     "per-candidate position — pair kernels must carry real doGenCode " +
@@ -1188,11 +1213,18 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       if (hits.size > cap)
         Some(s"${e.name}: ${hits.size} fallback positions (cap $cap): " +
           hits.distinct.mkString("; "))
+      else if (hits.size < cap)
+        Some(s"${e.name}: ${hits.size} fallback positions but cap $cap " +
+          "— tighten the cap to the observed count")
       else None
     }
     assert(offenders.isEmpty,
       "CodegenFallback in a per-candidate position (give the kernel " +
-        "doGenCode or document the bound here):\n" +
+        "doGenCode or document the bound here). Census scope: join " +
+        "conditions plus projections/filters over a join through any " +
+        "Project/Filter stack; fallbacks inside AGGREGATE or WINDOW " +
+        "argument lists over a join are NOT collected — audit those " +
+        "by hand when adding one:\n" +
         offenders.mkString("\n"))
   }
 
