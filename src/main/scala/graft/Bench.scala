@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   * first (clean heap), every block starts after clearCache+GC, and a
   * block whose median lands > 1.5x its own min re-measures once and
   * reports the quieter block's median (min spans all observed runs).
+  * Every block additionally records a LOCAL ambient probe
+  * ("calib_blocks") taken immediately before its warmup, and the
+  * summary emits per-query block-normalized medians ("queries_norm" =
+  * median x calib_ref / block probe) — run-level probes cannot
+  * attribute a mid-run co-tenant burst to the block it hit, so
+  * cross-round regression claims are adjudicated on queries_norm.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -110,7 +116,18 @@ object Bench {
     val listed = queries.Catalog.benchNames
       .filter(n => only.forall(_.contains(n)))
     val names = listed.filter(coreSet) ++ listed.filterNot(coreSet)
-    def block(n: String): Seq[Double] = {
+    // per-BLOCK ambient probe (VERDICT r12 #1): one calibrate() run
+    // immediately before each query's block. The run-level
+    // calib/calib_end pair provably cannot attribute a mid-run
+    // co-tenant burst to the block it hit (p52 flipped >2x twice on
+    // plan-neutral code; r12's own close note caught a burst the
+    // bracketing probes missed), so every block records its LOCAL
+    // ambient and the summary emits block-normalized medians — a
+    // regression claim is adjudicated against queries_norm, not raw.
+    // Single probe (not a 3-run median): its job is attribution of
+    // ~2x bursts, where one sample's jitter is second-order, and the
+    // probe itself costs a block of real corpus time otherwise.
+    def block(n: String): (Double, Seq[Double]) = {
       // start each query from a clean cache + settled heap: accumulated
       // persists and garbage from EARLIER queries otherwise cause
       // eviction churn / GC pauses mid-measurement (observed as median
@@ -119,8 +136,11 @@ object Bench {
       graft.operators.EntryCaches.releaseAll()
       spark.catalog.clearCache()
       System.gc()
+      val probe = try calibrate() catch {
+        case e if scala.util.control.NonFatal(e) => CalibRef
+      }
       materialize(n)
-      (1 to runs).map(_ => materialize(n))
+      (probe, (1 to runs).map(_ => materialize(n)))
     }
     def blockMedian(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
@@ -134,21 +154,33 @@ object Bench {
     // reported — the same outlier-retry discipline CatalogCostSpec
     // applies. The lower median is always an actually-observed time.
     val calibStart = calibBlock()
-    val samples: Map[String, (Double, Double)] = names.map { n =>
-      val first = block(n)
+    val samples: Map[String, (Double, Double, Double)] = names.map { n =>
+      val (probe0, first) = block(n)
       val med0 = blockMedian(first)
       val min0 = first.filter(_ >= 0).minOption.getOrElse(-1.0)
-      val (med, mn) = if (med0 >= 0 && min0 > 0 && med0 > 1.5 * min0) {
-        val second = block(n)
-        val med1 = blockMedian(second)
-        val min1 = second.filter(_ >= 0).minOption.getOrElse(min0)
-        (if (med1 >= 0 && med1 < med0) med1 else med0,
-          math.min(min0, if (min1 > 0) min1 else min0))
-      } else (med0, min0)
-      n -> ((med, mn))
+      val (med, mn, probe) =
+        if (med0 >= 0 && min0 > 0 && med0 > 1.5 * min0) {
+          val (probe1, second) = block(n)
+          val med1 = blockMedian(second)
+          val min1 = second.filter(_ >= 0).minOption.getOrElse(min0)
+          // the reported median and the reported probe come from the
+          // SAME (quieter) block, so queries_norm stays coherent
+          val takeSecond = med1 >= 0 && med1 < med0
+          (if (takeSecond) med1 else med0,
+            math.min(min0, if (min1 > 0) min1 else min0),
+            if (takeSecond) probe1 else probe0)
+        } else (med0, min0, probe0)
+      n -> ((med, mn, probe))
     }.toMap
     val med = names.map(n => n -> samples(n)._1)
     val mins = names.map(n => n -> samples(n)._2)
+    val probes = names.map(n => n -> samples(n)._3)
+    // block-normalized medians: median x calib_ref / block probe —
+    // the number a cross-round regression claim is judged against
+    val medNorm = names.map { n =>
+      val (m, _, p) = samples(n)
+      n -> (if (m >= 0 && p > 0) m * CalibRef / p else m)
+    }
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).filter(_ >= 0).sum
@@ -179,7 +211,9 @@ object Bench {
       s""""core_queries":${coreSet.size - coreMissing.size},""" +
       s""""core_missing":${coreMissing.map("\"" + _ + "\"")
         .mkString("[", ",", "]")},""" +
-      s""""queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+      s""""queries":${obj(med)},"queries_min":${obj(mins)},""" +
+      s""""calib_blocks":${obj(probes)},""" +
+      s""""queries_norm":${obj(medNorm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
