@@ -28,7 +28,10 @@ import graft.streaming.{SeriesPoint, StreamingDetector, StreamingNearDup}
   * default HDFS-backed provider as the classic baseline. Each workload
   * runs one untimed warmup feed (codegen + state-store init) before
   * its timed feed — the numbers are steady-state micro-batch
-  * throughput, not first-batch compilation.
+  * throughput, not first-batch compilation. A second, LARGE-batch
+  * point (default 4 batches) rides along under "large_batch": small
+  * batches measure micro-batch machinery (~0.8 s fixed per batch),
+  * so the kernel-throughput regression signal lives here.
   *
   * MemoryStream feeds from the driver by design: the measured path is
   * the stream (shuffle to keyed state, state round-trip, sink), and a
@@ -100,6 +103,14 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    // the LARGE-batch point (fewer, bigger batches): at the default
+    // 5k-row batches the wall is ~0.8 s/batch of micro-batch MACHINERY
+    // (keyed-state shuffle + store round-trip + commit), so a kernel
+    // regression hides inside it — rows/s scales ~linearly with batch
+    // size until the kernel dominates. BASELINE.md names this row the
+    // kernel-throughput gate; the batches=20 rows remain the
+    // machinery/latency picture.
+    val nLarge = sys.env.getOrElse("SPARK_GRAFT_STREAM_LARGE_BATCHES", "4").toInt
     val spark = GraftSession.create(s"local[$cpus]", cpus, "graft-streambench")
     import spark.implicits._
 
@@ -109,8 +120,11 @@ object StreamBench {
       .selectExpr("concat(event_type, '#', user_id % 200) AS series",
         "ts", "value")
       .orderBy("ts").as[SeriesPoint].collect()
-    val ptBatches = pts.grouped((pts.length + nBatches - 1) / nBatches)
-      .map(_.toSeq).toSeq
+    // the ACTUAL keyed-state cardinality (ADVICE r12: the previous
+    // hard-coded 1000 misstates it whenever the corpus changes)
+    val nSeries = pts.iterator.map(_.series).toSet.size
+    def batched[T](rows: Array[T], n: Int): Seq[Seq[T]] =
+      rows.grouped((rows.length + n - 1) / n).map(_.toSeq).toSeq
 
     // ---- neardup feed: id-ordered docs, synthetic arrival clock
     val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -118,15 +132,13 @@ object StreamBench {
       .as[(Long, String)].collect()
       .map { case (id, text) =>
         (id, new Timestamp(1700000000000L + id), text) }
-    val docBatches = docRows.grouped(
-      (docRows.length + nBatches - 1) / nBatches).map(_.toSeq).toSeq
 
-    def detector(provider: String, tws: Boolean): Run =
-      runStream(spark, ptBatches, provider)(ds =>
+    def detector(provider: String, tws: Boolean, batches: Int): Run =
+      runStream(spark, batched(pts, batches), provider)(ds =>
         if (tws) StreamingDetector.scoreTws(ds, conf)
         else StreamingDetector.score(ds, conf))
-    def neardup(provider: String, tws: Boolean): Run =
-      runStream(spark, docBatches, provider) { ds =>
+    def neardup(provider: String, tws: Boolean, batches: Int): Run =
+      runStream(spark, batched(docRows, batches), provider) { ds =>
         val df = ds.toDF("doc_id", "ts", "text")
         if (tws) StreamingNearDup.bandHitsTws(df)(spark)
         else StreamingNearDup.bandHits(df)(spark)
@@ -137,28 +149,45 @@ object StreamBench {
     // its own provider so all three detector rows are comparable
     val Hdfs =
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-    detector(RocksDb, tws = false); detector(RocksDb, tws = true)
-    detector(Hdfs, tws = false)
-    val detFmgwsHdfs = detector(Hdfs, tws = false)
-    val detFmgws = detector(RocksDb, tws = false)
-    val detTws = detector(RocksDb, tws = true)
-    neardup(RocksDb, tws = false); neardup(RocksDb, tws = true)
-    val ndFmgws = neardup(RocksDb, tws = false)
-    val ndTws = neardup(RocksDb, tws = true)
+    detector(RocksDb, tws = false, nBatches)
+    detector(RocksDb, tws = true, nBatches)
+    detector(Hdfs, tws = false, nBatches)
+    val detFmgwsHdfs = detector(Hdfs, tws = false, nBatches)
+    val detFmgws = detector(RocksDb, tws = false, nBatches)
+    val detTws = detector(RocksDb, tws = true, nBatches)
+    neardup(RocksDb, tws = false, nBatches)
+    neardup(RocksDb, tws = true, nBatches)
+    val ndFmgws = neardup(RocksDb, tws = false, nBatches)
+    val ndTws = neardup(RocksDb, tws = true, nBatches)
+    // large-batch point: state providers already warm from the rows
+    // above; one timed feed per workload + API on the RocksDB store
+    val detFmgwsL = detector(RocksDb, tws = false, nLarge)
+    val detTwsL = detector(RocksDb, tws = true, nLarge)
+    val ndFmgwsL = neardup(RocksDb, tws = false, nLarge)
+    val ndTwsL = neardup(RocksDb, tws = true, nLarge)
 
-    require(detFmgws.rows == pts.length && detTws.rows == pts.length,
-      s"detector row mismatch: ${detFmgws.rows}/${detTws.rows} vs ${pts.length}")
-    require(ndFmgws.rows == ndTws.rows && ndFmgws.rows > 0,
-      s"neardup row mismatch: ${ndFmgws.rows} vs ${ndTws.rows}")
+    require(detFmgws.rows == pts.length && detTws.rows == pts.length &&
+      detFmgwsL.rows == pts.length && detTwsL.rows == pts.length,
+      s"detector row mismatch: ${detFmgws.rows}/${detTws.rows}/" +
+        s"${detFmgwsL.rows}/${detTwsL.rows} vs ${pts.length}")
+    require(ndFmgws.rows == ndTws.rows && ndFmgws.rows > 0 &&
+      ndFmgwsL.rows == ndFmgws.rows && ndTwsL.rows == ndFmgws.rows,
+      s"neardup row mismatch: ${ndFmgws.rows}/${ndTws.rows}/" +
+        s"${ndFmgwsL.rows}/${ndTwsL.rows}")
 
     println(s"""{"metric":"stream_rows_per_sec",""" +
       s""""value":${detTws.rowsPerSec.toLong},"unit":"rows/s",""" +
-      s""""batches":$nBatches,"series":1000,""" +
+      s""""batches":$nBatches,"series":$nSeries,""" +
       s""""detector_fmgws_hdfs":${detFmgwsHdfs.json},""" +
       s""""detector_fmgws_rocksdb":${detFmgws.json},""" +
       s""""detector_tws_rocksdb":${detTws.json},""" +
       s""""neardup_fmgws_rocksdb":${ndFmgws.json},""" +
       s""""neardup_tws_rocksdb":${ndTws.json},""" +
+      s""""large_batch":{"batches":$nLarge,""" +
+      s""""detector_fmgws_rocksdb":${detFmgwsL.json},""" +
+      s""""detector_tws_rocksdb":${detTwsL.json},""" +
+      s""""neardup_fmgws_rocksdb":${ndFmgwsL.json},""" +
+      s""""neardup_tws_rocksdb":${ndTwsL.json}},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
