@@ -12,6 +12,9 @@ Recording policy (ADVICE r11): --record MERGES with the existing
 budgets, keeping the MINIMUM of old and new per entry — a single
 noisy run can therefore only tighten the gate, never loosen it (the
 r11 wholesale overwrite loosened 43 budgets >15% from one run).
+Names absent from the old file record at 1.3x their first observed
+wall (ADVICE r12: a noisy-LOW first run would otherwise pin a
+too-tight budget permanently); later quiet runs tighten it.
 Entries an intentional change made slower must be loosened
 explicitly: --loosen name1,name2 takes the current run's value for
 those names even when higher. Entries in the recorded file but absent
@@ -54,7 +57,11 @@ if "--record" in sys.argv[2:]:
     tightened, loosened, added = [], [], []
     for name, sec in timings.items():
         if name not in old:
-            merged[name] = sec
+            # first-run headroom (ADVICE r12): under the tighten-only
+            # merge a noisy-LOW first run would otherwise pin a
+            # too-tight budget forever (recovery needs manual
+            # --loosen); later quiet runs tighten it back down.
+            merged[name] = round(sec * 1.3, 6)
             added.append(name)
         elif name in loosen:
             if sec > old[name]:

@@ -4,17 +4,38 @@
 Any diff means some operator's output depends on partitioning or
 evaluation order, which would also break run-to-run reproducibility on
 a real cluster."""
-import sys, math, os
+import sys, math, os, json
 import duckdb
 
-a = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout_full"
-b = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout_cpus7"
+args = [x for x in sys.argv[1:] if not x.startswith("--expect")]
+a = args[0] if len(args) > 0 else "/tmp/vout_full"
+b = args[1] if len(args) > 1 else "/tmp/vout_cpus7"
+# --expect=N: minimum catalog size this audit must cover — guards
+# against accidentally auditing a SPARK_GRAFT_ONLY-filtered dump
+# (whose oracle_sql.json is filtered too) and reading it as a pass
+expect = 0
+for x in sys.argv[1:]:
+    if x.startswith("--expect="):
+        expect = int(x.split("=", 1)[1])
 
 con = duckdb.connect()
-names = sorted(d for d in os.listdir(a)
-               if os.path.isdir(os.path.join(a, d)))
+# Expected set = the FULL catalog, read from the oracle_sql.json the
+# Verify run dumps (every catalog entry has an oracle twin), not just
+# whatever directories happen to exist — a filtered run or an entry
+# that failed to dump must FAIL the audit, not silently shrink it
+# (VERDICT r12 #6: a late-round entry shipped with only a manual spot
+# check because the audit enumerated the dump dir).
+dumped = {d for d in os.listdir(a) if os.path.isdir(os.path.join(a, d))}
+oracle = os.path.join(a, "oracle_sql.json")
+expected = set(json.load(open(oracle))) if os.path.exists(oracle) else set()
+if not expected:
+    print(f"WARN {oracle} missing/empty — auditing dumped dirs only")
+names = sorted(dumped | expected)
 fails = []
 for name in names:
+    if name not in dumped:
+        print(f"FAIL {name}: in the catalog but missing in {a}")
+        fails.append(name); continue
     if not os.path.isdir(os.path.join(b, name)):
         print(f"FAIL {name}: missing in {b}"); fails.append(name); continue
     try:
@@ -42,4 +63,8 @@ for name in names:
     else:
         print(f"PASS {name}: {len(xa)} rows identical")
 print(f"\n{len(names)-len(fails)}/{len(names)} queries partition-independent")
+if expect and len(names) < expect:
+    print(f"FAIL audited only {len(names)} entries but --expect={expect} "
+          "(filtered dump?)")
+    sys.exit(1)
 sys.exit(1 if fails else 0)
