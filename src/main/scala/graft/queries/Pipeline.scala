@@ -357,6 +357,19 @@ object Pipeline {
         col("bb.bucket").as("bucket"))
   }
 
+  /** The shared MinHash-LSH near-dup pair list as a PUBLIC, reusable
+    * surface — the composed-pipeline primer (see
+    * [[graft.CurationPipeline]]). The per-entry catalog contract makes
+    * every consumer (p23/p54/p66/p67/p71/p87) standalone — each
+    * rebuilds this generator's plan — so a production run that wants
+    * the BASELINE.md recompute decision's "materialize once, feed all
+    * six" shape calls this first: the persisted signature and pair
+    * frames then plan-match inside every consumer's own build and the
+    * LSH pass executes once per corpus instead of once per consumer.
+    */
+  def sharedLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(docs(s, dir)).persistTracked()
+
   private[queries] def minhashLshPairs(d: DataFrame,
       bucketCap: Long = LshBucketCap): DataFrame = {
     import graft.functions.{HashScheme => H}
