@@ -157,17 +157,21 @@ object Pipeline {
     * for every sample query (doc_id % 100 = 0) against every corpus doc
     * sharing a term. See p58's header comment for the exactness and
     * scale analysis; p60 fuses these scores with the dense ranking.
+    *
+    * The PRUNED lexical twin is [[bm25PrefixScores]] (p99).
     */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    // tf via explode + count: linear in tokens. The per-distinct-token
-    // `size(filter(tk, _ === tok))` form this replaces rescanned the
-    // whole token array per posting row — O(dl²) per document, a wrong
-    // shape for long-doc corpora. Map-side partial combine collapses
-    // repeated (doc, tok) pairs before the one shuffle, so shuffle
-    // volume equals the distinct-postings size the old form carried.
-    // dl is functionally dependent on doc_id; grouping by it adds no
-    // cardinality and keeps it without a second pass.
-    val post = docs(s, dir)
+  /** The shared BM25 posting list (doc_id, dl, tok, tf), persisted.
+    * tf via explode + count: linear in tokens. The per-distinct-token
+    * `size(filter(tk, _ === tok))` form this replaces rescanned the
+    * whole token array per posting row — O(dl²) per document, a wrong
+    * shape for long-doc corpora. Map-side partial combine collapses
+    * repeated (doc, tok) pairs before the one shuffle, so shuffle
+    * volume equals the distinct-postings size the old form carried.
+    * dl is functionally dependent on doc_id; grouping by it adds no
+    * cardinality and keeps it without a second pass.
+    */
+  private def bm25Post(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("tok"))
@@ -175,9 +179,16 @@ object Pipeline {
       .agg(count(lit(1)).as("tf"))
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
       .persistTracked() // read 3×: df dim, query terms, candidate probe
-    val scal = docs(s, dir)
+
+  /** The one-row corpus scalar (n_docs, a_toks). */
+  private def bm25Scal(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks)).cast("long").as("a_toks"))
+
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val post = bm25Post(s, dir)
+    val scal = bm25Scal(s, dir)
     val dfdim = post.groupBy("tok").agg(count(lit(1)).as("df"))
     val qdim = post.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("q_id"), col("tok"))
@@ -215,6 +226,20 @@ object Pipeline {
       .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms"))
   }
 
+  /** The exact-integer BM25 per-term contribution in DuckDB HUGEINT —
+    * bit-identical to the Bm25Contrib kernel; factored so the full
+    * scorer ([[bm25Cte]]'s cand) and the impact-prefix index
+    * ([[bm25PrefixCte]]'s imp) can never drift. Expects `s.a_toks` /
+    * `s.n_docs` in scope.
+    */
+  private def bm25ContribDuck(idf6: String, tf: String,
+      dl: String): String = s"""
+                 CAST((CAST($idf6 AS HUGEINT) * 22 * $tf * s.a_toks
+                   + (10::HUGEINT * $tf * s.a_toks + 3::HUGEINT * s.a_toks
+                      + 9::HUGEINT * $dl * s.n_docs) // 2)
+                   // (10::HUGEINT * $tf * s.a_toks + 3::HUGEINT * s.a_toks
+                      + 9::HUGEINT * $dl * s.n_docs) AS BIGINT)"""
+
   /** The matching DuckDB CTE chain, ending in
     * sc(query_id, doc_id, score6, n_terms). */
   private def bm25Cte: String = s"""
@@ -231,17 +256,212 @@ object Pipeline {
                FROM post p JOIN dfdim f USING (tok), scal s
                WHERE p.doc_id % 100 = 0),
       cand AS (SELECT q.q_id AS query_id, p.doc_id,
-                 CAST((CAST(q.idf6 AS HUGEINT) * 22 * p.tf * s.a_toks
-                   + (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
-                      + 9::HUGEINT * p.dl * s.n_docs) // 2)
-                   // (10::HUGEINT * p.tf * s.a_toks + 3::HUGEINT * s.a_toks
-                      + 9::HUGEINT * p.dl * s.n_docs) AS BIGINT) AS c6
+${bm25ContribDuck("q.idf6", "p.tf", "p.dl")} AS c6
                FROM post p JOIN qdim q USING (tok), scal s
                WHERE p.doc_id <> q.q_id),
       sc AS (SELECT query_id, doc_id,
                CAST(sum(c6) AS BIGINT) AS score6,
                count(*) AS n_terms
              FROM cand GROUP BY 1, 2)"""
+
+  /** p99's impact-ordered posting-prefix scorer — the PRUNED lexical
+    * twin of [[bm25Scores]] (the JASS/WAND index family): per TERM,
+    * only the top-`b` postings by exact integer BM25 contribution
+    * ("impact"; idf is a per-term constant, so impact order is the
+    * tf/length-normalized order) generate candidates, bounding the
+    * lexical arm at |terms| x b rows however large the corpus — where
+    * the full scorer's candidate volume is the corpus posting count.
+    * Scores are exact integer sums over the prefix (the standard
+    * impact-prefix approximation of full BM25 ranking). The rank
+    * limit is a WindowGroupLimit pushdown, and the prefix is an
+    * index-build-time artifact at 100 TB, not a per-query pass.
+    */
+  private def bm25PrefixScores(s: SparkSession, dir: String,
+      b: Int): DataFrame = {
+    val post = bm25Post(s, dir)
+    val scal = bm25Scal(s, dir)
+    val dfdim = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wI = Window.partitionBy("tok")
+      .orderBy(col("c6").desc, col("doc_id"))
+    val prefix = post.join(dfdim, "tok")
+      .crossJoin(broadcast(scal))
+      .withColumn("idf6", expr("cast(round(ln((n_docs + 1.0D) / " +
+        "(df + 0.5D)) * 1e6) as bigint)"))
+      .withColumn("c6", graft.functions.SeriesKernelFunctions.bm25_contrib(
+        col("idf6"), col("tf"), col("dl"), col("a_toks"), col("n_docs")))
+      .withColumn("pr", row_number().over(wI))
+      .filter(col("pr") <= b)
+      .select(col("doc_id"), col("tok"), col("c6"))
+    val qterms = post.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    prefix.join(qterms, "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id").as("query_id"), col("doc_id"))
+      .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms"))
+  }
+
+  /** [[bm25PrefixScores]]'s DuckDB twin: extends [[bm25Cte]]'s shared
+    * prefix (d/post/scal/dfdim) and ends in
+    * psc(query_id, doc_id, score6, n_terms). */
+  private def bm25PrefixCte(b: Int): String = s"""$bm25Cte,
+      imp AS (SELECT pp.doc_id, pp.tok,
+${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
+              FROM (SELECT p.doc_id, p.tok, p.tf, p.dl,
+                      CAST(round(ln((s0.n_docs + 1.0) /
+                        (f.df + 0.5)) * 1e6) AS BIGINT) AS idf6
+                    FROM post p JOIN dfdim f USING (tok), scal s0) pp,
+                   scal s),
+      pref AS (SELECT doc_id, tok, c6 FROM (
+                 SELECT *, row_number() OVER (PARTITION BY tok
+                   ORDER BY c6 DESC, doc_id) AS pr FROM imp)
+               WHERE pr <= $b),
+      qt AS (SELECT doc_id AS q_id, tok FROM post WHERE doc_id % 100 = 0),
+      psc AS (SELECT q.q_id AS query_id, p.doc_id,
+                CAST(sum(p.c6) AS BIGINT) AS score6,
+                count(*) AS n_terms
+              FROM pref p JOIN qt q USING (tok)
+              WHERE p.doc_id <> q.q_id GROUP BY 1, 2)"""
+
+  /** p63's IVF-PQ approximate top-k serving plan, parameterized by the
+    * query set (vec_id % qMod = 0) and k — shared by p63 (qMod = 50,
+    * the declared ANN entry) and p99 (qMod = 100, aligned with the
+    * BM25 query set) so the scale-path pairing p07→p15 / p59→p63 /
+    * p58·p60→p99 is CODE, not a comment, and the arms cannot drift.
+    * Returns (query_id, neighbor_id, adot12, approx_dot, rk <= k).
+    * See p63's entry comment for the exactness and scale analysis.
+    */
+  private def ivfPqTopK(s: SparkSession, dir: String, qMod: Long,
+      k: Int): DataFrame = {
+    val e6 = embs(s, dir).select(col("vec_id"),
+      expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
+        .as("v6"))
+    val coarse = ivfSeedCents(e6, "v6", cid = "ccid", ci = "c6")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("ccid"))
+    // persisted: read 3× (corpus residual subs, PQ seed codebook,
+    // query probe list)
+    val probed = e6.join(broadcast(coarse))
+      .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("v6"), col("c6")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= 2)
+      .withColumn("qcdot12", graft.functions.SeriesKernelFunctions.int_dot(col("v6"), col("c6")))
+      .withColumn("res", expr("zip_with(v6, c6, (x, y) -> x - y)"))
+      .select(col("vec_id"), col("ccid").as("cell"), col("crk"),
+        col("qcdot12"), col("res"))
+      .persistTracked()
+    val rsubs = probed.filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell"),
+        posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(res, m * $PqSub + 1, $PqSub))"))
+          .as(Seq("m", "sub")))
+      .select(col("vec_id"), col("cell"),
+        col("m").cast("long").as("m"), col("sub"))
+    val pqc = rsubs
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < PqSeedBound)
+      .select(col("vec_id").as("cid"), col("m").as("cm"),
+        col("sub").as("csub"))
+    val codes = rsubs.join(broadcast(pqc), col("m") === col("cm"))
+      .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("sub"), col("csub")))
+      .groupBy("vec_id", "cell", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        col("best.cid").as("code"))
+    val qsubs = e6.filter(col("vec_id") % qMod === 0)
+      .select(col("vec_id").as("query_id"),
+        posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(v6, m * $PqSub + 1, $PqSub))"))
+          .as(Seq("m", "qsub")))
+      .select(col("query_id"), col("m").cast("long").as("lm"),
+        col("qsub"))
+    val lut = qsubs.join(broadcast(pqc), col("lm") === col("cm"))
+      .select(col("query_id").as("lq"), col("lm"), col("cid"),
+        graft.functions.SeriesKernelFunctions.int_dot(col("qsub"), col("csub")).as("ldot12"))
+      // persisted for exact STATS (p59's discipline): map-side
+      // subtree → no AQE runtime size → the unhinted LUT join would
+      // sort-merge the candidate side; cached stats restore the
+      // broadcast while keeping the no-hard-hint OOM safety.
+      .persistTracked()
+    val qprobe = probed.filter(col("vec_id") % qMod === 0)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("qcdot12"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("adot12").desc, col("neighbor_id"))
+    // qprobe and lut are UNHINTED (r13): both scale with the query
+    // set, which is a corpus fraction here — hard broadcasts grow
+    // with the corpus (p28 class). AQE broadcasts them at bounded
+    // query-batch sizes; the centroid/codebook hints stay (fixed k).
+    codes.join(qprobe, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(lut, col("query_id") === col("lq") &&
+        col("m") === col("lm") && col("code") === col("cid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg((min(col("qcdot12")) + sum(col("ldot12"))).as("adot12"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adot12"),
+        (col("adot12") / 1e12).as("approx_dot"), col("rk"))
+  }
+
+  /** [[ivfPqTopK]]'s DuckDB twin as a CTE chain ending in
+    * annsc(query_id, neighbor_id, adot12) — UNRANKED, so each
+    * consumer applies its own k (p63 ranks to 5, p99 to 10). Shares
+    * every stage with the Spark plan by construction: seeded
+    * centroids, exact integer distances, deterministic tie-breaks.
+    */
+  private def ivfPqOracleCtes(qMod: Long): String = s"""
+      e AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(round(x * 1e6) AS BIGINT)) AS v6
+                 FROM embeddings),
+      coarse AS (SELECT cid AS ccid, ci AS c6
+                 FROM (${ivfSeedDuck("e", "v6")})),
+      asg AS (SELECT e.vec_id, c.ccid, e.v6, c.c6,
+                CAST(list_sum(list_transform(range(1, len(e.v6) + 1),
+                  i -> (e.v6[i] - c.c6[i]) * (e.v6[i] - c.c6[i])))
+                  AS BIGINT) AS d2,
+                CAST(list_sum(list_transform(range(1, len(e.v6) + 1),
+                  i -> e.v6[i] * c.c6[i])) AS BIGINT) AS qcdot12
+              FROM e, coarse c),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, ccid) AS crk FROM asg),
+      probed AS (SELECT vec_id, ccid AS cell, crk, qcdot12,
+                   list_transform(range(1, len(v6) + 1),
+                     i -> v6[i] - c6[i]) AS res
+                 FROM ranked WHERE crk <= 2),
+      rsubs AS (SELECT vec_id, cell, CAST(m AS BIGINT) AS m,
+                  res[m * $PqSub + 1 : m * $PqSub + $PqSub] AS sub
+                FROM probed, UNNEST(range(0, $PqM)) t(m)
+                WHERE crk = 1),
+      pqc AS (SELECT vec_id AS cid, m, sub AS csub FROM rsubs
+              WHERE vec_id % 31 = 0 AND vec_id < $PqSeedBound),
+      codes AS (SELECT vec_id, cell, m, cid AS code FROM (
+                  SELECT r.vec_id, r.cell, r.m, c.cid,
+                         row_number() OVER (PARTITION BY r.vec_id, r.m
+                           ORDER BY CAST(list_sum(list_transform(
+                             range(1, $PqSub + 1), j ->
+                               (r.sub[j] - c.csub[j])
+                               * (r.sub[j] - c.csub[j]))) AS BIGINT),
+                             c.cid) AS rn
+                  FROM rsubs r JOIN pqc c USING (m))
+                WHERE rn = 1),
+      qsubs AS (SELECT vec_id AS query_id, CAST(m AS BIGINT) AS m,
+                  v6[m * $PqSub + 1 : m * $PqSub + $PqSub] AS qsub
+                FROM e, UNNEST(range(0, $PqM)) t(m)
+                WHERE vec_id % $qMod = 0),
+      lut AS (SELECT q.query_id, q.m, c.cid,
+                CAST(list_sum(list_transform(range(1, $PqSub + 1),
+                  j -> q.qsub[j] * c.csub[j])) AS BIGINT) AS ldot12
+              FROM qsubs q JOIN pqc c USING (m)),
+      qprobe AS (SELECT vec_id AS query_id, cell, qcdot12 FROM probed
+                 WHERE vec_id % $qMod = 0),
+      annsc AS (SELECT p.query_id, co.vec_id AS neighbor_id,
+               CAST(min(p.qcdot12) + sum(l.ldot12) AS BIGINT) AS adot12
+             FROM codes co
+             JOIN qprobe p ON co.cell = p.cell
+             JOIN lut l ON l.query_id = p.query_id AND l.m = co.m
+               AND l.cid = co.code
+             WHERE co.vec_id <> p.query_id
+             GROUP BY 1, 2)"""
 
   /** The p36 winnowing selection as a DuckDB CTE chain ending in
     * sel(doc_id, i, k) — shared by the p36 oracle (which decodes
@@ -3574,134 +3794,14 @@ object Pipeline {
     // the code table on its cell key against the tiny probe list,
     // with the LUT broadcast — the only corpus-wide shuffle is the
     // (query, neighbor) score aggregate over probed-cell candidates.
-    Entry("p63_sim_ivfpq", (s, dir) => {
-      val e6 = embs(s, dir).select(col("vec_id"),
-        expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
-          .as("v6"))
-      val coarse = ivfSeedCents(e6, "v6", cid = "ccid", ci = "c6")
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("d2"), col("ccid"))
-      // persisted: read 3× (corpus residual subs, PQ seed codebook,
-      // query probe list)
-      val probed = e6.join(broadcast(coarse))
-        .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("v6"), col("c6")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") <= 2)
-        .withColumn("qcdot12", graft.functions.SeriesKernelFunctions.int_dot(col("v6"), col("c6")))
-        .withColumn("res", expr("zip_with(v6, c6, (x, y) -> x - y)"))
-        .select(col("vec_id"), col("ccid").as("cell"), col("crk"),
-          col("qcdot12"), col("res"))
-        .persistTracked()
-      val rsubs = probed.filter(col("crk") === 1)
-        .select(col("vec_id"), col("cell"),
-          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
-            s"m -> slice(res, m * $PqSub + 1, $PqSub))"))
-            .as(Seq("m", "sub")))
-        .select(col("vec_id"), col("cell"),
-          col("m").cast("long").as("m"), col("sub"))
-      val pqc = rsubs
-        .filter(col("vec_id") % 31 === 0 && col("vec_id") < PqSeedBound)
-        .select(col("vec_id").as("cid"), col("m").as("cm"),
-          col("sub").as("csub"))
-      val codes = rsubs.join(broadcast(pqc), col("m") === col("cm"))
-        .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("sub"), col("csub")))
-        .groupBy("vec_id", "cell", "m")
-        .agg(min(struct(col("d2"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("cell"), col("m"),
-          col("best.cid").as("code"))
-      val qsubs = e6.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"),
-          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
-            s"m -> slice(v6, m * $PqSub + 1, $PqSub))"))
-            .as(Seq("m", "qsub")))
-        .select(col("query_id"), col("m").cast("long").as("lm"),
-          col("qsub"))
-      val lut = qsubs.join(broadcast(pqc), col("lm") === col("cm"))
-        .select(col("query_id").as("lq"), col("lm"), col("cid"),
-          graft.functions.SeriesKernelFunctions.int_dot(col("qsub"), col("csub")).as("ldot12"))
-        // persisted for exact STATS (p59's discipline): map-side
-        // subtree → no AQE runtime size → the unhinted LUT join would
-        // sort-merge the candidate side; cached stats restore the
-        // broadcast while keeping the no-hard-hint OOM safety.
-        .persistTracked()
-      val qprobe = probed.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("cell"),
-          col("qcdot12"))
-      val wTop = Window.partitionBy("query_id")
-        .orderBy(col("adot12").desc, col("neighbor_id"))
-      // qprobe and lut are UNHINTED (r13): both scale with the query
-      // set, which is a corpus fraction here — hard broadcasts grow
-      // with the corpus (p28 class). AQE broadcasts them at bounded
-      // query-batch sizes; the centroid/codebook hints stay (fixed k).
-      codes.join(qprobe, "cell")
-        .filter(col("vec_id") =!= col("query_id"))
-        .join(lut, col("query_id") === col("lq") &&
-          col("m") === col("lm") && col("code") === col("cid"))
-        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-        .agg((min(col("qcdot12")) + sum(col("ldot12"))).as("adot12"))
-        .withColumn("rk", row_number().over(wTop).cast("long"))
-        .filter(col("rk") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("adot12"),
-          (col("adot12") / 1e12).as("approx_dot"), col("rk"))
-    }, Some(s"""
-      WITH e AS (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[],
-                     x -> CAST(round(x * 1e6) AS BIGINT)) AS v6
-                 FROM embeddings),
-      coarse AS (SELECT cid AS ccid, ci AS c6
-                 FROM (${ivfSeedDuck("e", "v6")})),
-      asg AS (SELECT e.vec_id, c.ccid, e.v6, c.c6,
-                CAST(list_sum(list_transform(range(1, len(e.v6) + 1),
-                  i -> (e.v6[i] - c.c6[i]) * (e.v6[i] - c.c6[i])))
-                  AS BIGINT) AS d2,
-                CAST(list_sum(list_transform(range(1, len(e.v6) + 1),
-                  i -> e.v6[i] * c.c6[i])) AS BIGINT) AS qcdot12
-              FROM e, coarse c),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY d2, ccid) AS crk FROM asg),
-      probed AS (SELECT vec_id, ccid AS cell, crk, qcdot12,
-                   list_transform(range(1, len(v6) + 1),
-                     i -> v6[i] - c6[i]) AS res
-                 FROM ranked WHERE crk <= 2),
-      rsubs AS (SELECT vec_id, cell, CAST(m AS BIGINT) AS m,
-                  res[m * $PqSub + 1 : m * $PqSub + $PqSub] AS sub
-                FROM probed, UNNEST(range(0, $PqM)) t(m)
-                WHERE crk = 1),
-      pqc AS (SELECT vec_id AS cid, m, sub AS csub FROM rsubs
-              WHERE vec_id % 31 = 0 AND vec_id < $PqSeedBound),
-      codes AS (SELECT vec_id, cell, m, cid AS code FROM (
-                  SELECT r.vec_id, r.cell, r.m, c.cid,
-                         row_number() OVER (PARTITION BY r.vec_id, r.m
-                           ORDER BY CAST(list_sum(list_transform(
-                             range(1, $PqSub + 1), j ->
-                               (r.sub[j] - c.csub[j])
-                               * (r.sub[j] - c.csub[j]))) AS BIGINT),
-                             c.cid) AS rn
-                  FROM rsubs r JOIN pqc c USING (m))
-                WHERE rn = 1),
-      qsubs AS (SELECT vec_id AS query_id, CAST(m AS BIGINT) AS m,
-                  v6[m * $PqSub + 1 : m * $PqSub + $PqSub] AS qsub
-                FROM e, UNNEST(range(0, $PqM)) t(m)
-                WHERE vec_id % 50 = 0),
-      lut AS (SELECT q.query_id, q.m, c.cid,
-                CAST(list_sum(list_transform(range(1, $PqSub + 1),
-                  j -> q.qsub[j] * c.csub[j])) AS BIGINT) AS ldot12
-              FROM qsubs q JOIN pqc c USING (m)),
-      qprobe AS (SELECT vec_id AS query_id, cell, qcdot12 FROM probed
-                 WHERE vec_id % 50 = 0),
-      sc AS (SELECT p.query_id, co.vec_id AS neighbor_id,
-               CAST(min(p.qcdot12) + sum(l.ldot12) AS BIGINT) AS adot12
-             FROM codes co
-             JOIN qprobe p ON co.cell = p.cell
-             JOIN lut l ON l.query_id = p.query_id AND l.m = co.m
-               AND l.cid = co.code
-             WHERE co.vec_id <> p.query_id
-             GROUP BY 1, 2)
+    Entry("p63_sim_ivfpq", (s, dir) => ivfPqTopK(s, dir, qMod = 50, k = 5),
+      Some(s"""
+      WITH ${ivfPqOracleCtes(50)}
       SELECT query_id, neighbor_id, adot12, adot12 / 1e12 AS approx_dot,
              rk
       FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY adot12 DESC, neighbor_id) AS BIGINT) AS rk
-            FROM sc) WHERE rk <= 5"""), bench = true),
+            FROM annsc) WHERE rk <= 5"""), bench = true),
 
     // ---- p64: PII scrub — the redaction pass every training-data
     // pipeline runs before anything else: detect + replace emails,
@@ -3799,7 +3899,7 @@ object Pipeline {
     dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
     splitEmbParityEntry, mmNearDupEntry, epochScheduleEntry,
     dupLossMaskEntry, packEfficiencyEntry, lshCapAuditEntry,
-    winnowContainmentEntry)
+    winnowContainmentEntry, hybridRrfAnnEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -6576,4 +6676,73 @@ object Pipeline {
       FROM pairs p JOIN cnt ca ON p.doc_a = ca.doc_id
                    JOIN cnt cb ON p.doc_b = cb.doc_id
       WHERE round(p.common / least(ca.n, cb.n), 6) >= 0.5"""))
+
+  /** Impact-prefix length for p99's lexical arm: per term, the top-B
+    * postings by exact BM25 contribution generate candidates. lazy:
+    * referenced from `entries`, which initializes first.
+    */
+  private[graft] lazy val P99ImpactB = 128
+
+  /** p99: hybrid RRF retrieval over the SCALE-PATH arms — the
+    * production twin that completes the declared-baseline pairings
+    * (p07 brute -> p15 IVF, p59 brute-PQ -> p63 IVF-PQ, and now
+    * p58/p60's brute arms -> THIS): the lexical arm is the
+    * impact-ordered posting prefix ([[bm25PrefixScores]], top
+    * [[P99ImpactB]] postings per term — no corpus-sized candidate
+    * join on head terms), the dense arm is p63's IVF-PQ serving plan
+    * ([[ivfPqTopK]], qMod = 100 so the query set is the SAME
+    * doc_id % 100 sample the lexical arm scores), and the fusion is
+    * p60's exact integer RRF (1e6 // (60 + rank), full outer on the
+    * two top-10 lists, final top-5 with total-order tie-breaks).
+    * Shape at 100 TB: no corpus-sized all-pairs anywhere — lexical
+    * candidates are bounded at |terms| x B, dense candidates by IVF
+    * cells x PQ codes; both arms' per-query top-k are
+    * WindowGroupLimit-pushed rank limits.
+    */
+  private[queries] def hybridRrfAnnEntry: Entry =
+    Entry("p99_hybrid_rrf_ann", (s, dir) => {
+      val wl = Window.partitionBy("query_id")
+        .orderBy(col("score6").desc, col("doc_id"))
+      val lex = bm25PrefixScores(s, dir, P99ImpactB)
+        .withColumn("rl", row_number().over(wl).cast("long"))
+        .filter(col("rl") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rl"))
+      val dense = ivfPqTopK(s, dir, qMod = 100, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rk").as("rd"))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("rrf6").desc, col("doc_id"))
+      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf6",
+          expr("coalesce(1000000 div (60 + rl), 0L) + " +
+            "coalesce(1000000 div (60 + rd), 0L)"))
+        .withColumn("rk", row_number().over(wf).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("doc_id"),
+          col("rl").isNotNull.as("in_lexical"),
+          col("rd").isNotNull.as("in_dense"),
+          (col("rrf6") / 1e6).as("rrf"), col("rk"))
+    }, Some(s"""
+      WITH ${bm25PrefixCte(P99ImpactB)},
+      ${ivfPqOracleCtes(100)},
+      lex AS (SELECT query_id, doc_id, rl FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY score6 DESC, doc_id) AS BIGINT) AS rl
+                FROM psc) WHERE rl <= 10),
+      den AS (SELECT query_id, neighbor_id AS doc_id, rk AS rd FROM (
+                SELECT query_id, neighbor_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY adot12 DESC, neighbor_id) AS BIGINT)
+                         AS rk
+                FROM annsc) WHERE rk <= 10),
+      fused AS (SELECT query_id, doc_id, rl, rd,
+                  coalesce(1000000 // (60 + rl), 0) +
+                  coalesce(1000000 // (60 + rd), 0) AS rrf6
+                FROM lex FULL JOIN den USING (query_id, doc_id))
+      SELECT query_id, doc_id, rl IS NOT NULL AS in_lexical,
+             rd IS NOT NULL AS in_dense, rrf6 / 1e6 AS rrf, rk
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rk
+            FROM fused) WHERE rk <= 5"""), bench = true)
 }
