@@ -57,9 +57,12 @@ object PlanAudit {
 
   /** Every CodegenFallback expression sitting in a PER-CANDIDATE
     * position reachable from `df`: a join condition, or a projection /
-    * filter over a join's output (through any stack of
-    * cardinality-preserving Project/Filter nodes — r13 widened the
-    * census from directly-over-join). The r11 codegen policy is
+    * filter / aggregate-argument / window-argument over a join's
+    * output (through any stack of cardinality-preserving
+    * Project/Filter nodes — r13 widened the census from
+    * directly-over-join, then to agg/window argument lists, which
+    * evaluate once per input row = once per candidate). The r11
+    * codegen policy is
     * fallback-is-fine for heavy per-ROW kernels but wrong per
     * CANDIDATE — the fallback materializes an InternalRow per call,
     * which on p06's pair scorer measured ~4× the kernel arithmetic.
@@ -71,7 +74,7 @@ object PlanAudit {
     * allowlist, mirroring the loop-join/broadcast-hint gates.
     */
   def fallbackPerCandidate(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin, LogicalPlan, Project => LProject}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Filter => LFilter, Join => LJoin, LogicalPlan, Project => LProject}
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     // semi/anti joins emit at most one row per probe row — a
     // projection over them is per-ROW (the p54/p87 semi-join prune
@@ -79,9 +82,11 @@ object PlanAudit {
     // both are cardinality-bounded by their child, so a fallback in a
     // Project-over-Project-over-join still evaluates once per join
     // candidate (ADVICE r12 — the single-Project scope missed the
-    // stacked shape). Remaining scope limit: fallbacks inside
-    // AGGREGATE or WINDOW argument lists directly over a join are not
-    // collected here — the consuming gate's failure message states it.
+    // stacked shape). Aggregate and Window ARGUMENT lists over a join
+    // are collected too (r13 — they evaluate once per input row =
+    // once per join candidate); the aggregates'/windows' OUTPUT side
+    // is cardinality-reduced, so nodes ABOVE them are per-row again
+    // and isJoinish does not recurse through them.
     def isJoinish(p: LogicalPlan): Boolean = p match {
       case j: LJoin => j.joinType != LeftSemi && j.joinType != LeftAnti
       case f: LFilter => isJoinish(f.child)
@@ -96,6 +101,12 @@ object PlanAudit {
         p.projectList.flatMap(fb(_, "projection-over-join"))
       case f: LFilter if isJoinish(f.child) =>
         fb(f.condition, "filter-over-join")
+      case a: LAggregate if isJoinish(a.child) =>
+        (a.groupingExpressions ++ a.aggregateExpressions)
+          .flatMap(fb(_, "aggregate-args-over-join"))
+      case w: LWindow if isJoinish(w.child) =>
+        (w.windowExpressions ++ w.partitionSpec ++ w.orderSpec)
+          .flatMap(fb(_, "window-args-over-join"))
     }.flatten
     val cached = lp.collect { case im: InMemoryRelation => im.cachedPlan }
     logical ++ cached.flatMap(physFallbacks)
@@ -104,14 +115,22 @@ object PlanAudit {
   /** The shared fallback collector: lambda scaffolding
     * (NamedLambdaVariable / LambdaFunction) is structural — the
     * evaluated node is the containing HOF, which is collected itself.
+    * Aggregate FUNCTIONS (CollectList/CollectSet/...) are excluded:
+    * imperative aggregates always run outside codegen by design and
+    * have no doGenCode alternative, so they are not the
+    * InternalRow-per-call failure mode this census polices — their
+    * scalar ARGUMENT trees are still walked, so a fallback kernel
+    * inside sum(kernel(x)) over a join is flagged.
     */
   private def fb(e: org.apache.spark.sql.catalyst.expressions.Expression,
       where: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, NamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     e.collect {
       case f: CodegenFallback if !f.isInstanceOf[NamedLambdaVariable] &&
-        !f.isInstanceOf[LambdaFunction] => s"$where: ${f.nodeName}"
+        !f.isInstanceOf[LambdaFunction] &&
+        !f.isInstanceOf[AggregateFunction] => s"$where: ${f.nodeName}"
     }
   }
 
@@ -152,6 +171,15 @@ object PlanAudit {
       case f: FilterExec if isJoinish(f.child) =>
         fb(f.condition, "filter-over-join") ++
           f.children.flatMap(physFallbacks)
+      case ag: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if isJoinish(ag.child) =>
+        (ag.groupingExpressions ++ ag.aggregateExpressions)
+          .flatMap(fb(_, "aggregate-args-over-join")) ++
+          ag.children.flatMap(physFallbacks)
+      case w: WindowExec if isJoinish(w.child) =>
+        (w.windowExpression ++ w.partitionSpec ++ w.orderSpec)
+          .flatMap(fb(_, "window-args-over-join")) ++
+          w.children.flatMap(physFallbacks)
       case other => other.children.flatMap(physFallbacks)
     }
   }

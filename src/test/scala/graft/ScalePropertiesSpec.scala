@@ -650,6 +650,23 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"partials must combine map-side:\n$pl")
   }
 
+  test("p99: every rank boundary is a pushed WindowGroupLimit — the " +
+    "impact prefix (per-term top-B), both arms' top-10, and the fused " +
+    "top-5; no corpus-sized sort-merge join (AQE-sized at runtime; " +
+    "the query-derived frames are unhinted)") {
+    val pl = runtimePlan("p99_hybrid_rrf_ann")
+    assert(countOf(pl, "WindowGroupLimit") >= 4,
+      s"prefix/lex/dense/fusion rank limits must all push down:\n$pl")
+    // the only joins allowed to sort-merge are the per-query-bounded
+    // fusion inputs (<=10 rows per query per arm) — never a frame
+    // keyed on the corpus doc side
+    val smjLines = pl.linesIterator
+      .filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.forall(_.contains("query_id")),
+      s"only query-keyed (per-query-bounded) frames may sort-merge:\n" +
+        smjLines.mkString("\n"))
+  }
+
   test("p60: both retrieval lists are WindowGroupLimit-bounded before " +
     "the fusion join") {
     val pl = plan("p60_hybrid_rrf")
@@ -1225,10 +1242,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty,
       "CodegenFallback in a per-candidate position (give the kernel " +
         "doGenCode or document the bound here). Census scope: join " +
-        "conditions plus projections/filters over a join through any " +
-        "Project/Filter stack; fallbacks inside AGGREGATE or WINDOW " +
-        "argument lists over a join are NOT collected — audit those " +
-        "by hand when adding one:\n" +
+        "conditions, plus projections/filters/aggregate-arguments/" +
+        "window-arguments over a join through any Project/Filter " +
+        "stack:\n" +
         offenders.mkString("\n"))
   }
 
@@ -1273,6 +1289,22 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
         crossed.filter("id >= 0")).nonEmpty,
         "cached fallback over a cartesian join must be detected")
     } finally crossed.unpersist()
+    // r13 widened scope: a fallback SCALAR kernel inside an aggregate
+    // argument over a join evaluates once per candidate and must flag…
+    val aggBad = l.join(r, col("id") === col("rid"))
+      .groupBy("id")
+      .agg(sum(SeriesKernelFunctions.cusum_max_abs(col("brr"))).as("s"))
+    assert(PlanAudit.fallbackPerCandidate(aggBad)
+      .exists(_.startsWith("aggregate-args-over-join")),
+      "fallback kernel inside an aggregate argument over a join " +
+        "must be detected")
+    // …while an imperative aggregate FUNCTION (no doGenCode exists for
+    // collect_list) is not the per-call-InternalRow failure mode and
+    // must NOT flag
+    val aggOk = l.join(r, col("id") === col("rid"))
+      .groupBy("id").agg(collect_list(col("rid")).as("xs"))
+    assert(PlanAudit.fallbackPerCandidate(aggOk).isEmpty,
+      "imperative aggregate functions are not census targets")
   }
 
   test("broadcast-hint census is not vacuous: a deliberate hint IS " +
