@@ -603,6 +603,23 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       s"per-query top-5 must push the rank limit down:\n$pl")
   }
 
+  test("p58: the candidate-probe join BUILDS on the query dim, never " +
+    "on the posting table — the r13 build-side lesson (without " +
+    "qdim's exact cached stats the planner broadcast the full " +
+    "POSTING table, measured ~1.6x)") {
+    val pl = runtimePlan("p58_bm25_topk")
+    // the candidate join is the BHJ on tok carrying the doc != query
+    // residual condition; right side is qdim, so BuildRight is the
+    // bounded-side build
+    val cand = pl.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin [tok") && l.contains("NOT (doc_id"))
+      .toSeq
+    assert(cand.nonEmpty, s"candidate-probe join not found:\n$pl")
+    assert(cand.forall(_.contains("BuildRight")),
+      s"candidate join must build on the query dim (BuildRight), not " +
+        s"the posting table:\n${cand.mkString("\n")}")
+  }
+
   test("q45: MERGE never shuffles the target — both passes are " +
     "broadcast joins against the delta side (AQE-sized at runtime; " +
     "the delta is unhinted)") {
