@@ -20,6 +20,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     text.replaceAll("^ +| +$", "").replaceAll("\\s+", " ")
       .toLowerCase.split(" ", -1)
 
+  test("composed pipeline == standalone: priming sharedLshPairs and " +
+    "running consumers over its warm caches changes execution only, " +
+    "never results (the graft.CurationPipeline identity claim). No " +
+    "cache release here — EntryCaches is process-global and parallel " +
+    "suites' plan pins depend on it; result equality across cache " +
+    "states is exactly what this pins") {
+    def sortedRows(name: String): Seq[String] =
+      run(name).collect().map(_.toString).sorted.toSeq
+    val before = Map(
+      "p23_dedup_clusters" -> sortedRows("p23_dedup_clusters"),
+      "p87_longest_common_run" -> sortedRows("p87_longest_common_run"))
+    val pairs = Pipeline.sharedLshPairs(spark, sfDir)
+    assert(pairs.count() > 0, "shared pair list must be non-empty")
+    for ((name, want) <- before) {
+      val got = sortedRows(name)
+      assert(got === want, s"$name diverged under the composed run")
+    }
+  }
+
   test("minhash-LSH finds the high-Jaccard pairs and estimates well") {
     val exact = run("p03_dedup_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
