@@ -3899,7 +3899,7 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
     splitEmbParityEntry, mmNearDupEntry, epochScheduleEntry,
     dupLossMaskEntry, packEfficiencyEntry, lshCapAuditEntry,
-    winnowContainmentEntry, hybridRrfAnnEntry)
+    winnowContainmentEntry, hybridRrfAnnEntry, ivfPqRecallEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -6745,4 +6745,75 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
       FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rk
             FROM fused) WHERE rk <= 5"""), bench = true)
+
+  /** p100: recall@5 of the SHIPPED IVF-PQ serving path against the
+    * exact integer-dot top-5 — the standing quality monitor every ANN
+    * deployment runs next to its latency bench (p69 measures p15's
+    * IVF recall; this measures the p63 path p99 serves from). Both
+    * arms run on the SAME micro-fixed vectors and the SAME query set
+    * (vec_id % 50), and the ANN arm is the p63 builder itself
+    * ([[ivfPqTopK]], qMod 50, k 5 — the p69/p70 no-shadow-pipeline
+    * pattern), so the metric can never drift from what p63 actually
+    * serves. The exact arm is the p07-class DECLARED brute baseline:
+    * evaluation-time machinery (query set x corpus scan), not a
+    * serving plan — recall audits at 100 TB run it over a sampled
+    * query panel exactly like this fixed-fraction one. Recall is the
+    * exact HALF_UP micro-division idiom. Measured values on THIS
+    * corpus are low by construction (sf0.1: p63 ~0.06 vs p15's ~0.28
+    * under p69): the synthetic embeddings are near-isotropic, and
+    * IVF probing + M=4 product quantization presume cluster
+    * structure that random vectors do not have — the entry's value
+    * is the MEASUREMENT (oracle-pinned end to end), which is exactly
+    * what flags an under-provisioned ANN config in production.
+    */
+  private[queries] def ivfPqRecallEntry: Entry =
+    Entry("p100_ivfpq_recall", (s, dir) => {
+      val e6 = embs(s, dir).select(col("vec_id"),
+        expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
+          .as("v6"))
+      val q = e6.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v6").as("q6"))
+      val wE = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      val exact = q.join(
+          e6.select(col("vec_id").as("neighbor_id"), col("v6")),
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot", graft.functions.SeriesKernelFunctions
+          .int_dot(col("q6"), col("v6")))
+        .withColumn("rk", row_number().over(wE))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = ivfPqTopK(s, dir, qMod = 50, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_exact"), col("n_hits"),
+          (expr("cast((n_hits * 1000000L + n_exact div 2) div n_exact " +
+            "as bigint)") / lit(1e6)).as("recall"))
+    }, Some(s"""
+      WITH ${ivfPqOracleCtes(50)},
+      exd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                CAST(list_sum(list_transform(range(1, len(a.v6) + 1),
+                  i -> a.v6[i] * b.v6[i])) AS BIGINT) AS dot
+              FROM e a JOIN e b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id % 50 = 0),
+      ext AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY dot DESC, neighbor_id) AS rk FROM exd)
+              WHERE rk <= 5),
+      annt AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adot12 DESC, neighbor_id) AS BIGINT) AS rk
+                 FROM annsc) WHERE rk <= 5),
+      m AS (SELECT ex.query_id, count(*) AS n_exact,
+              CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM ext ex LEFT JOIN annt a USING (query_id, neighbor_id)
+            GROUP BY 1)
+      SELECT query_id, CAST(n_exact AS BIGINT) AS n_exact, n_hits,
+             CAST((n_hits * 1000000 + n_exact // 2) // n_exact
+               AS BIGINT) / 1e6 AS recall
+      FROM m"""))
 }

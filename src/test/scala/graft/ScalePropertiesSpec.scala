@@ -1004,6 +1004,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "p77_source_overlap_kmv" -> 2, "p78_hard_negatives" -> 2,
     // p99: the impact-prefix scal cross (1) + p63's IVF-PQ crosses (4)
     "p99_hybrid_rrf_ann" -> 5,
+    // p100: p63's IVF-PQ crosses (4) + the DECLARED brute exact arm
+    // (the p07-class evaluation baseline)
+    "p100_ivfpq_recall" -> 5,
     "p81_contam_semantic" -> 2, "p83_source_divergence" -> 1,
     "p84_split_parity" -> 1, "p86_vocab_growth" -> 2)
 
@@ -1180,7 +1183,9 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "p94_epoch_schedule" -> (3, "per-source weights x2 + <=1024 bucket base"),
     "p96_pack_efficiency" -> (1, "<=1024-row bucket base table"),
     "p99_hybrid_rrf_ann" ->
-      (7, "corpus scalar + coarse centroids x4 + PQ codebook x2, fixed k"))
+      (7, "corpus scalar + coarse centroids x4 + PQ codebook x2, fixed k"),
+    "p100_ivfpq_recall" ->
+      (6, "coarse centroids x4 + PQ codebook x2, fixed k"))
 
   test("catalog-wide: every forced broadcast() hint rides a side " +
     "bounded by construction — no corpus-derived hard hints (those " +
