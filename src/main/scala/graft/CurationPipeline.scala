@@ -56,13 +56,25 @@ object CurationPipeline {
       System.gc()
     }
 
-    // JVM/codegen warmup off the measured path
-    try queries.Catalog.queries("q01_agg")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e if scala.util.control.NonFatal(e) => () }
+    // warmup off the measured path: one untimed pass of EVERY
+    // consumer, so whole-stage-codegen compilation and JIT of the six
+    // plans' generated classes are paid before either measured pass —
+    // without this the standalone pass (which runs first) absorbs the
+    // one-time compilation (~6-10 s at sf0.1 per the Bench/Verify
+    // protocol) and the composed-vs-standalone saving conflates
+    // LSH-pass sharing with compilation cost (r13 review finding).
+    // settle() after the warmup returns both passes to cold caches.
+    try {
+      queries.Catalog.queries("q01_agg")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      Consumers.foreach { n =>
+        queries.Catalog.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } catch { case e if scala.util.control.NonFatal(e) => () }
 
     // standalone: the per-entry contract — every consumer pays the
-    // full LSH pass itself
+    // full LSH pass itself (cold caches, warm code)
     val standalone = Consumers.map { n => settle(); n -> materialize(n) }
 
     // composed: prime the shared pair list, keep caches warm across

@@ -58,11 +58,12 @@ object PlanAudit {
   /** Every CodegenFallback expression sitting in a PER-CANDIDATE
     * position reachable from `df`: a join condition, or a projection /
     * filter / aggregate-argument / window-argument over a join's
-    * output (through any stack of cardinality-preserving
-    * Project/Filter nodes — r13 widened the census from
-    * directly-over-join, then to agg/window argument lists, which
-    * evaluate once per input row = once per candidate). The r11
-    * codegen policy is
+    * output (through any stack of cardinality-preserving nodes:
+    * Project, Filter, Sort, exchanges, and Window itself — r13
+    * widened the census from directly-over-join, then to agg/window
+    * argument lists, which evaluate once per input row = once per
+    * candidate; only an Aggregate reduces cardinality and stops the
+    * recursion). The r11 codegen policy is
     * fallback-is-fine for heavy per-ROW kernels but wrong per
     * CANDIDATE — the fallback materializes an InternalRow per call,
     * which on p06's pair scorer measured ~4× the kernel arithmetic.
@@ -78,19 +79,25 @@ object PlanAudit {
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     // semi/anti joins emit at most one row per probe row — a
     // projection over them is per-ROW (the p54/p87 semi-join prune
-    // shape), not per-candidate. Filter and Project are transparent:
-    // both are cardinality-bounded by their child, so a fallback in a
-    // Project-over-Project-over-join still evaluates once per join
-    // candidate (ADVICE r12 — the single-Project scope missed the
-    // stacked shape). Aggregate and Window ARGUMENT lists over a join
-    // are collected too (r13 — they evaluate once per input row =
-    // once per join candidate); the aggregates'/windows' OUTPUT side
-    // is cardinality-reduced, so nodes ABOVE them are per-row again
-    // and isJoinish does not recurse through them.
+    // shape), not per-candidate. Filter, Project, Sort, Repartition,
+    // and WINDOW are transparent: all are cardinality-bounded by (for
+    // Window: exactly equal to) their child, so a fallback in a
+    // Project-over-Window-over-join still evaluates once per join
+    // candidate (ADVICE r12 widened Project stacks; the r13 review
+    // caught Window — a Window node REDUCES nothing, only an
+    // Aggregate does). Aggregate and Window ARGUMENT lists over a
+    // join are collected too (they evaluate once per input row = once
+    // per candidate); only the Aggregate's OUTPUT side is
+    // cardinality-reduced, so isJoinish stops at Aggregate alone.
     def isJoinish(p: LogicalPlan): Boolean = p match {
       case j: LJoin => j.joinType != LeftSemi && j.joinType != LeftAnti
       case f: LFilter => isJoinish(f.child)
       case pr: LProject => isJoinish(pr.child)
+      case w: LWindow => isJoinish(w.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+        isJoinish(s.child)
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        isJoinish(r.child)
       case _ => false
     }
     val lp = df.queryExecution.optimizedPlan
@@ -102,7 +109,16 @@ object PlanAudit {
       case f: LFilter if isJoinish(f.child) =>
         fb(f.condition, "filter-over-join")
       case a: LAggregate if isJoinish(a.child) =>
-        (a.groupingExpressions ++ a.aggregateExpressions)
+        // only the PER-INPUT-ROW parts: grouping expressions and the
+        // argument trees INSIDE aggregate functions. Expressions
+        // wrapping aggregate results (CollapseProject folds a
+        // post-agg Project into aggregateExpressions) evaluate once
+        // per GROUP and are per-row kernels' legitimate home.
+        (a.groupingExpressions ++ a.aggregateExpressions.flatMap(
+          _.collect {
+            case af: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+              af.children
+          }.flatten))
           .flatMap(fb(_, "aggregate-args-over-join"))
       case w: LWindow if isJoinish(w.child) =>
         (w.windowExpressions ++ w.partitionSpec ++ w.orderSpec)
@@ -143,12 +159,22 @@ object PlanAudit {
     // codegen fragment whose input adapter wraps a join is STILL a
     // projection over that join; CartesianProductExec is a join that
     // does not extend BaseJoinExec
+    // SortExec / exchanges / window nodes are cardinality-preserving
+    // too — EnsureRequirements ALWAYS places a SortExec (and usually a
+    // shuffle) under a WindowExec, so without these cases the
+    // window-over-join arm below is unreachable (r13 review finding)
     def isJoinish(q: SparkPlan): Boolean = q match {
       case j: BaseJoinExec =>
         j.joinType != LeftSemi && j.joinType != LeftAnti
       case _: CartesianProductExec => true
       case f: FilterExec => isJoinish(f.child)
       case pr: ProjectExec => isJoinish(pr.child)
+      case s: org.apache.spark.sql.execution.SortExec => isJoinish(s.child)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        isJoinish(e.child)
+      case rd: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+        isJoinish(rd.child)
+      case wx: WindowExec => isJoinish(wx.child)
       case w: WholeStageCodegenExec => isJoinish(w.child)
       case ia: InputAdapter => isJoinish(ia.child)
       case a: AdaptiveSparkPlanExec => isJoinish(a.executedPlan)
@@ -173,7 +199,10 @@ object PlanAudit {
           f.children.flatMap(physFallbacks)
       case ag: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           if isJoinish(ag.child) =>
-        (ag.groupingExpressions ++ ag.aggregateExpressions)
+        // per-input-row parts only (see the logical arm): grouping
+        // expressions + aggregate-function ARGUMENT trees
+        (ag.groupingExpressions ++
+          ag.aggregateExpressions.flatMap(_.aggregateFunction.children))
           .flatMap(fb(_, "aggregate-args-over-join")) ++
           ag.children.flatMap(physFallbacks)
       case w: WindowExec if isJoinish(w.child) =>

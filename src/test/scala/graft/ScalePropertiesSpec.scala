@@ -1327,6 +1327,25 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("id").agg(collect_list(col("rid")).as("xs"))
     assert(PlanAudit.fallbackPerCandidate(aggOk).isEmpty,
       "imperative aggregate functions are not census targets")
+    // Window preserves cardinality exactly (r13 review): a fallback
+    // kernel in a projection ABOVE a window over a join still runs
+    // once per candidate and must flag through the Window/Sort stack…
+    val winW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("rid")
+    val overWin = l.join(r, col("id") === col("rid") * 2)
+      .withColumn("rn", row_number().over(winW))
+      .select(SeriesKernelFunctions.cusum_max_abs(col("brr")).as("k"))
+    assert(PlanAudit.fallbackPerCandidate(overWin)
+      .exists(_.startsWith("projection-over-join")),
+      "fallback above a window over a join must be detected")
+    // …while the same kernel above an AGGREGATE (cardinality-reduced
+    // to the group keys) is per-GROUP, not per-candidate: no flag
+    val overAgg = l.join(r, col("id") === col("rid") * 2)
+      .groupBy("id")
+      .agg(flatten(collect_list(col("brr"))).as("bs"))
+      .select(SeriesKernelFunctions.cusum_max_abs(col("bs")).as("k"))
+    assert(PlanAudit.fallbackPerCandidate(overAgg).isEmpty,
+      "a fallback above an aggregate over a join is per-group")
   }
 
   test("broadcast-hint census is not vacuous: a deliberate hint IS " +
