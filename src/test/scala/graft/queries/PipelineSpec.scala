@@ -28,9 +28,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     "states is exactly what this pins") {
     def sortedRows(name: String): Seq[String] =
       run(name).collect().map(_.toString).sorted.toSeq
-    val before = Map(
-      "p23_dedup_clusters" -> sortedRows("p23_dedup_clusters"),
-      "p87_longest_common_run" -> sortedRows("p87_longest_common_run"))
+    val consumers = Seq("p23_dedup_clusters", "p54_minhash_calibration",
+      "p66_split_leakfree", "p67_leakage_audit",
+      "p71_split_contamination", "p87_longest_common_run")
+    val before = consumers.map(n => n -> sortedRows(n))
     val pairs = Pipeline.sharedLshPairs(spark, sfDir)
     assert(pairs.count() > 0, "shared pair list must be non-empty")
     for ((name, want) <- before) {
