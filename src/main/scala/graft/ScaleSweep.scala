@@ -69,6 +69,10 @@ object ScaleSweep {
     // fits: p07 1.03, p59 1.28 — one noisy point from a false alarm)
     "p07_sim_topk" -> 2.2,
     "p59_pq_topk" -> 2.2,
+    // (p100_ivfpq_recall's exact arm is the same declared p07-class
+    // brute baseline, but p100 is an evaluation-time monitor, not a
+    // bench entry, so it is not in the default sweep list — add it
+    // here with 2.2 if it ever joins the sweep)
     // ---- the budget-top tier added in r12 (VERDICT r11 #7): entries
     // whose work rides the p04 LSH PAIR LIST (components, calibration,
     // splits, leakage audit, per-pair runs) — pair count inflates ~N²
