@@ -16,11 +16,14 @@ import org.apache.spark.sql.SparkSession
   * block whose median lands > 1.5x its own min re-measures once and
   * reports the quieter block's median (min spans all observed runs).
   * Every block additionally records a LOCAL ambient probe
-  * ("calib_blocks") taken immediately before its warmup, and the
-  * summary emits per-query block-normalized medians ("queries_norm" =
-  * median x calib_ref / block probe) — run-level probes cannot
-  * attribute a mid-run co-tenant burst to the block it hit, so
-  * cross-round regression claims are adjudicated on queries_norm.
+  * ("calib_blocks" = MIN of one probe before the warmup and one after
+  * the timed runs), and the summary emits per-query block-normalized
+  * medians ("queries_norm" = median x calib_ref / block probe) —
+  * run-level probes cannot attribute a mid-run co-tenant burst to the
+  * block it hit, so cross-round regression claims are adjudicated on
+  * queries_norm (trustworthy for ~2x-class bursts, not 10-20%
+  * thresholds: the min-bracket bounds single-probe jitter, but a
+  * burst strictly between the probes stays invisible).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,26 +51,15 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    // Ambient-noise calibration probe (VERDICT r10 #2): a FIXED,
-    // catalog-independent synthetic job — range → hash-agg over 1 000
-    // keys → noop — whose cost depends only on the host (cores,
-    // co-tenant load, GC pressure), never on library code. Untouched
-    // queries drifted 14-26% between rounds with zero code change and
-    // two same-day runs differed 30% on the core sum; this probe turns
-    // that drift into a measured factor instead of an unattributable
-    // table delta. Measured once before the core block and once after
-    // the full list; the summary reports both plus normalized sums
-    // (value / (calib / calib_ref)). NEVER change this workload — the
-    // recorded calib_ref is only comparable against the identical job.
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, cpus * 2)
-        .selectExpr("id % 1000 AS k", "id AS v")
-        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"),
-          org.apache.spark.sql.functions.avg("v"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Ambient-noise calibration probe (VERDICT r10 #2): the FIXED
+    // shared workload in [[AmbientProbe]]. Untouched queries drifted
+    // 14-26% between rounds with zero code change and two same-day
+    // runs differed 30% on the core sum; this probe turns that drift
+    // into a measured factor instead of an unattributable table delta.
+    // Measured once before the core block and once after the full
+    // list; the summary reports both plus normalized sums
+    // (value / (calib / calib_ref)).
+    def calibrate(): Double = AmbientProbe.once(spark, cpus)
     // a calibration failure must never take the bench JSON down with
     // it (the driver's whole round reads that one line): fall back to
     // the reference, i.e. a neutral factor of 1.0
@@ -124,9 +116,16 @@ object Bench {
     // bracketing probes missed), so every block records its LOCAL
     // ambient and the summary emits block-normalized medians — a
     // regression claim is adjudicated against queries_norm, not raw.
-    // Single probe (not a 3-run median): its job is attribution of
-    // ~2x bursts, where one sample's jitter is second-order, and the
-    // probe itself costs a block of real corpus time otherwise.
+    // The block is BRACKETED by two probes and normalized by their MIN
+    // (ADVICE r13: a single pre-warmup probe's jitter, or a burst
+    // starting after it, propagated 1:1 into queries_norm). The min is
+    // the quietest ambient estimate around the block — a probe that
+    // reads HIGH (burst hit the probe itself) would DEFLATE the
+    // normalized median, so taking the min is the conservative,
+    // regression-visible direction. queries_norm remains an
+    // attribution tool for ~2x-class bursts, not a 10-20% regression
+    // threshold: a burst confined strictly between the two probes is
+    // still invisible to both.
     def block(n: String): (Double, Seq[Double]) = {
       // start each query from a clean cache + settled heap: accumulated
       // persists and garbage from EARLIER queries otherwise cause
@@ -136,11 +135,14 @@ object Bench {
       graft.operators.EntryCaches.releaseAll()
       spark.catalog.clearCache()
       System.gc()
-      val probe = try calibrate() catch {
+      def probeOnce(): Double = try calibrate() catch {
         case e if scala.util.control.NonFatal(e) => CalibRef
       }
+      val pre = probeOnce()
       materialize(n)
-      (probe, (1 to runs).map(_ => materialize(n)))
+      val timed = (1 to runs).map(_ => materialize(n))
+      val post = probeOnce()
+      (math.min(pre, post), timed)
     }
     def blockMedian(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)

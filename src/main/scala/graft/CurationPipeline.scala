@@ -64,14 +64,26 @@ object CurationPipeline {
     // protocol) and the composed-vs-standalone saving conflates
     // LSH-pass sharing with compilation cost (r13 review finding).
     // settle() after the warmup returns both passes to cold caches.
-    try {
+    // a warmup failure is survivable (the measured passes may still
+    // run) but must be VISIBLE (ADVICE r13): a silently skipped warmup
+    // means the standalone pass re-absorbs codegen compilation and the
+    // reported saving conflates exactly what the warmup excludes, so
+    // the exception prints and the JSON carries "warmup_ok":false.
+    val warmupOk = try {
       queries.Catalog.queries("q01_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       Consumers.foreach { n =>
         queries.Catalog.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       }
-    } catch { case e if scala.util.control.NonFatal(e) => () }
+      true
+    } catch {
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[curation] WARMUP FAILED (measurement " +
+          s"protocol degraded — standalone pass will absorb codegen " +
+          s"compilation): $e")
+        false
+    }
 
     // standalone: the per-entry contract — every consumer pays the
     // full LSH pass itself (cold caches, warm code)
@@ -96,6 +108,7 @@ object CurationPipeline {
       f""""standalone_total":$sumS%.3f,""" +
       f""""composed_total":${primerSec + sumC}%.3f,""" +
       f""""primer_sec":$primerSec%.3f,"pairs":$nPairs,""" +
+      s""""warmup_ok":$warmupOk,""" +
       s""""standalone":${obj(standalone)},"composed":${obj(composed)},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -2,15 +2,16 @@ package graft
 
 import java.io.{File, PrintWriter}
 
-/** Multi-point scale regression gate: times each bench entry at
-  * 1×/3×/10× replicated corpora (ScaleSmoke's replicator, sf0.1
-  * base), fits the scaling exponent α in t ≈ c·nᵅ by least squares
-  * over (log n, log t), and FAILS (exit 1) when α exceeds the entry's
+/** Multi-point scale regression gate: times each swept entry at
+  * 1×/3×/10×/30× replicated corpora (ScaleSmoke's replicator, sf0.1
+  * base; a heavy-graded tier adds a 100× point — see [[X100Names]]),
+  * fits the scaling exponent α in t ≈ c·nᵅ by least squares over
+  * (log n, log t), and FAILS (exit 1) when α exceeds the entry's
   * pinned cap — turning the old one-point "at-or-below linear"
   * eyeball into a recorded, re-runnable artifact.
   *
   * `runMain graft.ScaleSweep [outJson] [name ...]` — defaults:
-  * `SCALE_SWEEP.json` in the cwd, the full bench set. Each point is
+  * `SCALE_SWEEP.json` in the cwd, the full graded set. Each point is
   * the best of 2 timed runs after one warmup (the same discipline as
   * Bench), with entry caches + the SQL cache cleared between points so
   * no point rides another's state.
@@ -23,21 +24,28 @@ import java.io.{File, PrintWriter}
   * their caps encode that expectation (see [[Caps]]); the gate still
   * catches a dedup plan going accidentally all-pairs, because that
   * blows past even the quadratic-output cap via the candidate side.
+  *
+  * Two enumeration gates run BEFORE any timing (VERDICT r13 #2 — the
+  * p28 lesson applied to the sweep itself: a "not in the sweep"
+  * comment is a claim nothing tests):
+  *  - the default sweep list plus [[Excluded]] must cover every bench
+  *    entry and every budget-top entry (sf0.1 Verify budget ≥
+  *    [[BudgetTopThresholdSec]], read from tools/budgets_sf01.json);
+  *  - every declared-cap entry ([[Caps]]) must either time the 100×
+  *    point or carry a documented [[X100Excluded]] reason.
+  * The same checks are pinned in CI (SweepCoverageSpec) so a new
+  * heavy entry fails the build, not just the next sweep run.
   */
 object ScaleSweep {
 
-  private val Factors = Seq(1, 3, 10)
-
-  /** The quadratic-output dedup entries get one more decade: under
-    * exact replication their PAIR OUTPUT inflates ~N² by construction,
-    * so a coarse 1×/3×/10× fit cannot separate "quadratic output"
-    * (expected, bounded by df/occupancy caps) from "quadratic WORK"
-    * (an accidental all-pairs plan). The 30× point adds the decade
-    * that separates them: output-quadratic entries keep flattening as
-    * the caps bite harder (more twins discarded per bucket), while a
-    * work-quadratic plan keeps steepening toward α = 2.
+  /** Every swept entry times these points (×30 catalog-wide since
+    * r14: the 1×/3×/10× fits over sf0.1 rest on one decade, where a
+    * latent super-linear term — spill, skew, state growth — can hide
+    * inside the noise; the second decade separates it).
     */
-  private val DedupExtraFactor = 30
+  private val Factors = Seq(1, 3, 10, 30)
+
+  private val X100Factor = 100
 
   /** Default fitted-exponent cap: linear plus measurement headroom.
     * Sub-second entries fit well below 1; anything genuinely linear
@@ -69,10 +77,11 @@ object ScaleSweep {
     // fits: p07 1.03, p59 1.28 — one noisy point from a false alarm)
     "p07_sim_topk" -> 2.2,
     "p59_pq_topk" -> 2.2,
-    // (p100_ivfpq_recall's exact arm is the same declared p07-class
-    // brute baseline, but p100 is an evaluation-time monitor, not a
-    // bench entry, so it is not in the default sweep list — add it
-    // here with 2.2 if it ever joins the sweep)
+    // p100's exact arm is the same declared p07-class brute baseline
+    // (an evaluation-time recall panel); its ANN arm is the shipped
+    // p63 serving plan. In the sweep since r14 (VERDICT r13 #1/#2: the
+    // declared-baseline claim was a comment nothing measured).
+    "p100_ivfpq_recall" -> 2.2,
     // ---- the budget-top tier added in r12 (VERDICT r11 #7): entries
     // whose work rides the p04 LSH PAIR LIST (components, calibration,
     // splits, leakage audit, per-pair runs) — pair count inflates ~N²
@@ -92,31 +101,116 @@ object ScaleSweep {
     "p60_hybrid_rrf" -> 2.2
   )
 
-  /** Entries that also time a 30× point (see [[DedupExtraFactor]]):
-    * kept to the five original quadratic-output dedup entries — the
-    * r12 budget-tier additions share their caps but not the extra
-    * decade (the 30× corpus puts minutes-long component/calibration
-    * runs in the sweep for no extra separation: their quadratic term
-    * is the SAME pair list the p04 point already separates).
+  /** The heavy-graded tier that also times the 100× point (VERDICT
+    * r13 #1): the budget-table top and the scale-path flagships, two
+    * decades past the base corpus — where spill, skew, or state growth
+    * that a 10× fit cannot see actually shows. Declared-quadratic
+    * entries keep their 2.2 cap at the wider span.
     */
-  private val ExtraFactorNames = Set("p03_dedup_ngram_jaccard",
-    "p04_dedup_minhash_lsh", "p44_dupspan", "p07_sim_topk", "p59_pq_topk")
+  val X100Names: Set[String] = Set(
+    "p99_hybrid_rrf_ann", "a13_anomaly_perm500_chunked",
+    "p03_dedup_ngram_jaccard", "p04_dedup_minhash_lsh", "p44_dupspan",
+    "p07_sim_topk", "p23_dedup_clusters", "p54_minhash_calibration",
+    "p66_split_leakfree", "p67_leakage_audit", "p71_split_contamination",
+    "p87_longest_common_run", "p52_pagerank", "p94_epoch_schedule",
+    "p63_sim_ivfpq", "p80_bpe_apply")
 
-  /** The non-bench entries swept anyway (VERDICT r11 #7): the top of
-    * the Verify budget table, whose 100× behavior the bench-set sweep
-    * never fitted.
+  /** Declared-cap entries documented OUT of the 100× point, each with
+    * the projected-cost arithmetic that justifies it — an entry must
+    * appear here or in [[X100Names]], never silently in neither (the
+    * enumeration gate enforces it).
+    */
+  val X100Excluded: Map[String, String] = Map(
+    "p58_bm25_topk" -> ("declared ~N^2-work baseline (query set is a " +
+      "fixed corpus fraction); x10 measured 36 s/run, so x100 projects " +
+      ">= 20 min/run x3 runs — the bounded scale path p99 carries the " +
+      "x100 point"),
+    "p60_hybrid_rrf" -> ("declared ~N^2-work baseline fusing p58's " +
+      "arms; x10 measured 49 s/run, x100 projects >= 25 min/run — p99 " +
+      "is its x100-swept scale twin"),
+    "p59_pq_topk" -> ("declared brute PQ baseline; x30 measured " +
+      "105 s/run, x100 projects ~11+ min/run — the serving path p63 " +
+      "times x100 under the LINEAR cap"),
+    "p100_ivfpq_recall" -> ("evaluation-time recall monitor whose " +
+      "exact arm is the p07-class declared-brute scan; p07 carries " +
+      "the declared-tier x100 point and p63 the serving-path one"))
+
+  /** Entries deliberately absent from the default sweep list, with the
+    * reason. Empty = everything bench- or budget-top-graded is swept.
+    */
+  val Excluded: Map[String, String] = Map.empty
+
+  /** Budget-table entries at or above this sf0.1 wall (seconds) are
+    * "budget-top": heavy enough that their 100 TB behavior must be
+    * fitted, not assumed — the sweep fails fast if one is neither
+    * swept nor excluded with a reason.
+    */
+  val BudgetTopThresholdSec = 2.5
+
+  /** The non-bench entries swept anyway (VERDICT r11 #7 + r13 #2): the
+    * top of the Verify budget table, whose 100× behavior the bench-set
+    * sweep never fitted.
     */
   val ExtraSweepNames: Seq[String] = Seq("p23_dedup_clusters",
     "p54_minhash_calibration", "p58_bm25_topk", "p60_hybrid_rrf",
     "p66_split_leakfree", "p67_leakage_audit", "p71_split_contamination",
-    "p87_longest_common_run")
+    "p87_longest_common_run", "p100_ivfpq_recall", "p80_bpe_apply",
+    "a05_anomaly_enrich", "a52_discord_profile")
+
+  def defaultNames: Seq[String] = queries.Catalog.benchNames ++
+    ExtraSweepNames.filterNot(queries.Catalog.benchNames.contains)
+
+  /** Parses the flat {"name": seconds} budget file the Verify gate
+    * records (tools/check_budgets.py).
+    */
+  def budgetTopNames(path: String = "tools/budgets_sf01.json")
+      : Seq[String] = {
+    val f = new File(path)
+    require(f.exists(), s"budget file not found at ${f.getAbsolutePath} " +
+      "— the budget-top enumeration gate cannot run without it")
+    val src = scala.io.Source.fromFile(f)
+    val text = try src.mkString finally src.close()
+    val Pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+    Pair.findAllMatchIn(text)
+      .filter(_.group(2).toDouble >= BudgetTopThresholdSec)
+      .map(_.group(1)).toSeq.sorted
+  }
+
+  /** The enumeration gates (VERDICT r13 #2), shared by main() and CI:
+    * returns human-readable failures, empty = covered.
+    */
+  def coverageErrors(budgetPath: String = "tools/budgets_sf01.json")
+      : Seq[String] = {
+    val listed = defaultNames.toSet
+    val covered = listed ++ Excluded.keySet
+    val must = (queries.Catalog.benchNames ++ budgetTopNames(budgetPath))
+      .distinct
+    val missing = must.filterNot(covered).sorted.map(n =>
+      s"$n is bench- or budget-top-graded but neither swept nor in " +
+        "ScaleSweep.Excluded")
+    val capsUnswept = Caps.keySet.diff(listed).toSeq.sorted.map(n =>
+      s"$n has a declared cap but is not in the sweep list (the p100 " +
+        "r13 bug class)")
+    val x100Gap = Caps.keySet.diff(X100Names ++ X100Excluded.keySet)
+      .toSeq.sorted.map(n =>
+        s"$n is declared-cap but neither times x100 nor documents an " +
+          "exclusion in ScaleSweep.X100Excluded")
+    val x100Both = X100Names.intersect(X100Excluded.keySet).toSeq.sorted
+      .map(n => s"$n is both in X100Names and X100Excluded")
+    missing ++ capsUnswept ++ x100Gap ++ x100Both
+  }
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SCALE_SWEEP.json")
     val names: Seq[String] =
-      if (args.length > 1) args.drop(1).toSeq
-      else queries.Catalog.benchNames ++
-        ExtraSweepNames.filterNot(queries.Catalog.benchNames.contains)
+      if (args.length > 1) args.drop(1).toSeq else defaultNames
+    // enumeration gates fail BEFORE any timing: a sweep that silently
+    // under-covers must never produce a green artifact
+    val cov = coverageErrors()
+    if (cov.nonEmpty) {
+      cov.foreach(e => System.err.println(s"[sweep] COVERAGE: $e"))
+      sys.exit(1)
+    }
     val base = "/root/testdata/sf0.1"
     val cpus = Runtime.getRuntime.availableProcessors.min(32)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "scale-sweep")
@@ -132,8 +226,7 @@ object ScaleSweep {
         d
     }
     def factorsFor(name: String): Seq[Int] =
-      if (ExtraFactorNames.contains(name)) Factors :+ DedupExtraFactor
-      else Factors
+      if (X100Names.contains(name)) Factors :+ X100Factor else Factors
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
@@ -142,11 +235,11 @@ object ScaleSweep {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      // settled heap before the warm run: the 10x/30x points of earlier
-      // entries leave GC fragmentation behind that otherwise inflates
-      // the NEXT entry's small-n points (deflating its fitted exponent
-      // — the unsafe direction for a gate that fires on alpha ABOVE
-      // cap); same discipline as Bench/DbgTime blocks
+      // settled heap before the warm run: the 10x/30x/100x points of
+      // earlier entries leave GC fragmentation behind that otherwise
+      // inflates the NEXT entry's small-n points (deflating its fitted
+      // exponent — the unsafe direction for a gate that fires on alpha
+      // ABOVE cap); same discipline as Bench/DbgTime blocks
       operators.EntryCaches.releaseAll()
       spark.catalog.clearCache()
       System.gc()
@@ -191,9 +284,15 @@ object ScaleSweep {
           Some(s"""  "$n": {"error":"${e.getClass.getSimpleName}","pass":false}""")
       }
     }
+    def strMap(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""$k": "${v.replace("\"", "'")}"""" }.mkString("{", ", ", "}")
     val pw = new PrintWriter(outJson)
     pw.println("{\n" + rows.mkString(",\n") +
       s""",\n  "factors": [${Factors.mkString(",")}],""" +
+      s"""\n  "x100_names": [${X100Names.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(",")}],""" +
+      s"""\n  "x100_excluded": ${strMap(X100Excluded)},""" +
       s"""\n  "base": "$base",\n  "failed": [${
         failed.reverse.map("\"" + _ + "\"").mkString(",")}]\n}""")
     pw.close()

@@ -51,12 +51,13 @@ object StreamBench {
     methods = Seq("magnitude", "fence", "cdf", "highrank"), permCount = 50)
 
   case class Run(rows: Long, wallSec: Double, stateRows: Long,
-      stateBytes: Long) {
+      stateBytes: Long, probe: Double = -1.0) {
     def rowsPerSec: Double = if (wallSec > 0) rows / wallSec else -1.0
     def json: String =
       f"""{"rows":$rows,"wall_sec":$wallSec%.3f,""" +
         f""""rows_per_sec":${rowsPerSec.toLong},""" +
-        s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes""" +
+        (if (probe > 0) f""","probe_sec":$probe%.3f}""" else "}")
   }
 
   private var sinkN = 0
@@ -144,6 +145,17 @@ object StreamBench {
         else StreamingNearDup.bandHits(df)(spark)
       }
 
+    // every TIMED feed carries its own ambient probe (VERDICT r13 #3:
+    // stream rows were the last measurement class without the calib
+    // discipline — the committed r13 neardup_tws batches=20 row was a
+    // co-tenant burst adjudicable only via an uncommitted re-run). The
+    // probe runs immediately before the feed and is recorded in the
+    // row's JSON, so a burst-hit row is identifiable IN the artifact.
+    def probed(r: => Run): Run = {
+      val p = AmbientProbe.onceOrRef(spark, cpus) // probe BEFORE the feed
+      r.copy(probe = p)
+    }
+
     // warmup feed per workload+backend (codegen, state-provider init),
     // then the timed feed on a fresh query — the HDFS-backed row warms
     // its own provider so all three detector rows are comparable
@@ -152,19 +164,19 @@ object StreamBench {
     detector(RocksDb, tws = false, nBatches)
     detector(RocksDb, tws = true, nBatches)
     detector(Hdfs, tws = false, nBatches)
-    val detFmgwsHdfs = detector(Hdfs, tws = false, nBatches)
-    val detFmgws = detector(RocksDb, tws = false, nBatches)
-    val detTws = detector(RocksDb, tws = true, nBatches)
+    val detFmgwsHdfs = probed(detector(Hdfs, tws = false, nBatches))
+    val detFmgws = probed(detector(RocksDb, tws = false, nBatches))
+    val detTws = probed(detector(RocksDb, tws = true, nBatches))
     neardup(RocksDb, tws = false, nBatches)
     neardup(RocksDb, tws = true, nBatches)
-    val ndFmgws = neardup(RocksDb, tws = false, nBatches)
-    val ndTws = neardup(RocksDb, tws = true, nBatches)
+    val ndFmgws = probed(neardup(RocksDb, tws = false, nBatches))
+    val ndTws = probed(neardup(RocksDb, tws = true, nBatches))
     // large-batch point: state providers already warm from the rows
     // above; one timed feed per workload + API on the RocksDB store
-    val detFmgwsL = detector(RocksDb, tws = false, nLarge)
-    val detTwsL = detector(RocksDb, tws = true, nLarge)
-    val ndFmgwsL = neardup(RocksDb, tws = false, nLarge)
-    val ndTwsL = neardup(RocksDb, tws = true, nLarge)
+    val detFmgwsL = probed(detector(RocksDb, tws = false, nLarge))
+    val detTwsL = probed(detector(RocksDb, tws = true, nLarge))
+    val ndFmgwsL = probed(neardup(RocksDb, tws = false, nLarge))
+    val ndTwsL = probed(neardup(RocksDb, tws = true, nLarge))
 
     require(detFmgws.rows == pts.length && detTws.rows == pts.length &&
       detFmgwsL.rows == pts.length && detTwsL.rows == pts.length,
@@ -178,6 +190,7 @@ object StreamBench {
     println(s"""{"metric":"stream_rows_per_sec",""" +
       s""""value":${detTws.rowsPerSec.toLong},"unit":"rows/s",""" +
       s""""batches":$nBatches,"series":$nSeries,""" +
+      s""""probe_ref":${AmbientProbe.ref},""" +
       s""""detector_fmgws_hdfs":${detFmgwsHdfs.json},""" +
       s""""detector_fmgws_rocksdb":${detFmgws.json},""" +
       s""""detector_tws_rocksdb":${detTws.json},""" +

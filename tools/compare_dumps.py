@@ -7,7 +7,8 @@ a real cluster."""
 import sys, math, os, json
 import duckdb
 
-args = [x for x in sys.argv[1:] if not x.startswith("--expect")]
+args = [x for x in sys.argv[1:]
+        if not x.startswith("--expect") and x != "--allow-no-manifest"]
 a = args[0] if len(args) > 0 else "/tmp/vout_full"
 b = args[1] if len(args) > 1 else "/tmp/vout_cpus7"
 # --expect=N: minimum catalog size this audit must cover — guards
@@ -29,7 +30,18 @@ dumped = {d for d in os.listdir(a) if os.path.isdir(os.path.join(a, d))}
 oracle = os.path.join(a, "oracle_sql.json")
 expected = set(json.load(open(oracle))) if os.path.exists(oracle) else set()
 if not expected:
-    print(f"WARN {oracle} missing/empty — auditing dumped dirs only")
+    # A missing manifest is the exact silent-shrink failure mode this
+    # audit exists to prevent (VERDICT r12 #6 / ADVICE r13): without it
+    # the audit enumerates whatever directories happen to exist and a
+    # filtered dump reads as a pass. Hard-fail unless explicitly opted
+    # out (e.g. auditing a hand-built dir with no Verify manifest).
+    if "--allow-no-manifest" not in sys.argv[1:]:
+        print(f"FAIL {oracle} missing/empty — cannot establish the "
+              "expected catalog set; pass --allow-no-manifest to audit "
+              "dumped dirs only")
+        sys.exit(1)
+    print(f"WARN {oracle} missing/empty — auditing dumped dirs only "
+          "(--allow-no-manifest)")
 names = sorted(dumped | expected)
 fails = []
 for name in names:
