@@ -98,7 +98,11 @@ object ScaleSweep {
     // volume is ~N² BY DECLARATION (the p07/p59 rationale; a real
     // deployment's query set does not grow with the corpus)
     "p58_bm25_topk" -> 2.2,
-    "p60_hybrid_rrf" -> 2.2
+    "p60_hybrid_rrf" -> 2.2,
+    // perceptual near-dup pairs: same banded-pair-output argument as
+    // p04 — every base pair gains ~N² twin combinations under exact
+    // replication, bounded by the per-(band, value) df cap of 64
+    "p101_image_phash_neardup" -> 2.2
   )
 
   /** The heavy-graded tier that also times the 100× point (VERDICT
@@ -113,7 +117,7 @@ object ScaleSweep {
     "p07_sim_topk", "p23_dedup_clusters", "p54_minhash_calibration",
     "p66_split_leakfree", "p67_leakage_audit", "p71_split_contamination",
     "p87_longest_common_run", "p52_pagerank", "p94_epoch_schedule",
-    "p63_sim_ivfpq", "p80_bpe_apply")
+    "p63_sim_ivfpq", "p80_bpe_apply", "p101_image_phash_neardup")
 
   /** Declared-cap entries documented OUT of the 100× point, each with
     * the projected-cost arithmetic that justifies it — an entry must
@@ -155,7 +159,8 @@ object ScaleSweep {
     "p54_minhash_calibration", "p58_bm25_topk", "p60_hybrid_rrf",
     "p66_split_leakfree", "p67_leakage_audit", "p71_split_contamination",
     "p87_longest_common_run", "p100_ivfpq_recall", "p80_bpe_apply",
-    "a05_anomaly_enrich", "a52_discord_profile")
+    "a05_anomaly_enrich", "a52_discord_profile",
+    "p101_image_phash_neardup")
 
   def defaultNames: Seq[String] = queries.Catalog.benchNames ++
     ExtraSweepNames.filterNot(queries.Catalog.benchNames.contains)

@@ -35,7 +35,44 @@ object HeaderCodec {
   /** Parse a binary PPM (`P6`) header; None unless the payload is a
     * structurally valid PPM with a complete raster.
     */
-  def decodePpm(p: Array[Byte]): Option[PpmMeta] = {
+  def decodePpm(p: Array[Byte]): Option[PpmMeta] =
+    decodePpmOffset(p).map(_._1)
+
+  /** Decode the full raster to per-pixel integer luma, row-major:
+    * luma = (r + g + b) / 3, floor — exact integer arithmetic, and the
+    * identity for grayscale (r = g = b) rasters. 16-bit rasters
+    * (maxval >= 256) read big-endian per the Netpbm spec. This is the
+    * real pixel path under the perceptual-hash entries: the signature
+    * is computed from DECODED pixels, never payload bytes.
+    */
+  def decodePpmGray(p: Array[Byte]): Option[(PpmMeta, Array[Int])] =
+    decodePpmOffset(p).map { case (meta, off) =>
+      val n = meta.width * meta.height
+      val gray = new Array[Int](n)
+      if (meta.maxval < 256) {
+        var i = 0
+        while (i < n) {
+          val b = off + 3 * i
+          gray(i) = ((p(b) & 0xff) + (p(b + 1) & 0xff) +
+            (p(b + 2) & 0xff)) / 3
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          val b = off + 6 * i
+          def s16(j: Int): Int = ((p(j) & 0xff) << 8) | (p(j + 1) & 0xff)
+          gray(i) = (s16(b) + s16(b + 2) + s16(b + 4)) / 3
+          i += 1
+        }
+      }
+      (meta, gray)
+    }
+
+  /** Header parse returning the raster's byte offset alongside the
+    * metadata (shared by [[decodePpm]] and [[decodePpmGray]]).
+    */
+  private def decodePpmOffset(p: Array[Byte]): Option[(PpmMeta, Int)] = {
     if (p.length < 9 || p(0) != 'P' || p(1) != '6') return None
     var i = 2
     // after the magic: three ASCII ints separated by whitespace, with
@@ -78,7 +115,7 @@ object HeaderCodec {
     i += 1
     val bytesPerSample = if (maxval < 256) 1 else 2
     val need = w.toLong * h.toLong * 3L * bytesPerSample
-    if (p.length - i < need) None else Some(PpmMeta(w, h, maxval))
+    if (p.length - i < need) None else Some((PpmMeta(w, h, maxval), i))
   }
 
   private def le16(p: Array[Byte], i: Int): Int =

@@ -35,6 +35,16 @@ case class MediaFeatures(
     duration_ms: Long,
     byte_histogram: Array[Double])
 
+/** One perceptual signature: the 64-bit aHash of a decoded raster as
+  * EIGHT 8-bit bands (band i = signature bits [8i, 8i+8)) — the banded
+  * layout IS the multi-index-hashing blocking key set (Norouzi et al.,
+  * "Fast Search in Hamming Space with Multi-Index Hashing"): with 8
+  * substring indexes, any pair within Hamming radius 7 shares at least
+  * one band EXACTLY, by pigeonhole.
+  */
+case class PHashSig(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int,
+    b4: Int, b5: Int, b6: Int, b7: Int)
+
 /** Multimodal column plumbing: schema, partitioning and batch shape are
   * real Spark, and header-described formats (PPM images, WAV PCM
   * audio) decode for REAL via [[HeaderCodec]]. Compressed codecs
@@ -153,6 +163,144 @@ object MultiModal {
           sample_rate = rate,
           duration_ms = durMs,
           byte_histogram = hist)
+      }
+    }
+  }
+
+  /** Real P6 encoder for a grayscale pixel grid (r = g = b = v,
+    * maxval 255): the write half of the codec roundtrip under the
+    * perceptual-hash entries — the signature path exercises encode →
+    * [[HeaderCodec.decodePpmGray]] on every row, so the hash provably
+    * comes from decoded rasters, not payload bytes.
+    */
+  def encodePpmGray(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == w * h, s"pixel grid ${px.length} != $w x $h")
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < px.length) {
+      val v = (px(i) & 0xff).toByte
+      val b = header.length + 3 * i
+      out(b) = v; out(b + 1) = v; out(b + 2) = v
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit average-hash (aHash — the public-knowledge perceptual
+    * fingerprint: grayscale → 8×8 box downsample → per-block
+    * brighter-than-mean bit) over a decoded raster, folded as EIGHT
+    * 8-bit bands — the multi-index-hashing substring layout (see
+    * [[PHashSig]]) with no sign-bit care in either engine. All
+    * integer: bit k = by*8 + bx is set iff blockSum(k) * 64 >
+    * grandSum — multiply-through instead of dividing by the block
+    * count, so the mean threshold is exact. Box blocks are w/8 × h/8
+    * (dims must be multiples of 8), which makes the signature
+    * INVARIANT under integer upscaling — the re-encode/resize
+    * robustness byte-frame identity (p93) cannot have.
+    */
+  def aHashBands(gray: Array[Int], w: Int, h: Int): Array[Int] = {
+    require(w % 8 == 0 && h % 8 == 0, s"dims $w x $h not multiples of 8")
+    require(gray.length == w * h)
+    val bw = w / 8
+    val bh = h / 8
+    val sums = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val rowBase = (y / bh) * 8
+      var x = 0
+      while (x < w) {
+        sums(rowBase + x / bw) += gray(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    var grand = 0L
+    var k = 0
+    while (k < 64) { grand += sums(k); k += 1 }
+    val bands = new Array[Int](8)
+    k = 0
+    while (k < 64) {
+      if (sums(k) * 64 > grand) bands(k >> 3) |= 1 << (k & 7)
+      k += 1
+    }
+    bands
+  }
+
+  /** Deterministic raster renderer for the perceptual-hash entries
+    * (the corpus has no real media): pixel p of a side×side grayscale
+    * grid is the 32-bit leading-md5 hash of `token[(p·T)/side²]:p`,
+    * mod 256 — the same h32 the oracle replays
+    * ([[graft.functions.HashScheme.h32Duck]]: first 4 digest bytes,
+    * big-endian). JVM-direct with a reused digest instance: the
+    * Catalyst HOF form (1024 interpreted lambda evals of
+    * md5/conv/concat per doc) measured ~7 s at sf0.1 vs sub-second
+    * here — the p06/p32 interpreted-HOF lesson.
+    */
+  def renderRaster(md: MessageDigest, toks: Seq[String], side: Int)
+      : Array[Int] = {
+    val nPix = side * side
+    val t = toks.toArray
+    val px = new Array[Int](nPix)
+    var p = 0
+    while (p < nPix) {
+      val tok = t(((p.toLong * t.length) / nPix).toInt)
+      md.reset()
+      val d = md.digest((tok + ":" + p)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      px(p) = (h32 % 256).toInt
+      p += 1
+    }
+    px
+  }
+
+  /** Perceptual signatures over the codec seam: each doc's token
+    * array renders to a deterministic pixel grid ([[renderRaster]]),
+    * is encoded as a REAL P6 payload, decoded back through
+    * [[HeaderCodec.decodePpmGray]] (a structurally invalid roundtrip
+    * throws — the codec is load-bearing, not decorative), and aHashed.
+    * `scale` re-encodes at side×scale by pixel replication — the
+    * resize-robustness probe: the signature is scale-invariant because
+    * the 8×8 box blocks average the same pixels.
+    *
+    * mapPartitions by design — this is the binary-codec seam
+    * (encode/decode over byte arrays, the one place relational
+    * expressions can't reach); one shuffle-free pass, per-partition
+    * codec context (digest instance), same shape as [[decodeFeatures]].
+    */
+  def perceptualSignatures(docs: Dataset[(Long, Seq[String])],
+      side: Int = 32, scale: Int = 1): Dataset[PHashSig] = {
+    implicit val enc = Encoders.product[PHashSig]
+    docs.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // per-partition setup
+      it.map { case (id, toks) =>
+        require(toks.nonEmpty, s"doc $id: empty token array")
+        val pix = renderRaster(md, toks, side)
+        val w = side * scale
+        val up =
+          if (scale == 1) pix
+          else {
+            val u = new Array[Int](w * w)
+            var y = 0
+            while (y < w) {
+              var x = 0
+              while (x < w) {
+                u(y * w + x) = pix((y / scale) * side + x / scale)
+                x += 1
+              }
+              y += 1
+            }
+            u
+          }
+        val payload = encodePpmGray(w, w, up)
+        val (meta, gray) = HeaderCodec.decodePpmGray(payload).getOrElse(
+          throw new IllegalStateException(s"PPM roundtrip failed: doc $id"))
+        val b = aHashBands(gray, meta.width, meta.height)
+        PHashSig(id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
       }
     }
   }

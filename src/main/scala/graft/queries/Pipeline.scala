@@ -3899,7 +3899,8 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     dupFlowEntry, curationDecisionEntry, curationWaterfallEntry,
     splitEmbParityEntry, mmNearDupEntry, epochScheduleEntry,
     dupLossMaskEntry, packEfficiencyEntry, lshCapAuditEntry,
-    winnowContainmentEntry, hybridRrfAnnEntry, ivfPqRecallEntry)
+    winnowContainmentEntry, hybridRrfAnnEntry, ivfPqRecallEntry,
+    imagePhashEntry)
 
   /** p65: dedup-savings report — the curator dashboard that decides
     * WHERE to set the near-dup threshold before committing to a dedup
@@ -6816,4 +6817,103 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
              CAST((n_hits * 1000000 + n_exact // 2) // n_exact
                AS BIGINT) / 1e6 AS recall
       FROM m"""))
+
+  /** p101: PERCEPTUAL image near-dup over DECODED rasters — the gap
+    * p93's byte-frame identity leaves open (a resized or re-encoded
+    * image shares zero payload frames with its original). Each
+    * document renders to a deterministic 32×32 grayscale raster
+    * (pixel p = 32-bit md5 of its mapped token, mod 256 — the corpus
+    * has no real media, so the raster generator doubles as the
+    * oracle's replay path), round-trips through the REAL P6 codec
+    * ([[graft.multimodal.MultiModal.encodePpmGray]] →
+    * [[graft.multimodal.HeaderCodec.decodePpmGray]] at the
+    * mapPartitions codec seam), and is fingerprinted with the
+    * public-knowledge aHash: 8×8 integer box downsample, bit = block
+    * brighter than the image mean (blockSum·64 > grandSum,
+    * multiply-through exact). The 64-bit signature splits into EIGHT
+    * 8-bit bands — multi-index hashing (Norouzi et al.): pairs
+    * sharing a band value are candidates, which by pigeonhole is
+    * EXHAUSTIVE for the reported Hamming ≤ 7 radius (8 bands can't
+    * all differ on ≤ 7 bit errors). A per-(band, value) df cap of 64
+    * defuses hot bands (flat/boilerplate rasters) as an anti-join —
+    * candidate volume is Σ df² per surviving band value, never
+    * |docs|²; cap loss is the audited p97 trade (at corpus scale the
+    * 256-bucket bands saturate and the cap prunes them first — the
+    * production knob is wider bands or a longer signature, same
+    * plan). The oracle replays pixel → block → bit → band → join
+    * arithmetic exactly (all integer); the codec roundtrip the Spark
+    * side adds is pixel-identity by construction and pinned real in
+    * MultiModalSpec (including aHash invariance under 2×/4× integer
+    * upscale re-encode — the robustness p93 cannot have).
+    */
+  private[queries] def imagePhashEntry: Entry = {
+    import graft.functions.{HashScheme => H}
+    Entry("p101_image_phash_neardup", (s, dir) => {
+      import s.implicits._
+      val tok = docs(s, dir)
+        .withColumn("tk", toks).filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"))
+        .as[(Long, Seq[String])]
+      val sig = graft.multimodal.MultiModal.perceptualSignatures(tok)
+        .toDF()
+        .persistTracked() // read 3×: band postings + both pair sides
+      val bandCols = (0 to 7).map(i => col(s"b$i"))
+      val posts = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "bv")))
+      val keep = posts.groupBy("band_idx", "bv")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 64)
+        .select("band_idx", "bv")
+      val cp = posts.join(keep, Seq("band_idx", "bv"))
+        .select("doc_id", "band_idx", "bv")
+      val cand = cp.toDF("doc_a", "band_idx", "bv")
+        .join(cp.toDF("doc_b", "band_idx", "bv"), Seq("band_idx", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val hammingExpr = (0 to 7).map(i => s"bit_count(a$i ^ c$i)")
+        .mkString("cast(", " + ", " as bigint)")
+      cand
+        .join(sig.toDF("doc_a" +: (0 to 7).map(i => s"a$i"): _*), "doc_a")
+        .join(sig.toDF("doc_b" +: (0 to 7).map(i => s"c$i"): _*), "doc_b")
+        .withColumn("hamming", expr(hammingExpr))
+        .filter(col("hamming") <= 7)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      dd AS (SELECT doc_id, toks, len(toks) AS tn FROM d
+             WHERE len(toks) > 0),
+      px AS (SELECT doc_id,
+               ((p // 32) // 4) * 8 + ((p % 32) // 4) AS k,
+               ${H.h32Duck("toks[CAST((p * tn) // 1024 + 1 AS INT)]" +
+                 " || ':' || CAST(p AS VARCHAR)")} % 256 AS v
+             FROM dd, UNNEST(range(0, 1024)) t(p)),
+      blk AS (SELECT doc_id, k, CAST(sum(v) AS BIGINT) AS bs
+              FROM px GROUP BY 1, 2),
+      tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS g
+              FROM blk GROUP BY 1),
+      bands AS (SELECT b.doc_id, CAST(k // 8 AS INT) AS band_idx,
+                  CAST(sum(CASE WHEN bs * 64 > g
+                    THEN CAST(1 AS BIGINT) << CAST(k % 8 AS INT)
+                    ELSE 0 END) AS INT) AS bv
+                FROM blk b JOIN tot USING (doc_id) GROUP BY 1, 2),
+      sigp AS (SELECT doc_id, ${(0 to 7).map(i =>
+        s"max(CASE WHEN band_idx = $i THEN bv ELSE 0 END) AS b$i")
+        .mkString(", ")}
+               FROM bands GROUP BY doc_id),
+      keep AS (SELECT band_idx, bv FROM (
+                 SELECT band_idx, bv, count(*) AS df
+                 FROM bands GROUP BY 1, 2) WHERE df <= 64),
+      cp AS (SELECT b.doc_id, b.band_idx, b.bv
+             FROM bands b JOIN keep USING (band_idx, bv)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM cp a JOIN cp b USING (band_idx, bv)
+               WHERE a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(${(0 to 7).map(i =>
+               s"bit_count(xor(sa.b$i, sb.b$i))").mkString(" + ")}
+               AS BIGINT) AS hamming
+      FROM cand JOIN sigp sa ON sa.doc_id = doc_a
+                JOIN sigp sb ON sb.doc_id = doc_b
+      WHERE ${(0 to 7).map(i =>
+        s"bit_count(xor(sa.b$i, sb.b$i))").mkString(" + ")} <= 7"""))
+  }
 }

@@ -199,4 +199,82 @@ class MultiModalSpec extends AnyFunSuite with SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("perceptual aHash: the P6 roundtrip is pixel-exact, gray decode " +
+    "matches the encoder's values, and the signature is a real " +
+    "function of the raster") {
+    val rnd = new scala.util.Random(42)
+    val px = Array.fill(32 * 32)(rnd.nextInt(256))
+    val payload = MultiModal.encodePpmGray(32, 32, px)
+    val decoded = HeaderCodec.decodePpmGray(payload)
+    assert(decoded.isDefined, "roundtrip must decode")
+    val (meta, gray) = decoded.get
+    assert((meta.width, meta.height, meta.maxval) === ((32, 32, 255)))
+    assert(gray.toSeq === px.toSeq, "decode(encode(px)) must be identity")
+    val b = MultiModal.aHashBands(gray, 32, 32)
+    assert(b.length === 8)
+    assert(b.forall(v => v >= 0 && v <= 255), "8-bit bands")
+    // exactly the blockSum*64 > grandSum rule, recomputed independently
+    val sums = Array.tabulate(64) { k =>
+      val (by, bx) = (k / 8, k % 8)
+      (0 until 4).flatMap(dy => (0 until 4).map(dx =>
+        px((by * 4 + dy) * 32 + (bx * 4 + dx)).toLong)).sum
+    }
+    val grand = sums.sum
+    val expect = Array.tabulate(8)(bi => (0 until 8).map { bit =>
+      if (sums(bi * 8 + bit) * 64 > grand) 1 << bit else 0 }.sum)
+    assert(b.toSeq === expect.toSeq)
+  }
+
+  test("perceptual aHash: invariant under 2x/4x integer upscale " +
+    "re-encode (the resize robustness p93's byte-frame identity " +
+    "cannot have), while the payload bytes fully diverge") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "split(lower(regexp_replace(trim(text), '\\\\s+', ' ')), ' ') tk")
+      .where("size(tk) > 0").limit(40)
+      .as[(Long, Seq[String])]
+    val s1 = MultiModal.perceptualSignatures(docs, scale = 1)
+      .collect().sortBy(_.doc_id)
+    val s2 = MultiModal.perceptualSignatures(docs, scale = 2)
+      .collect().sortBy(_.doc_id)
+    val s4 = MultiModal.perceptualSignatures(docs, scale = 4)
+      .collect().sortBy(_.doc_id)
+    assert(s1.length === 40)
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.toSeq === s4.toSeq)
+    // and the payloads byte-frame dedup would compare share NOTHING:
+    // a 64x64 re-encode has 4x the raster bytes of the 32x32 original
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = docs.collect().head._2
+    val px = MultiModal.renderRaster(md, toks, 32)
+    val up = {
+      val u = new Array[Int](64 * 64)
+      for (y <- 0 until 64; x <- 0 until 64)
+        u(y * 64 + x) = px((y / 2) * 32 + x / 2)
+      u
+    }
+    assert(MultiModal.encodePpmGray(32, 32, px).length !=
+      MultiModal.encodePpmGray(64, 64, up).length)
+  }
+
+  test("renderRaster matches the oracle's h32 arithmetic " +
+    "(md5 leading 4 bytes, big-endian, mod 256) token-for-token") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = Seq("alpha", "beta", "gamma")
+    val px = MultiModal.renderRaster(md, toks, 32)
+    assert(px.length === 1024)
+    // independent recomputation through the hex route h32Spark/h32Duck
+    // use: first 8 hex chars of md5 as a base-16 integer
+    def hex32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    for (p <- Seq(0, 1, 511, 1023)) {
+      val tok = toks(((p.toLong * toks.length) / 1024).toInt)
+      assert(px(p) === (hex32(s"$tok:$p") % 256).toInt, s"pixel $p")
+    }
+  }
 }
