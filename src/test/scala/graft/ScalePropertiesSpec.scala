@@ -31,6 +31,46 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     planString(df)
   }
 
+  /** Structural walk of the steady-state EXECUTED plan — the typed-
+    * node twin of [[runtimePlan]] (ADVICE r13: substring pins like
+    * "SortMergeJoin [d_orderkey" are sensitive to attribute naming /
+    * ordering in the rendered text; walking nodes and asserting on
+    * their key/condition REFERENCES is stable across hosts and Spark
+    * patch versions). Adaptive wrappers are unwrapped to the current
+    * plan and cached relations' build plans inlined, mirroring
+    * [[planString]]; nodes reachable through several cache-scan sites
+    * appear once per site — dedup by `.id` when counting.
+    */
+  private def runtimeNodes(name: String)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    queries.Catalog.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val df = queries.Catalog.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    collectNodes(df.queryExecution.executedPlan)
+  }
+
+  private def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case q: QueryStageExec => collectNodes(q.plan)
+      case i: InMemoryTableScanExec =>
+        i +: collectNodes(i.relation.cachedPlan)
+      case other => other +: other.children.flatMap(collectNodes)
+    }
+  }
+
+  /** Attribute names referenced by the given key/condition
+    * expressions — the stable identity substring pins were standing
+    * in for.
+    */
+  private def refNames(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Set[String] = es.flatMap(_.references.map(_.name)).toSet
+
   /** Cache-state-INDEPENDENT plan render. `executedPlan.toString` is a
     * flake source under sbt's parallel suites: once another suite
     * executes an entry that shares a persisted frame, the cached
@@ -607,15 +647,19 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "on the posting table — the r13 build-side lesson (without " +
     "qdim's exact cached stats the planner broadcast the full " +
     "POSTING table, measured ~1.6x)") {
-    val pl = runtimePlan("p58_bm25_topk")
-    // the candidate join is the BHJ on tok carrying the doc != query
-    // residual condition; right side is qdim, so BuildRight is the
-    // bounded-side build
-    val cand = pl.linesIterator.filter(l =>
-      l.contains("BroadcastHashJoin [tok") && l.contains("NOT (doc_id"))
-      .toSeq
-    assert(cand.nonEmpty, s"candidate-probe join not found:\n$pl")
-    assert(cand.forall(_.contains("BuildRight")),
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the candidate join is the BHJ keyed on tok carrying the
+    // doc != query residual condition; right side is qdim, so
+    // BuildRight is the bounded-side build. Structural walk, not a
+    // rendered-line match (ADVICE r13).
+    val cand = runtimeNodes("p58_bm25_topk").collect {
+      case b: BroadcastHashJoinExec
+        if refNames(b.leftKeys ++ b.rightKeys).contains("tok") &&
+          b.condition.exists(_.references.exists(_.name == "doc_id")) => b
+    }
+    assert(cand.nonEmpty, "candidate-probe join not found")
+    assert(cand.forall(_.buildSide == BuildRight),
       s"candidate join must build on the query dim (BuildRight), not " +
         s"the posting table:\n${cand.mkString("\n")}")
   }
@@ -623,17 +667,19 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
   test("q45: MERGE never shuffles the target — both passes are " +
     "broadcast joins against the delta side (AQE-sized at runtime; " +
     "the delta is unhinted)") {
-    val pl = runtimePlan("q45_merge_upsert")
-    assert(countOf(pl, "BroadcastHashJoin") >= 1,
-      s"the matched/keep pass must broadcast the delta:\n$pl")
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val nodes = runtimeNodes("q45_merge_upsert")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the matched/keep pass must broadcast the delta")
     // the insert pass (delta ANTI matchedKeys) may sort-merge — both
     // of its sides are delta-derived, so the shuffle is delta-sized;
     // the scale claim is that the TARGET never sort-merges, i.e.
-    // every SMJ in the plan is keyed on the delta's d_orderkey
-    assert(countOf(pl, "SortMergeJoin") ===
-      countOf(pl, "SortMergeJoin [d_orderkey"),
+    // every SMJ is keyed on the delta's d_orderkey (structural key
+    // references, not a rendered-prefix match — ADVICE r13)
+    val smj = nodes.collect { case s: SortMergeJoinExec => s }
+    assert(smj.forall(s => refNames(s.leftKeys) == Set("d_orderkey")),
       s"the 100 TB target must not sort-merge (only delta-keyed " +
-        s"frames may):\n$pl")
+        s"frames may):\n${smj.mkString("\n")}")
   }
 
   test("a37: both binseg levels ride ONE series-key shuffle — stacked " +
@@ -671,17 +717,20 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "impact prefix (per-term top-B), both arms' top-10, and the fused " +
     "top-5; no corpus-sized sort-merge join (AQE-sized at runtime; " +
     "the query-derived frames are unhinted)") {
-    val pl = runtimePlan("p99_hybrid_rrf_ann")
-    assert(countOf(pl, "WindowGroupLimit") >= 4,
-      s"prefix/lex/dense/fusion rank limits must all push down:\n$pl")
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val nodes = runtimeNodes("p99_hybrid_rrf_ann")
+    assert(nodes.collect { case w: WindowGroupLimitExec => w.id }
+      .distinct.size >= 4,
+      "prefix/lex/dense/fusion rank limits must all push down")
     // the only joins allowed to sort-merge are the per-query-bounded
     // fusion inputs (<=10 rows per query per arm) — never a frame
-    // keyed on the corpus doc side
-    val smjLines = pl.linesIterator
-      .filter(_.contains("SortMergeJoin")).toSeq
-    assert(smjLines.forall(_.contains("query_id")),
+    // keyed on the corpus doc side (structural key references, not a
+    // rendered-line match — ADVICE r13)
+    val smj = nodes.collect { case s: SortMergeJoinExec => s }
+    assert(smj.forall(s => refNames(s.leftKeys).contains("query_id")),
       s"only query-keyed (per-query-bounded) frames may sort-merge:\n" +
-        smjLines.mkString("\n"))
+        smj.mkString("\n"))
   }
 
   test("p60: both retrieval lists are WindowGroupLimit-bounded before " +
