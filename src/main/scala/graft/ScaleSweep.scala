@@ -294,7 +294,13 @@ object ScaleSweep {
         s""""$k": "${v.replace("\"", "'")}"""" }.mkString("{", ", ", "}")
     val pw = new PrintWriter(outJson)
     pw.println("{\n" + rows.mkString(",\n") +
-      s""",\n  "factors": [${Factors.mkString(",")}],""" +
+      // the sweep's replicated corpora need the sandbox's real memory:
+      // the 8g default OOM'd p58's declared-quadratic x30 point in the
+      // score aggregate (r14) — run with SPARK_DRIVER_MEM=96g; the
+      // artifact records what the points were measured under
+      s""",\n  "driver_mem": "${sys.env.getOrElse("SPARK_DRIVER_MEM",
+        "8g")}",""" +
+      s"""\n  "factors": [${Factors.mkString(",")}],""" +
       s"""\n  "x100_names": [${X100Names.toSeq.sorted
         .map("\"" + _ + "\"").mkString(",")}],""" +
       s"""\n  "x100_excluded": ${strMap(X100Excluded)},""" +
