@@ -42,4 +42,43 @@ object AmbientProbe {
         System.err.println(s"[probe] calibration failed: ${e.getMessage}")
         ref
     }
+
+  /** Quiet-host reference seconds for [[diskOnce]] (measured on this
+    * sandbox's idle virtual disk: 24 fsync cycles ≈ 0.042-0.053 s,
+    * ~2 ms/fsync). */
+  def diskRef: Double = sys.env.get("SPARK_GRAFT_DISK_REF")
+    .map(_.toDouble).getOrElse(0.05)
+
+  /** Disk-COMMIT latency probe: 24 cycles of (write 256 KiB at offset
+    * 0, fsync) against a temp file on the state-checkpoint filesystem
+    * (java.io.tmpdir). RocksDB micro-batch commits are dominated by
+    * many small synchronous writes — a resource the CPU probe is
+    * blind to (r14: a neardup feed read 5x slow under a co-tenant
+    * DISK burst while its CPU probe read a clean 0.98 s / 1.8x; the
+    * sampled device showed 35-57% io_util against ~1 MB/s of our own
+    * writes, i.e. saturated by I/O we never issued). Like [[once]]:
+    * fixed workload, never change it — [[diskRef]] is only comparable
+    * against the identical cycle.
+    */
+  def diskOnce(): Double = {
+    val f = java.io.File.createTempFile("graft-diskprobe", ".bin")
+    try {
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(256 * 1024)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 24) {
+          buf.rewind(); ch.position(0); ch.write(buf); ch.force(false)
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally ch.close()
+    } catch {
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[probe] disk probe failed: ${e.getMessage}")
+        diskRef // neutral fallback, factor 1.0
+    } finally f.delete()
+  }
 }

@@ -51,13 +51,15 @@ object StreamBench {
     methods = Seq("magnitude", "fence", "cdf", "highrank"), permCount = 50)
 
   case class Run(rows: Long, wallSec: Double, stateRows: Long,
-      stateBytes: Long, probe: Double = -1.0) {
+      stateBytes: Long, probe: Double = -1.0, diskProbe: Double = -1.0) {
     def rowsPerSec: Double = if (wallSec > 0) rows / wallSec else -1.0
     def json: String =
       f"""{"rows":$rows,"wall_sec":$wallSec%.3f,""" +
         f""""rows_per_sec":${rowsPerSec.toLong},""" +
         s""""state_rows":$stateRows,"state_bytes":$stateBytes""" +
-        (if (probe > 0) f""","probe_sec":$probe%.3f}""" else "}")
+        (if (probe > 0) f""","probe_sec":$probe%.3f""" else "") +
+        (if (diskProbe > 0) f""","disk_probe_sec":$diskProbe%.3f"""
+         else "") + "}"
   }
 
   private var sinkN = 0
@@ -145,15 +147,23 @@ object StreamBench {
         else StreamingNearDup.bandHits(df)(spark)
       }
 
-    // every TIMED feed carries its own ambient probe (VERDICT r13 #3:
+    // every TIMED feed carries its own ambient probes (VERDICT r13 #3:
     // stream rows were the last measurement class without the calib
     // discipline — the committed r13 neardup_tws batches=20 row was a
-    // co-tenant burst adjudicable only via an uncommitted re-run). The
-    // probe runs immediately before the feed and is recorded in the
-    // row's JSON, so a burst-hit row is identifiable IN the artifact.
+    // co-tenant burst adjudicable only via an uncommitted re-run).
+    // TWO probes, because the feeds bind on two different resources:
+    // the CPU probe (probe_sec vs probe_ref) and a disk-COMMIT
+    // latency probe (disk_probe_sec vs disk_ref) — RocksDB commits
+    // are fsync-bound, and a co-tenant DISK burst is invisible to the
+    // CPU probe (measured r14: a 5x-slow neardup feed carried a clean
+    // 0.98 s CPU probe while the device sat at 35-57% io_util on
+    // ~1 MB/s of our own writes). Both run immediately before the
+    // feed and are recorded in the row's JSON, so a burst-hit row is
+    // identifiable IN the artifact, by resource.
     def probed(r: => Run): Run = {
       val p = AmbientProbe.onceOrRef(spark, cpus) // probe BEFORE the feed
-      r.copy(probe = p)
+      val dp = AmbientProbe.diskOnce()
+      r.copy(probe = p, diskProbe = dp)
     }
 
     // warmup feed per workload+backend (codegen, state-provider init),
@@ -191,6 +201,7 @@ object StreamBench {
       s""""value":${detTws.rowsPerSec.toLong},"unit":"rows/s",""" +
       s""""batches":$nBatches,"series":$nSeries,""" +
       s""""probe_ref":${AmbientProbe.ref},""" +
+      s""""disk_ref":${AmbientProbe.diskRef},""" +
       s""""detector_fmgws_hdfs":${detFmgwsHdfs.json},""" +
       s""""detector_fmgws_rocksdb":${detFmgws.json},""" +
       s""""detector_tws_rocksdb":${detTws.json},""" +
