@@ -54,6 +54,21 @@ object Verify {
     } catch { case e if scala.util.control.NonFatal(e) => () }
     val t0 = System.nanoTime()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Ambient probe samples (the calib discipline Verify lacked, round
+    // 14): the per-entry walls feed the budget gate, and a co-tenant
+    // burst mid-run produces FAIL flags that were only adjudicable
+    // with out-of-band re-runs (r14: 10 flags in one window, q01
+    // control at 3.4 s vs its ~0.9 s quiet median, probe 2.3-2.6x
+    // ref). One CPU + disk probe pair before the loop, after every
+    // 20th entry, and after the last — ~11 samples on a full catalog,
+    // ~10 s of a ~330 s run — written to probes.json so
+    // check_budgets.py can annotate each flag with its LOCAL ambient.
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    def sampleProbe(after: Int): Unit =
+      probes += ((after, AmbientProbe.onceOrRef(spark, cpus),
+        AmbientProbe.diskOnce()))
+    sampleProbe(0)
+    var nDone = 0
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       val tq = System.nanoTime()
       // repartition(1), NOT coalesce(1): coalesce merges the plan's
@@ -81,9 +96,18 @@ object Verify {
       // clearCache sweep behind it catches anything untracked
       graft.operators.EntryCaches.releaseAll()
       spark.catalog.clearCache()
+      nDone += 1
+      if (nDone % 20 == 0) sampleProbe(nDone)
     }
+    if (probes.last._1 != nDone) sampleProbe(nDone)
     System.err.println(
       f"[verify] TOTAL ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    Files.writeString(Paths.get(s"$outDir/probes.json"),
+      s"""{"probe_ref":${AmbientProbe.ref},""" +
+        s""""disk_ref":${AmbientProbe.diskRef},"samples":[""" +
+        probes.map { case (a, c, d) =>
+          f"""{"after":$a,"cpu":$c%.3f,"disk":$d%.3f}"""
+        }.mkString(",") + "]}")
     // per-entry wall seconds for the budget gate (tools/check_budgets.py
     // against tools/budgets_sf01.json): a silent per-entry perf
     // regression should fail a tool, not wait for a bench round
