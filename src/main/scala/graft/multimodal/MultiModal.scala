@@ -278,31 +278,43 @@ object MultiModal {
     docs.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5") // per-partition setup
       it.map { case (id, toks) =>
-        require(toks.nonEmpty, s"doc $id: empty token array")
-        val pix = renderRaster(md, toks, side)
-        val w = side * scale
-        val up =
-          if (scale == 1) pix
-          else {
-            val u = new Array[Int](w * w)
-            var y = 0
-            while (y < w) {
-              var x = 0
-              while (x < w) {
-                u(y * w + x) = pix((y / scale) * side + x / scale)
-                x += 1
-              }
-              y += 1
-            }
-            u
-          }
-        val payload = encodePpmGray(w, w, up)
-        val (meta, gray) = HeaderCodec.decodePpmGray(payload).getOrElse(
-          throw new IllegalStateException(s"PPM roundtrip failed: doc $id"))
-        val b = aHashBands(gray, meta.width, meta.height)
+        val b = aHashSignature(md, id, toks, side, scale)
         PHashSig(id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
       }
     }
+  }
+
+  /** The per-document core of [[perceptualSignatures]] — render →
+    * optional integer upscale → REAL P6 encode/decode roundtrip →
+    * aHash bands — factored out so the streaming twin
+    * ([[graft.streaming.StreamingPhashNearDup]]) computes the
+    * IDENTICAL signature from the identical seam (one definition, no
+    * drift between the batch entry and the online form).
+    */
+  def aHashSignature(md: MessageDigest, id: Long, toks: Seq[String],
+      side: Int = 32, scale: Int = 1): Array[Int] = {
+    require(toks.nonEmpty, s"doc $id: empty token array")
+    val pix = renderRaster(md, toks, side)
+    val w = side * scale
+    val up =
+      if (scale == 1) pix
+      else {
+        val u = new Array[Int](w * w)
+        var y = 0
+        while (y < w) {
+          var x = 0
+          while (x < w) {
+            u(y * w + x) = pix((y / scale) * side + x / scale)
+            x += 1
+          }
+          y += 1
+        }
+        u
+      }
+    val payload = encodePpmGray(w, w, up)
+    val (meta, gray) = HeaderCodec.decodePpmGray(payload).getOrElse(
+      throw new IllegalStateException(s"PPM roundtrip failed: doc $id"))
+    aHashBands(gray, meta.width, meta.height)
   }
 
   /** Frame sampling: every k-th fixed-size frame of each payload — the
