@@ -85,13 +85,22 @@ object CurationPipeline {
         false
     }
 
+    // each measured pass carries its own ambient probes (the Bench/
+    // StreamBench/Verify calib discipline): the two passes run
+    // minutes apart in one JVM, so a co-tenant burst during exactly
+    // one of them masquerades as (or masks) the composed saving
+    def probes(): (Double, Double) =
+      (AmbientProbe.onceOrRef(spark, cpus), AmbientProbe.diskOnce())
+
     // standalone: the per-entry contract — every consumer pays the
     // full LSH pass itself (cold caches, warm code)
+    val (probeS, diskS) = probes()
     val standalone = Consumers.map { n => settle(); n -> materialize(n) }
 
     // composed: prime the shared pair list, keep caches warm across
     // all six consumers
     settle()
+    val (probeC, diskC) = probes()
     val t0 = System.nanoTime()
     val pairs = queries.Pipeline.sharedLshPairs(spark, sfDir)
     val nPairs = pairs.count()
@@ -109,6 +118,10 @@ object CurationPipeline {
       f""""composed_total":${primerSec + sumC}%.3f,""" +
       f""""primer_sec":$primerSec%.3f,"pairs":$nPairs,""" +
       s""""warmup_ok":$warmupOk,""" +
+      f""""probe_standalone":$probeS%.3f,"disk_standalone":$diskS%.3f,""" +
+      f""""probe_composed":$probeC%.3f,"disk_composed":$diskC%.3f,""" +
+      s""""probe_ref":${AmbientProbe.ref},""" +
+      s""""disk_ref":${AmbientProbe.diskRef},""" +
       s""""standalone":${obj(standalone)},"composed":${obj(composed)},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
