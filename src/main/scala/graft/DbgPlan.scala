@@ -8,10 +8,14 @@ package graft
   */
 object DbgPlan {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create("local[8]", 8, "dbg-plan")
+    // default to the bench corpus/core-count envs so captured plans
+    // (plans/r14/*.txt) reflect the configuration the bench times
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.create(s"local[$cpus]", cpus, "dbg-plan")
     for (n <- args) {
       println(s"===== $n =====")
-      queries.Catalog.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      queries.Catalog.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
