@@ -1542,7 +1542,12 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     // the oracle and exactly why the engine does NOT compute it.
     Entry("p23_dedup_clusters", (s, dir) => {
       val d = docs(s, dir)
+      // persisted (r14 opt, guide §2.4): connectedComponents' first
+      // eager checkpoint reads its edge input TWICE (both arms of the
+      // symmetrize union) — uncached, the whole LSH refine ran twice
+      // per cold build (p67 already carried this persist; p23 didn't)
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+        .persistTracked()
       val labels = Components.connectedComponents(pairs)
       d.select(col("doc_id"))
         .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
@@ -3104,7 +3109,14 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
       // one action cascade instead of 5 eager driver-blocking jobs
       def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
       val d = docs(s, dir)
+      // persisted (r14 opt, guide §2.4): the edge union reads the pair
+      // list twice and the degree join reads the union twice more —
+      // uncached, the LSH refine (band self-join + distinct + two
+      // signature rejoins) ran FOUR times inside e's one
+      // materialization (cold p52 measured 9.7-13.2 s at sf0.1; the
+      // warm bench medians never saw it because e's cache absorbs it)
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+        .persistTracked()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -3925,9 +3937,12 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
       val tot = tk.agg(sum(col("n_toks")).as("tot_toks"))
       val thrDf = s.range(1).select(
         explode(array(lit(0.5), lit(0.7), lit(0.9))).as("thr"))
+      // persisted (r14 opt, guide §2.4): np and rm both read the
+      // thresholded pair explode — uncached, the LSH refine ran twice
       val pt = minhashLshPairs(d)
         .withColumn("thr", explode(array(lit(0.5), lit(0.7), lit(0.9))))
         .filter(col("est_jaccard") >= col("thr"))
+        .persistTracked()
       val np = pt.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
       val rm = pt.select("thr", "doc_b").distinct()
         .join(tk, col("doc_b") === col("doc_id"))
@@ -3991,7 +4006,10 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
         s"ELSE 'test' END"
     Entry("p66_split_leakfree", (s, dir) => {
       val d = docs(s, dir)
+      // persisted (r14 opt): same two-read symmetrize-union shape as
+      // p23 — see the note there
       val pairs = minhashLshPairs(d).select("doc_a", "doc_b")
+        .persistTracked()
       val labels = Components.connectedComponents(pairs)
       val bucketOf = (src: String) =>
         expr(H.h32Spark(s"concat(cast($src as string), ':split')") +
@@ -5496,15 +5514,30 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
         .select(col("source"), explode(toks).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
         .join(broadcast(totals), "source")
-        .persistTracked() // read twice: the two sides of the pair join
-      val shared = counts.select(col("source").as("src_a"), col("tok"),
-          col("c").as("c_a"), col("n").as("n_a"))
-        .join(counts.select(col("source").as("src_b"), col("tok"),
-          col("c").as("c_b"), col("n").as("n_b")), "tok")
-        .filter(col("src_a") < col("src_b"))
+      // r14 opt (guide §2.4): the within-token source pairs used to
+      // come from a census self-join on tok — the cached census
+      // exchanged + sorted TWICE by a string key. Sources are a
+      // handful, so ONE groupBy(tok) (a single census-sized exchange)
+      // collects the ≤|S| per-token rows and the pair expansion is
+      // row-local array math over the aggregate's output (per-group,
+      // not per-candidate: the HOF sits over an Aggregate, no join).
+      // Pair enumeration via y.source > x.source is order-independent,
+      // so collect_list's nondeterministic order cannot reach the
+      // output; sum/count over the same (a, b, m) rows the self-join
+      // produced.
+      val shared = counts
+        .groupBy("tok")
+        .agg(collect_list(struct(col("source"), col("c"), col("n")))
+          .as("ss"))
+        .select(explode(expr(
+          "flatten(transform(ss, x -> transform(" +
+            "filter(ss, y -> y.source > x.source), " +
+            "y -> struct(x.source as src_a, y.source as src_b, " +
+            "least(x.c * y.n, y.c * x.n) as m))))")).as("p"))
+        .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"),
+          col("p.m").as("m"))
         .groupBy("src_a", "src_b")
-        .agg(sum(least(col("c_a") * col("n_b"), col("c_b") * col("n_a")))
-            .as("s_min"),
+        .agg(sum(col("m")).as("s_min"),
           count(lit(1)).as("shared_tokens"))
       // S x S grid of broadcast totals — the declared S² dim
       broadcast(ta).crossJoin(broadcast(tb))

@@ -18,17 +18,34 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** Exact money sum: per-row decimal cast, exact sum, double output. */
+  /** Exact money sum: per-row decimal cast, exact sum, double output.
+    * DECIMAL(8,2) (r14 opt, guide §1.2 per-task work): every money
+    * column in this corpus is < 10^6 by schema (prices are per-part
+    * retail x qty <= 50, discounts <= 0.1, order totals < 10^6), so the
+    * narrower cast is lossless — and it puts the sum under Catalyst's
+    * DecimalAggregates rewrite (precision + 10 <= 18), which sums the
+    * UNSCALED value as a plain codegen LONG instead of per-row Decimal
+    * allocs. The sum is the same exact integer either way and the
+    * double output converts identically; the DuckDB oracles keep their
+    * DECIMAL(18,2) spelling (same exact value, hash-identical).
+    */
   private def moneySum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,2)")).cast("double")
+    sum(c.cast("decimal(8,2)")).cast("double")
 
   /** price*(1-discount) in exact DECIMAL arithmetic. Casting the DOUBLE
     * product to decimal is engine-dependent on half-cent products;
     * multiplying decimals is exact everywhere.
     */
+  /** Same narrowing as [[moneySum]] (r14 opt): DECIMAL(8,2) operands
+    * make the product DECIMAL(17,4) — inside Spark's compact-long
+    * Decimal range (precision <= 18), so the per-row multiply and the
+    * running sum never allocate a BigDecimal. The former (18,2)
+    * operands produced a (37,4) product — BigDecimal on every row.
+    * Identical exact values: both operands are < 10^6 by schema.
+    */
   private def discPrice =
-    col("l_extendedprice").cast("decimal(18,2)") *
-      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    col("l_extendedprice").cast("decimal(8,2)") *
+      (lit(1).cast("decimal(8,2)") - col("l_discount").cast("decimal(8,2)"))
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -130,7 +147,7 @@ object Relational {
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(byDate).cast("long").as("order_seq"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
+          sum(col("o_totalprice").cast("decimal(8,2)"))
             .over(byDate.rowsBetween(Window.unboundedPreceding, 0))
             .cast("double").as("running_spend"),
           rank().over(bySpend).cast("long").as("spend_rank"))
@@ -431,7 +448,7 @@ object Relational {
         .rangeBetween(-90L * 24 * 3600, 0)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          sum(col("o_totalprice").cast("decimal(8,2)")).over(w)
             .cast("double").as("spend_90d"),
           count(lit(1)).over(w).as("n_orders_90d"))
     }, Some("""

@@ -1225,7 +1225,10 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     "p72_dataset_card" -> (1, "single-row scalar (dup-doc count)"),
     "p76_coreset_kcenter" -> (1, "fixed-k centers"),
     "p81_contam_semantic" -> (2, "fixed-k centroids"),
-    "p83_source_divergence" -> (4, "per-source totals/counts, rows = #sources"),
+    // r14 opt: the census self-join became one groupBy(tok) + row-local
+    // pair expansion, so the analyzed tree carries broadcast(totals)
+    // ONCE (4 -> 3: totals on the census join + the ta x tb grid)
+    "p83_source_divergence" -> (3, "per-source totals/counts, rows = #sources"),
     "p84_split_parity" -> (4, "per-split totals/counts, rows = #splits"),
     "p85_vocab_coverage" -> (1, "single-row scalar"),
     "p86_vocab_growth" -> (4, "per-source/bucket dims + scalar"),
