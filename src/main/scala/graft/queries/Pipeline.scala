@@ -5616,16 +5616,27 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
           col("f.val").as("val"))
         .agg(count(lit(1)).as("c"))
         .join(broadcast(totals), "split")
-        .persistTracked() // read twice: the two sides of the pair join
-      val shared = counts.select(col("split").as("split_a"), col("feature"),
-          col("val"), col("c").as("c_a"), col("n").as("n_a"))
-        .join(counts.select(col("split").as("split_b"), col("feature"),
-          col("val"), col("c").as("c_b"), col("n").as("n_b")),
-          Seq("feature", "val"))
-        .filter(col("split_a") < col("split_b"))
+      // r14 opt (guide §2.4, p83's twin): the census cache was
+      // partitioned by (split, feature, val) — its groupBy keys — which
+      // does not satisfy the (feature, val)-keyed self-join, so both
+      // sides re-exchanged + sorted. ONE groupBy(feature, val) collects
+      // the ≤|splits| per-value rows and the ordered-pair expansion is
+      // row-local over the aggregate's output (order-independent
+      // enumeration via y.split > x.split, so collect_list order cannot
+      // reach the output).
+      val shared = counts
+        .groupBy("feature", "val")
+        .agg(collect_list(struct(col("split"), col("c"), col("n")))
+          .as("ss"))
+        .select(col("feature"), explode(expr(
+          "flatten(transform(ss, x -> transform(" +
+            "filter(ss, y -> y.split > x.split), " +
+            "y -> struct(x.split as split_a, y.split as split_b, " +
+            "least(x.c * y.n, y.c * x.n) as m))))")).as("p"))
+        .select(col("feature"), col("p.split_a").as("split_a"),
+          col("p.split_b").as("split_b"), col("p.m").as("m"))
         .groupBy("split_a", "split_b", "feature")
-        .agg(sum(least(col("c_a") * col("n_b"), col("c_b") * col("n_a")))
-            .as("s_min"),
+        .agg(sum(col("m")).as("s_min"),
           count(lit(1)).as("shared_values"))
       broadcast(ta).crossJoin(broadcast(tb))
         .filter(col("split_a") < col("split_b"))

@@ -1229,7 +1229,8 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     // pair expansion, so the analyzed tree carries broadcast(totals)
     // ONCE (4 -> 3: totals on the census join + the ta x tb grid)
     "p83_source_divergence" -> (3, "per-source totals/counts, rows = #sources"),
-    "p84_split_parity" -> (4, "per-split totals/counts, rows = #splits"),
+    // r14 opt: same groupBy+expand rewrite as p83 (4 -> 3)
+    "p84_split_parity" -> (3, "per-split totals/counts, rows = #splits"),
     "p85_vocab_coverage" -> (1, "single-row scalar"),
     "p86_vocab_growth" -> (4, "per-source/bucket dims + scalar"),
     "p94_epoch_schedule" -> (3, "per-source weights x2 + <=1024 bucket base"),
