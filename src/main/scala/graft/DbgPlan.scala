@@ -11,7 +11,9 @@ object DbgPlan {
     // default to the bench corpus/core-count envs so captured plans
     // (plans/r14/*.txt) reflect the configuration the bench times
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    // tolerate a malformed env value (ADVICE r14): default, don't throw
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).getOrElse(8)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "dbg-plan")
     for (n <- args) {
       println(s"===== $n =====")

@@ -52,6 +52,37 @@ object Verify {
         .foreach(t =>
           graft.sources.Tables.table(spark, sfDir, t).limit(1).count())
     } catch { case e if scala.util.control.NonFatal(e) => () }
+    // Money-domain guard (ADVICE r14): the relational layer's
+    // DECIMAL(8,2) money casts assume |value| < 1e6. The session runs
+    // non-ANSI, so a violating row would cast to NULL and silently
+    // vanish from every money sum — a wrong answer, not an error.
+    // Assert the bound ONCE per verification run and fail loudly; NOT
+    // wrapped in the warmup's swallow-all (a guard that can't fail
+    // guards nothing).
+    {
+      import org.apache.spark.sql.functions._
+      // per-column bounds: prices < 1e6 (the DECIMAL(8,2) cast range),
+      // quantities/discounts < 1e3 (the moneySumSmall single-long-sum
+      // budget — see Relational's headroom comments)
+      val money = Seq(
+        "lineitem" -> Seq("l_extendedprice" -> 1e6, "l_quantity" -> 1e3,
+          "l_discount" -> 1e3),
+        "orders" -> Seq("o_totalprice" -> 1e6))
+      val bad = money.flatMap { case (tbl, cols) =>
+        val row = graft.sources.Tables.table(spark, sfDir, tbl)
+          .agg(max(abs(col(cols.head._1).cast("double"))),
+            cols.tail.map(c => max(abs(col(c._1).cast("double")))): _*).head
+        cols.zipWithIndex.collect {
+          case ((c, bound), i) if !row.isNullAt(i) &&
+              row.getDouble(i) >= bound =>
+            s"$tbl.$c max |v| = ${row.getDouble(i)} (bound $bound)"
+        }
+      }
+      require(bad.isEmpty,
+        "money-domain violation (out-of-bound values would silently " +
+          s"NULL out of the DECIMAL(8,2) money casts or overflow the " +
+          s"single-long small sums): ${bad.mkString("; ")}")
+    }
     val t0 = System.nanoTime()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Ambient probe samples (the calib discipline Verify lacked, round

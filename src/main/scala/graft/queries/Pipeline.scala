@@ -5489,14 +5489,20 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     * denominator n_a·n_b the whole fold is
     * (n_a·n_b − Σ min(c_a·n_b, c_b·n_a)) / (n_a·n_b) — integer sums,
     * ONE double division, identical IEEE result on both engines.
-    * Shape at 100 TB: one (source, tok) count shuffle (map-side
-    * combined), then a token-keyed join whose per-token fanout is
-    * bounded by S² (S = #sources, the declared small dim — 20 here);
-    * totals are an S-row broadcast; the full S² pair grid comes from a
-    * broadcast cross of the totals so never-overlapping pairs still
-    * report TV = 1. Products c·n stay int64 up to ~3e9 tokens/source;
-    * past that the fold's `least` operands move to decimal(38,0) with
-    * the SAME final double division (the a37 discipline).
+    * Shape at 100 TB (r14 form): one (source, tok) count shuffle
+    * (map-side combined) into a groupBy(tok) census whose ≤S per-token
+    * rows expand to ordered source pairs ROW-LOCALLY (a per-group HOF
+    * over the aggregate's output — no token-keyed join, no second
+    * census-sized exchange); totals are an S-row broadcast; the full
+    * S² pair grid comes from a broadcast cross of the totals so
+    * never-overlapping pairs still report TV = 1 (S = #sources, the
+    * declared small dim — 20 here). DOMAIN bound (ADVICE r14): the
+    * expansion's least(c_a·n_b, c_b·n_a), the s_min sum, and the final
+    * n_a·n_b denominator are all plain int64 — c·n ≤ n² overflows
+    * silently past n ≈ 3e9 tokens/source, which is therefore this
+    * entry's HARD input ceiling; a corpus beyond it must pre-aggregate
+    * sources (or shard them) before this audit, it cannot simply run
+    * it bigger.
     */
   private[queries] def sourceDivergenceEntry: Entry =
     Entry("p83_source_divergence", (s, dir) => {
@@ -5587,10 +5593,14 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     * sqrt(|V|/n) flags the feature); this entry reports the raw
     * distances and leaves the gate to the caller. Shape at 100 TB:
     * one row per doc per feature (explode of a 3-struct literal), one
-    * (split, feature, value) count shuffle; totals are a 3-row
-    * broadcast (per-split doc counts — identical across features since
-    * every doc carries every feature exactly once); the value join's
-    * fanout is bounded by splits² = 9 per (feature, value).
+    * (split, feature, value) count shuffle into a groupBy(feature, val)
+    * census whose ≤|splits| per-value rows expand to ordered split
+    * pairs row-locally (p83's r14 form — no value-keyed self-join);
+    * totals are a 3-row broadcast (per-split doc counts — identical
+    * across features since every doc carries every feature exactly
+    * once). Same int64 DOMAIN ceiling as p83: the expansion's c·n is
+    * plain BIGINT, so per-split doc counts must stay ≤ ~3e9 for the
+    * products to be exact — the entry's hard input bound.
     */
   private[queries] def splitParityEntry: Entry = {
     import graft.functions.{HashScheme => H}

@@ -1409,6 +1409,78 @@ class ScalePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(PlanAudit.broadcastHints(fact.join(dim, "k")).isEmpty)
   }
 
+  test("money-sum overflow headroom at the 100 TB point is a " +
+    "worst-case proof, not a mean-based estimate (VERDICT r14 #1)") {
+    // The committed budget for Relational.moneySum's two-tier long sum.
+    // Corpus contracts: |money| < 1e6 dollars (GUARDED in Verify's
+    // money-domain assertion, which fails the correctness run loudly
+    // on a violation), so |cents| < 1e8. 100 TB point: TPC-H SF ~1e5
+    // -> lineitem ~6e11 rows; the adversarial worst case is EVERY row
+    // in ONE group at max |money| — no group-count or mean-price
+    // assumption anywhere.
+    val maxCents = 100000000L // |money| < 1e6 dollars
+    val rowsAt100TB = 6e11 // lineitem at TPC-H SF 1e5
+    val split = queries.Relational.CentsSplit // 2^17
+    val worstHi = rowsAt100TB * (maxCents / split + 1).toDouble
+    val worstLo = rowsAt100TB * (split - 1).toDouble
+    val longMax = Long.MaxValue.toDouble
+    assert(worstHi * 1000 < longMax,
+      f"hi-sum worst case $worstHi%.3g needs >= 1000x headroom under int64")
+    assert(worstLo * 100 < longMax,
+      f"lo-sum worst case $worstLo%.3g needs >= 100x headroom under int64")
+    // contrast: the r14 single DECIMAL(18,2) sum ceiling (1e16 dollars
+    // = 1e18 cents) is EXCEEDED by this worst case — the reason the
+    // two-tier form exists
+    assert(rowsAt100TB * maxCents > 1e18,
+      "if the worst case fits DECIMAL(18,2) again, the two-tier " +
+        "split can be retired — re-derive before simplifying")
+    // the recombination is DECIMAL(38): hi*2^17 + lo stays under 1e20
+    // even at int64-saturated partial sums — always representable
+    assert(longMax * split.toDouble + longMax < 1e38)
+
+    // exactness: moneySum == a BigDecimal reference on a frame with
+    // max-bound values, negatives, nulls, and empty groups — pins the
+    // split/recombine against every sign/rounding edge
+    val vals: Seq[(Int, Option[Double])] = Seq(
+      (1, Some(999999.99)), (1, Some(999999.99)), (1, Some(0.01)),
+      (1, None),
+      (2, Some(-999999.99)), (2, Some(0.005)), (2, Some(-0.004)),
+      (3, None), (4, Some(123456.78))) ++
+      (0 until 1000).map(i => (5, Some(
+        ((i * 2654435761L) % 199999999L - 99999999L) / 100.0)))
+    val df = spark.createDataFrame(vals).toDF("g", "v")
+    val got = df.groupBy("g").agg(
+      queries.Relational.moneySumForTest(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    def ref(g: Int): Option[Double] = {
+      val xs = vals.filter(_._1 == g).flatMap(_._2)
+        .map(d => new java.math.BigDecimal(d)
+          .setScale(2, java.math.RoundingMode.HALF_UP))
+      if (xs.isEmpty) None
+      else Some(xs.reduce(_ add _).doubleValue())
+    }
+    for (g <- Seq(1, 2, 3, 4, 5)) {
+      assert(got(g) === ref(g), s"group $g: moneySum != BigDecimal ref")
+    }
+    // the small-domain single-long variant (quantities/discounts,
+    // |v| < 1e3 guarded): same reference, same groups — budget: cents
+    // < 1e5 so 6e11 rows sum to <= 6e16, 153x under int64
+    assert(6e11 * 1e5 * 150 < longMax)
+    val gotSmall = df.groupBy("g").agg(
+      queries.Relational.moneySumSmallForTest(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    for (g <- Seq(1, 2, 3, 4, 5)) {
+      assert(gotSmall(g) === ref(g),
+        s"group $g: moneySumSmall != BigDecimal ref")
+    }
+    // structural pin: q01's money aggregates really are LONG sums (the
+    // shift/mask split), not decimal buffers — the whole point of the
+    // exercise is keeping the codegen long path
+    val p = plan("q01_agg")
+    assert(p.contains("shiftright"),
+      "q01 lost the two-tier long money sum:\n" + p)
+  }
+
   test("p87: gram postings are pruned to pair-listed docs BEFORE the " +
     "position explode — the corpus never explodes 8-grams globally") {
     val p = plan("p87_longest_common_run")
