@@ -33,9 +33,41 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "graft-bench")
 
+    // xN replicated-scale mode (VERDICT r14 #2): at sf0.1 every bench
+    // query is scheduling-overhead-bound at 32 cores — the r14 8-core
+    // TOTAL (14.70 s) beat the 32-core total (17.23 s) — so 32-core
+    // deltas at that SF partly measure constant overhead, not the
+    // scale behavior the engine is built for. SPARK_GRAFT_BENCH_XN=10
+    // times the HEAVY tier against a 10x key-offset replication of
+    // the corpus (ScaleSmoke's machinery, cached in /tmp across runs),
+    // the scale point where parallel wins are adjudicable. The driver
+    // never sets this env, so default behavior is unchanged; the mode
+    // emits the same one-line JSON (plus an "xn" field) with "sf"
+    // naming the replicated dir it actually timed.
+    val xn = sys.env.get("SPARK_GRAFT_BENCH_XN").flatMap(_.toIntOption)
+      .filter(_ >= 2)
+    val benchDir = xn match {
+      case Some(f) =>
+        val suffix = if (sfDir.endsWith("sf0.1")) ""
+          else "_" + new java.io.File(sfDir).getName
+        val out = s"/tmp/graft_scale_x$f$suffix"
+        if (!new java.io.File(s"$out/_SMOKE_READY_V2").exists()) {
+          System.err.println(s"[bench] replicating $sfDir x$f -> $out")
+          ScaleSmoke.replicate(spark, sfDir, out, f)
+          new java.io.File(s"$out/_SMOKE_READY_V2").createNewFile()
+        }
+        out
+      case None => sfDir
+    }
+    // the xN heavy tier: the entries whose sf0.1 medians top the bench
+    // (and whose scale behavior the round-15 items target)
+    val xnTier = Seq("q04_join_multi", "a13_anomaly_perm500_chunked",
+      "a47_quantile_trend", "p34_contam_bloom", "p52_pagerank",
+      "p63_sim_ivfpq", "p99_hybrid_rrf_ann")
+
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try queries.Catalog.queries(name)(spark, sfDir)
+      try queries.Catalog.queries(name)(spark, benchDir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
@@ -107,6 +139,9 @@ object Bench {
     // pay for a non-core query's heap damage.
     val listed = queries.Catalog.benchNames
       .filter(n => only.forall(_.contains(n)))
+      // xN mode defaults to the heavy tier (SPARK_GRAFT_BENCH_ONLY
+      // still narrows further when set)
+      .filter(n => xn.isEmpty || xnTier.contains(n))
     val names = listed.filter(coreSet) ++ listed.filterNot(coreSet)
     // per-BLOCK ambient probe (VERDICT r12 #1): one calibrate() run
     // immediately before each query's block. The run-level
@@ -183,8 +218,19 @@ object Bench {
       val (m, _, p) = samples(n)
       n -> (if (m >= 0 && p > 0) m * CalibRef / p else m)
     }
-    def obj(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Truncation hardening (VERDICT r14 #6): BENCH_r13's one-line JSON
+    // was cut off in the driver's tail-capture window — the line grew
+    // a new per-query map every round until it outgrew the window,
+    // which silently cost r14 its round-over-round comparison. The
+    // line keeps the contract fields (metric/value/unit/queries/sf)
+    // plus the block-normalized medians (the adjudication map), both
+    // at 6-decimal precision; the long tail — per-query minima, block
+    // probes, full precision — moves to the bench_detail.json sidecar.
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    def obj(kvs: Seq[(String, Double)], rounded: Boolean = false): String =
+      kvs.map { case (k, v) =>
+        "\"" + k + "\":" + (if (rounded && v >= 0) r6(v) else v) }
+        .mkString("{", ",", "}")
     val total = med.map(_._2).filter(_ >= 0).sum
     // value_min (sum of per-query minima) rides along because the
     // driver host is shared: medians absorb co-tenant noise runs, the
@@ -206,16 +252,31 @@ object Bench {
     // raw medians moved 25% with the host.
     val coreNorm = totalCore * CalibRef / calibStart
     val totalNorm = total * CalibRef / ((calibStart + calibEnd) / 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+    val head =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""value_min":$totalMin,"value_core":$totalCore,""" +
-      s""""calib":$calibStart,"calib_end":$calibEnd,"calib_ref":$CalibRef,""" +
-      s""""value_core_norm":$coreNorm,"value_norm":$totalNorm,""" +
+      s""""calib":${r6(calibStart)},"calib_end":${r6(calibEnd)},""" +
+      s""""calib_ref":$CalibRef,""" +
+      s""""value_core_norm":${r6(coreNorm)},"value_norm":${r6(totalNorm)},""" +
       s""""core_queries":${coreSet.size - coreMissing.size},""" +
       s""""core_missing":${coreMissing.map("\"" + _ + "\"")
         .mkString("[", ",", "]")},""" +
-      s""""queries":${obj(med)},"queries_min":${obj(mins)},""" +
-      s""""calib_blocks":${obj(probes)},""" +
-      s""""queries_norm":${obj(medNorm)},"sf":"$sfDir"}""")
+      xn.map(f => s""""xn":$f,""").getOrElse("")
+    // sidecar with the full-precision tail the line no longer carries
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")),
+      head + s""""queries":${obj(med)},"queries_min":${obj(mins)},""" +
+        s""""calib_blocks":${obj(probes)},""" +
+        s""""queries_norm":${obj(medNorm)},"sf":"$benchDir"}""")
+    catch {
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    println(head +
+      s""""queries":${obj(med, rounded = true)},""" +
+      s""""queries_norm":${obj(medNorm, rounded = true)},""" +
+      s""""sf":"$benchDir"}""")
     spark.stop()
   }
 }
