@@ -330,24 +330,65 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     * Returns (query_id, neighbor_id, adot12, approx_dot, rk <= k).
     * See p63's entry comment for the exactness and scale analysis.
     */
+  /** Test hook: the coarse-centroid frame exactly as [[ivfPqTopK]]
+    * builds it — ScalePropertiesSpec pins its ccid uniqueness (the
+    * fallback-allowlist 1:1 claim for the residual re-attach join).
+    */
+  private[graft] def p63CoarseFrame(s: SparkSession,
+      dir: String): DataFrame = {
+    val e6 = embs(s, dir).select(col("vec_id"),
+      expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
+        .as("v6"))
+    ivfSeedCents(e6, "v6", cid = "ccid", ci = "c6")
+  }
+
   private def ivfPqTopK(s: SparkSession, dir: String, qMod: Long,
       k: Int): DataFrame = {
     val e6 = embs(s, dir).select(col("vec_id"),
       expr("transform(emb, x -> cast(round(x * 1e6) as bigint))")
         .as("v6"))
     val coarse = ivfSeedCents(e6, "v6", cid = "ccid", ci = "c6")
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("d2"), col("ccid"))
+    // r15 opt (VERDICT r14 #3, guide §2.3/§2.4): the coarse assignment
+    // used to rank the e6 x centroids cross join with a
+    // Window.partitionBy(vec_id) — an Exchange of 20x corpus rows each
+    // carrying BOTH 128-long vectors plus a full Sort of them (the
+    // largest corpus-scale shuffle in the ANN serving path, linear in
+    // the corpus with a ~40 KB payload per vector). The distance math
+    // stays the all-codegen kernel over the broadcast cross join, but
+    // only the SLIM (d2, ccid) pairs flow on: the 20 scored rows of a
+    // vector are map-LOCAL by construction (the cross join generates
+    // them in place), so a partial collect_list collapses them to one
+    // row per vector BEFORE the exchange — the shuffle now moves
+    // (vec_id, v6, 20 x 16 B) per vector, ~30x fewer bytes, and the
+    // window's corpus-sized Sort disappears (sorting 20 slim structs
+    // per GROUP instead: array_sort's (d2, ccid) struct order is
+    // exactly the window's orderBy, crk = position + 1). A row-local
+    // HOF form that also dropped the exchange was measured and
+    // REJECTED: interpreting the kernel per lambda element cost more
+    // than the exchange at both sf0.1 and x10 (+82%/+72%). Centroid
+    // vectors re-attach AFTER selection from the 20-row broadcast
+    // (1:1 on ccid — allowlisted in the fallback census with a
+    // runtime uniqueness pin).
+    val scored = e6.join(broadcast(coarse))
+      .select(col("vec_id"), col("v6"), col("ccid"),
+        graft.functions.SeriesKernelFunctions
+          .int_sq_l2(col("v6"), col("c6")).as("d2"))
+    val top2 = scored
+      .groupBy("vec_id")
+      .agg(max(col("v6")).as("v6"), // constant within the group
+        collect_list(struct(col("d2"), col("ccid"))).as("ds"))
+      .select(col("vec_id"), col("v6"),
+        posexplode(expr("slice(array_sort(ds), 1, 2)"))
+          .as(Seq("cpos", "t")))
     // persisted: read 3× (corpus residual subs, PQ seed codebook,
     // query probe list)
-    val probed = e6.join(broadcast(coarse))
-      .withColumn("d2", graft.functions.SeriesKernelFunctions.int_sq_l2(col("v6"), col("c6")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") <= 2)
-      .withColumn("qcdot12", graft.functions.SeriesKernelFunctions.int_dot(col("v6"), col("c6")))
-      .withColumn("res", expr("zip_with(v6, c6, (x, y) -> x - y)"))
-      .select(col("vec_id"), col("ccid").as("cell"), col("crk"),
-        col("qcdot12"), col("res"))
+    val probed = top2
+      .join(broadcast(coarse), col("t.ccid") === col("ccid"))
+      .select(col("vec_id"), col("ccid").as("cell"),
+        (col("cpos") + 1).as("crk"),
+        graft.functions.SeriesKernelFunctions
+          .int_dot(col("v6"), col("c6")).as("qcdot12"),
+        expr("zip_with(v6, c6, (x, y) -> x - y)").as("res"))
       .persistTracked()
     val rsubs = probed.filter(col("crk") === 1)
       .select(col("vec_id"), col("cell"),
@@ -3668,7 +3709,18 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
         .select(col("query_id"), col("doc_id"), col("rd"))
       val wf = Window.partitionBy("query_id")
         .orderBy(col("rrf6").desc, col("doc_id"))
-      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      // r15 opt: p99's fusion rewrite (see hybridRrfAnnEntry) applied
+      // to the declared-brute twin — both arms are unique on
+      // (query_id, doc_id), so UNION + groupBy.max IS the full outer
+      // join, in one exchange instead of three
+      lex
+        .select(col("query_id"), col("doc_id"), col("rl"),
+          lit(null).cast("long").as("rd"))
+        .unionByName(dense.select(col("query_id"), col("doc_id"),
+          lit(null).cast("long").as("rl"), col("rd")))
+        .repartition(col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(max(col("rl")).as("rl"), max(col("rd")).as("rd"))
         .withColumn("rrf6",
           expr("coalesce(1000000 div (60 + rl), 0L) + " +
             "coalesce(1000000 div (60 + rd), 0L)"))
@@ -6767,7 +6819,26 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
           col("rk").as("rd"))
       val wf = Window.partitionBy("query_id")
         .orderBy(col("rrf6").desc, col("doc_id"))
-      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      // r15 opt (VERDICT r14 #4, guide §2.4): the fusion used to be a
+      // full-outer SortMergeJoin on (query_id, doc_id) that
+      // re-exchanged AND re-sorted both top-10 arms (each already
+      // partitioned by query_id from its own rank window), then the
+      // final window exchanged a third time. Both arms are UNIQUE on
+      // (query_id, doc_id) — each is a row_number()<=10 filter — so
+      // the full outer join is equivalent to UNION + one
+      // groupBy(query_id, doc_id) with max() folding the at-most-one
+      // non-null rank per side (max == coalesce on singleton groups).
+      // The explicit repartition(query_id) satisfies the aggregate
+      // (subset of its grouping keys) AND the fusion window: the
+      // fusion runs in ONE exchange instead of three.
+      lex
+        .select(col("query_id"), col("doc_id"), col("rl"),
+          lit(null).cast("long").as("rd"))
+        .unionByName(dense.select(col("query_id"), col("doc_id"),
+          lit(null).cast("long").as("rl"), col("rd")))
+        .repartition(col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(max(col("rl")).as("rl"), max(col("rd")).as("rd"))
         .withColumn("rrf6",
           expr("coalesce(1000000 div (60 + rl), 0L) + " +
             "coalesce(1000000 div (60 + rd), 0L)"))
