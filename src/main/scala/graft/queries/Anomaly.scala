@@ -3158,6 +3158,20 @@ object Anomaly {
           .otherwise(length(bin(col("micro")))))
         .groupBy(col("event_type"), col("day_id"), col("bkt"))
         .agg(count(lit(1)).as("cnt"))
+        // r15 opt (VERDICT r14 #8, guide §2.4): re-key the cached
+        // sketch by SERIES once — every downstream stage (both pick()
+        // window pairs, their groupBys, the spine distinct, the
+        // day-spine merge join and its re-aggregate) clusters on an
+        // event_type-prefixed key, so one sketch-sized exchange
+        // satisfies them all and SIX post-sketch exchanges collapse
+        // away. This was the worst inverse-scaler in the r14 bench
+        // (8-core 3x faster than 32-core): each removed exchange was a
+        // 32-tiny-task barrier over O(series x days x 64) sketch rows.
+        // Scale-safe: partitioning by series is the natural
+        // sketch-merge layout (per-series windows), and the frame
+        // being repartitioned is the post-aggregation SKETCH, never
+        // corpus rows.
+        .repartition(col("event_type"))
         .persistTracked() // read twice: the daily path and the merge join
       def pick(sketch: org.apache.spark.sql.DataFrame, dayCol: String)
           : org.apache.spark.sql.DataFrame = {
