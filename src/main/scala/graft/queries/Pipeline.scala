@@ -1133,6 +1133,11 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
       // (the kernel family promotes containsNull=false to an
       // analysis-time requirement); it never fires — embs() ingestion
       // already drops vectors with null/NaN/out-of-range elements
+      // persisted (r15 sweep, guide §2.4): both sides of the bucket
+      // self-join read the 8-table kernel-hash explode, and the query
+      // side's %50 filter pushes INTO the subtree — the two sides stop
+      // being plan-identical, ReusedExchange cannot fire, and the
+      // hashing ran twice per materialization
       val e = embs(s, dir)
         .withColumn("ei", expr(
           "transform(emb, x -> coalesce(cast(round(x*1000000) as bigint), 0L))"))
@@ -1141,6 +1146,7 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
             struct(lit(t).as("tbl"), bucketExpr(t).as("bucket"))): _*)).as("tb"))
         .select(col("vec_id"), col("emb"),
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        .persistTracked()
       val cand = e.filter(col("vec_id") % 50 === 0)
         .toDF("query_id", "qemb", "tbl", "bucket")
         .join(e.toDF("neighbor_id", "nemb", "tbl", "bucket"),
@@ -1428,6 +1434,10 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     Entry("p17_tfidf", (s, dir) => {
       val terms = docs(s, dir)
         .select(col("doc_id"), explode(toks).as("term"))
+      // r15 sweep: measured and REJECTED persisting tf + deriving df
+      // from it (count(*) over tf rows == countDistinct(doc_id) over
+      // postings): +12% at sf0.1 — materializing the full posting
+      // cache costs more than the second tokenize pass it saves here
       val tf = terms.groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
       val df = terms.groupBy("term")
@@ -3216,7 +3226,12 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     // the doc's distinct grams it is the first bearer of; integer
     // counts, one rounded division.
     Entry("p53_novelty", (s, dir) => {
-      val posts = gram3Sets(docs(s, dir))
+      // persisted (r15 sweep, guide §2.4): the first-seen aggregate
+      // and the postings join read the SAME tokenize+hash+explode
+      // subtree, but with a partial aggregate fused into one side the
+      // two exchange subtrees differ — no ReusedExchange — so the
+      // gram scan ran twice per materialization
+      val posts = gram3Sets(docs(s, dir)).persistTracked()
       val firstSeen = posts.groupBy("shingle")
         .agg(min(col("doc_id")).as("first_doc"))
       posts.join(firstSeen, "shingle")
@@ -4386,8 +4401,14 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
     */
   private[queries] def chunkDupCensusEntry: Entry =
     Entry("p70_chunk_dup_census", (s, dir) => {
+      // persisted (r15 sweep, guide §2.4): the whole p29 chunking
+      // chain (tokenize + stride windows + hashing) feeds both the
+      // per-hash dim aggregate and the census join; the partial
+      // aggregate fused into the dim side breaks exchange reuse, so
+      // the chain ran twice per materialization
       val chunks = Catalog.queries("p29_chunk_stride")(s, dir)
         .select(col("doc_id"), col("chunk_hash"))
+        .persistTracked()
       val dfh = chunks.groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       chunks.join(dfh, Seq("chunk_hash"))
