@@ -789,14 +789,25 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
       .withColumn("ei", expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
     val cents = ivfSeedCents(e, "ei")
     val d2 = graft.functions.SeriesKernelFunctions.int_sq_l2(col("ei"), col("ci"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
     // persisted: the cell join reads the (expensive) centroid
-    // cross-join assignment from both sides (probes and neighbors)
+    // cross-join assignment from both sides (probes and neighbors).
+    // r15 opt (p63's slim-aggregate coarse assign, guide §2.3/§2.4):
+    // the 20 scored rows of a vector are map-local under the broadcast
+    // cross join, so a partial collect_list of slim (d2, cid) structs
+    // collapses them BEFORE the exchange — the old
+    // Window.partitionBy(vec_id) exchanged and sorted 20x corpus rows
+    // with full embedding payloads. array_sort's (d2, cid) struct
+    // order is exactly the window's orderBy; rk = position + 1.
     val probed = e.join(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id"), col("emb"), col("cid").as("cell"), col("rk"))
+      .select(col("vec_id"), col("emb"), col("cid"), d2.as("d2"))
+      .groupBy("vec_id")
+      .agg(max(col("emb")).as("emb"), // constant within the group
+        collect_list(struct(col("d2"), col("cid"))).as("ds"))
+      .select(col("vec_id"), col("emb"),
+        posexplode(expr(s"slice(array_sort(ds), 1, $nprobe)"))
+          .as(Seq("cpos", "t")))
+      .select(col("vec_id"), col("emb"), col("t.cid").as("cell"),
+        (col("cpos") + 1).as("rk"))
       .persistTracked()
     val assigned = probed.filter(col("rk") === 1).drop("rk")
     val wTop = Window.partitionBy("query_id")
@@ -5407,14 +5418,22 @@ ${bm25ContribDuck("pp.idf6", "pp.tf", "pp.dl")} AS c6
           expr("transform(emb, x -> cast(round(x*1000000) as bigint))"))
       val cents = ivfSeedCents(e, "ei")
       val d2 = graft.functions.SeriesKernelFunctions.int_sq_l2(col("ei"), col("ci"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       // persisted: the cell join reads the centroid assignment from both
-      // sides (held-out probes and corpus vectors)
+      // sides (held-out probes and corpus vectors). r15 opt: p63's
+      // slim-aggregate coarse assign — partial collect_list of slim
+      // (d2, cid) structs replaces the Window.partitionBy(vec_id) over
+      // 20x corpus rows with embedding payloads (same (d2, cid) order,
+      // rk = position + 1)
       val probed = e.join(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") <= 2)
-        .select(col("vec_id"), col("emb"), col("cid").as("cell"), col("rk"))
+        .select(col("vec_id"), col("emb"), col("cid"), d2.as("d2"))
+        .groupBy("vec_id")
+        .agg(max(col("emb")).as("emb"), // constant within the group
+          collect_list(struct(col("d2"), col("cid"))).as("ds"))
+        .select(col("vec_id"), col("emb"),
+          posexplode(expr("slice(array_sort(ds), 1, 2)"))
+            .as(Seq("cpos", "t")))
+        .select(col("vec_id"), col("emb"), col("t.cid").as("cell"),
+          (col("cpos") + 1).as("rk"))
         .persistTracked()
       val tests = probed.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("test_id"), col("emb").as("temb"),
